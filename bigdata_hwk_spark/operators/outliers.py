@@ -1,0 +1,205 @@
+"""Distance-based outlier detection, Spark-first.
+
+Re-expresses the reference's two outlier detectors (reference
+HWK_1/G029HW1.py) as fully-distributed DataFrame pipelines:
+
+* **MRApproxOutliers** (reference ``MRApproxOutliers``,
+  HWK_1/G029HW1.py:96-120; HWK_2/G029HW2.py:110-129): grid-quantize points
+  to cells of side Λ = D/(2√2), build the cell histogram, compute N3/N7
+  neighborhood sums, classify cells as sure-outlier / uncertain. The
+  reference collects the histogram to a driver dict and probes it in a
+  Python loop (HWK_1/G029HW1.py:108,71-93); we instead keep it distributed
+  with the **offset-explode equi-join**: each cell contributes its count to
+  the 49 cells of its 7×7 window via an exploded (di,dj) array, then one
+  ``groupBy`` computes cell size, N3 and N7 in a single shuffle whose input
+  is 49×|cells| rows — |cells| ≪ N, so this scales to arbitrary point
+  counts where the driver dict would OOM.
+
+* **ExactOutliers** (reference ``exactOutliers``, HWK_1/G029HW1.py:7-49):
+  the reference runs an O(N²) driver-local pair loop capped at 200k points
+  (HWK_1/G029HW1.py:155). We rewrite the distance theta-join as an
+  equi-join: bin both sides to cells of side D, explode the 3×3 neighbor
+  offsets on one side, equi-join on the cell key, then apply the exact
+  squared-distance predicate. Catalyst plans a shuffled hash join (verified
+  in tests via ``explain``) instead of the BroadcastNestedLoopJoin a raw
+  ``|Δx|≤D``-style predicate would force; AQE's skew-join splitting handles
+  hot cells at scale.
+
+All arithmetic sticks to IEEE-754 double ops in a deterministic order so
+the DuckDB oracles reproduce results bit-for-bit (squared distances are
+compared against D² — no sqrt in any predicate).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Grid binning (reference get_cell, HWK_1/G029HW1.py:52-57)
+# ---------------------------------------------------------------------------
+
+
+def cell_side(d: float) -> float:
+    """Λ = D / (2√2) — reference HWK_1/G029HW1.py:99."""
+    return d / (2 * math.sqrt(2))
+
+
+def with_cell(points: DataFrame, side: float) -> DataFrame:
+    """Project (x, y) → integer cell coords (⌊x/side⌋, ⌊y/side⌋)."""
+    return points.withColumns(
+        {
+            "cx": F.floor(F.col("x") / F.lit(side)).cast("int"),
+            "cy": F.floor(F.col("y") / F.lit(side)).cast("int"),
+        }
+    )
+
+
+def _offsets_col(radius: int):
+    """Literal array<struct<di,dj>> of the (2r+1)² neighbor offsets.
+
+    A plan-time constant, so the 49-way (or 9-way) expansion happens
+    JVM-side inside whole-stage codegen — no Python round-trip and no
+    second input scan.
+    """
+    return F.array(
+        *[
+            F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+            for di in range(-radius, radius + 1)
+            for dj in range(-radius, radius + 1)
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# MRApproxOutliers (G3)
+# ---------------------------------------------------------------------------
+
+
+def cell_histogram(points: DataFrame, d: float) -> DataFrame:
+    """Non-empty cell → point count (reference Step A,
+    HWK_1/G029HW1.py:102-105). Catalyst plans partial+final hash
+    aggregation automatically (the reference hand-writes the combiner at
+    HWK_1/G029HW1.py:60-69)."""
+    return (
+        with_cell(points, cell_side(d))
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("cell_cnt"))
+    )
+
+
+def cell_stats(points: DataFrame, d: float) -> DataFrame:
+    """Per-cell (cx, cy, cell_cnt, n3, n7).
+
+    N3/N7 = total points in the 3×3 / 7×7 cell windows (reference
+    calculate_N3_N7, HWK_1/G029HW1.py:71-93). Single extra shuffle over
+    49×|cells| rows; empty target cells are dropped by the
+    ``cell_cnt IS NOT NULL`` filter (the reference iterates only non-empty
+    keys of the driver dict).
+    """
+    hist = cell_histogram(points, d)
+    contrib = hist.select(
+        F.explode(_offsets_col(3)).alias("o"), F.col("cx"), F.col("cy"), F.col("cell_cnt")
+    ).select(
+        (F.col("cx") + F.col("o.di")).alias("cx"),
+        (F.col("cy") + F.col("o.dj")).alias("cy"),
+        F.col("o.di").alias("di"),
+        F.col("o.dj").alias("dj"),
+        F.col("cell_cnt").alias("cnt"),
+    )
+    is_self = (F.col("di") == 0) & (F.col("dj") == 0)
+    in_3x3 = (F.abs(F.col("di")) <= 1) & (F.abs(F.col("dj")) <= 1)
+    return (
+        contrib.groupBy("cx", "cy")
+        .agg(
+            F.sum(F.when(is_self, F.col("cnt"))).alias("cell_cnt"),
+            F.sum(F.when(in_3x3, F.col("cnt"))).alias("n3"),
+            F.sum("cnt").alias("n7"),
+        )
+        .filter(F.col("cell_cnt").isNotNull())
+    )
+
+
+def mr_approx_outliers_summary(points: DataFrame, d: float, m: int) -> DataFrame:
+    """One-row summary: sure outliers / uncertain points.
+
+    sure = Σ cell_cnt where N7 ≤ M (all points in such cells are certainly
+    outliers — reference HWK_1/G029HW1.py:112); uncertain = Σ cell_cnt where
+    N3 ≤ M < N7 (HWK_1/G029HW1.py:113).
+    """
+    stats = cell_stats(points, d)
+    return stats.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("n7") <= m, F.col("cell_cnt"))), F.lit(0)
+        ).alias("sure_outliers"),
+        F.coalesce(
+            F.sum(F.when((F.col("n3") <= m) & (F.col("n7") > m), F.col("cell_cnt"))),
+            F.lit(0),
+        ).alias("uncertain_points"),
+    )
+
+
+def smallest_cells(points: DataFrame, d: float, k: int) -> DataFrame:
+    """First K non-empty cells by ascending size (reference
+    HWK_1/G029HW1.py:114,119-120), with (cx, cy) tiebreak for determinism
+    (the reference's sort is driver-side and input-order-stable; a total
+    order is required for a reproducible distributed top-K)."""
+    return (
+        cell_histogram(points, d)
+        .orderBy("cell_cnt", "cx", "cy")
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ExactOutliers (G4) — grid-bucketed distance self-join
+# ---------------------------------------------------------------------------
+
+
+def exact_outlier_counts(points: DataFrame, d: float) -> DataFrame:
+    """(point_id, x, y, neighbor_cnt) where neighbor_cnt = |B(p, D)|.
+
+    Counts every q (including p itself — the reference initializes each
+    counter to 1, HWK_1/G029HW1.py:16) with dist(p, q) ≤ D. Theta→equi
+    rewrite: cells of side D guarantee any pair within D is in adjacent
+    cells, so the 9-offset explode + equi-join on (cx, cy) covers exactly
+    the candidate set; the exact predicate compares squared distance to D².
+    """
+    binned = with_cell(points, d)
+    probe = binned.select(
+        F.explode(_offsets_col(1)).alias("o"), "point_id", "x", "y", "cx", "cy"
+    ).select(
+        F.col("point_id").alias("q_id"),
+        F.col("x").alias("qx"),
+        F.col("y").alias("qy"),
+        (F.col("cx") + F.col("o.di")).alias("cx"),
+        (F.col("cy") + F.col("o.dj")).alias("cy"),
+    )
+    dx = F.col("x") - F.col("qx")
+    dy = F.col("y") - F.col("qy")
+    d2 = F.lit(d) * F.lit(d)
+    return (
+        binned.join(probe, ["cx", "cy"])
+        .filter(dx * dx + dy * dy <= d2)
+        .groupBy("point_id", "x", "y")
+        .agg(F.count(F.lit(1)).alias("neighbor_cnt"))
+    )
+
+
+def exact_outliers(points: DataFrame, d: float, m: int) -> DataFrame:
+    """Points p with |B(p, D)| ≤ M (reference outlier predicate,
+    HWK_1/G029HW1.py:35-39; self-inclusive count)."""
+    return exact_outlier_counts(points, d).filter(F.col("neighbor_cnt") <= m)
+
+
+def exact_outliers_topk(points: DataFrame, d: float, m: int, k: int) -> DataFrame:
+    """First K outliers by ascending |B(p, D)| (reference
+    HWK_1/G029HW1.py:45-49), point_id tiebreak for determinism."""
+    return (
+        exact_outliers(points, d, m)
+        .orderBy("neighbor_cnt", "point_id")
+        .limit(k)
+        .select("point_id", "x", "y", "neighbor_cnt")
+    )

@@ -1,0 +1,180 @@
+"""Central registry: query name → (Spark callable, DuckDB oracle SQL).
+
+Every implemented operator from SURVEY.md §2 gets an entry here; the driver
+contract (``__spark_entry__.py``) re-exports it. Each Spark callable takes
+``(spark, sf_dir)`` and returns a DataFrame; the oracle is ANSI SQL DuckDB
+runs against the same parquet (views pre-registered per table name).
+
+Column names and types are aligned on both sides (the driver hash-compares
+after sorting columns by name). Distance predicates compare squared
+distances — identical IEEE double ops in both engines, no fp tolerance
+needed. Floating-point *literals* (Λ, D²) are formatted with ``repr`` so
+both engines parse the identical double.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import outliers as O
+from .sources.tables import POINTS_SQL_BODY, points_from_lineitem
+
+# ---------------------------------------------------------------------------
+# Parameters for the outlier queries (tuned so sf0.01 produces non-trivial
+# sure/uncertain/outlier counts; see tests/test_outliers.py)
+# ---------------------------------------------------------------------------
+# D=0.5/M=3 chosen so sf0.01 yields non-trivial classes
+# (6 sure outliers, ~3.5k uncertain over ~30k cells).
+APPROX_D = 0.5
+APPROX_M = 3
+APPROX_K = 10
+
+# ExactOutliers runs on a deterministic subset (the reference itself caps
+# the exact path at 200k points — HWK_1/G029HW1.py:155); the DuckDB oracle is
+# the literal O(N²) cross join, so the subset keeps it tractable at sf0.01.
+# The l_orderkey < 15000 cap makes the subset (and thus the outlier counts)
+# scale-stable from sf0.01 upward.
+EXACT_SUBSET_MOD = 101
+EXACT_SUBSET_MAX_ORDERKEY = 15000
+EXACT_D = 5.0
+EXACT_M = 5
+EXACT_K = 10
+
+_PTS_CTE = f"WITH pts AS ({POINTS_SQL_BODY})"
+_PTS_SUBSET_CTE = (
+    f"WITH pts AS ({POINTS_SQL_BODY} WHERE l_orderkey % {EXACT_SUBSET_MOD} = 0 "
+    f"AND l_orderkey < {EXACT_SUBSET_MAX_ORDERKEY})"
+)
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return points_from_lineitem(spark, sf_dir)
+
+
+def _points_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    okey = F.floor(F.col("point_id") / 8).cast("bigint")
+    return points_from_lineitem(spark, sf_dir).filter(
+        (okey % EXACT_SUBSET_MOD == 0) & (okey < EXACT_SUBSET_MAX_ORDERKEY)
+    )
+
+
+def _cell_stats_oracle() -> str:
+    lam = O.cell_side(APPROX_D)
+    return f"""
+{_PTS_CTE},
+cells AS (
+  SELECT CAST(floor(x / {lam!r}) AS INTEGER) AS cx,
+         CAST(floor(y / {lam!r}) AS INTEGER) AS cy,
+         count(*) AS cnt
+  FROM pts GROUP BY 1, 2),
+contrib AS (
+  SELECT CAST(cx + di AS INTEGER) AS cx, CAST(cy + dj AS INTEGER) AS cy,
+         di, dj, cnt
+  FROM cells, generate_series(-3, 3) AS t1(di), generate_series(-3, 3) AS t2(dj))
+SELECT cx, cy,
+       CAST(sum(CASE WHEN di = 0 AND dj = 0 THEN cnt END) AS BIGINT) AS cell_cnt,
+       CAST(sum(CASE WHEN abs(di) <= 1 AND abs(dj) <= 1 THEN cnt END) AS BIGINT) AS n3,
+       CAST(sum(cnt) AS BIGINT) AS n7
+FROM contrib
+GROUP BY cx, cy
+HAVING sum(CASE WHEN di = 0 AND dj = 0 THEN cnt END) IS NOT NULL
+"""
+
+
+def _summary_oracle() -> str:
+    return f"""
+WITH stats AS ({_cell_stats_oracle()})
+SELECT CAST(coalesce(sum(CASE WHEN n7 <= {APPROX_M} THEN cell_cnt END), 0) AS BIGINT)
+         AS sure_outliers,
+       CAST(coalesce(sum(CASE WHEN n3 <= {APPROX_M} AND n7 > {APPROX_M} THEN cell_cnt END), 0)
+            AS BIGINT) AS uncertain_points
+FROM stats
+"""
+
+
+def _smallest_cells_oracle() -> str:
+    lam = O.cell_side(APPROX_D)
+    return f"""
+{_PTS_CTE},
+cells AS (
+  SELECT CAST(floor(x / {lam!r}) AS INTEGER) AS cx,
+         CAST(floor(y / {lam!r}) AS INTEGER) AS cy,
+         count(*) AS cell_cnt
+  FROM pts GROUP BY 1, 2)
+SELECT cx, cy, cell_cnt FROM cells
+ORDER BY cell_cnt, cx, cy LIMIT {APPROX_K}
+"""
+
+
+def _exact_counts_oracle_body() -> str:
+    d2 = EXACT_D * EXACT_D
+    return f"""
+{_PTS_SUBSET_CTE},
+cnts AS (
+  SELECT a.point_id, a.x, a.y, count(*) AS neighbor_cnt
+  FROM pts a, pts b
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {d2!r}
+  GROUP BY a.point_id, a.x, a.y)
+"""
+
+
+def _exact_outliers_oracle() -> str:
+    return f"""
+{_exact_counts_oracle_body()}
+SELECT point_id, x, y, neighbor_cnt FROM cnts WHERE neighbor_cnt <= {EXACT_M}
+"""
+
+
+def _exact_topk_oracle() -> str:
+    return f"""
+{_exact_counts_oracle_body()}
+SELECT point_id, x, y, neighbor_cnt FROM cnts WHERE neighbor_cnt <= {EXACT_M}
+ORDER BY neighbor_cnt, point_id LIMIT {EXACT_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
+    QUERIES[name] = fn
+    if oracle is not None:
+        ORACLES[name] = oracle
+
+
+register(
+    "mr_approx_cell_stats",
+    lambda spark, sf: O.cell_stats(_points(spark, sf), APPROX_D),
+    _cell_stats_oracle(),
+)
+register(
+    "mr_approx_outliers_summary",
+    lambda spark, sf: O.mr_approx_outliers_summary(_points(spark, sf), APPROX_D, APPROX_M),
+    _summary_oracle(),
+)
+register(
+    "mr_approx_smallest_cells",
+    lambda spark, sf: O.smallest_cells(_points(spark, sf), APPROX_D, APPROX_K),
+    _smallest_cells_oracle(),
+)
+register(
+    "exact_outliers",
+    lambda spark, sf: O.exact_outliers(_points_subset(spark, sf), EXACT_D, EXACT_M),
+    _exact_outliers_oracle(),
+)
+register(
+    "exact_outliers_topk",
+    lambda spark, sf: O.exact_outliers_topk(_points_subset(spark, sf), EXACT_D, EXACT_M, EXACT_K),
+    _exact_topk_oracle(),
+)

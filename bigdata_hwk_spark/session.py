@@ -1,0 +1,50 @@
+"""SparkSession factory with engine defaults.
+
+Defaults follow the scale-first configuration described in SURVEY.md §7:
+AQE on (runtime re-planning, skew-join splitting, partition coalescing),
+Arrow enabled for the pandas-kernel paths, UTC session timezone so results
+compare bit-for-bit against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "bigdata_hwk_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Parameters are env-overridable so the same code path serves pytest
+    (local[*], small shuffle fanout) and a real cluster (spark-submit
+    provides master/partitions; our settings only fill gaps).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions) if shuffle_partitions else "32",
+        )
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

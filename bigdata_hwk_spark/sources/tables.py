@@ -1,0 +1,111 @@
+"""Schema-first readers for the driver fixture tables.
+
+The reference parses inputs with implicit, by-convention schemas
+(``line.strip().split(',')`` at reference HWK_1/G029HW1.py:145 and
+``int(s)`` per stream record at HWK_3/G029HW3.py:44-46). Our engine
+declares explicit schemas per source (SURVEY.md §1.3): deterministic DDL,
+no ``inferSchema`` in production paths. Parquet scans get column pruning
+and predicate pushdown from Catalyst for free once schemas are explicit.
+
+Derived sources
+---------------
+``points_from_lineitem`` — the reference's 2-D point-set inputs
+(HWK_1 uber CSVs / TestN15) don't exist in the driver fixtures, so the
+outlier/k-center operators take a deterministic projection of ``lineitem``
+as their point cloud. The arithmetic is pure IEEE-754 double ops in a fixed
+order, so DuckDB produces the bit-identical point set for oracle checks.
+
+``stream_from_events`` — the reference's integer stream (HWK_3 socket) is
+replayed deterministically as ``events.user_id`` ordered by ``(ts,
+event_id)``: a realistic skewed item stream with a total arrival order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Explicit DDL schemas for every fixture table (TESTDATA.md).
+TABLE_SCHEMAS: dict[str, str] = {
+    "region": "r_regionkey int, r_name string",
+    "nation": "n_nationkey int, n_name string, n_regionkey int",
+    "customer": (
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string"
+    ),
+    "supplier": "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double",
+    "part": (
+        "p_partkey bigint, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double"
+    ),
+    "orders": (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    ),
+    "lineitem": (
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp"
+    ),
+    "events": (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    ),
+    "documents": "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    "embeddings": "vec_id bigint, embedding array<float>, label int",
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table with its declared schema."""
+    if name not in TABLE_SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {sorted(TABLE_SCHEMAS)}")
+    return spark.read.schema(TABLE_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+
+
+# SQL fragment shared verbatim with the DuckDB oracles so both engines build
+# the identical point cloud (same IEEE double ops, same order).
+POINTS_SQL_BODY = (
+    "SELECT l_orderkey * 8 + l_linenumber AS point_id, "
+    "l_quantity + l_discount AS x, "
+    "l_extendedprice / 1000.0 AS y "
+    "FROM lineitem"
+)
+
+
+def points_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D point set (point_id, x, y) derived from lineitem.
+
+    Mirrors the reference's point-set input shape (parse at reference
+    HWK_1/G029HW1.py:145) with an added ``point_id`` for deterministic
+    top-K tie-breaking (FIXTURES.md §1). x spans ~[1, 51), y ~[0.9, 115).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("point_id"),
+        (F.col("l_quantity") + F.col("l_discount")).alias("x"),
+        (F.col("l_extendedprice") / F.lit(1000.0)).alias("y"),
+    )
+
+
+STREAM_SQL_BODY = (
+    "SELECT row_number() OVER (ORDER BY ts, event_id) - 1 AS seq, "
+    "user_id AS item FROM events"
+)
+
+
+def stream_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer item stream (seq, item) replayed from events.
+
+    ``seq`` is the total arrival order (the stream IS its seq ordering —
+    FIXTURES.md §2); ``item`` is the skewed ``user_id`` distribution.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("ts", "event_id")
+    return ev.select(
+        (F.row_number().over(w) - 1).cast("bigint").alias("seq"),
+        F.col("user_id").alias("item"),
+    )

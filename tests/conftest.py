@@ -1,0 +1,56 @@
+"""Shared pytest fixtures: one SparkSession per test run + DuckDB oracle helper."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from bigdata_hwk_spark.session import get_spark
+from bigdata_hwk_spark.sources.tables import TABLE_SCHEMAS
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECT = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="bigdata_hwk_spark-tests", shuffle_partitions=8)
+    yield s
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """DuckDB connection with every fixture table registered as a view —
+    mirrors the driver's oracle setup."""
+    con = duckdb.connect()
+    for name in TABLE_SCHEMAS:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    out = df[sorted(df.columns)].copy()
+    if len(out.columns):
+        out = out.sort_values(by=list(out.columns), kind="mergesort")
+    return out.reset_index(drop=True)
+
+
+def assert_matches_oracle(spark_df, sql: str, sf_dir: str, float_round: int | None = None):
+    """Order-insensitive comparison of a Spark result vs DuckDB oracle SQL,
+    approximating the driver's row-count + schema + value-hash check."""
+    got = spark_df.toPandas()
+    with duck_con(sf_dir) as con:
+        want = con.execute(sql).fetchdf()
+    assert sorted(got.columns) == sorted(want.columns), (
+        f"column mismatch: spark={sorted(got.columns)} oracle={sorted(want.columns)}"
+    )
+    assert len(got) == len(want), f"row count: spark={len(got)} oracle={len(want)}"
+    g, w = _canon(got), _canon(want)
+    if float_round is not None:
+        for c in g.columns:
+            if pd.api.types.is_float_dtype(g[c]):
+                g[c] = g[c].round(float_round)
+                w[c] = w[c].round(float_round)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=float_round is None)
