@@ -1,0 +1,165 @@
+"""k-center clustering via Farthest-First Traversal, Spark-first.
+
+Re-expresses the reference's HW2 pipeline (reference HWK_2/G029HW2.py):
+
+* **SequentialFFT** (reference ``SequentialFFT``, HWK_2/G029HW2.py:50-79):
+  Gonzalez's 2-approximation — pick the first point, then K−1 rounds of
+  "farthest point from its nearest center". The reference memoizes min
+  distances in a Python dict; we vectorize with NumPy (O(N·K) float64 ops,
+  no per-point Python loop). Only ever runs on a single partition's points
+  or the L·K coreset, so NumPy is the right tool (SURVEY.md §2.10 G1).
+
+* **MRFFT** (reference ``MRFFT``, HWK_2/G029HW2.py:81-107), 3 rounds:
+  R1 — per-partition FFT coresets via ``mapInPandas`` (Arrow-vectorized
+  successor of the reference's ``mapPartitions`` at HWK_2/G029HW2.py:84);
+  each of the L partitions reduces to K points, so only L·K rows ever
+  reach the driver.
+  R2 — FFT on the coreset, driver-side NumPy (reference :91 — constant
+  work, ~42 ms in the published baseline regardless of cluster size).
+  R3 — clustering radius = max over points of min distance to the K
+  centers (reference :97-102). The centers ship as a *literal
+  array<array<double>>* column, so the min-distance probe is a pure
+  codegen expression (``F.transform`` + ``F.array_min``) — the Spark
+  analogue of the reference's ``sc.broadcast`` + nested-loop probe
+  (J3/A5 in SURVEY.md §2.3/§2.4), with no Python in the hot path and no
+  join at all.
+
+Determinism: the reference's coreset depends on ``repartition``'s
+round-robin placement (SURVEY.md §4.3.4). We hash-partition on
+``point_id`` and sort each partition before the kernel, so results are
+reproducible run-to-run for the same (data, K, L).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sequential_fft(pts: np.ndarray, k: int) -> np.ndarray:
+    """Gonzalez FFT on an (N, d) float64 array → (min(k, N), d) centers.
+
+    First center = row 0 (the reference picks P[0], HWK_2/G029HW2.py:55);
+    ties in the argmax resolve to the lowest index, matching Python's
+    ``max`` over an ordered dict.
+    """
+    n = len(pts)
+    if n == 0:
+        return pts.reshape(0, pts.shape[1] if pts.ndim == 2 else 2)
+    k = min(k, n)
+    centers_idx = np.empty(k, dtype=np.int64)
+    centers_idx[0] = 0
+    # incremental min-distance memoization (reference dict at :58-66),
+    # vectorized: one (N,) distance update per round
+    min_d2 = ((pts - pts[0]) ** 2).sum(axis=1)
+    for i in range(1, k):
+        centers_idx[i] = int(np.argmax(min_d2))
+        d2 = ((pts - pts[centers_idx[i]]) ** 2).sum(axis=1)
+        np.minimum(min_d2, d2, out=min_d2)
+    return pts[centers_idx]
+
+
+def _partition_fft(k: int):
+    """mapInPandas kernel: run FFT over one partition's points.
+
+    Concatenates the partition's Arrow batches (a partition must be seen
+    whole — FFT is a global-per-partition algorithm), sorts by point_id
+    for run-to-run determinism, emits ≤ K coreset rows.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values("point_id", ignore_index=True)
+        centers = sequential_fft(pdf[["x", "y"]].to_numpy(dtype=np.float64), k)
+        yield pd.DataFrame({"x": centers[:, 0], "y": centers[:, 1]})
+
+    return kernel
+
+
+def coreset(points: DataFrame, k: int, l: int) -> DataFrame:
+    """MRFFT Round 1: L·K-point coreset (reference HWK_2/G029HW2.py:84)."""
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(points.sparkSession)
+    return (
+        points.select("point_id", "x", "y")
+        .repartition(l, "point_id")
+        .mapInPandas(_partition_fft(k), schema="x double, y double")
+    )
+
+
+def mrfft_centers(points: DataFrame, k: int, l: int) -> np.ndarray:
+    """Rounds 1+2: K centers as a driver-side (K, 2) array
+    (reference HWK_2/G029HW2.py:84-91 — R2 is intentionally driver-side:
+    the coreset is L·K rows, constant w.r.t. N)."""
+    core = np.array(
+        [[r.x, r.y] for r in coreset(points, k, l).collect()], dtype=np.float64
+    )
+    core = core[np.lexsort((core[:, 1], core[:, 0]))]  # deterministic R2 input
+    return sequential_fft(core, k)
+
+
+def min_dist2_to_centers(centers: np.ndarray):
+    """Column: squared distance from (x, y) to the nearest center.
+
+    Centers embedded as a literal array — pure whole-stage-codegen
+    expression, the broadcast-probe J3 pattern without a join.
+    """
+    carr = F.array(
+        *[
+            F.array(F.lit(float(cx)), F.lit(float(cy)))
+            for cx, cy in centers
+        ]
+    )
+    d2 = F.transform(
+        carr,
+        lambda c: (F.col("x") - c[0]) * (F.col("x") - c[0])
+        + (F.col("y") - c[1]) * (F.col("y") - c[1]),
+    )
+    return F.array_min(d2)
+
+
+def clustering_radius(points: DataFrame, centers: np.ndarray) -> float:
+    """Round 3: R = max over points of min distance to centers
+    (reference HWK_2/G029HW2.py:97-102, A5 max-of-min reduce)."""
+    row = points.agg(
+        F.max(min_dist2_to_centers(centers)).alias("max_min_d2")
+    ).collect()[0]
+    return math.sqrt(row.max_min_d2) if row.max_min_d2 is not None else 0.0
+
+
+def mrfft(points: DataFrame, k: int, l: int) -> tuple[np.ndarray, float]:
+    """Full MRFFT: (centers, radius R)."""
+    centers = mrfft_centers(points, k, l)
+    return centers, clustering_radius(points, centers)
+
+
+def hw2_pipeline(points: DataFrame, k: int, l: int, m: int) -> DataFrame:
+    """The reference's full HW2 flow (HWK_2/G029HW2.py:165-170): radius
+    from MRFFT feeds MRApproxOutliers as D. Returns a one-row DataFrame
+    (k, radius, sure_outliers, uncertain_points).
+
+    Unlike the reference (which re-scans the input 4× uncached —
+    SURVEY.md §3.2), callers should ``.cache()`` `points` when it fits;
+    we do it here for the repeated passes."""
+    from .outliers import mr_approx_outliers_summary
+
+    # cache: MRFFT R1, R3 and the outlier pass each scan `points`
+    # (the returned DataFrame is lazy, so the cache must stay alive —
+    # Spark evicts LRU if memory is needed)
+    points = points.cache()
+    centers, radius = mrfft(points, k, l)
+    summary = mr_approx_outliers_summary(points, radius, m)
+    return summary.select(
+        F.lit(k).alias("k"),
+        F.lit(radius).alias("radius"),
+        "sure_outliers",
+        "uncertain_points",
+    )

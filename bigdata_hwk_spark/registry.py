@@ -18,6 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .operators import kcenter as KC
 from .operators import outliers as O
 from .sources.tables import POINTS_SQL_BODY, points_from_lineitem
 
@@ -177,4 +178,30 @@ register(
     "exact_outliers_topk",
     lambda spark, sf: O.exact_outliers_topk(_points_subset(spark, sf), EXACT_D, EXACT_M, EXACT_K),
     _exact_topk_oracle(),
+)
+
+# --- k-center (G1/G2): iterative, partition-order-dependent → rows-only
+# checks (no SQL oracle); correctness is property-tested in
+# tests/test_kcenter.py (2-approx bound, L=1 ≡ sequential, determinism).
+FFT_K = 16
+FFT_L = 8
+FFT_M = 3
+
+
+def _mrfft_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    centers, radius = KC.mrfft(pts, FFT_K, FFT_L)
+    from pyspark.sql import functions as F
+
+    return spark.range(1).select(
+        F.lit(FFT_K).alias("k"),
+        F.lit(FFT_L).alias("l"),
+        F.lit(float(radius)).alias("radius"),
+    )
+
+
+register("mrfft_radius", _mrfft_radius)
+register(
+    "hw2_pipeline",
+    lambda spark, sf: KC.hw2_pipeline(_points(spark, sf), FFT_K, FFT_L, FFT_M),
 )

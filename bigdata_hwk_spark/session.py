@@ -13,6 +13,34 @@ import os
 from pyspark.sql import SparkSession
 
 
+def ensure_package_on_executors(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``.
+
+    Any operator whose kernel is a pickled closure referencing this package
+    (mapInPandas / applyInPandas paths) must call this first: the driver
+    process may import us by file path with a cwd outside the repo, in
+    which case executor workers can't resolve ``bigdata_hwk_spark`` from
+    their own sys.path. Idempotent per SparkContext; works in both local
+    and cluster mode (the zip is distributed with the job).
+    """
+    sc = spark.sparkContext
+    if sc._jsc is None or getattr(sc, "_bigdata_hwk_pyfile", False):
+        return
+    import pathlib
+    import tempfile
+    import zipfile
+
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"bigdata_hwk_spark_pyfiles_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for p in sorted(pkg_dir.rglob("*.py")):
+            zf.write(p, arcname=str(p.relative_to(pkg_dir.parent)))
+    sc.addPyFile(zpath)
+    sc._bigdata_hwk_pyfile = True
+
+
 def get_spark(
     app_name: str = "bigdata_hwk_spark",
     master: str | None = None,
