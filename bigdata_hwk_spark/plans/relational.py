@@ -1,0 +1,305 @@
+"""General relational operator surface: joins, aggs, windows, set ops, JSON.
+
+The reference contains no equi-joins, window functions or set operations
+(SURVEY.md §2.3/§2.7/§2.8) — Spark supplies them natively, and this module
+pins the full surface with oracle-checked queries over the fixture star
+schema: hash/broadcast equi-joins, semi/anti joins, multi-way joins,
+grouped/rollup aggregation, ranking windows, sessionization (lag + running
+sum), JSON extraction, distinct/intersect.
+
+Scale notes (100 TB thinking):
+- Fact-to-fact joins (lineitem⋈orders) shuffle on the join key; dimension
+  joins (nation, region, customer-at-small-SF) are explicitly
+  ``F.broadcast`` so no shuffle of the big side occurs.
+- Double-typed aggregates are rounded at the output boundary (both engines
+  compute IEEE sums whose last-ULP may differ with partial-aggregation
+  order; rounding to 2 decimals makes results comparison-stable).
+- Windows partition by high-cardinality keys (user_id, c_custkey) — no
+  global windows, so state per partition stays bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+SESSION_GAP_MIN = 30  # sessionization inactivity gap (minutes)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-style grouped aggregation (A1/A2/A4 surface on the star schema)
+# ---------------------------------------------------------------------------
+
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Equi-join + top-K (hash join on the fact side, deterministic tiebreak)
+# ---------------------------------------------------------------------------
+
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(10)
+    )
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (§2.7 membership-test semantics)
+# ---------------------------------------------------------------------------
+
+def orders_with_heavy_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders having ≥1 lineitem with quantity > 45, counted by priority —
+    left-semi join (EXISTS)."""
+    orders = load_table(spark, sf_dir, "orders")
+    heavy = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        orders.join(heavy, orders.o_orderkey == heavy.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+ORDERS_HEAVY_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers that never ordered."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+CUSTOMERS_NO_ORDERS_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multi-way broadcast join (dimension chain customer→nation→region)
+# ---------------------------------------------------------------------------
+
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+REVENUE_BY_REGION_SQL = """
+SELECT r_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window functions: ranking top-K per group (§2.8)
+# ---------------------------------------------------------------------------
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per customer — row_number window, deterministic
+    (o_orderkey tiebreak). Partitioned by customer → bounded state per key."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+TOP_ORDERS_PER_CUSTOMER_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders) t
+WHERE rk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sessionization over events (lag + cumulative sum — SURVEY.md §2.11)
+# ---------------------------------------------------------------------------
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions per user with a 30-min inactivity gap: classic
+    lag→gap-flag→running-sum pattern. Output: one row per session."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    with_flag = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0),
+    )
+    sess = with_flag.withColumn("session_id", F.sum("new_sess").over(w))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+USER_SESSIONS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                OR epoch(ts) - lag(epoch(ts)) OVER w > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged)
+SELECT user_id, session_id, count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction (events.props — §2.11 extension surface)
+# ---------------------------------------------------------------------------
+
+def event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract props.k (JSON-in-string) and aggregate per event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+EVENT_PROPS_SQL = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.7: free in Spark, pinned by oracle)
+# ---------------------------------------------------------------------------
+
+def nations_with_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation keys present in BOTH customer and supplier — INTERSECT."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.intersect(supp)
+
+
+NATIONS_BOTH_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rollup (grouping-sets surface; absent in reference — SURVEY.md §2.4)
+# ---------------------------------------------------------------------------
+
+def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+LINEITEM_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .operators import kcenter as KC
 from .operators import outliers as O
+from .plans import relational as R
 from .sources.tables import POINTS_SQL_BODY, points_from_lineitem
 
 # ---------------------------------------------------------------------------
@@ -205,3 +206,15 @@ register(
     "hw2_pipeline",
     lambda spark, sf: KC.hw2_pipeline(_points(spark, sf), FFT_K, FFT_L, FFT_M),
 )
+
+# --- generic relational surface (joins/aggs/windows/set ops/JSON) ---
+register("tpch_q1", R.tpch_q1, R.TPCH_Q1_SQL)
+register("top_customers_by_revenue", R.top_customers_by_revenue, R.TOP_CUSTOMERS_SQL)
+register("orders_with_heavy_items", R.orders_with_heavy_items, R.ORDERS_HEAVY_SQL)
+register("customers_without_orders", R.customers_without_orders, R.CUSTOMERS_NO_ORDERS_SQL)
+register("revenue_by_region", R.revenue_by_region, R.REVENUE_BY_REGION_SQL)
+register("top_orders_per_customer", R.top_orders_per_customer, R.TOP_ORDERS_PER_CUSTOMER_SQL)
+register("user_sessions", R.user_sessions, R.USER_SESSIONS_SQL)
+register("event_props_stats", R.event_props_stats, R.EVENT_PROPS_SQL)
+register("nations_with_both", R.nations_with_both, R.NATIONS_BOTH_SQL)
+register("lineitem_rollup", R.lineitem_rollup, R.LINEITEM_ROLLUP_SQL)

@@ -48,8 +48,12 @@ TABLE_SCHEMAS: dict[str, str] = {
         "l_discount double, l_tax double, l_returnflag string, "
         "l_linestatus string, l_shipdate timestamp"
     ),
+    # ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond timestamp, so
+    # it's read as raw nanos (spark.sql.legacy.parquet.nanosAsLong) and
+    # converted to a microsecond timestamp in load_table, matching DuckDB's
+    # ns→µs truncation exactly.
     "events": (
-        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
         "value double, props string"
     ),
     "documents": "doc_id bigint, text string, lang string, source string, n_chars bigint",
@@ -61,7 +65,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with its declared schema."""
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLE_SCHEMAS)}")
-    return spark.read.schema(TABLE_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.schema(TABLE_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("bigint"))
+        )
+    return df
 
 
 # SQL fragment shared verbatim with the DuckDB oracles so both engines build
