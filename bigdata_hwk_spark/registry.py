@@ -21,7 +21,13 @@ from pyspark.sql import DataFrame, SparkSession
 from .operators import kcenter as KC
 from .operators import outliers as O
 from .plans import relational as R
-from .sources.tables import POINTS_SQL_BODY, points_from_lineitem
+from .sources.tables import (
+    POINTS_SQL_BODY,
+    STREAM_SQL_BODY,
+    points_from_lineitem,
+    stream_from_events,
+)
+from .streaming import frequent_items as FI
 
 # ---------------------------------------------------------------------------
 # Parameters for the outlier queries (tuned so sf0.01 produces non-trivial
@@ -218,3 +224,54 @@ register("user_sessions", R.user_sessions, R.USER_SESSIONS_SQL)
 register("event_props_stats", R.event_props_stats, R.EVENT_PROPS_SQL)
 register("nations_with_both", R.nations_with_both, R.NATIONS_BOTH_SQL)
 register("lineitem_rollup", R.lineitem_rollup, R.LINEITEM_ROLLUP_SQL)
+
+# --- streaming frequent items (HW3 semantics on the events-derived stream).
+# The exact path is declarative and oracle-checked; the RNG-bearing sampling
+# sketches are rows-only (deterministic via fixed seed), property-tested in
+# tests/test_streaming.py.
+STREAM_N = 1000
+STREAM_PHI = 0.02
+STREAM_EPS = 0.01
+STREAM_DELTA = 0.1
+STREAM_SEED = 42
+
+STREAM_TRUE_FREQ_SQL = f"""
+WITH stream AS ({STREAM_SQL_BODY})
+SELECT item, count(*) AS cnt FROM stream
+WHERE seq < {STREAM_N}
+GROUP BY item
+HAVING count(*) >= {STREAM_PHI!r} * {STREAM_N}
+"""
+
+register(
+    "stream_true_frequent",
+    lambda spark, sf: FI.true_frequent_items(
+        stream_from_events(spark, sf), STREAM_N, STREAM_PHI
+    ),
+    STREAM_TRUE_FREQ_SQL,
+)
+
+
+def _stream_report(spark: SparkSession, sf_dir: str) -> FI.StreamReport:
+    return FI.replay_frequent_items(
+        stream_from_events(spark, sf_dir),
+        n=STREAM_N,
+        phi=STREAM_PHI,
+        eps=STREAM_EPS,
+        delta=STREAM_DELTA,
+        seed=STREAM_SEED,
+    )
+
+
+def _stream_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rep = _stream_report(spark, sf_dir)
+    return spark.createDataFrame([(i,) for i in rep.reservoir_estimate], "item bigint")
+
+
+def _stream_sticky(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rep = _stream_report(spark, sf_dir)
+    return spark.createDataFrame([(i,) for i in rep.sticky_estimate], "item bigint")
+
+
+register("stream_reservoir_sample", _stream_reservoir)
+register("stream_sticky_sampling", _stream_sticky)

@@ -1,0 +1,302 @@
+"""Streaming frequent items: exact histogram, Reservoir and Sticky Sampling.
+
+Re-expresses the reference's HW3 program (reference HWK_3/G029HW3.py):
+an unbounded integer stream processed in micro-batches, stopping after
+exactly the first ``n`` items (A10), with three concurrent summaries:
+
+* exact cumulative histogram → true frequent items at threshold φ·n
+  (reference HWK_3/G029HW3.py:52-57,117);
+* Reservoir Sampling with m = ⌈1/φ⌉ (reference :10-19,81);
+* Sticky Sampling with single fixed admission rate r/n,
+  r = ln(1/(δφ))/ε (reference :22-29,84 — the reference deviates from
+  Manku–Motwani by never resampling; we preserve that semantics).
+
+Architecture (SURVEY.md §4.3.2-3): the sampling sketches are
+order-sensitive, RNG-bearing *sequential* state — the faithful home for
+them is driver-side state fed by ``foreachBatch``, exactly as the
+reference mutates driver dicts from ``foreachRDD``. Parallelizing them
+across keys (``applyInPandasWithState``) would change the sampling
+semantics, so the scalable paths are different *operators*: the exact
+histogram runs as a declarative streaming ``groupBy(item).count()``
+(update mode, partial aggregation map-side), and the batch analogue of the
+true-frequent query is SQL-expressible and oracle-checked in the registry.
+
+Determinism: all RNGs are seeded ``random.Random`` instances; batches are
+replayed in ``seq`` order, so every run over the same stream is identical.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from collections.abc import Iterable, Iterator
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Sketches (driver-side sequential state)
+# ---------------------------------------------------------------------------
+
+
+class ExactHistogram:
+    """Cumulative item→count map (reference A6, HWK_3/G029HW3.py:52-57)."""
+
+    def __init__(self) -> None:
+        self.counts: dict[int, int] = {}
+        self.n = 0
+
+    def add_batch(self, items: Iterable[int]) -> None:
+        for it in items:
+            self.counts[it] = self.counts.get(it, 0) + 1
+            self.n += 1
+
+    def frequent(self, phi: float, n: int | None = None) -> list[int]:
+        """Items with count ≥ φ·n (reference P5, HWK_3/G029HW3.py:117)."""
+        thr = phi * (self.n if n is None else n)
+        return sorted(k for k, v in self.counts.items() if v >= thr)
+
+
+class ReservoirSample:
+    """Uniform m-sample over the stream prefix (reference A8,
+    HWK_3/G029HW3.py:10-19): the t-th item (1-based) enters with
+    probability m/t, evicting a uniformly random slot."""
+
+    def __init__(self, m: int, seed: int = 42) -> None:
+        self.m = m
+        self.rng = random.Random(seed)
+        self.sample: list[int] = []
+        self.t = 0
+
+    def add_batch(self, items: Iterable[int]) -> None:
+        for it in items:
+            self.t += 1
+            if len(self.sample) < self.m:
+                self.sample.append(it)
+            else:
+                j = self.rng.randrange(self.t)
+                if j < self.m:
+                    self.sample[j] = it
+
+    def estimate(self) -> list[int]:
+        """Distinct sampled items, sorted (reference dedups the reservoir
+        before reporting, HWK_3/G029HW3.py:134)."""
+        return sorted(set(self.sample))
+
+
+class StickySampling:
+    """Simplified Manku–Motwani sticky sampling (reference A9,
+    HWK_3/G029HW3.py:22-29): tracked items always increment; untracked
+    items are admitted with the *fixed* probability r/n (no multi-phase
+    resampling — a deliberate reference deviation we preserve)."""
+
+    def __init__(
+        self, n: int, phi: float, eps: float, delta: float, seed: int = 42
+    ) -> None:
+        self.n = n
+        self.phi = phi
+        self.eps = eps
+        self.r = math.log(1 / (delta * phi)) / eps  # reference :84
+        self.rng = random.Random(seed)
+        self.counts: dict[int, int] = {}
+
+    def add_batch(self, items: Iterable[int]) -> None:
+        p = self.r / self.n
+        for it in items:
+            cur = self.counts.get(it)
+            if cur is not None:
+                self.counts[it] = cur + 1
+            elif self.rng.random() <= p:
+                self.counts[it] = 1
+
+    def estimate(self) -> list[int]:
+        """Items with tracked count ≥ (φ−ε)·n (reference P6, :148)."""
+        thr = (self.phi - self.eps) * self.n
+        return sorted(k for k, v in self.counts.items() if v >= thr)
+
+
+# ---------------------------------------------------------------------------
+# Batch replay + Structured Streaming drivers
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class StreamReport:
+    """Results of one frequent-items run (mirrors the reference's printed
+    sections, HWK_3/G029HW3.py:117-156)."""
+
+    n: int
+    phi: float
+    eps: float
+    delta: float
+    distinct_items: int
+    true_frequent: list[int]
+    reservoir_estimate: list[int]
+    sticky_estimate: list[int]
+    sticky_table_size: int
+    batches: int = 0
+    histogram: dict[int, int] = field(default_factory=dict)
+
+    def report_lines(self) -> list[str]:
+        """Golden-output-shaped text report (reference output_examples)."""
+        lines = [
+            f"INPUT PROPERTIES: n = {self.n} phi = {self.phi} "
+            f"epsilon = {self.eps} delta = {self.delta}",
+            "EXACT ALGORITHM",
+            f"Number of items in the data structure = {self.distinct_items}",
+            f"Number of true frequent items = {len(self.true_frequent)}",
+            "True frequent items:",
+            *[str(i) for i in self.true_frequent],
+            "RESERVOIR SAMPLING",
+            f"Number of estimated frequent items = {len(self.reservoir_estimate)}",
+            "Estimated frequent items:",
+            *[
+                f"{i} {'+' if i in set(self.true_frequent) else '-'}"
+                for i in self.reservoir_estimate
+            ],
+            "STICKY SAMPLING",
+            f"Number of items in the Hash Table = {self.sticky_table_size}",
+            f"Number of estimated frequent items = {len(self.sticky_estimate)}",
+            "Estimated frequent items:",
+            *[
+                f"{i} {'+' if i in set(self.true_frequent) else '-'}"
+                for i in self.sticky_estimate
+            ],
+        ]
+        return lines
+
+
+class _SketchState:
+    """The three sketches + first-n cutoff, shared by both drivers."""
+
+    def __init__(self, n: int, phi: float, eps: float, delta: float, seed: int):
+        self.n = n
+        self.phi, self.eps, self.delta = phi, eps, delta
+        self.exact = ExactHistogram()
+        self.reservoir = ReservoirSample(math.ceil(1 / phi), seed)  # m=⌈1/φ⌉ :81
+        self.sticky = StickySampling(n, phi, eps, delta, seed + 1)
+        self.seen = 0
+        self.batches = 0
+
+    def add_batch(self, items: list[int]) -> bool:
+        """Feed one micro-batch; truncate at the first-n boundary
+        (reference A10, HWK_3/G029HW3.py:36-50). Returns True when done."""
+        if self.seen >= self.n:
+            return True
+        remaining = self.n - self.seen
+        batch = items[:remaining]  # ignore items past n (reference :44)
+        self.exact.add_batch(batch)
+        self.reservoir.add_batch(batch)
+        self.sticky.add_batch(batch)
+        self.seen += len(batch)
+        self.batches += 1
+        return self.seen >= self.n
+
+    def report(self) -> StreamReport:
+        return StreamReport(
+            n=self.n,
+            phi=self.phi,
+            eps=self.eps,
+            delta=self.delta,
+            distinct_items=len(self.exact.counts),
+            true_frequent=self.exact.frequent(self.phi, self.n),
+            reservoir_estimate=self.reservoir.estimate(),
+            sticky_estimate=self.sticky.estimate(),
+            sticky_table_size=len(self.sticky.counts),
+            batches=self.batches,
+            histogram=dict(self.exact.counts),
+        )
+
+
+def replay_frequent_items(
+    stream: DataFrame,
+    n: int,
+    phi: float,
+    eps: float,
+    delta: float,
+    batch_size: int = 1000,
+    seed: int = 42,
+) -> StreamReport:
+    """Batch-replay driver: feed a (seq, item) DataFrame to the sketches in
+    ``seq`` order in fixed-size micro-batches (FIXTURES.md §2) — the
+    deterministic analogue of the reference's 10 ms DStream batches.
+
+    Only the first ``n`` rows ever reach the driver (``limit`` pushes the
+    prefix bound into the distributed sort), so driver memory is O(n), as
+    in the reference.
+    """
+    rows = stream.orderBy("seq").limit(n).select("item").collect()
+    state = _SketchState(n=min(n, len(rows)), phi=phi, eps=eps, delta=delta, seed=seed)
+    for i in range(0, len(rows), batch_size):
+        if state.add_batch([r.item for r in rows[i : i + batch_size]]):
+            break
+    return state.report()
+
+
+def run_structured_stream(
+    spark: SparkSession,
+    source_dir: str,
+    n: int,
+    phi: float,
+    eps: float,
+    delta: float,
+    seed: int = 42,
+    max_files_per_trigger: int = 1,
+) -> StreamReport:
+    """Structured Streaming driver: file source → ``foreachBatch`` feeding
+    the same sketches, stopping after the first n items.
+
+    Mirrors the reference's socket → ``foreachRDD`` → driver-state →
+    ``ssc.stop()`` shape (HWK_3/G029HW3.py:103-114) on the modern API:
+    ``writeStream.foreachBatch`` + ``query.stop()`` once the cutoff batch
+    crosses n (Structured Streaming has no declarative row-limit trigger —
+    SURVEY.md §4.3.2). Each input file is one micro-batch
+    (``maxFilesPerTrigger=1``); batches arrive in file order, rows within a
+    batch are sorted by ``seq`` so the run is deterministic.
+    """
+    state = _SketchState(n=n, phi=phi, eps=eps, delta=delta, seed=seed)
+    done = {"flag": False}
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if done["flag"]:
+            return
+        items = [r.item for r in batch_df.orderBy("seq").select("item").collect()]
+        if state.add_batch(items):
+            done["flag"] = True
+
+    stream = (
+        spark.readStream.schema("seq bigint, item bigint")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    query = stream.writeStream.foreachBatch(process_batch).start()
+    try:
+        while not done["flag"]:
+            query.processAllAvailable()
+            if not done["flag"]:
+                # stream drained without reaching n → report on what arrived
+                break
+    finally:
+        query.stop()
+    return state.report()
+
+
+# ---------------------------------------------------------------------------
+# Declarative exact path (the scalable analogue; oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def true_frequent_items(
+    stream: DataFrame, n: int, phi: float
+) -> DataFrame:
+    """True frequent items over the first n stream items as a pure
+    DataFrame query: prefix-bound → groupBy(item).count() → φ·n filter.
+    This is the form that scales (partial aggregation, no driver state) and
+    the form the DuckDB oracle checks."""
+    return (
+        stream.filter(F.col("seq") < n)
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= phi * n)
+    )
