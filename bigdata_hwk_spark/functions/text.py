@@ -1,0 +1,193 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.11).
+
+All computed with built-in ``pyspark.sql.functions`` over the word array —
+whole-stage codegen, no Python in the row path — and each with a DuckDB
+twin using the identical arithmetic (integer counts + one final IEEE
+division, so results agree bit-for-bit before the defensive rounding).
+
+Operators: token/char statistics, quality scoring (stopword ratio,
+type-token ratio, mean token length), n-gram-heuristic language ID, and
+content fingerprinting (md5; portable across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the heuristic language-ID scorer.
+# Deterministic and oracle-expressible: the "model" is the data.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "un", "en", "est", "que"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不"),
+}
+
+def _words() -> Column:
+    return F.split(F.col("text"), " ")
+
+
+def _stop_hits(ws: Column, stops: tuple[str, ...]) -> Column:
+    return F.size(F.filter(ws, lambda w: w.isin(*stops)))
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Per-doc token statistics: counts, distinct counts, type-token ratio,
+    mean token length. Whitespace tokenization (the BPE-ish regex variant
+    is ``token_count_bpe`` below)."""
+    ws = _words()
+    n_tokens = F.size(ws)
+    n_distinct = F.size(F.array_distinct(ws))
+    sum_len = F.aggregate(
+        F.transform(ws, lambda w: F.length(w)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        F.round(n_distinct / n_tokens, 6).alias("type_token_ratio"),
+        F.round(sum_len / n_tokens, 6).alias("mean_token_len"),
+    )
+
+
+TOKEN_STATS_SQL = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+             / len(string_split(text, ' ')), 6) AS type_token_ratio,
+       round(list_sum(list_transform(string_split(text, ' '), w -> length(w)))::DOUBLE
+             / len(string_split(text, ' ')), 6) AS mean_token_len
+FROM documents
+"""
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Heuristic quality score in [0, 1]: blend of stopword ratio (fluency
+    proxy), type-token ratio (repetition proxy) and length band. The exact
+    formula matters less than its determinism — it's the standard shape of
+    corpus-quality filters, expressed entirely in codegen."""
+    ws = _words()
+    n = F.size(ws)
+    stop_ratio = _stop_hits(ws, LANG_STOPWORDS["en"]) / n
+    ttr = F.size(F.array_distinct(ws)) / n
+    len_ok = F.when((n >= 20) & (n <= 1000), F.lit(1.0)).otherwise(F.lit(0.5))
+    score = (
+        F.least(stop_ratio * 4, F.lit(1.0)) * 0.4 + ttr * 0.4 + len_ok * 0.2
+    )
+    return documents.select(
+        "doc_id",
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+_EN_STOPS_SQL = "('the','a','of','and','to','in','is','that')"
+
+QUALITY_SCORES_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), w -> w IN {_EN_STOPS_SQL}))::DOUBLE
+           / len(string_split(text, ' ')) AS stop_ratio,
+         len(list_distinct(string_split(text, ' ')))::DOUBLE
+           / len(string_split(text, ' ')) AS ttr,
+         CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000
+              THEN 1.0 ELSE 0.5 END AS len_ok
+  FROM documents)
+SELECT doc_id,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(ttr, 6) AS type_token_ratio,
+       round(least(stop_ratio * 4, 1.0) * 0.4 + ttr * 0.4 + len_ok * 0.2, 6)
+         AS quality_score
+FROM base
+"""
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Heuristic language ID: argmax over per-language stopword hit counts,
+    alphabetical-language tiebreak, 'und' (undetermined) when no list hits.
+    On real corpora the lists would be longer n-gram tables; the operator
+    shape (score columns → greatest → first-match case) is the same."""
+    ws = _words()
+    scored = documents.select(
+        "doc_id",
+        "lang",
+        *[
+            _stop_hits(ws, stops).alias(f"s_{lang}")
+            for lang, stops in sorted(LANG_STOPWORDS.items())
+        ],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in sorted(LANG_STOPWORDS)])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in sorted(LANG_STOPWORDS):
+        pred = pred.when(F.col(f"s_{lang}") == best, F.lit(lang))
+    return scored.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang")
+    )
+
+
+def _lang_id_sql() -> str:
+    score_cols = ",\n".join(
+        f"len(list_filter(string_split(text, ' '), w -> w IN "
+        f"({', '.join(repr(s) for s in stops)}))) AS s_{lang}"
+        for lang, stops in sorted(LANG_STOPWORDS.items())
+    )
+    langs = sorted(LANG_STOPWORDS)
+    best = f"greatest({', '.join('s_' + lang for lang in langs)})"
+    cases = " ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH scored AS (SELECT doc_id, lang, {score_cols} FROM documents)
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN {best} <= 0 THEN 'und' {cases} END AS predicted_lang
+FROM scored
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text —
+    the cheap canonical-form dedup key (engine-portable)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " ")
+    return documents.select(
+        "doc_id", F.md5(norm).alias("fingerprint")
+    )
+
+
+FINGERPRINTS_SQL = """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+def token_count_bpe(documents: DataFrame) -> DataFrame:
+    """Token counting with a BPE-ish regex (word pieces + digits + other
+    glyphs), the usual pre-tokenizer approximation for LLM budget counts."""
+    # keep the pattern RE2-compatible so the DuckDB twin behaves identically
+    pattern = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"
+    toks = F.expr(f"regexp_extract_all(text, '{pattern}', 0)")
+    return documents.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_bpe_tokens"),
+    )
+
+
+TOKEN_COUNT_BPE_SQL = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')) AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')))
+         AS n_distinct_bpe_tokens
+FROM documents
+"""

@@ -1,0 +1,418 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+Not present in the reference (SURVEY.md §2.11 north-star extensions) —
+these are the dedup family a 100 TB corpus pipeline needs, built
+Spark-first over the ``documents`` fixture table:
+
+* **exact** — hash-groupBy on content (one shuffle on a 64-bit key);
+* **n-gram Jaccard** — exact near-dup pairs via a distributed inverted
+  index on word-3-gram shingles (explode → equi-join on shingle →
+  per-pair common counts → Jaccard). No O(N²) anywhere: only documents
+  sharing ≥1 shingle ever meet in the join.
+* **MinHash + LSH** — H md5-derived minhashes per doc, banded into
+  B bands of R rows; docs equi-join on (band, signature-slice) so only
+  LSH candidates are generated, then candidates are *verified* with the
+  exact shingle Jaccard. This is the scale path: candidate generation is
+  linear in corpus size for fixed collision rate.
+* **SimHash** — 60-bit fingerprints from word hashes; near-dup iff
+  Hamming distance ≤ k. Candidate generation by the pigeonhole band
+  trick: split the fingerprint into k+1 chunks — any pair within
+  Hamming ≤ k agrees on ≥1 chunk, so a (chunk_id, chunk_value)
+  equi-join finds all candidates without a cross join.
+
+All hash arithmetic uses the engine-portable md5 hash (functions/
+hashing.py), so every operator here is fully oracle-checkable in DuckDB —
+including the LSH banding itself, not just the final pair set.
+
+Scale notes: at real corpus sizes the shingle inverted index needs a
+document-frequency cut on ultra-hot shingles before the candidate join
+(they generate quadratic candidates but can't push Jaccard above the
+threshold on their own); the banded joins here shuffle on
+(band, signature) / (chunk, value) keys whose cardinality grows with the
+corpus, so AQE skew splitting handles pathological buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_hash64, md5_hash64_sql
+
+SHINGLE_W = 3          # words per shingle
+MINHASH_H = 16         # hash functions
+MINHASH_BANDS = 4      # bands of R = H/B rows
+JACCARD_TAU = 0.5      # near-dup threshold
+SIMHASH_BITS = 60      # md5_hash64 yields 60 usable bits
+SIMHASH_K = 3          # max Hamming distance
+SIMHASH_CHUNKS = SIMHASH_K + 1  # pigeonhole: k diffs can't hit all k+1 chunks
+
+
+# ---------------------------------------------------------------------------
+# Shingling (shared by Jaccard + MinHash)
+# ---------------------------------------------------------------------------
+
+def _shingles_col() -> Column:
+    """Distinct word-3-gram shingles of ``text`` (JVM-side, codegen)."""
+    ws = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(1), F.size(ws) - (SHINGLE_W - 1))
+    shingles = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(ws, i),
+                F.element_at(ws, i + 1),
+                F.element_at(ws, i + 2),
+            ),
+        )
+    )
+    # guard: sequence(1, n) with n < 1 runs DESCENDING in Spark — short docs
+    # must yield an empty shingle set instead (DuckDB generate_series is
+    # empty for the same bounds)
+    return F.when(F.size(ws) >= SHINGLE_W, shingles).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def doc_shingles(documents: DataFrame) -> DataFrame:
+    """(doc_id, sh) — exploded distinct shingles; docs shorter than one
+    shingle drop out (same in the oracle)."""
+    return (
+        documents.select("doc_id", _shingles_col().alias("shs"))
+        .filter(F.size("shs") >= 1)
+        .select("doc_id", F.explode("shs").alias("sh"))
+    )
+
+
+def shingles_sql() -> str:
+    """DuckDB CTE body producing the identical (doc_id, sh) rows."""
+    return f"""
+SELECT DISTINCT doc_id, sh FROM (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, len(string_split(text, ' ')) - {SHINGLE_W - 1}),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2])) AS sh
+  FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(documents: DataFrame) -> DataFrame:
+    """Content-identical groups: (canonical_id, n_copies) per distinct text,
+    keyed by a 64-bit content hash so the shuffle key is 8 bytes, not the
+    document body. Groups with n_copies > 1 are duplicates to drop."""
+    return (
+        documents.select("doc_id", md5_hash64(F.col("text")).alias("h"))
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("canonical_id", "n_copies")
+    )
+
+
+EXACT_DEDUP_SQL = f"""
+SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+FROM (SELECT doc_id, {md5_hash64_sql('text')} AS h FROM documents)
+GROUP BY h
+"""
+
+
+def exact_dedup_summary(documents: DataFrame) -> DataFrame:
+    """One row: total docs, distinct contents, duplicates removable."""
+    g = exact_dedup_groups(documents)
+    return g.agg(
+        F.sum("n_copies").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (F.sum("n_copies") - F.count(F.lit(1))).alias("n_duplicates"),
+    )
+
+
+EXACT_DEDUP_SUMMARY_SQL = f"""
+WITH g AS ({EXACT_DEDUP_SQL})
+SELECT CAST(sum(n_copies) AS BIGINT) AS n_docs,
+       count(*) AS n_distinct,
+       CAST(sum(n_copies) - count(*) AS BIGINT) AS n_duplicates
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup pairs (inverted-index join)
+# ---------------------------------------------------------------------------
+
+def _pair_jaccard(ex: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for every pair sharing ≥1 shingle."""
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nb"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("common")
+                / (F.col("na") + F.col("nb") - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(documents: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
+    """Near-dup pairs with shingle-set Jaccard ≥ tau (rounded to 6)."""
+    return (
+        _pair_jaccard(doc_shingles(documents))
+        .filter(F.col("jaccard") >= tau)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _pair_jaccard_sql() -> str:
+    return f"""
+ex AS ({shingles_sql()}),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM ex GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+jac AS (
+  SELECT doc_a, doc_b,
+         common::DOUBLE / (sa.nsh + sb.nsh - common) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b)
+"""
+
+
+def ngram_jaccard_pairs_sql(tau: float = JACCARD_TAU) -> str:
+    return f"""
+WITH {_pair_jaccard_sql()}
+SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+FROM jac WHERE jaccard >= {tau!r}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(documents: DataFrame, h: int = MINHASH_H) -> DataFrame:
+    """(doc_id, i, mh): the i-th minhash = min over shingles of
+    hash64(i ‖ ':' ‖ shingle). One shuffle: groupBy (doc_id, i) with
+    partial min map-side; the explode is H× the shingle count but stays
+    in codegen."""
+    ex = doc_shingles(documents)
+    return (
+        ex.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(h - 1))).alias("i"),
+            F.col("sh"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            md5_hash64(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("sh"))).alias("hv"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("hv").alias("mh"))
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    tau: float = JACCARD_TAU,
+    h: int = MINHASH_H,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard.
+
+    Banding: rows i of band b are i ∈ [b·R, (b+1)·R); the band key is the
+    ordered minhash slice (joined as an array — at production scale hash
+    the slice to 64 bits to shrink the shuffle key). Candidates =
+    distinct pairs agreeing on ≥1 band; each candidate is then verified
+    against the exact shingle Jaccard so the output has no false
+    positives (LSH only affects recall, tuned by (H, bands, tau)).
+    """
+    r = h // bands
+    sig = minhash_signatures(documents, h)
+    band_sig = (
+        sig.withColumn("band", (F.col("i") / r).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("slice_"))
+        .select("doc_id", "band", F.col("slice_.mh").alias("sig"))
+    )
+    a = band_sig.alias("a")
+    b = band_sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    jac = _pair_jaccard(doc_shingles(documents))
+    return (
+        cand.join(jac, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= tau)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_lsh_pairs_sql(
+    tau: float = JACCARD_TAU, h: int = MINHASH_H, bands: int = MINHASH_BANDS
+) -> str:
+    r = h // bands
+    hv = md5_hash64_sql("i::VARCHAR || ':' || sh")
+    return f"""
+WITH {_pair_jaccard_sql()},
+mh AS (
+  SELECT doc_id, i, min({hv}) AS mh
+  FROM ex, generate_series(0, {h - 1}) AS t(i)
+  GROUP BY doc_id, i),
+band_sig AS (
+  SELECT doc_id, CAST(i / {r} AS INTEGER) AS band,
+         list(mh ORDER BY i) AS sig
+  FROM mh GROUP BY doc_id, CAST(i / {r} AS INTEGER)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band_sig a JOIN band_sig b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+SELECT c.doc_a, c.doc_b, round(j.jaccard, 6) AS jaccard
+FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+WHERE j.jaccard >= {tau!r}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_fingerprints(documents: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 60-bit fingerprint over distinct word hashes.
+
+    For each bit position b, the bit is 1 iff more word-hashes have bit b
+    set than unset. Computed as an explode over (word, bit) — 60× word
+    count, all in codegen — then two groupBys with map-side partial sums.
+    """
+    ws = F.array_distinct(F.split(F.col("text"), " "))
+    words = documents.select("doc_id", F.explode(ws).alias("w")).select(
+        "doc_id", md5_hash64(F.col("w")).alias("wh")
+    )
+    bits = words.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+        F.col("wh"),
+    ).select(
+        "doc_id",
+        "b",
+        # shiftright/shiftleft builders need a literal shift — use expr for
+        # the column-valued bit position
+        F.when(F.expr("shiftright(wh, b) & 1") == 1, 1).otherwise(-1).alias("s"),
+    )
+    return (
+        bits.groupBy("doc_id", "b")
+        .agg(F.sum("s").alias("net"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("net") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")
+                ).otherwise(F.lit(0).cast("bigint"))
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_pairs(documents: DataFrame, k: int = SIMHASH_K) -> DataFrame:
+    """Pairs with Hamming(simhash_a, simhash_b) ≤ k.
+
+    Candidate generation without a cross join: split the 60-bit
+    fingerprint into k+1 15-bit chunks; by pigeonhole any pair within
+    Hamming ≤ k agrees on at least one chunk, so a (chunk_id, value)
+    equi-join finds every qualifying pair. Verification recomputes the
+    exact Hamming distance with bit_count(xor).
+    """
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    fp = simhash_fingerprints(documents)
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_CHUNKS - 1))).alias("c"),
+    ).select(
+        "doc_id",
+        "simhash",
+        "c",
+        F.expr(f"shiftright(simhash, c * {chunk_bits}) & {(1 << chunk_bits) - 1}")
+        .alias("chunk_val"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= k)
+        .distinct()
+    )
+
+
+def simhash_pairs_sql(k: int = SIMHASH_K) -> str:
+    """Oracle: brute-force pair scan with the same fingerprint arithmetic
+    (candidate banding is an execution strategy, not a semantics change —
+    the pigeonhole argument guarantees identical output)."""
+    wh = md5_hash64_sql("w")
+    return f"""
+WITH words AS (
+  SELECT doc_id, {wh} AS wh
+  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents)),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (wh >> b) & 1 = 1 THEN 1 ELSE -1 END) AS net
+  FROM words, generate_series(0, {SIMHASH_BITS - 1}) AS t(b)
+  GROUP BY doc_id, b),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN net > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {k}
+"""

@@ -1,0 +1,148 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The real decode libraries (PIL / librosa / av) are not in this container,
+so the *decode* step is stubbed (deterministic fake or
+``NotImplementedError``), but everything Spark-side is real and tested:
+the schema (binary payload + typed metadata struct), the partitioning, the
+``mapInPandas`` UDF signatures and Arrow batch shapes — i.e. exactly the
+pieces that matter for running image/audio/video feature extraction over a
+100 TB corpus. Swapping ``_decode_stub`` for a real decoder changes no
+plan shape.
+
+Payloads here are synthesized deterministically from the ``documents``
+fixture (md5-derived bytes), so tests are reproducible with no binary
+fixtures checked in.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_TYPES = ("image", "audio", "video")
+
+MEDIA_SCHEMA = (
+    "media_id bigint, media_type string, payload binary, "
+    "meta struct<n_bytes: bigint, declared_w: int, declared_h: int>"
+)
+
+FEATURE_SCHEMA = (
+    "media_id bigint, media_type string, n_bytes bigint, "
+    "width int, height int, n_frames int, checksum string"
+)
+
+
+def synth_media(documents: DataFrame) -> DataFrame:
+    """Deterministic fake media table derived from documents:
+    payload = md5 bytes of the text (16 bytes, stand-in for a real blob),
+    media_type cycles by id, metadata derived from content length."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in MEDIA_TYPES]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.unhex(F.md5(F.col("text"))).alias("payload"),
+        F.struct(
+            F.col("n_chars").alias("n_bytes"),
+            (F.col("n_chars") % 640 + 16).cast("int").alias("declared_w"),
+            (F.col("n_chars") % 480 + 16).cast("int").alias("declared_h"),
+        ).alias("meta"),
+    )
+
+
+def _decode_real(payload: bytes, media_type: str) -> dict:
+    """Real decode would go here (PIL.Image.open / librosa.load / pyav).
+
+    The libraries are not available in this environment — callers use the
+    deterministic stub instead.
+    """
+    raise NotImplementedError(
+        "real media decoding requires PIL/librosa/av, not present in this "
+        "container; use decode_features(..., stub=True)"
+    )
+
+
+def _decode_stub(payload: bytes, media_type: str) -> tuple[int, int, int]:
+    """Deterministic fake 'decode': width/height/frames derived from the
+    payload bytes — exercises the exact same dataflow as a real decoder."""
+    h = hashlib.sha1(payload).digest()
+    width = 16 + h[0] % 640
+    height = 16 + h[1] % 480
+    n_frames = 1 if media_type == "image" else 1 + h[2] % 240
+    return width, height, n_frames
+
+
+def decode_features(media: DataFrame, stub: bool = True) -> DataFrame:
+    """Per-item feature extraction over the binary column via
+    ``mapInPandas``: Arrow-batched, one pandas DataFrame per input batch,
+    never materializing more than a batch of payloads in Python memory.
+
+    At scale: payload columns dominate I/O — select only (media_id,
+    media_type, payload) into the UDF (column pruning keeps metadata
+    scanning free), and repartition upstream if blobs are skewed.
+    """
+    decode = _decode_stub if stub else _decode_real
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode(payload, mtype)
+                for payload, mtype in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "n_frames": [f[2] for f in feats],
+                    "checksum": [
+                        hashlib.md5(p).hexdigest() for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(media.sparkSession)
+    return media.select("media_id", "media_type", "payload").mapInPandas(
+        kernel, schema=FEATURE_SCHEMA
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """Frame-sampling *plan* for video rows: one output row per sampled
+    frame index (video decode itself is stubbed). Shows the explode-based
+    fan-out shape a real frame sampler uses — the expensive decode stays
+    in the downstream mapInPandas, after the fan-out is pruned."""
+    feats = decode_features(media)
+    return (
+        feats.filter(F.col("media_type") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+            ).alias("frame_idx"),
+        )
+    )
+
+
+def media_feature_summary(media: DataFrame) -> DataFrame:
+    """Aggregate features per media_type (the typical corpus-audit query)."""
+    return (
+        decode_features(media)
+        .groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg("width"), 4).alias("avg_width"),
+            F.round(F.avg("height"), 4).alias("avg_height"),
+            F.max("n_frames").alias("max_frames"),
+        )
+    )

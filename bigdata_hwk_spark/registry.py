@@ -18,8 +18,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .functions import text as TX
+from .operators import dedup as D
 from .operators import kcenter as KC
+from .operators import multimodal as MM
 from .operators import outliers as O
+from .operators import similarity as SIM
 from .plans import relational as R
 from .sources.tables import (
     POINTS_SQL_BODY,
@@ -275,3 +279,88 @@ def _stream_sticky(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register("stream_reservoir_sample", _stream_reservoir)
 register("stream_sticky_sampling", _stream_sticky)
+
+
+# --- training-data-pipeline extensions (SURVEY.md §2.11) ---
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.tables import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.tables import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# deduplication family
+register(
+    "dedup_exact_summary",
+    lambda spark, sf: D.exact_dedup_summary(_docs(spark, sf)),
+    D.EXACT_DEDUP_SUMMARY_SQL,
+)
+register(
+    "dedup_ngram_jaccard",
+    lambda spark, sf: D.ngram_jaccard_pairs(_docs(spark, sf)),
+    D.ngram_jaccard_pairs_sql(),
+)
+register(
+    "dedup_minhash_lsh",
+    lambda spark, sf: D.minhash_lsh_pairs(_docs(spark, sf)),
+    D.minhash_lsh_pairs_sql(),
+)
+register(
+    "dedup_simhash",
+    lambda spark, sf: D.simhash_pairs(_docs(spark, sf)),
+    D.simhash_pairs_sql(),
+)
+
+# text analysis family
+register(
+    "text_token_stats",
+    lambda spark, sf: TX.token_stats(_docs(spark, sf)),
+    TX.TOKEN_STATS_SQL,
+)
+register(
+    "text_quality_scores",
+    lambda spark, sf: TX.quality_scores(_docs(spark, sf)),
+    TX.QUALITY_SCORES_SQL,
+)
+register(
+    "text_lang_id",
+    lambda spark, sf: TX.lang_id(_docs(spark, sf)),
+    TX.LANG_ID_SQL,
+)
+register(
+    "text_fingerprints",
+    lambda spark, sf: TX.fingerprints(_docs(spark, sf)),
+    TX.FINGERPRINTS_SQL,
+)
+register(
+    "text_token_count_bpe",
+    lambda spark, sf: TX.token_count_bpe(_docs(spark, sf)),
+    TX.TOKEN_COUNT_BPE_SQL,
+)
+
+# similarity search family
+register(
+    "knn_cosine_topk",
+    lambda spark, sf: SIM.cosine_topk_bruteforce(_embs(spark, sf)),
+    SIM.cosine_topk_sql(),
+)
+register(
+    "embedding_similar_pairs",
+    lambda spark, sf: SIM.similar_pairs_threshold(_embs(spark, sf)),
+    SIM.similar_pairs_sql(),
+)
+# LSH ANN: hash-bucketed candidates are seeded-RNG-dependent → rows-only;
+# recall vs brute force is property-tested in tests/test_extensions.py.
+register("ann_lsh_pairs", lambda spark, sf: SIM.ann_lsh_pairs(_embs(spark, sf)))
+
+# multimodal plumbing (decode is stubbed — rows-only; Arrow batch shape
+# and schema are pytest-verified)
+register(
+    "media_feature_summary",
+    lambda spark, sf: MM.media_feature_summary(MM.synth_media(_docs(spark, sf))),
+)

@@ -1,0 +1,115 @@
+"""Driver-mimicking correctness self-check.
+
+Runs every ``queries()`` entry from ``__spark_entry__`` at a given SF dir,
+and for those with an ``oracle_sql()`` twin, runs the SQL in DuckDB over the
+same parquet tables and compares row count, column names, and an
+order-insensitive value hash (floats rounded to 6 decimals, columns sorted
+by name — matching the driver contract described in the task brief).
+
+Usage: python scripts/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _norm(v):
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6f}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted("|".join(_norm(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from bigdata_hwk_spark.session import get_spark
+
+    spark = get_spark()
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"ok*   {name}: rows={len(srows)} ({dt:.1f}s, rows-only)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: oracle error: {e}")
+            failures.append(name)
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount {len(srows)} vs {len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols {sorted(scols)} vs {sorted(ocols)}")
+        if not problems:
+            sh = value_hash(srows, scols)
+            oh = value_hash(orows, ocols)
+            if sh != oh:
+                problems.append(f"value-hash {sh} vs {oh}")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)} ({dt:.1f}s)")
+            failures.append(name)
+        else:
+            print(f"ok    {name}: rows={len(srows)} hash-match ({dt:.1f}s)")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,124 @@
+"""Slice 6 correctness: dedup / similarity / text / multimodal extensions."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdata_hwk_spark import registry
+from bigdata_hwk_spark.operators import dedup as D
+from bigdata_hwk_spark.operators import multimodal as MM
+from bigdata_hwk_spark.operators import similarity as SIM
+from bigdata_hwk_spark.sources.tables import load_table
+
+from .conftest import SF_CORRECT, assert_matches_oracle
+
+EXTENSION_ORACLE_QUERIES = [
+    "dedup_exact_summary",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_token_stats",
+    "text_quality_scores",
+    "text_lang_id",
+    "text_fingerprints",
+    "text_token_count_bpe",
+    "knn_cosine_topk",
+    "embedding_similar_pairs",
+]
+
+
+@pytest.mark.parametrize("name", EXTENSION_ORACLE_QUERIES)
+def test_extension_matches_oracle(spark, name):
+    # documents/embeddings are fixed-size side tables — sf0.01 is the
+    # driver's correctness scale, test there directly
+    assert_matches_oracle(
+        registry.QUERIES[name](spark, SF_CORRECT),
+        registry.ORACLES[name],
+        SF_CORRECT,
+        float_round=6,
+    )
+
+
+def test_minhash_lsh_full_recall_on_planted_neardups(spark):
+    """The fixtures plant near-dup pairs at Jaccard ≈ 0.95-0.99; with
+    H=16/bands=4 the LSH collision probability there is ≈ 1, so MinHash
+    must recover every exact-Jaccard pair at τ=0.5."""
+    docs = load_table(spark, SF_CORRECT, "documents")
+    exact = {(r.doc_a, r.doc_b) for r in D.ngram_jaccard_pairs(docs).collect()}
+    lsh = {(r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs(docs).collect()}
+    assert exact, "fixture should contain near-dup pairs"
+    assert lsh == exact
+
+
+def test_ann_lsh_recall_and_precision(spark):
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    bf = {(r.vec_a, r.vec_b) for r in SIM.similar_pairs_threshold(emb).collect()}
+    lsh = {(r.vec_a, r.vec_b) for r in SIM.ann_lsh_pairs(emb).collect()}
+    assert lsh <= bf  # exact re-scoring → no false positives
+    assert len(lsh & bf) / len(bf) >= 0.6  # OR-amplified recall
+
+
+def test_simhash_banding_is_lossless_and_separates(spark):
+    """Two properties: (1) the pigeonhole chunk-join finds EXACTLY the
+    brute-force Hamming ≤ k pair set (candidate generation loses nothing);
+    (2) planted near-dup pairs sit much closer in Hamming space than the
+    average pair (the fingerprint carries signal)."""
+    docs = load_table(spark, SF_CORRECT, "documents")
+    fp = {r.doc_id: r.simhash for r in D.simhash_fingerprints(docs).collect()}
+    ids = sorted(fp)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fp[a] ^ fp[b]).count("1") <= D.SIMHASH_K
+    }
+    banded = {(r.doc_a, r.doc_b) for r in D.simhash_pairs(docs).collect()}
+    assert banded == brute
+
+    near = {
+        (r.doc_a, r.doc_b)
+        for r in D.ngram_jaccard_pairs(docs, tau=0.9).collect()
+    }
+    near_ham = [bin(fp[a] ^ fp[b]).count("1") for a, b in near]
+    import random
+
+    rng = random.Random(0)
+    rand_ham = [
+        bin(fp[rng.choice(ids)] ^ fp[rng.choice(ids)]).count("1")
+        for _ in range(2000)
+    ]
+    assert near_ham and sum(near_ham) / len(near_ham) < 0.5 * (
+        sum(rand_ham) / len(rand_ham)
+    )
+
+
+def test_multimodal_decode_plumbing(spark):
+    docs = load_table(spark, SF_CORRECT, "documents")
+    media = MM.synth_media(docs)
+    feats = MM.decode_features(media)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    assert feats.schema.simpleString() == (
+        "struct<media_id:bigint,media_type:string,n_bytes:bigint,"
+        "width:int,height:int,n_frames:int,checksum:string>"
+    )
+    by_type = {r.media_type for r in rows}
+    assert by_type == {"image", "audio", "video"}
+    assert all(r.n_bytes == 16 for r in rows)  # md5 payload stand-in
+    assert all(r.n_frames == 1 for r in rows if r.media_type == "image")
+    # deterministic: second run identical
+    again = sorted((r.media_id, r.checksum) for r in MM.decode_features(media).collect())
+    assert again == sorted((r.media_id, r.checksum) for r in rows)
+
+
+def test_multimodal_real_decode_is_explicit_stub(spark):
+    with pytest.raises(NotImplementedError):
+        MM._decode_real(b"xx", "image")
+
+
+def test_frame_sample_plan(spark):
+    docs = load_table(spark, SF_CORRECT, "documents")
+    plan = MM.frame_sample_plan(MM.synth_media(docs), every_n=30)
+    rows = plan.collect()
+    assert rows, "videos should produce sampled frames"
+    assert all(r.frame_idx % 30 == 0 for r in rows)
