@@ -52,34 +52,30 @@ SIMHASH_CHUNKS = SIMHASH_K + 1  # pigeonhole: k diffs can't hit all k+1 chunks
 # Shingling (shared by Jaccard + MinHash)
 # ---------------------------------------------------------------------------
 
-def _shingles_col() -> Column:
-    """Distinct word-3-gram shingles of ``text`` (JVM-side, codegen)."""
-    ws = F.split(F.col("text"), " ")
-    idx = F.sequence(F.lit(1), F.size(ws) - (SHINGLE_W - 1))
+def doc_shingles(documents: DataFrame) -> DataFrame:
+    """(doc_id, sh) — exploded distinct word-3-gram shingles; docs shorter
+    than one shingle drop out (same in the oracle).
+
+    The split word array is materialized into its own projection before the
+    shingle transform: referencing the raw ``split(text)`` expression from
+    inside the lambda makes Catalyst re-evaluate the split per element
+    (O(words²) per doc — measured 2.5× slower end-to-end). ``sequence``'s
+    upper bound is clamped with ``greatest(..., 0)`` because Spark's
+    ``sequence(1, n)`` runs DESCENDING for n < 1, whereas DuckDB's
+    ``generate_series`` is empty — short docs must yield no shingles on
+    both sides. All array-local (no shuffle), whole-stage codegen.
+    """
+    ws_df = documents.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
     shingles = F.array_distinct(
         F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(ws, i),
-                F.element_at(ws, i + 1),
-                F.element_at(ws, i + 2),
+            F.sequence(
+                F.lit(1), F.greatest(F.size("ws") - (SHINGLE_W - 1), F.lit(0))
             ),
+            lambda i: F.array_join(F.slice(F.col("ws"), i, SHINGLE_W), " "),
         )
     )
-    # guard: sequence(1, n) with n < 1 runs DESCENDING in Spark — short docs
-    # must yield an empty shingle set instead (DuckDB generate_series is
-    # empty for the same bounds)
-    return F.when(F.size(ws) >= SHINGLE_W, shingles).otherwise(
-        F.array().cast("array<string>")
-    )
-
-
-def doc_shingles(documents: DataFrame) -> DataFrame:
-    """(doc_id, sh) — exploded distinct shingles; docs shorter than one
-    shingle drop out (same in the oracle)."""
     return (
-        documents.select("doc_id", _shingles_col().alias("shs"))
+        ws_df.select("doc_id", shingles.alias("shs"))
         .filter(F.size("shs") >= 1)
         .select("doc_id", F.explode("shs").alias("sh"))
     )
@@ -274,7 +270,19 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    jac = _pair_jaccard(doc_shingles(documents))
+    # Verify ONLY the LSH candidates: restrict the shingle index to docs
+    # that appear in ≥1 candidate pair (left-semi, no row widening) before
+    # the exact-Jaccard join — at corpus scale the full pair-Jaccard table
+    # is quadratic and would defeat the point of LSH banding.
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # no broadcast hint: AQE auto-broadcasts when the candidate set is
+    # small, falls back to a shuffled semi-join when it isn't
+    ex = doc_shingles(documents).join(cand_docs, "doc_id", "left_semi")
+    jac = _pair_jaccard(ex)
     return (
         cand.join(jac, ["doc_a", "doc_b"])
         .filter(F.col("jaccard") >= tau)

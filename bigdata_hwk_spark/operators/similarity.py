@@ -20,6 +20,7 @@ equi-join → exact re-rank).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -102,21 +103,45 @@ FROM ranked WHERE rk <= {k}
 def similar_pairs_threshold(embeddings: DataFrame, tau: float = 0.4) -> DataFrame:
     """All pairs with cosine ≥ tau (the embedding near-dup predicate).
 
-    Brute-force all-pairs here (correctness baseline / oracle twin);
-    ``ann_lsh_pairs`` is the sub-quadratic variant.
+    Brute-force all-pairs is the correctness baseline / oracle twin
+    (``ann_lsh_pairs`` is the sub-quadratic variant), but executed as a
+    *blocked matrix product*, not a pair join: each partition's rows are
+    scored against the full corpus matrix with one NumPy float64 matmul
+    inside ``mapInPandas`` (Arrow-batched), keeping vec_a < vec_b to emit
+    each pair once. The quadratic flops are unavoidable for an exact
+    answer; this shape makes them BLAS flops spread evenly over
+    partitions, with no shuffle at all — the corpus matrix rides along as
+    a task-closure broadcast. At sizes where that matrix no longer fits an
+    executor (≫10M vectors) the exact all-pairs product itself is off the
+    table and the LSH/IVF path is the only sane plan.
     """
-    emb = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
-    a = emb.alias("a")
-    b = emb.alias("b")
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            _cosine(F.col("a.v"), F.col("b.v")).alias("cos_raw"),
-        )
-        .filter(F.col("cos_raw") >= tau)
-        .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cosine"))
+    rows = embeddings.select("vec_id", "embedding").collect()
+    ids = np.fromiter((r.vec_id for r in rows), dtype=np.int64, count=len(rows))
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            block = np.array(list(pdf["embedding"]), dtype=np.float64)
+            block_n = block / np.linalg.norm(block, axis=1, keepdims=True)
+            cos = block_n @ mat_n.T
+            bids = pdf["vec_id"].to_numpy()
+            bi, cj = np.nonzero((cos >= tau) & (bids[:, None] < ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "vec_a": bids[bi],
+                    "vec_b": ids[cj],
+                    "cosine": np.round(cos[bi, cj], 4),
+                }
+            )
+
+    emb = embeddings.select("vec_id", "embedding")
+    if emb.rdd.getNumPartitions() < emb.sparkSession.sparkContext.defaultParallelism:
+        emb = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    return emb.mapInPandas(
+        score, schema="vec_a bigint, vec_b bigint, cosine double"
     )
 
 
@@ -142,18 +167,18 @@ def _hyperplanes(dim: int, bits: int, tables: int, seed: int) -> np.ndarray:
     return rng.standard_normal((tables, bits, dim))
 
 
-def _bucket_cols(planes: np.ndarray) -> list[Column]:
-    """One bucket-signature column per table: sign-bit integer of the
-    vector's dot products with that table's hyperplanes (pure codegen —
-    planes are plan-time literals)."""
-    cols = []
-    for t in range(planes.shape[0]):
-        bucket = F.lit(0)
-        for b in range(planes.shape[1]):
-            plane = F.array(*[F.lit(float(x)) for x in planes[t, b]])
-            bucket = bucket + F.when(_dot(F.col("v"), plane) >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-        cols.append(bucket.alias(f"bucket_{t}"))
-    return cols
+def _cosine_pandas() -> Column:
+    """Vectorized (Arrow-batched) cosine over two array columns."""
+
+    @F.pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.array(list(a), dtype=np.float64)
+        B = np.array(list(b), dtype=np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / den)
+
+    return cos
 
 
 def ann_lsh_pairs(
@@ -167,44 +192,57 @@ def ann_lsh_pairs(
     """Approximate near-dup pairs: candidates share an LSH bucket in ≥1 of
     ``tables`` random-hyperplane tables; candidates are exactly re-scored
     and thresholded, so precision is 1.0 and only recall is approximate
-    (amplified by OR-ing tables)."""
+    (amplified by OR-ing tables).
+
+    Plan shape (the one that survives scale-up): bucket signatures for all
+    tables come from a single NumPy sign-bit matmul per Arrow batch
+    (``mapInPandas``, no shuffle); the candidate join carries ONLY
+    (table, bucket, vec_id) — 20 bytes/row — never the vectors; vectors
+    re-attach to the deduped candidate pairs via two equi-joins; exact
+    re-scoring is a vectorized pandas UDF. Shuffle volume is therefore
+    O(candidates), not O(candidates × dim).
+    """
     planes = _hyperplanes(dim, bits, tables, seed)
-    emb = embeddings.select(
-        "vec_id", _as_double(F.col("embedding")).alias("v")
-    ).select("vec_id", "v", *_bucket_cols(planes))
-    # long form: (vec_id, v, table, bucket)
-    tb = F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(t).alias("t"), F.col(f"bucket_{t}").alias("bk"))
-                for t in range(tables)
-            ]
-        )
-    ).alias("tb")
-    long = emb.select("vec_id", "v", tb).select(
-        "vec_id", "v", F.col("tb.t").alias("t"), F.col("tb.bk").alias("bk")
-    )
+    flat = planes.reshape(tables * bits, dim)  # (T*B, dim)
+    weights = 1 << np.arange(bits, dtype=np.int64)
+
+    def bucketize(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            block = np.array(list(pdf["embedding"]), dtype=np.float64)
+            signs = (block @ flat.T >= 0).reshape(-1, tables, bits)
+            buckets = (signs * weights).sum(axis=2)  # (n, tables)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), tables),
+                    "t": np.tile(np.arange(tables, dtype=np.int32), n),
+                    "bk": buckets.reshape(-1),
+                }
+            )
+
+    emb = embeddings.select("vec_id", "embedding")
+    if emb.rdd.getNumPartitions() < emb.sparkSession.sparkContext.defaultParallelism:
+        emb = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    long = emb.mapInPandas(bucketize, schema="vec_id bigint, t int, bk bigint")
     a = long.alias("a")
     b = long.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.t") == F.col("b.t"))
-            & (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+        a.join(b, ["t", "bk"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
         )
-        .dropDuplicates(["vec_a", "vec_b"])
+        .distinct()
     )
+    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = _cosine_pandas()
     return (
-        cand.select(
-            "vec_a", "vec_b", _cosine(F.col("va"), F.col("vb")).alias("cos_raw")
-        )
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", cos(F.col("ea"), F.col("eb")).alias("cos_raw"))
         .filter(F.col("cos_raw") >= tau)
         .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cosine"))
     )

@@ -233,9 +233,14 @@ register("lineitem_rollup", R.lineitem_rollup, R.LINEITEM_ROLLUP_SQL)
 # The exact path is declarative and oracle-checked; the RNG-bearing sampling
 # sketches are rows-only (deterministic via fixed seed), property-tested in
 # tests/test_streaming.py.
-STREAM_N = 1000
-STREAM_PHI = 0.02
-STREAM_EPS = 0.01
+# n=5000/φ=0.008 tuned to the events fixture: the user_id space grows with
+# SF, so thresholds are set where the driver's correctness gate runs
+# (sf0.01: top prefix counts ≈52/5000 → ~10 true-frequent items; the same
+# params stay non-trivial at sf0.001 where the whole 1000-item stream is
+# the prefix).
+STREAM_N = 5000
+STREAM_PHI = 0.008
+STREAM_EPS = 0.004
 STREAM_DELTA = 0.1
 STREAM_SEED = 42
 
@@ -282,16 +287,19 @@ register("stream_sticky_sampling", _stream_sticky)
 
 
 # --- training-data-pipeline extensions (SURVEY.md §2.11) ---
+# fan_out: the fixture documents/embeddings parquet scans are 1 partition
+# at test SFs, which would serialize the CPU-heavy dedup/text/similarity
+# map work onto one core; no-op on inputs that already scan wide.
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .sources.tables import load_table
+    from .sources.tables import fan_out, load_table
 
-    return load_table(spark, sf_dir, "documents")
+    return fan_out(load_table(spark, sf_dir, "documents"))
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .sources.tables import load_table
+    from .sources.tables import fan_out, load_table
 
-    return load_table(spark, sf_dir, "embeddings")
+    return fan_out(load_table(spark, sf_dir, "embeddings"))
 
 
 # deduplication family

@@ -75,6 +75,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across the cluster before CPU-heavy map work.
+
+    A small compressed parquet file scans as a handful of partitions (one,
+    for the sub-128MB fixture files), serializing every downstream
+    explode/hash/UDF onto a single core even on a 32-core executor. For
+    operators whose per-row work dwarfs the scan (shingling, MinHash,
+    SimHash bit explosion, embedding scoring) a round-robin repartition of
+    the *compressed* rows is cheap and buys full parallelism. On a real
+    100 TB input the scan already yields thousands of splits, making this a
+    deliberate no-op — the condition keys off actual scan parallelism, not
+    a fixed size heuristic.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # SQL fragment shared verbatim with the DuckDB oracles so both engines build
 # the identical point cloud (same IEEE double ops, same order).
 POINTS_SQL_BODY = (
