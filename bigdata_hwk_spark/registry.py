@@ -286,6 +286,23 @@ register("stream_reservoir_sample", _stream_reservoir)
 register("stream_sticky_sampling", _stream_sticky)
 
 
+# Declarative windowed streaming aggregation (streaming/windowed.py): the
+# registry runs the SAME function body in batch mode over the events table
+# (withWatermark is a no-op in batch), which is what the oracle checks;
+# streaming execution (append mode + watermark, file replay, memory sink)
+# is covered in tests/test_streaming.py.
+def _windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.tables import load_table
+    from .streaming import windowed as WD
+
+    return WD.windowed_event_counts(load_table(spark, sf_dir, "events"))
+
+
+from .streaming.windowed import WINDOWED_EVENT_COUNTS_SQL  # noqa: E402
+
+register("windowed_event_counts", _windowed_events, WINDOWED_EVENT_COUNTS_SQL)
+
+
 # --- training-data-pipeline extensions (SURVEY.md §2.11) ---
 # fan_out: the fixture documents/embeddings parquet scans are 1 partition
 # at test SFs, which would serialize the CPU-heavy dedup/text/similarity

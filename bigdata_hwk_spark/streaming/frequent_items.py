@@ -234,6 +234,47 @@ def replay_frequent_items(
     return state.report()
 
 
+def run_sketches_on_stream(
+    items: DataFrame,
+    n: int,
+    phi: float,
+    eps: float,
+    delta: float,
+    seed: int = 42,
+    order_col: str | None = None,
+    timeout_s: float = 60.0,
+) -> StreamReport:
+    """Feed ANY streaming (item) DataFrame to the three sketches via
+    ``foreachBatch``, stopping after the first n items (reference A10).
+
+    Source-agnostic: works over the socket source (arrival order, like the
+    reference's DStream — reference HWK_3/G029HW3.py:103-105), the file
+    replay source (pass ``order_col="seq"`` for determinism within a
+    batch), or rate/Kafka. Polls until the cutoff batch crosses n or
+    ``timeout_s`` elapses (a socket stream has no "drained" signal).
+    """
+    import time as _time
+
+    state = _SketchState(n=n, phi=phi, eps=eps, delta=delta, seed=seed)
+    done = {"flag": False}
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if done["flag"]:
+            return
+        bdf = batch_df.orderBy(order_col) if order_col else batch_df
+        if state.add_batch([r.item for r in bdf.select("item").collect()]):
+            done["flag"] = True
+
+    query = items.writeStream.foreachBatch(process_batch).start()
+    deadline = _time.monotonic() + timeout_s
+    try:
+        while not done["flag"] and query.isActive and _time.monotonic() < deadline:
+            _time.sleep(0.05)
+    finally:
+        query.stop()
+    return state.report()
+
+
 def run_structured_stream(
     spark: SparkSession,
     source_dir: str,

@@ -1,0 +1,78 @@
+"""Declarative windowed streaming aggregations (Structured Streaming).
+
+The reference's only streaming computation is the frequent-items program
+(HWK_3); its exact-histogram path (reference HWK_3/G029HW3.py:52-57) is the
+one that scales, and the idiomatic Spark form of "aggregate an unbounded
+stream" is an event-time windowed aggregation with a watermark for late
+data. These operators are written against a plain DataFrame, so the SAME
+function body runs in three modes:
+
+* batch over the fixture table (``withWatermark`` is a no-op in batch) —
+  this is the DuckDB-oracle-checked path in the registry;
+* streaming with update/complete output (memory sink in tests);
+* streaming with append output + watermark, where only windows the
+  watermark has closed are emitted (tested against the batch twin).
+
+State scales as O(open windows × group keys) per partition and is
+bounded by the watermark — the Spark-first answer to the reference's
+unbounded driver dict.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EVENT_WINDOW = "1 hour"
+EVENT_WATERMARK = "2 hours"
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = EVENT_WINDOW,
+    watermark: str = EVENT_WATERMARK,
+) -> DataFrame:
+    """Tumbling event-time window × event_type: count + value sum.
+
+    Output: (win_start, event_type, n_events, total_value), one row per
+    (window, type) with ≥1 event. ``total_value`` is rounded at the output
+    boundary only.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# Spark's window('1 hour') and DuckDB's time_bucket both align hour buckets
+# to the unix epoch, so the bucket boundaries agree exactly.
+WINDOWED_EVENT_COUNTS_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def streaming_exact_histogram(items: DataFrame) -> DataFrame:
+    """Cumulative item histogram as a pure streaming aggregation.
+
+    The scalable analogue of the reference's driver dict (A6, reference
+    HWK_3/G029HW3.py:52-57): ``groupBy(item).count()`` with partial
+    aggregation map-side and incremental state in the state store. Run
+    with update/complete output mode; the batch twin of the same body is
+    what the oracle checks (``true_frequent_items``).
+    """
+    return items.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
