@@ -34,6 +34,7 @@ corpus, so AQE skew splitting handles pathological buckets.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -174,9 +175,15 @@ def _pair_jaccard(ex: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(documents: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
-    """Near-dup pairs with shingle-set Jaccard ≥ tau (rounded to 6)."""
+    """Near-dup pairs with shingle-set Jaccard ≥ tau (rounded to 6).
+
+    The shingle table is persisted: ``_pair_jaccard`` consumes it three
+    times (sizes + both join sides), which would otherwise replan three
+    scan→shingle subtrees."""
     return (
-        _pair_jaccard(doc_shingles(documents))
+        _pair_jaccard(
+            doc_shingles(documents).persist(StorageLevel.MEMORY_AND_DISK)
+        )
         .filter(F.col("jaccard") >= tau)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -216,7 +223,10 @@ def minhash_signatures(documents: DataFrame, h: int = MINHASH_H) -> DataFrame:
     hash64(i ‖ ':' ‖ shingle). One shuffle: groupBy (doc_id, i) with
     partial min map-side; the explode is H× the shingle count but stays
     in codegen."""
-    ex = doc_shingles(documents)
+    return _minhash_from_shingles(doc_shingles(documents), h)
+
+
+def _minhash_from_shingles(ex: DataFrame, h: int = MINHASH_H) -> DataFrame:
     return (
         ex.select(
             "doc_id",
@@ -249,7 +259,14 @@ def minhash_lsh_pairs(
     positives (LSH only affects recall, tuned by (H, bands, tau)).
     """
     r = h // bands
-    sig = minhash_signatures(documents, h)
+    # One shingle table feeds signature building, candidate banding AND
+    # exact verification; without an explicit persist Spark replans each
+    # consumer as its own scan→shingle subtree (measured: 23 parquet scans
+    # of `documents` in one query, exchange reuse recovering only a few).
+    # MEMORY_AND_DISK: at corpus scale the shingle table spills instead of
+    # re-reading + re-hashing the corpus per consumer.
+    ex_all = doc_shingles(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = _minhash_from_shingles(ex_all, h)
     band_sig = (
         sig.withColumn("band", (F.col("i") / r).cast("int"))
         .groupBy("doc_id", "band")
@@ -269,6 +286,10 @@ def minhash_lsh_pairs(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+        # cand feeds the doc_a/doc_b union AND the final pair join — three
+        # consumers; unpersisted, each replans the full banding pipeline
+        # (minhash explode + groupBy + band self-join) from scratch
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Verify ONLY the LSH candidates: restrict the shingle index to docs
     # that appear in ≥1 candidate pair (left-semi, no row widening) before
@@ -281,7 +302,7 @@ def minhash_lsh_pairs(
     )
     # no broadcast hint: AQE auto-broadcasts when the candidate set is
     # small, falls back to a shuffled semi-join when it isn't
-    ex = doc_shingles(documents).join(cand_docs, "doc_id", "left_semi")
+    ex = ex_all.join(cand_docs, "doc_id", "left_semi")
     jac = _pair_jaccard(ex)
     return (
         cand.join(jac, ["doc_a", "doc_b"])

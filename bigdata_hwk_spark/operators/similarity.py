@@ -181,6 +181,102 @@ def _cosine_pandas() -> Column:
     return cos
 
 
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 8,
+    sample_cap: int = 2048,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine search.
+
+    The scale path for similarity *search* (vs ``ann_lsh_pairs`` for pair
+    *mining*): a coarse quantizer partitions the corpus into ``nlist``
+    inverted lists; each query probes only its ``nprobe`` nearest lists and
+    exact-reranks the candidates. Candidate volume is ~``nprobe/nlist`` of
+    the corpus per query, and the expensive stages are all equi-joins.
+
+    The quantizer reuses the engine's FFT k-center kernel
+    (``operators/kcenter.sequential_fft`` — reference SequentialFFT,
+    HWK_2/G029HW2.py:50-79) on a deterministic sample of normalized
+    vectors: k-center picks well-spread centroids on the unit sphere,
+    which is exactly what an IVF codebook needs (a k-means refinement
+    would drop in here without changing any downstream shape).
+
+    Output schema matches ``cosine_topk_bruteforce`` so recall is directly
+    measurable (tests/test_extensions.py).
+    """
+    from .kcenter import sequential_fft
+
+    # codebook: deterministic sample → normalize → k-center (driver NumPy;
+    # sample_cap rows regardless of corpus size; the id filter pushes to
+    # the scan — no global sort)
+    sample = (
+        embeddings.select("vec_id", "embedding")
+        .filter(F.col("vec_id") < sample_cap)
+        .collect()
+    )
+    smat = np.array([r.embedding for r in sample], dtype=np.float64)
+    smat /= np.linalg.norm(smat, axis=1, keepdims=True)
+    centroids = sequential_fft(smat, nlist)  # (nlist, dim), unit-ish rows
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    # inverted lists: argmax-cosine centroid per vector, one matmul per
+    # Arrow batch, no shuffle. The embedding rides along so the probe-hit
+    # candidates never need a second corpus join — the probe join below is
+    # a broadcast (map-side), so the wide column costs no shuffle.
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            block = np.array(list(pdf["embedding"]), dtype=np.float64)
+            block /= np.linalg.norm(block, axis=1, keepdims=True)
+            out = pdf[["vec_id", "embedding"]].copy()
+            out["cid"] = np.argmax(block @ centroids.T, axis=1).astype(np.int32)
+            yield out
+
+    emb = embeddings.select("vec_id", "embedding")
+    if emb.rdd.getNumPartitions() < emb.sparkSession.sparkContext.defaultParallelism:
+        emb = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    lists = emb.mapInPandas(
+        assign, schema="vec_id bigint, embedding array<float>, cid int"
+    )
+
+    # probe set: per query, its nprobe nearest centroids (queries are few →
+    # driver-side; the (query_id, cid) table is tiny and broadcast)
+    spark = embeddings.sparkSession
+    qrows = embeddings.filter(F.col("vec_id") < n_queries).collect()
+    probes = []
+    queries = []
+    for r in qrows:
+        qv = np.asarray(r.embedding, dtype=np.float64)
+        qv /= np.linalg.norm(qv)
+        top = np.argsort(-(centroids @ qv))[:nprobe]
+        probes.extend((int(r.vec_id), int(c)) for c in top)
+        queries.append((int(r.vec_id), [float(x) for x in qv]))
+    probe_df = spark.createDataFrame(probes, "query_id bigint, cid int")
+    query_df = spark.createDataFrame(queries, "query_id bigint, qv array<double>")
+
+    cos = _cosine_pandas()
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), "neighbor_id")
+    return (
+        lists.join(F.broadcast(probe_df), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(query_df), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos(F.col("embedding"), F.col("qv")).alias("cos_raw"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cos_raw", 4).alias("cosine"), "rk"
+        )
+    )
+
+
 def ann_lsh_pairs(
     embeddings: DataFrame,
     tau: float = 0.4,

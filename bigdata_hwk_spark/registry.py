@@ -382,6 +382,9 @@ register(
 # LSH ANN: hash-bucketed candidates are seeded-RNG-dependent → rows-only;
 # recall vs brute force is property-tested in tests/test_extensions.py.
 register("ann_lsh_pairs", lambda spark, sf: SIM.ann_lsh_pairs(_embs(spark, sf)))
+# IVF top-k: deterministic (FFT codebook on a sorted sample) but not
+# SQL-expressible → rows-only; recall vs brute force is property-tested.
+register("ann_ivf_topk", lambda spark, sf: SIM.ann_ivf_topk(_embs(spark, sf)))
 
 # multimodal plumbing (decode is stubbed — rows-only; Arrow batch shape
 # and schema are pytest-verified)

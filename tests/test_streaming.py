@@ -288,3 +288,75 @@ def test_points_csv_source(spark, tmp_path):
     lines = spark.createDataFrame([("7.5,8.5",), (" 1.0 , 2.0 ",)], "value string")
     parsed = sorted((r.x, r.y) for r in parse_points_text(lines).collect())
     assert parsed == [(1.0, 2.0), (7.5, 8.5)]
+
+
+def test_stateful_sessionization_matches_batch_closed_sessions(spark, tmp_path):
+    """applyInPandasWithState sessionization over a chunked event replay
+    must emit exactly the batch sessions that were closed by a later event
+    (every session except each user's last)."""
+    from bigdata_hwk_spark.sources.tables import load_table
+    from bigdata_hwk_spark.streaming.sessions import sessionize_stream
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    ordered = events.orderBy("ts", "event_id").collect()
+    schema = "user_id bigint, ts timestamp, event_id bigint, value double"
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    third = len(ordered) // 3
+    for name, chunk in (
+        ("a", ordered[:third]),
+        ("b", ordered[third : 2 * third]),
+        ("c", ordered[2 * third :]),
+    ):
+        spark.createDataFrame(
+            [(r.user_id, r.ts, r.event_id, r.value) for r in chunk], schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sess")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.session_start, r.session_end, r.n_events, r.session_value)
+            for r in spark.table("t_sess").collect()
+        }
+    finally:
+        q.stop()
+
+    # independent expected model: per-user linear scan with the same gap rule
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for r in ordered:
+        by_user[r.user_id].append((r.ts, r.value))
+    want = set()
+    gap_s = 30 * 60
+    for uid, evs in by_user.items():
+        sessions = []
+        start = last = None
+        n, val = 0, 0.0
+        for ts, v in evs:
+            if last is not None and (ts - last).total_seconds() > gap_s:
+                sessions.append((uid, start, last, n, round(val, 2)))
+                start, n, val = None, 0, 0.0
+            if start is None:
+                start = ts
+            last = ts
+            n += 1
+            val += v
+        # drop the final (still-open) session — the stream never closes it
+        want.update(sessions)
+    assert got == want
+    assert len(got) > 0
