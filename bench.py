@@ -41,10 +41,13 @@ def main() -> None:
     for name, fn in registry.QUERIES.items():
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()
+        # noop sink: full end-to-end materialization of every output column.
+        # (A bare count() would let Catalyst prune the expensive projections
+        # — hashes, distances — and under-report the real work.)
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
-        rows[name] = n
-        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+        rows[name] = df.count()
+        print(f"# {name}: {timings[name]:.3f}s rows={rows[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -133,6 +133,62 @@ def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = (
+    "media_id bigint, media_type string, payload binary, "
+    "width int, height int, scale double"
+)
+
+
+def resize_media(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize pipeline for image rows: compute the target geometry from the
+    decoded dims (longest side → ``max_side``, aspect preserved) and emit a
+    'resized' payload via the same Arrow-batched kernel shape a real
+    resizer (PIL thumbnail / ffmpeg scale) would use — the stub derives the
+    output payload deterministically from the input bytes + target dims.
+
+    The decode metadata join is an equi-join on media_id (broadcast-able
+    when the feature table is small); payloads stream through one
+    ``mapInPandas`` stage with no shuffle of the binary column.
+    """
+
+    feats = decode_features(media).select("media_id", "width", "height")
+    with_dims = media.select("media_id", "media_type", "payload").join(
+        feats, "media_id"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            scale = [
+                min(1.0, max_side / max(w, h))
+                for w, h in zip(pdf["width"], pdf["height"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    # stub resize: real impl decodes + rescales; the fake is
+                    # deterministic in (payload, target dims)
+                    "payload": [
+                        hashlib.sha1(
+                            p + f"{int(w * s)}x{int(h * s)}".encode()
+                        ).digest()
+                        for p, w, h, s in zip(
+                            pdf["payload"], pdf["width"], pdf["height"], scale
+                        )
+                    ],
+                    "width": [int(w * s) for w, s in zip(pdf["width"], scale)],
+                    "height": [int(h * s) for h, s in zip(pdf["height"], scale)],
+                    "scale": scale,
+                }
+            )
+
+    return with_dims.filter(F.col("media_type") == "image").mapInPandas(
+        kernel, schema=RESIZED_SCHEMA
+    )
+
+
 def media_feature_summary(media: DataFrame) -> DataFrame:
     """Aggregate features per media_type (the typical corpus-audit query)."""
     return (

@@ -122,9 +122,15 @@ GROUP BY o_orderpriority
 
 
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS): customers that never ordered."""
+    """Left-anti join (NOT EXISTS): customers with no finalized ('F')
+    order. (Every fixture customer has ≥1 order of some status, so the
+    unrestricted anti-join would be the empty set at every SF — a
+    trivially-passing oracle; the status filter keeps the result
+    non-trivial while exercising the same plan shape.)"""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .select("c_custkey", "c_mktsegment")
@@ -133,7 +139,8 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CUSTOMERS_NO_ORDERS_SQL = """
 SELECT c_custkey, c_mktsegment FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
 """
 
 

@@ -10,7 +10,7 @@ from bigdata_hwk_spark.operators import multimodal as MM
 from bigdata_hwk_spark.operators import similarity as SIM
 from bigdata_hwk_spark.sources.tables import load_table
 
-from .conftest import SF_CORRECT, assert_matches_oracle
+from .conftest import SF_CORRECT, SF_SMOKE, assert_matches_oracle
 
 EXTENSION_ORACLE_QUERIES = [
     "dedup_exact_summary",
@@ -145,3 +145,20 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     for r in ivf1:
         if (r.query_id, r.neighbor_id) in exact_cos:
             assert r.cosine == exact_cos[(r.query_id, r.neighbor_id)]
+
+
+def test_resize_media_geometry_and_determinism(spark):
+    """Resize plumbing: aspect-preserving geometry, deterministic stub
+    payloads, image-only filter, binary output schema."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(60)
+    media = MM.synth_media(docs)
+    r1 = {r.media_id: r for r in MM.resize_media(media, max_side=64).collect()}
+    r2 = {r.media_id: r for r in MM.resize_media(media, max_side=64).collect()}
+    assert len(r1) > 0
+    assert set(r1) == set(r2)
+    for mid, r in r1.items():
+        assert r.media_type == "image"
+        assert max(r.width, r.height) <= 64
+        assert 0 < r.scale <= 1.0
+        assert isinstance(r.payload, (bytes, bytearray))
+        assert bytes(r.payload) == bytes(r2[mid].payload)  # deterministic
