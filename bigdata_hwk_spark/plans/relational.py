@@ -310,3 +310,90 @@ SELECT l_returnflag, l_linestatus, count(*) AS n,
        round(sum(l_quantity), 2) AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
+
+
+# ---------------------------------------------------------------------------
+# SQL-text interface (spark.sql over registered views) — same engine, the
+# other front door; Catalyst plans text and DataFrame calls identically
+# ---------------------------------------------------------------------------
+
+SHIPPING_PRIORITY_SQL = """
+SELECT o.o_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def shipping_priority_sqltext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape executed from SQL TEXT (``spark.sql``), not the
+    DataFrame API — pins the engine's second front door. The identical
+    string runs on DuckDB as the oracle (ANSI subset both parse)."""
+    for name in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(SHIPPING_PRIORITY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Skew-aware two-phase (salted) aggregation
+# ---------------------------------------------------------------------------
+
+SALT_BUCKETS = 8
+
+
+def salted_item_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event items by count via explicit two-phase salted aggregation.
+
+    The skew pattern for hot grouping keys at cluster scale: phase 1
+    aggregates on (item, salt) — hot keys split across SALT_BUCKETS
+    reducers — phase 2 merges the partials per item. For plain counts
+    Spark's own partial aggregation already does this (the oracle is a
+    bare GROUP BY), so this operator exists to pin the *pattern* the
+    engine applies when partial aggregation can't help (e.g.
+    collect_list/exact-distinct states too big for one reducer).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    phase1 = (
+        ev.withColumn("salt", (F.pmod(F.col("event_id"), F.lit(SALT_BUCKETS))).cast("int"))
+        .groupBy("user_id", "salt")
+        .agg(F.count(F.lit(1)).alias("partial_cnt"))
+    )
+    return (
+        phase1.groupBy("user_id")
+        .agg(F.sum("partial_cnt").alias("cnt"))
+        .orderBy(F.desc("cnt"), "user_id")
+        .limit(20)
+    )
+
+
+SALTED_ITEM_COUNTS_SQL = """
+SELECT user_id, count(*) AS cnt FROM events
+GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sketch aggregates (HLL++ / KLL-style) — the built-in approximate surface
+# ---------------------------------------------------------------------------
+
+def approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users (HyperLogLog++) and value percentiles
+    (approx quantile sketch) over events — the constant-memory analogues of
+    the reference's sampling sketches (SURVEY.md §2.5). No SQL oracle
+    (sketch internals differ across engines); property tests bound the
+    error against the exact answers instead."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50_value"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -228,6 +228,15 @@ register("user_sessions", R.user_sessions, R.USER_SESSIONS_SQL)
 register("event_props_stats", R.event_props_stats, R.EVENT_PROPS_SQL)
 register("nations_with_both", R.nations_with_both, R.NATIONS_BOTH_SQL)
 register("lineitem_rollup", R.lineitem_rollup, R.LINEITEM_ROLLUP_SQL)
+register(
+    "shipping_priority_sqltext",
+    R.shipping_priority_sqltext,
+    R.SHIPPING_PRIORITY_SQL,
+)
+register("salted_item_counts", R.salted_item_counts, R.SALTED_ITEM_COUNTS_SQL)
+# sketch aggregates: HLL/quantile internals are engine-specific → rows-only;
+# error bounds vs exact answers are property-tested in tests/test_relational.py
+register("approx_event_stats", R.approx_event_stats)
 
 # --- streaming frequent items (HW3 semantics on the events-derived stream).
 # The exact path is declarative and oracle-checked; the RNG-bearing sampling
