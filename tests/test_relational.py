@@ -5,6 +5,7 @@ from __future__ import annotations
 import pytest
 
 from bigdata_hwk_spark import registry
+from pyspark.sql import functions as F
 
 from .conftest import SF_CORRECT, SF_SMOKE, assert_matches_oracle
 
@@ -83,3 +84,49 @@ def test_approx_event_stats_error_bounds(spark):
     assert abs(row.approx_users - exact.users) <= max(3, 0.06 * exact.users)
     assert abs(row.p50_value - exact.p50) <= 0.05 * (abs(exact.p95) + 1)
     assert abs(row.p95_value - exact.p95) <= 0.05 * (abs(exact.p95) + 1)
+
+
+def test_bucketed_join_is_colocated_no_exchange(spark, tmp_path):
+    """Bucketing both join sides on the key pre-partitions the data at
+    write time, so the sort-merge join needs NO Exchange — the co-location
+    strategy for repeated fact-to-fact joins at scale."""
+    from bigdata_hwk_spark.sources.tables import load_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = load_table(spark, SF_SMOKE, "orders")
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        loc = f"file://{tmp_path}/wh"
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{loc}'")
+        for df, name, key in ((orders, "orders_b", "o_orderkey"),
+                              (li, "lineitem_b", "l_orderkey")):
+            (df.write.bucketBy(8, key).sortBy(key)
+               .mode("overwrite").saveAsTable(f"bkt.{name}"))
+        joined = spark.table("bkt.orders_b").join(
+            spark.table("bkt.lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        ).groupBy("o_orderpriority").count()
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        join_part = plan[: plan.find("HashAggregate")] if "HashAggregate" in plan else plan
+        assert "SortMergeJoin" in plan
+        # the join inputs must come straight from the bucketed scans
+        assert "Exchange hashpartitioning" not in join_part
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
+
+
+def test_text_ops_prune_document_columns(spark):
+    """Projection pushdown: text operators must scan only (doc_id, text),
+    never the full documents schema."""
+    plan = (
+        registry.QUERIES["text_token_stats"](spark, SF_SMOKE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    schemas = set(re.findall(r"ReadSchema: (struct<[^>]*>)", plan))
+    assert schemas, "no parquet scan found"
+    for s in schemas:
+        assert "lang" not in s and "source" not in s, s

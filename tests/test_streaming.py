@@ -360,3 +360,19 @@ def test_stateful_sessionization_matches_batch_closed_sessions(spark, tmp_path):
         want.update(sessions)
     assert got == want
     assert len(got) > 0
+
+
+def test_golden_report_byte_stable(spark):
+    """Frozen golden output (format + values): the full HW3-shaped report
+    on the deterministic sf0.001 stream must reproduce byte-for-byte
+    (mirrors the reference's output_examples acceptance artifacts,
+    SURVEY.md §5.2)."""
+    import pathlib
+
+    rep = FI.replay_frequent_items(
+        stream_from_events(spark, SF_SMOKE),
+        n=800, phi=0.02, eps=0.01, delta=0.1, batch_size=100, seed=29,
+    )
+    got = "\n".join(rep.report_lines()) + "\n"
+    want = (pathlib.Path(__file__).parent / "data_golden_report.txt").read_text()
+    assert got == want
