@@ -397,3 +397,97 @@ def approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.95, 10000).alias("p95_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (point-in-time lookup) — union + window, no range join
+# ---------------------------------------------------------------------------
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Generic as-of join: for each left row, the right row with the
+    greatest ``right_time`` ≤ ``left_time`` within the same ``on`` key
+    (inclusive), NULL-padding misses.
+
+    Spark has no as-of primitive, and the naive formulation
+    (``right_time <= left_time`` join + max) is an inequality join that
+    Catalyst plans as a nested loop. This is the scalable rewrite: tag and
+    union both sides, ONE hash shuffle on the key, sort within partitions
+    by (time, side), and carry the latest right values forward with
+    ``last(..., ignorenulls)`` over an unbounded-preceding row frame —
+    O(n log n) per partition, no pair blow-up, AQE-splittable on hot keys.
+    Right rows sort before left rows at equal timestamps, making the
+    boundary inclusive; ties among right rows resolve to the same
+    (max-time) values, so the output is deterministic.
+    """
+    lcols = left.columns
+    tagged_l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+    )
+    tagged_r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = tagged_l.unionByName(tagged_r)
+    for c in value_cols:
+        u = u.withColumn(
+            f"__v_{c}", F.last(f"__v_{c}", ignorenulls=True).over(w)
+        )
+    return u.filter(F.col("__side") == 1).select(
+        *lcols, *[F.col(f"__v_{c}").alias(f"asof_{c}") for c in value_cols]
+    )
+
+
+def events_last_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature: for every event, the same user's most recent
+    'click' at or before it (self as-of). The canonical shape of
+    leakage-free training-feature joins ("state of X as of event time")."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    return asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="click_ts",
+        value_cols=["click_ts"],
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_click_ts").alias("last_click_ts"),
+    )
+
+
+# DuckDB has a native ASOF JOIN — the oracle for the union-window rewrite.
+# Casts: the driver's events view is TIMESTAMP_NS parquet; Spark reads µs.
+EVENTS_ASOF_SQL = """
+SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+       CAST(c.ts AS TIMESTAMP) AS last_click_ts
+FROM events e ASOF LEFT JOIN
+     (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND c.ts <= CAST(e.ts AS TIMESTAMP)
+"""

@@ -32,6 +32,12 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     out = df[sorted(df.columns)].copy()
+    for c in out.columns:
+        # normalize datetime resolution: Spark→pandas yields ns, DuckDB
+        # TIMESTAMP yields µs; pandas 2 treats the unit as a value
+        # difference even with check_dtype=False
+        if pd.api.types.is_datetime64_any_dtype(out[c]):
+            out[c] = out[c].astype("datetime64[us]")
     if len(out.columns):
         out = out.sort_values(by=list(out.columns), kind="mergesort")
     return out.reset_index(drop=True)

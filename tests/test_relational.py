@@ -130,3 +130,21 @@ def test_text_ops_prune_document_columns(spark):
     assert schemas, "no parquet scan found"
     for s in schemas:
         assert "lang" not in s and "source" not in s, s
+
+
+def test_asof_join_matches_duckdb_asof(spark):
+    """The union+window as-of rewrite must equal DuckDB's native ASOF JOIN
+    (inclusive boundary, NULL on no-match) — and must plan a single hash
+    shuffle, not a nested-loop range join."""
+    for sf in (SF_SMOKE, SF_CORRECT):
+        assert_matches_oracle(
+            registry.QUERIES["events_last_click_asof"](spark, sf),
+            registry.ORACLES["events_last_click_asof"],
+            sf,
+        )
+    plan = (
+        registry.QUERIES["events_last_click_asof"](spark, SF_SMOKE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
