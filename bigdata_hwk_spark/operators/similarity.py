@@ -244,9 +244,12 @@ def ann_ivf_topk(
     )
 
     # probe set: per query, its nprobe nearest centroids (queries are few →
-    # driver-side; the (query_id, cid) table is tiny and broadcast)
+    # driver-side; the (query_id, cid) table is tiny and broadcast).
+    # Queries are a prefix of the codebook sample (n_queries < sample_cap),
+    # so no second scan/collect is needed.
     spark = embeddings.sparkSession
-    qrows = embeddings.filter(F.col("vec_id") < n_queries).collect()
+    assert n_queries <= sample_cap
+    qrows = [r for r in sample if r.vec_id < n_queries]
     probes = []
     queries = []
     for r in qrows:
