@@ -24,10 +24,10 @@ All hash arithmetic uses the engine-portable md5 hash (functions/
 hashing.py), so every operator here is fully oracle-checkable in DuckDB —
 including the LSH banding itself, not just the final pair set.
 
-Scale notes: at real corpus sizes the shingle inverted index needs a
-document-frequency cut on ultra-hot shingles before the candidate join
-(they generate quadratic candidates but can't push Jaccard above the
-threshold on their own); the banded joins here shuffle on
+Scale notes: the shingle inverted index applies a document-frequency cut
+on ultra-hot shingles (``shingle_df_cut``) before every candidate join —
+they generate quadratic candidates but can't push Jaccard above the
+threshold on their own; the banded joins here shuffle on
 (band, signature) / (chunk, value) keys whose cardinality grows with the
 corpus, so AQE skew splitting handles pathological buckets.
 """
@@ -35,7 +35,7 @@ corpus, so AQE skew splitting handles pathological buckets.
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_hash64, md5_hash64_sql
@@ -60,25 +60,54 @@ def doc_shingles(documents: DataFrame) -> DataFrame:
     The split word array is materialized into its own projection before the
     shingle transform: referencing the raw ``split(text)`` expression from
     inside the lambda makes Catalyst re-evaluate the split per element
-    (O(words²) per doc — measured 2.5× slower end-to-end). ``sequence``'s
-    upper bound is clamped with ``greatest(..., 0)`` because Spark's
-    ``sequence(1, n)`` runs DESCENDING for n < 1, whereas DuckDB's
-    ``generate_series`` is empty — short docs must yield no shingles on
-    both sides. All array-local (no shuffle), whole-stage codegen.
+    (O(words²) per doc — measured 2.5× slower end-to-end). The transform is
+    guarded by a CASE WHEN on word count: Spark's ``sequence(1, n)`` runs
+    DESCENDING for n < 1, making ``slice(ws, 0, ...)`` throw
+    INVALID_PARAMETER_VALUE.START on any 1–2-word doc. A row filter alone
+    is NOT enough — InferFiltersFromGenerate copies the shingle expression
+    into a pushed-down ``size(shs) > 0`` predicate that runs on unfiltered
+    rows (reproduced: a single short doc crashed the job through the
+    filter). DuckDB's ``generate_series`` is empty for n < 1, so short
+    docs yield no rows on both sides. All array-local (no shuffle),
+    whole-stage codegen.
     """
-    ws_df = documents.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.size("ws") - (SHINGLE_W - 1), F.lit(0))
-            ),
-            lambda i: F.array_join(F.slice(F.col("ws"), i, SHINGLE_W), " "),
-        )
+    ws_df = documents.select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    ).filter(F.size("ws") >= SHINGLE_W)
+    shingles = F.when(
+        F.size("ws") >= SHINGLE_W,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - (SHINGLE_W - 1)),
+                lambda i: F.array_join(F.slice(F.col("ws"), i, SHINGLE_W), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return ws_df.select("doc_id", shingles.alias("shs")).select(
+        "doc_id", F.explode("shs").alias("sh")
     )
+
+
+# Document-frequency cut: shingles appearing in more than this many docs are
+# dropped from the inverted index before any pair join. An ultra-hot shingle
+# generates O(df²) candidate pairs; a handful of boilerplate shingles can't
+# push a pair's Jaccard above the threshold on their own, so cutting them is
+# the standard recall-safe-in-practice guard at corpus scale. The default is
+# far above any fixture document frequency, so every DuckDB oracle (which
+# has no cut) stays exact at test SFs while the plan carries the filter.
+SHINGLE_DF_CUT = 100_000
+
+
+def shingle_df_cut(ex: DataFrame, cut: int = SHINGLE_DF_CUT) -> DataFrame:
+    """Drop ultra-hot shingles (document frequency > ``cut``) from the
+    inverted index. Implemented as a count-over-window on ``sh`` — one
+    shuffle that also co-locates the index by shingle, the very key the
+    downstream candidate equi-join needs."""
+    w = Window.partitionBy("sh")
     return (
-        ws_df.select("doc_id", shingles.alias("shs"))
-        .filter(F.size("shs") >= 1)
-        .select("doc_id", F.explode("shs").alias("sh"))
+        ex.withColumn("__df", F.count(F.lit(1)).over(w))
+        .filter(F.col("__df") <= cut)
+        .drop("__df")
     )
 
 
@@ -179,11 +208,13 @@ def ngram_jaccard_pairs(documents: DataFrame, tau: float = JACCARD_TAU) -> DataF
 
     The shingle table is persisted: ``_pair_jaccard`` consumes it three
     times (sizes + both join sides), which would otherwise replan three
-    scan→shingle subtrees."""
+    scan→shingle subtrees. The hot-shingle DF cut runs first — a no-op at
+    fixture document frequencies, the quadratic-candidate guard at scale."""
+    ex = shingle_df_cut(doc_shingles(documents)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     return (
-        _pair_jaccard(
-            doc_shingles(documents).persist(StorageLevel.MEMORY_AND_DISK)
-        )
+        _pair_jaccard(ex)
         .filter(F.col("jaccard") >= tau)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -265,7 +296,9 @@ def minhash_lsh_pairs(
     # of `documents` in one query, exchange reuse recovering only a few).
     # MEMORY_AND_DISK: at corpus scale the shingle table spills instead of
     # re-reading + re-hashing the corpus per consumer.
-    ex_all = doc_shingles(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    ex_all = shingle_df_cut(doc_shingles(documents)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sig = _minhash_from_shingles(ex_all, h)
     band_sig = (
         sig.withColumn("band", (F.col("i") / r).cast("int"))
@@ -323,9 +356,9 @@ mh AS (
   FROM ex, generate_series(0, {h - 1}) AS t(i)
   GROUP BY doc_id, i),
 band_sig AS (
-  SELECT doc_id, CAST(i / {r} AS INTEGER) AS band,
+  SELECT doc_id, CAST(i // {r} AS INTEGER) AS band,
          list(mh ORDER BY i) AS sig
-  FROM mh GROUP BY doc_id, CAST(i / {r} AS INTEGER)),
+  FROM mh GROUP BY doc_id, CAST(i // {r} AS INTEGER)),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM band_sig a JOIN band_sig b

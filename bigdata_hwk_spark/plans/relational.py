@@ -207,13 +207,19 @@ WHERE rk <= 3
 
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessions per user with a 30-min inactivity gap: classic
-    lag→gap-flag→running-sum pattern. Output: one row per session."""
+    lag→gap-flag→running-sum pattern. Output: one row per session.
+
+    Gap arithmetic is µs-integer (``unix_micros``) — exact at Spark's
+    native timestamp resolution, and the oracle mirrors it with
+    ``epoch_us(CAST(ts AS TIMESTAMP))`` so both engines compare the same
+    integers (the raw parquet is TIMESTAMP_NS, which DuckDB would
+    otherwise read at ns while Spark truncates to µs)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     with_flag = ev.withColumn(
         "new_sess",
-        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0),
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), 1).otherwise(0),
     )
     sess = with_flag.withColumn("session_id", F.sum("new_sess").over(w))
     return sess.groupBy("user_id", "session_id").agg(
@@ -223,12 +229,15 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 USER_SESSIONS_SQL = f"""
-WITH flagged AS (
+WITH cast_ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM events
+),
+flagged AS (
   SELECT user_id, ts, event_id, value,
-         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
-                OR epoch(ts) - lag(epoch(ts)) OVER w > {SESSION_GAP_MIN * 60}
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_MIN * 60 * 1_000_000}
               THEN 1 ELSE 0 END AS new_sess
-  FROM events
+  FROM cast_ev
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (

@@ -39,6 +39,40 @@ def test_extension_matches_oracle(spark, name):
     )
 
 
+def test_doc_shingles_short_docs_drop_out(spark):
+    """Docs with fewer than SHINGLE_W words must yield zero shingles — not
+    crash. Regression: sequence(1, 0) runs DESCENDING in Spark, so the
+    unguarded transform evaluated slice(ws, 0, 3) and threw
+    INVALID_PARAMETER_VALUE.START on any 1- or 2-word document."""
+    docs = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, "now three words"), (4, "")],
+        "doc_id bigint, text string",
+    )
+    rows = D.doc_shingles(docs).collect()
+    assert {r.doc_id for r in rows} == {3}
+    assert [r.sh for r in rows] == ["now three words"]
+    # full pipelines survive a short-doc corpus too
+    assert D.ngram_jaccard_pairs(docs).collect() == []
+    assert D.minhash_lsh_pairs(docs).collect() == []
+
+
+def test_shingle_df_cut_drops_hot_shingles(spark):
+    """Shingles above the document-frequency cut disappear from the
+    inverted index; everything else survives untouched."""
+    hot = "the same boilerplate"
+    docs = spark.createDataFrame(
+        [(i, f"{hot} unique{i} tail{i} end{i}") for i in range(6)],
+        "doc_id bigint, text string",
+    )
+    ex = D.doc_shingles(docs)
+    cut = D.shingle_df_cut(ex, cut=5)
+    assert {r.sh for r in cut.collect()} & {hot} == set()
+    # non-hot shingles (df=1 each) all survive
+    assert cut.count() == ex.count() - 6
+    # default cut is a no-op at fixture scale
+    assert D.shingle_df_cut(ex).count() == ex.count()
+
+
 def test_minhash_lsh_full_recall_on_planted_neardups(spark):
     """The fixtures plant near-dup pairs at Jaccard ≈ 0.95-0.99; with
     H=16/bands=4 the LSH collision probability there is ≈ 1, so MinHash
