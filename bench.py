@@ -6,8 +6,13 @@ Prints ONE JSON line:
    "sf": sf, "rows": {name: row_count}}
 
 Each query is forced end-to-end with the noop sink (full materialization,
-no driver collect). Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-SPARK_GRAFT_CPUS (default 32).
+no driver collect); the row count comes from an ``Observation`` attached to
+the same materialization, so nothing executes twice. By default the whole
+suite runs once untimed to warm JIT/page-cache/Python workers and the
+SECOND pass is reported (run-to-run variance on the ANN queries was
+measured at up to 3× cold vs warm); set SPARK_GRAFT_WARM=0 for a
+single-pass cold run. Env: SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1), SPARK_GRAFT_CPUS (default 32).
 """
 
 from __future__ import annotations
@@ -20,13 +25,37 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import Observation  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
 from bigdata_hwk_spark import registry  # noqa: E402
 from bigdata_hwk_spark.session import get_spark  # noqa: E402
+
+
+def run_suite(spark, sf_dir: str, label: str) -> tuple[dict[str, float], dict[str, int]]:
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, fn in registry.QUERIES.items():
+        t0 = time.perf_counter()
+        obs = Observation()
+        # noop sink: full end-to-end materialization of every output column.
+        # (A bare count() would let Catalyst prune the expensive projections
+        # — hashes, distances — and under-report the real work.)
+        df = fn(spark, sf_dir).observe(obs, F.count(F.lit(1)).alias("n"))
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = int(obs.get["n"])
+        print(
+            f"# [{label}] {name}: {timings[name]:.3f}s rows={rows[name]}",
+            file=sys.stderr,
+        )
+    return timings, rows
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    warm = os.environ.get("SPARK_GRAFT_WARM", "1") != "0"
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
@@ -36,18 +65,19 @@ def main() -> None:
         shuffle_partitions=int(cpus),
     )
 
-    timings: dict[str, float] = {}
-    rows: dict[str, int] = {}
-    for name, fn in registry.QUERIES.items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # noop sink: full end-to-end materialization of every output column.
-        # (A bare count() would let Catalyst prune the expensive projections
-        # — hashes, distances — and under-report the real work.)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        rows[name] = df.count()
-        print(f"# {name}: {timings[name]:.3f}s rows={rows[name]}", file=sys.stderr)
+    if warm:
+        run_suite(spark, sf_dir, "warmup")
+    timings, rows = run_suite(spark, sf_dir, "timed")
+
+    # per-round MRFFT wall-clock, comparable to BASELINE.md's per-round
+    # table (the reference prints R1/R2/R3 ms — HWK_2/G029HW2.py:83-105)
+    from bigdata_hwk_spark.operators import kcenter as KC  # noqa: E402
+
+    pts = registry._points(spark, sf_dir).cache()
+    pts.count()  # materialize the cache so R1/R3 time the rounds, not the scan
+    _, _, mr = KC.mrfft_timed(pts, registry.FFT_K, registry.FFT_L)
+    pts.unpersist()
+    print(f"# mrfft rounds: {mr}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -59,6 +89,9 @@ def main() -> None:
                 "queries": timings,
                 "rows": rows,
                 "sf": sf,
+                "mrfft_r1_ms": mr["r1_ms"],
+                "mrfft_r2_ms": mr["r2_ms"],
+                "mrfft_r3_ms": mr["r3_ms"],
             }
         )
     )

@@ -95,17 +95,6 @@ def coreset(points: DataFrame, k: int, l: int) -> DataFrame:
     )
 
 
-def mrfft_centers(points: DataFrame, k: int, l: int) -> np.ndarray:
-    """Rounds 1+2: K centers as a driver-side (K, 2) array
-    (reference HWK_2/G029HW2.py:84-91 — R2 is intentionally driver-side:
-    the coreset is L·K rows, constant w.r.t. N)."""
-    core = np.array(
-        [[r.x, r.y] for r in coreset(points, k, l).collect()], dtype=np.float64
-    )
-    core = core[np.lexsort((core[:, 1], core[:, 0]))]  # deterministic R2 input
-    return sequential_fft(core, k)
-
-
 def min_dist2_to_centers(centers: np.ndarray):
     """Column: squared distance from (x, y) to the nearest center.
 
@@ -135,10 +124,40 @@ def clustering_radius(points: DataFrame, centers: np.ndarray) -> float:
     return math.sqrt(row.max_min_d2) if row.max_min_d2 is not None else 0.0
 
 
+def mrfft_timed(
+    points: DataFrame, k: int, l: int
+) -> tuple[np.ndarray, float, dict[str, float]]:
+    """Full MRFFT with per-round wall-clock, matching the reference's
+    instrumentation (HWK_2/G029HW2.py:83-105 prints R1/R2/R3 ms): R1 =
+    coreset job (cluster-side mapInPandas + L·K-row collect), R2 =
+    driver-side FFT on the coreset, R3 = the radius max-of-min job.
+    Returns (centers, radius, {"r1_ms", "r2_ms", "r3_ms"}) so callers
+    (CLI front-ends, bench.py) can report phase-by-phase numbers
+    comparable to BASELINE.md's per-round table."""
+    import time
+
+    t0 = time.perf_counter()
+    core = np.array(
+        [[r.x, r.y] for r in coreset(points, k, l).collect()], dtype=np.float64
+    )
+    t1 = time.perf_counter()
+    core = core[np.lexsort((core[:, 1], core[:, 0]))]  # deterministic R2 input
+    centers = sequential_fft(core, k)
+    t2 = time.perf_counter()
+    radius = clustering_radius(points, centers)
+    t3 = time.perf_counter()
+    timings = {
+        "r1_ms": round((t1 - t0) * 1000, 1),
+        "r2_ms": round((t2 - t1) * 1000, 1),
+        "r3_ms": round((t3 - t2) * 1000, 1),
+    }
+    return centers, radius, timings
+
+
 def mrfft(points: DataFrame, k: int, l: int) -> tuple[np.ndarray, float]:
     """Full MRFFT: (centers, radius R)."""
-    centers = mrfft_centers(points, k, l)
-    return centers, clustering_radius(points, centers)
+    centers, radius, _ = mrfft_timed(points, k, l)
+    return centers, radius
 
 
 def hw2_pipeline(points: DataFrame, k: int, l: int, m: int) -> DataFrame:

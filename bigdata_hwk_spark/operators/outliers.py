@@ -203,3 +203,24 @@ def exact_outliers_topk(points: DataFrame, d: float, m: int, k: int) -> DataFram
         .limit(k)
         .select("point_id", "x", "y", "neighbor_cnt")
     )
+
+
+# P7 size guard (reference HWK_1/G029HW1.py:155): the reference runs the
+# exact path only when the input fits its driver-local O(N²) loop. Our
+# exact path is distributed and doesn't share that hard limit, but the
+# policy itself is part of the reference's contract: small inputs get the
+# exact per-point answer, large ones the grid approximation.
+EXACT_PATH_MAX_POINTS = 200_000
+
+
+def outliers_auto(
+    points: DataFrame, d: float, m: int, cap: int = EXACT_PATH_MAX_POINTS
+) -> tuple[str, DataFrame]:
+    """P7 policy branch: ('exact', per-point outliers) iff the input has at
+    most ``cap`` rows, else ('approx', MRApproxOutliers one-row summary).
+    The count is one metadata-cheap job; callers that already know N can
+    branch themselves."""
+    n = points.count()
+    if n <= cap:
+        return "exact", exact_outliers(points, d, m)
+    return "approx", mr_approx_outliers_summary(points, d, m)

@@ -191,6 +191,47 @@ register(
     _exact_topk_oracle(),
 )
 
+# --- CSV ingest (S1/S2 under the driver gate): the reference's primary
+# input is a points CSV (HWK_1/uber-10k.csv, scan at HWK_1/G029HW1.py:142).
+# This query reads the committed uber-shaped fixture (tests/data/
+# points_uber.csv, FIXTURES.md §1 `points_uber`) through the schema-first
+# CSV source — file-order point ids and all — and runs ExactOutliers on it;
+# the oracle reads the SAME file with DuckDB's read_csv. SF-independent by
+# construction (the fixture file is the dataset).
+import os as _os  # noqa: E402
+
+CSV_POINTS_PATH = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "tests",
+    "data",
+    "points_uber.csv",
+)
+CSV_D = 0.02
+CSV_M = 10
+
+
+def _csv_exact_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.points_csv import read_points_csv
+
+    return O.exact_outliers(read_points_csv(spark, CSV_POINTS_PATH), CSV_D, CSV_M)
+
+
+CSV_EXACT_OUTLIERS_SQL = f"""
+WITH pts AS (
+  SELECT row_number() OVER () - 1 AS point_id, x, y
+  FROM read_csv('{CSV_POINTS_PATH}', header=false,
+                columns={{'x': 'DOUBLE', 'y': 'DOUBLE'}})),
+cnts AS (
+  SELECT a.point_id, a.x, a.y, count(*) AS neighbor_cnt
+  FROM pts a, pts b
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        <= {CSV_D * CSV_D!r}
+  GROUP BY a.point_id, a.x, a.y)
+SELECT point_id, x, y, neighbor_cnt FROM cnts WHERE neighbor_cnt <= {CSV_M}
+"""
+
+register("csv_exact_outliers", _csv_exact_outliers, CSV_EXACT_OUTLIERS_SQL)
+
 # --- k-center (G1/G2): iterative, partition-order-dependent → rows-only
 # checks (no SQL oracle); correctness is property-tested in
 # tests/test_kcenter.py (2-approx bound, L=1 ≡ sequential, determinism).
@@ -243,16 +284,32 @@ register("events_last_click_asof", R.events_last_click_asof, R.EVENTS_ASOF_SQL)
 # The exact path is declarative and oracle-checked; the RNG-bearing sampling
 # sketches are rows-only (deterministic via fixed seed), property-tested in
 # tests/test_streaming.py.
-# n=5000/φ=0.008 tuned to the events fixture: the user_id space grows with
-# SF, so thresholds are set where the driver's correctness gate runs
-# (sf0.01: top prefix counts ≈52/5000 → ~10 true-frequent items; the same
-# params stay non-trivial at sf0.001 where the whole 1000-item stream is
-# the prefix).
+# n=5000/φ=0.008 are the sf0.01 values — the SF where the driver's
+# correctness gate (and the pinned oracle SQL below) runs. The user_id
+# space grows ∝ SF while per-item share shrinks, so a fixed (n, φ) goes
+# EMPTY at sf0.1 (measured: max prefix frequency 55/50k < φ·n) — the
+# bench would exercise a no-op. ``stream_params`` scales n with SF and
+# φ inversely above sf0.01 so every SF yields a non-trivial result;
+# at exactly sf0.01 it reproduces these constants.
 STREAM_N = 5000
 STREAM_PHI = 0.008
 STREAM_EPS = 0.004
 STREAM_DELTA = 0.1
 STREAM_SEED = 42
+
+
+def stream_params(sf_dir: str) -> tuple[int, float, float]:
+    """(n, phi, eps) for the stream sketches at this SF dir."""
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.01
+    # floor at the sf0.01 values: below that SF the prefix covers the whole
+    # (shorter) stream anyway, and keeping (n, φ) identical preserves exact
+    # oracle parity at every SF ≤ 0.01
+    n = max(STREAM_N, int(500_000 * sf))
+    phi = STREAM_PHI * min(1.0, 0.01 / sf)
+    return n, phi, phi / 2
 
 STREAM_TRUE_FREQ_SQL = f"""
 WITH stream AS ({STREAM_SQL_BODY})
@@ -262,21 +319,21 @@ GROUP BY item
 HAVING count(*) >= {STREAM_PHI!r} * {STREAM_N}
 """
 
-register(
-    "stream_true_frequent",
-    lambda spark, sf: FI.true_frequent_items(
-        stream_from_events(spark, sf), STREAM_N, STREAM_PHI
-    ),
-    STREAM_TRUE_FREQ_SQL,
-)
+def _stream_true_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n, phi, _ = stream_params(sf_dir)
+    return FI.true_frequent_items(stream_from_events(spark, sf_dir), n, phi)
+
+
+register("stream_true_frequent", _stream_true_frequent, STREAM_TRUE_FREQ_SQL)
 
 
 def _stream_report(spark: SparkSession, sf_dir: str) -> FI.StreamReport:
+    n, phi, eps = stream_params(sf_dir)
     return FI.replay_frequent_items(
         stream_from_events(spark, sf_dir),
-        n=STREAM_N,
-        phi=STREAM_PHI,
-        eps=STREAM_EPS,
+        n=n,
+        phi=phi,
+        eps=eps,
         delta=STREAM_DELTA,
         seed=STREAM_SEED,
     )

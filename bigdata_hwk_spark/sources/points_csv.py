@@ -9,9 +9,8 @@ data (SURVEY.md §1.3).
 
 ``point_id`` assignment: the reference has no point identity (RDD rows are
 anonymous), but deterministic top-K tie-breaking needs one (SURVEY.md
-§2.6 T1). ``zipWithIndex`` order matches textFile's block order, so ids
-are stable for a given file — documented as *file-order* ids, not value
-semantics.
+§2.6 T1). Ids are *file-order* (stable for a given file + split settings),
+assigned fully JVM-side — see ``with_point_ids``.
 """
 
 from __future__ import annotations
@@ -55,15 +54,36 @@ def parse_points_text(lines: DataFrame, value_col: str = "value") -> DataFrame:
 
 
 def with_point_ids(points: DataFrame) -> DataFrame:
-    """Attach stable file-order ``point_id`` via ``zipWithIndex``.
+    """Attach stable file-order ``point_id``, fully JVM-side.
 
-    ``monotonically_increasing_id`` is partition-layout-dependent (ids
-    change when the scan re-splits), so the RDD round-trip is the
-    deterministic choice; it adds one pass but no shuffle. Only used for
-    id-less external inputs — the fixture tables carry real keys.
+    ``monotonically_increasing_id()`` encodes
+    ``(partition_id << 33) | row_in_partition`` (documented layout); the
+    low bits are file-order within each split and splits are numbered in
+    byte order, so dense global ids are
+    ``partition_start_offset + (mid & ((1<<33)-1))``. One light counting
+    job gives per-partition row counts, the driver folds them into start
+    offsets (L tiny rows), and a broadcast join + integer arithmetic does
+    the rest — no shuffle of the data and no Python row round-trip (the
+    previous ``rdd.zipWithIndex`` pickled every row in both directions —
+    the row-at-a-time anti-pattern on a large CSV ingest). Ids are stable
+    for a given (file, split settings): file-order semantics, not value
+    semantics. Only used for id-less external inputs — fixture tables
+    carry real keys.
     """
-    schema = "point_id bigint, " + ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in points.schema.fields
+    row_mask = (1 << 33) - 1
+    df = points.withColumn("__mid", F.monotonically_increasing_id()).withColumn(
+        "__pid", F.spark_partition_id()
     )
-    indexed = points.rdd.zipWithIndex().map(lambda t: (t[1], *t[0]))
-    return points.sparkSession.createDataFrame(indexed, schema)
+    counts = df.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt")).collect()
+    acc = 0
+    offsets = []
+    for r in sorted(counts, key=lambda r: r["__pid"]):
+        offsets.append((r["__pid"], acc))
+        acc += r["__cnt"]
+    spark = points.sparkSession
+    off_df = spark.createDataFrame(offsets, "__pid int, __off bigint")
+    return (
+        df.join(F.broadcast(off_df), "__pid")
+        .withColumn("point_id", F.col("__off") + F.col("__mid").bitwiseAND(row_mask))
+        .select("point_id", *points.columns)
+    )

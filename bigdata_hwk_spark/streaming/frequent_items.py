@@ -107,7 +107,7 @@ class StickySampling:
             cur = self.counts.get(it)
             if cur is not None:
                 self.counts[it] = cur + 1
-            elif self.rng.random() <= p:
+            elif self.rng.random() < p:  # strict < — reference HWK_3/G029HW3.py:28
                 self.counts[it] = 1
 
     def estimate(self) -> list[int]:

@@ -167,8 +167,8 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
 
     embs = fan_out(load_table(spark, SF_CORRECT, "embeddings")).cache()
     exact = SIM.cosine_topk_bruteforce(embs, n_queries=5, k=10).collect()
-    ivf1 = SIM.ann_ivf_topk(embs, n_queries=5, k=10, nlist=16, nprobe=8).collect()
-    ivf2 = SIM.ann_ivf_topk(embs, n_queries=5, k=10, nlist=16, nprobe=8).collect()
+    ivf1 = SIM.ann_ivf_topk(embs, n_queries=5, k=10).collect()
+    ivf2 = SIM.ann_ivf_topk(embs, n_queries=5, k=10).collect()
     assert {tuple(r) for r in ivf1} == {tuple(r) for r in ivf2}  # deterministic
     want = {(r.query_id, r.neighbor_id) for r in exact}
     got = {(r.query_id, r.neighbor_id) for r in ivf1}
@@ -179,6 +179,22 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     for r in ivf1:
         if (r.query_id, r.neighbor_id) in exact_cos:
             assert r.cosine == exact_cos[(r.query_id, r.neighbor_id)]
+
+
+def test_similar_pairs_gate_routes_to_lsh(spark):
+    """Above the exact-path row gate, similar_pairs_threshold must degrade
+    to the LSH plan (no driver collect of the corpus): same schema, no
+    false positives vs the exact answer."""
+    from bigdata_hwk_spark.sources.tables import fan_out, load_table
+
+    embs = fan_out(load_table(spark, SF_CORRECT, "embeddings"))
+    exact = SIM.similar_pairs_threshold(embs)  # fixture ≪ gate → exact path
+    gated = SIM.similar_pairs_threshold(embs, exact_max_rows=10)
+    assert gated.columns == exact.columns
+    epairs = {(r.vec_a, r.vec_b) for r in exact.collect()}
+    gpairs = {(r.vec_a, r.vec_b) for r in gated.collect()}
+    assert gpairs <= epairs  # exact re-scoring → precision 1.0
+    assert len(gpairs) / len(epairs) >= 0.6  # OR-amplified recall
 
 
 def test_resize_media_geometry_and_determinism(spark):
