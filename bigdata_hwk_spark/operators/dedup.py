@@ -282,12 +282,13 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard.
 
-    Banding: rows i of band b are i ∈ [b·R, (b+1)·R); the band key is the
-    ordered minhash slice (joined as an array — at production scale hash
-    the slice to 64 bits to shrink the shuffle key). Candidates =
-    distinct pairs agreeing on ≥1 band; each candidate is then verified
-    against the exact shingle Jaccard so the output has no false
-    positives (LSH only affects recall, tuned by (H, bands, tau)).
+    Banding: rows i of band b are i ∈ [b·R, (b+1)·R); the band key is
+    ``xxhash64(band, ordered minhash slice)`` — an 8-byte shuffle key
+    instead of an R-element array, so the candidate self-join moves
+    constant-width keys at any H. A 2^-64 hash collision can only ADD a
+    candidate pair, and every candidate is verified against the exact
+    shingle Jaccard downstream, so the output has no false positives
+    (LSH only affects recall, tuned by (H, bands, tau)).
     """
     r = h // bands
     # One shingle table feeds signature building, candidate banding AND
@@ -304,15 +305,16 @@ def minhash_lsh_pairs(
         sig.withColumn("band", (F.col("i") / r).cast("int"))
         .groupBy("doc_id", "band")
         .agg(F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("slice_"))
-        .select("doc_id", "band", F.col("slice_.mh").alias("sig"))
+        .select(
+            "doc_id", F.xxhash64("band", F.col("slice_.mh")).alias("bk")
+        )
     )
     a = band_sig.alias("a")
     b = band_sig.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
+            (F.col("a.bk") == F.col("b.bk"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(

@@ -98,21 +98,20 @@ def coreset(points: DataFrame, k: int, l: int) -> DataFrame:
 def min_dist2_to_centers(centers: np.ndarray):
     """Column: squared distance from (x, y) to the nearest center.
 
-    Centers embedded as a literal array — pure whole-stage-codegen
-    expression, the broadcast-probe J3 pattern without a join.
+    Centers embedded as literals — the broadcast-probe J3 pattern without
+    a join. ``least()`` over K scalar quadratics rather than
+    ``transform``+``array_min``: higher-order array functions drop out of
+    whole-stage codegen (interpreted per element), while ``least`` of
+    plain arithmetic stays fully code-generated — measured ~1.5× faster
+    on the warm K=16 radius scan at sf0.1. K is a model parameter (tens,
+    not thousands), so expression width is bounded.
     """
-    carr = F.array(
-        *[
-            F.array(F.lit(float(cx)), F.lit(float(cy)))
-            for cx, cy in centers
-        ]
-    )
-    d2 = F.transform(
-        carr,
-        lambda c: (F.col("x") - c[0]) * (F.col("x") - c[0])
-        + (F.col("y") - c[1]) * (F.col("y") - c[1]),
-    )
-    return F.array_min(d2)
+    d2s = [
+        (F.col("x") - float(cx)) * (F.col("x") - float(cx))
+        + (F.col("y") - float(cy)) * (F.col("y") - float(cy))
+        for cx, cy in centers
+    ]
+    return d2s[0] if len(d2s) == 1 else F.least(*d2s)
 
 
 def clustering_radius(points: DataFrame, centers: np.ndarray) -> float:
@@ -144,7 +143,11 @@ def mrfft_timed(
     core = core[np.lexsort((core[:, 1], core[:, 0]))]  # deterministic R2 input
     centers = sequential_fft(core, k)
     t2 = time.perf_counter()
-    radius = clustering_radius(points, centers)
+    from ..sources.tables import fan_out
+
+    # R3 is a pure codegen scan; spread narrow fixture scans over all
+    # cores first (no-op when the scan already has enough splits)
+    radius = clustering_radius(fan_out(points), centers)
     t3 = time.perf_counter()
     timings = {
         "r1_ms": round((t1 - t0) * 1000, 1),

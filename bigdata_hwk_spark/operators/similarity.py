@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -379,7 +380,13 @@ def ann_lsh_pairs(
     emb = embeddings.select("vec_id", "embedding")
     if emb.rdd.getNumPartitions() < emb.sparkSession.sparkContext.defaultParallelism:
         emb = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
-    long = emb.mapInPandas(bucketize, schema="vec_id bigint, t int, bk bigint")
+    # the signature table feeds BOTH sides of the self-join; unpersisted,
+    # branched lineage re-runs the bucketize matmul (and the corpus scan)
+    # twice. 20 bytes/row × T tables — MEMORY_AND_DISK spills at scale
+    # instead of recomputing.
+    long = emb.mapInPandas(
+        bucketize, schema="vec_id bigint, t int, bk bigint"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = long.alias("a")
     b = long.alias("b")
     cand = (

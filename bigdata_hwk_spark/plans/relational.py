@@ -432,8 +432,11 @@ def asof_join(
     ``last(..., ignorenulls)`` over an unbounded-preceding row frame —
     O(n log n) per partition, no pair blow-up, AQE-splittable on hot keys.
     Right rows sort before left rows at equal timestamps, making the
-    boundary inclusive; ties among right rows resolve to the same
-    (max-time) values, so the output is deterministic.
+    boundary inclusive. Ties among right rows on (key, right_time) are
+    broken by the value tuple itself (tertiary sort key, ascending —
+    NULLS FIRST), so the greatest value tuple wins and the output is
+    deterministic even for duplicate-timestamp right rows; value columns
+    must therefore be of orderable types (no maps).
     """
     lcols = left.columns
     tagged_l = left.select(
@@ -452,14 +455,20 @@ def asof_join(
     )
     w = (
         Window.partitionBy("__k")
-        .orderBy("__t", "__side")
+        .orderBy("__t", "__side", *[f"__v_{c}" for c in value_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    u = tagged_l.unionByName(tagged_r)
-    for c in value_cols:
-        u = u.withColumn(
-            f"__v_{c}", F.last(f"__v_{c}", ignorenulls=True).over(w)
-        )
+    # one select: every windowed column resolves against the ORIGINAL
+    # __v_* columns (sequential withColumn would make later windows order
+    # by already-rewritten values)
+    u = tagged_l.unionByName(tagged_r).select(
+        "__side",
+        *lcols,
+        *[
+            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__v_{c}")
+            for c in value_cols
+        ],
+    )
     return u.filter(F.col("__side") == 1).select(
         *lcols, *[F.col(f"__v_{c}").alias(f"asof_{c}") for c in value_cols]
     )

@@ -138,17 +138,28 @@ class StreamReport:
     batches: int = 0
     histogram: dict[int, int] = field(default_factory=dict)
 
-    def report_lines(self) -> list[str]:
-        """Golden-output-shaped text report (reference output_examples)."""
+    def report_lines(self, port: int | None = None) -> list[str]:
+        """Golden-output-shaped text report, line-for-line the reference's
+        output_examples format (HWK_3/output_examples/Output1M_007_003_01_8888.txt):
+        two-line INPUT PROPERTIES header (``port`` appended when given — the
+        reference always names its socket port), "Size m of the sample"
+        under RESERVOIR SAMPLING, "+"/"-" true-frequent markers."""
+        props = (
+            f"n = {self.n} phi = {self.phi} "
+            f"epsilon = {self.eps} delta = {self.delta}"
+        )
+        if port is not None:
+            props += f" port = {port}"
         lines = [
-            f"INPUT PROPERTIES: n = {self.n} phi = {self.phi} "
-            f"epsilon = {self.eps} delta = {self.delta}",
+            "INPUT PROPERTIES",
+            props,
             "EXACT ALGORITHM",
             f"Number of items in the data structure = {self.distinct_items}",
             f"Number of true frequent items = {len(self.true_frequent)}",
             "True frequent items:",
             *[str(i) for i in self.true_frequent],
             "RESERVOIR SAMPLING",
+            f"Size m of the sample = {math.ceil(1 / self.phi)}",
             f"Number of estimated frequent items = {len(self.reservoir_estimate)}",
             "Estimated frequent items:",
             *[

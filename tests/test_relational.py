@@ -148,3 +148,24 @@ def test_asof_join_matches_duckdb_asof(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_join_tie_determinism(spark):
+    """Right rows tied on (key, right_time) with DIFFERENT values must
+    resolve deterministically: the greatest value tuple wins (tertiary
+    sort key), identically across repeated runs and partitionings."""
+    from bigdata_hwk_spark.plans.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 5), (2, 10)], "k int, t int"
+    )
+    right_rows = [(1, 10, "b"), (1, 10, "a"), (1, 10, "c"), (2, 3, "z"), (2, 3, "y")]
+    for nparts in (1, 3, 7):
+        right = spark.createDataFrame(
+            right_rows, "k int, rt int, v string"
+        ).repartition(nparts)
+        got = {
+            (r.k, r.t): r.asof_v
+            for r in asof_join(left, right, "k", "t", "rt", ["v"]).collect()
+        }
+        assert got == {(1, 10): "c", (1, 5): None, (2, 10): "z"}
