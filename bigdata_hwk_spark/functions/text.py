@@ -12,7 +12,7 @@ content fingerprinting (md5; portable across engines).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the heuristic language-ID scorer.
@@ -190,4 +190,64 @@ SELECT doc_id,
        len(list_distinct(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')))
          AS n_distinct_bpe_tokens
 FROM documents
+"""
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF — the classic
+    corpus-relevance primitive (keyword extraction, quality filtering,
+    topic drift monitoring) a training-data pipeline runs at corpus scale.
+
+    Plan: explode → two hash aggregations (term frequency per doc,
+    document frequency per term; both with map-side partial combine) →
+    equi-join on term → per-doc top-k window. The DF table is orders of
+    magnitude smaller than the corpus (vocabulary-sized), so AQE
+    broadcasts the join at real scale.
+
+    Determinism/parity: rank orders by (tf DESC, df ASC, term ASC) —
+    integer and binary-string keys only. The float score
+    ``tf·ln(N/df)`` is display-rounded and never drives ordering, so a
+    last-ulp ``ln`` divergence between engines cannot reorder results.
+    """
+    n_docs = documents.count()  # one column-pruned count job, driver scalar
+    words = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(df, "term")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+            ).alias("tfidf"),
+            "rk",
+        )
+    )
+
+
+def tfidf_top_terms_sql(k: int = 5) -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rk
+  FROM tf JOIN df USING (term))
+SELECT doc_id, term, tf, df,
+       round(tf * ln((SELECT n FROM n) / df), 4) AS tfidf, rk
+FROM ranked WHERE rk <= {k}
 """

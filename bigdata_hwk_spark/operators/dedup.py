@@ -480,3 +480,105 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Cluster collapse (connected components over the near-dup pair graph)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, cluster_id) — connected components of an undirected pair
+    graph by iterative min-label propagation, entirely in DataFrame ops.
+
+    A dedup pipeline can't stop at PAIRS: dropping one doc per pair
+    over-deletes (A~B, B~C drops two of three docs), so pairs must
+    collapse into clusters first and keep one canonical doc per cluster.
+
+    Each round: every node adopts min(own label, neighbors' labels) — two
+    shuffles (edge-label equi-join + groupBy min), both on the node key.
+    Rounds needed = graph diameter, and near-dup graphs are
+    micro-clusters (pairs/triangles/small chains), so 2-4 rounds close
+    almost any corpus; ``max_iter`` bounds adversarial chains, and a
+    million-node chain is a data bug, not a dedup workload. Convergence
+    is detected with a 1-row existence probe per round.
+    ``localCheckpoint`` truncates lineage each round — without it the
+    plan nests one join layer per round and analysis time explodes; on a
+    cluster with dynamic executors, swap for a reliable
+    ``checkpoint()`` directory.
+
+    Labels are node ids, so cluster_id = min doc_id in the component —
+    deterministic, and directly usable as the canonical document id.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new = (
+            labels.join(nbr_min, labels.node == nbr_min.u, "left")
+            .select(
+                "node",
+                "lbl",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias(
+                    "new_lbl"
+                ),
+            )
+        ).localCheckpoint()
+        changed = new.filter(F.col("new_lbl") < F.col("lbl")).limit(1).count()
+        labels = new.select("node", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("node", F.col("lbl").alias("cluster_id"))
+
+
+def dedup_clusters(documents: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size, is_canonical) for every document
+    in ≥1 MinHash-LSH near-dup pair: the end-to-end dedup collapse. Keep
+    rows with ``is_canonical`` (plus every doc absent from this table) and
+    the corpus is near-dup-free with one survivor per cluster.
+    """
+    comp = connected_components(minhash_lsh_pairs(documents, tau=tau))
+    w = Window.partitionBy("cluster_id")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def dedup_clusters_sql(tau: float = JACCARD_TAU) -> str:
+    """Oracle: transitive closure by recursive CTE (min reachable id =
+    cluster id). O(component² ) closure rows — fine at oracle SF, which is
+    exactly why the engine side uses label propagation instead."""
+    return f"""
+WITH RECURSIVE pairs AS ({minhash_lsh_pairs_sql(tau)}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b AS u, doc_a AS v FROM pairs),
+reach(u, v) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+comp AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM comp
+"""

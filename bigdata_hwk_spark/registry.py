@@ -407,6 +407,52 @@ register(
     lambda spark, sf: D.simhash_pairs(_docs(spark, sf)),
     D.simhash_pairs_sql(),
 )
+# cluster collapse: LSH pairs → connected components (iterative label
+# propagation) → canonical doc per cluster. Oracle = recursive-CTE
+# transitive closure over the identical pair set.
+register(
+    "dedup_clusters",
+    lambda spark, sf: D.dedup_clusters(_docs(spark, sf)),
+    D.dedup_clusters_sql(),
+)
+
+# deterministic splits (salted hash; leakage-safe variant keys on the
+# near-dup cluster so no pair straddles train/test)
+from .operators import splits as SP  # noqa: E402
+
+HASH_SPLIT_COUNTS_SQL = f"""
+SELECT {SP.split_case_sql('doc_id::VARCHAR')} AS split, count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+LEAKAGE_SPLIT_COUNTS_SQL = f"""
+WITH RECURSIVE pairs AS ({D.minhash_lsh_pairs_sql()}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b AS u, doc_a AS v FROM pairs),
+reach(u, v) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+comp AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+assigned AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+SELECT {SP.split_case_sql('cluster_id::VARCHAR')} AS split,
+       count(*) AS n_docs
+FROM assigned GROUP BY 1
+"""
+
+register(
+    "doc_hash_split_counts",
+    lambda spark, sf: SP.split_counts(SP.hash_split(_docs(spark, sf))),
+    HASH_SPLIT_COUNTS_SQL,
+)
+register(
+    "doc_leakage_safe_split_counts",
+    lambda spark, sf: SP.split_counts(SP.leakage_safe_split(_docs(spark, sf))),
+    LEAKAGE_SPLIT_COUNTS_SQL,
+)
 
 # text analysis family
 register(
@@ -433,6 +479,11 @@ register(
     "text_token_count_bpe",
     lambda spark, sf: TX.token_count_bpe(_docs(spark, sf)),
     TX.TOKEN_COUNT_BPE_SQL,
+)
+register(
+    "text_tfidf_top_terms",
+    lambda spark, sf: TX.tfidf_top_terms(_docs(spark, sf)),
+    TX.tfidf_top_terms_sql(),
 )
 
 # similarity search family

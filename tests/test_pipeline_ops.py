@@ -1,0 +1,141 @@
+"""Training-pipeline additions: cluster collapse (connected components),
+deterministic splits, TF-IDF, partitioned parquet sink."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from bigdata_hwk_spark.functions import text as TX
+from bigdata_hwk_spark.operators import dedup as D
+from bigdata_hwk_spark.operators import splits as SP
+from bigdata_hwk_spark.sinks import write_partitioned
+from bigdata_hwk_spark.sources.tables import fan_out, load_table
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECT = "/root/testdata/sf0.01"
+
+
+def _docs(spark, sf):
+    return fan_out(load_table(spark, sf, "documents"))
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # normalize: every node -> min of its component
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_vs_union_find(spark):
+    """Label propagation must equal a driver union-find on a random graph
+    with chains, triangles, singleton-free pairs and two big components."""
+    rng = random.Random(7)
+    pairs = set()
+    # chain 0-1-2-...-9 (diameter 9 exercises multiple rounds)
+    pairs.update((i, i + 1) for i in range(9))
+    # star around 100
+    pairs.update((100, 100 + i) for i in range(1, 6))
+    # random noise edges in [200, 260)
+    while len(pairs) < 40:
+        a, b = rng.randrange(200, 260), rng.randrange(200, 260)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    pdf = spark.createDataFrame(
+        [(a, b) for a, b in sorted(pairs)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.node: r.cluster_id
+        for r in D.connected_components(pdf).collect()
+    }
+    want = _union_find(sorted(pairs))
+    assert got == want
+
+
+def test_dedup_clusters_invariants(spark):
+    """Cluster collapse on the real corpus: every LSH pair co-clustered,
+    exactly one canonical per cluster (the min id), sizes consistent."""
+    docs = _docs(spark, SF_CORRECT)
+    rows = D.dedup_clusters(docs).collect()
+    cluster_of = {r.doc_id: r.cluster_id for r in rows}
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid == min(m.doc_id for m in members)
+        assert sum(m.is_canonical for m in members) == 1
+        assert all(m.cluster_size == len(members) for m in members)
+    for p in D.minhash_lsh_pairs(docs).collect():
+        assert cluster_of[p.doc_a] == cluster_of[p.doc_b]
+
+
+def test_leakage_safe_split_never_straddles_pairs(spark):
+    docs = _docs(spark, SF_CORRECT)
+    split_of = {
+        r.doc_id: r.split for r in SP.leakage_safe_split(docs).collect()
+    }
+    assert len(split_of) == docs.count()  # every doc assigned
+    pairs = D.minhash_lsh_pairs(docs).collect()
+    assert pairs  # fixture has near-dups; vacuous otherwise
+    for p in pairs:
+        assert split_of[p.doc_a] == split_of[p.doc_b]
+
+
+def test_hash_split_deterministic_proportions(spark):
+    docs = _docs(spark, SF_CORRECT)
+    a = {r.doc_id: r.split for r in SP.hash_split(docs).collect()}
+    b = {r.doc_id: r.split for r in SP.hash_split(docs).collect()}
+    assert a == b  # pure projection, no RNG
+    n = len(a)
+    train = sum(1 for s in a.values() if s == "train")
+    test = sum(1 for s in a.values() if s == "test")
+    assert 0.7 * n <= train <= 0.9 * n
+    assert 0.03 * n <= test <= 0.18 * n
+
+
+def test_tfidf_top_terms_ranking(spark):
+    """rk is dense 1..k per doc; ordering follows (tf desc, df asc, term)."""
+    out = TX.tfidf_top_terms(_docs(spark, SF_SMOKE), k=5).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    for doc, rows in by_doc.items():
+        rows.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+        keys = [(-r.tf, r.df, r.term) for r in rows]
+        assert keys == sorted(keys)
+        assert all(r.tfidf >= 0 for r in rows)
+
+
+def test_write_partitioned_layout_and_pruning(spark, tmp_path):
+    """Hive layout on disk, lossless round-trip, and partition pruning
+    visible in the read plan."""
+    import os
+
+    docs = _docs(spark, SF_SMOKE).select("doc_id", "lang", "text")
+    path = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, path, ["lang"], sort_cols=["doc_id"])
+    subdirs = {d for d in os.listdir(path) if d.startswith("lang=")}
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    assert subdirs == {f"lang={lg}" for lg in langs}
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    one_lang = sorted(langs)[0]
+    plan = (
+        back.filter(F.col("lang") == one_lang)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:200]
