@@ -73,7 +73,12 @@ def _partition_fft(k: int):
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pdf = pd.concat(list(batches), ignore_index=True)
+        dfs = list(batches)
+        # a partition may deliver zero Arrow batches (empty input, or
+        # more partitions than rows) — pd.concat([]) would raise
+        if not dfs:
+            return
+        pdf = pd.concat(dfs, ignore_index=True)
         if len(pdf) == 0:
             return
         pdf = pdf.sort_values("point_id", ignore_index=True)
@@ -117,6 +122,8 @@ def min_dist2_to_centers(centers: np.ndarray):
 def clustering_radius(points: DataFrame, centers: np.ndarray) -> float:
     """Round 3: R = max over points of min distance to centers
     (reference HWK_2/G029HW2.py:97-102, A5 max-of-min reduce)."""
+    if len(centers) == 0:  # empty input → no centers → radius 0
+        return 0.0
     row = points.agg(
         F.max(min_dist2_to_centers(centers)).alias("max_min_d2")
     ).collect()[0]
@@ -138,7 +145,7 @@ def mrfft_timed(
     t0 = time.perf_counter()
     core = np.array(
         [[r.x, r.y] for r in coreset(points, k, l).collect()], dtype=np.float64
-    )
+    ).reshape(-1, 2)  # keep 2-D even when the input is empty
     t1 = time.perf_counter()
     core = core[np.lexsort((core[:, 1], core[:, 0]))]  # deterministic R2 input
     centers = sequential_fft(core, k)

@@ -43,12 +43,21 @@ from pyspark.sql import functions as F
 
 
 def cell_side(d: float) -> float:
-    """Λ = D / (2√2) — reference HWK_1/G029HW1.py:99."""
+    """Λ = D / (2√2) — reference HWK_1/G029HW1.py:99.
+
+    D must be positive: Λ = 0 makes the ⌊x/Λ⌋ projection divide by zero
+    (the reference crashes the same way; we fail with a clear message).
+    D = 0 arises in practice when an MRFFT radius over ≤1 distinct point
+    feeds ``hw2_pipeline``."""
+    if d <= 0:
+        raise ValueError(f"grid outlier detection needs D > 0, got {d!r}")
     return d / (2 * math.sqrt(2))
 
 
 def with_cell(points: DataFrame, side: float) -> DataFrame:
     """Project (x, y) → integer cell coords (⌊x/side⌋, ⌊y/side⌋)."""
+    if side <= 0:
+        raise ValueError(f"grid binning needs a positive cell side, got {side!r}")
     return points.withColumns(
         {
             "cx": F.floor(F.col("x") / F.lit(side)).cast("int"),

@@ -138,6 +138,10 @@ def similar_pairs_threshold(
             return ann_lsh_pairs(embeddings, tau=tau)
 
     pdf_all = embeddings.select("vec_id", "embedding").toPandas()
+    if len(pdf_all) == 0:  # np reshaping below needs ≥1 row
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_a bigint, vec_b bigint, cosine double"
+        )
     ids = pdf_all["vec_id"].to_numpy(np.int64)
     mat = np.array(list(pdf_all["embedding"]), dtype=np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
@@ -263,6 +267,10 @@ def ann_ivf_topk(
         .filter(F.col("vec_id") < sample_cap)
         .collect()
     )
+    if not sample:  # empty corpus (or no ids under sample_cap): no queries
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, cosine double, rk int"
+        )
     smat = np.array([r.embedding for r in sample], dtype=np.float64)
     smat /= np.linalg.norm(smat, axis=1, keepdims=True)
     centroids = sequential_fft(smat, nlist)  # (nlist, dim), unit-ish rows

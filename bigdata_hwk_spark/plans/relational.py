@@ -509,3 +509,38 @@ FROM events e ASOF LEFT JOIN
       FROM events WHERE event_type = 'click') c
   ON e.user_id = c.user_id AND c.ts <= CAST(e.ts AS TIMESTAMP)
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact grouped quantiles — the exact twin of approx_event_stats
+# ---------------------------------------------------------------------------
+
+def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75 of event value per event_type.
+
+    ``percentile`` (exact, linearly interpolated) is the ground-truth
+    twin of the ``percentile_approx`` sketch in ``approx_event_stats``:
+    it shuffles every value to its group (one hash aggregation holding a
+    per-group sorted buffer), which is exactly the cost the sketch
+    avoids — keeping both on the menu documents the trade. DuckDB's
+    ``quantile_cont`` uses the same (n-1)·p linear interpolation, so the
+    oracle matches bit-for-bit after output rounding.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25_value"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_value"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+EVENT_VALUE_QUANTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25_value,
+       round(quantile_cont(value, 0.5), 6) AS p50_value,
+       round(quantile_cont(value, 0.75), 6) AS p75_value,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type
+"""

@@ -278,6 +278,9 @@ register("salted_item_counts", R.salted_item_counts, R.SALTED_ITEM_COUNTS_SQL)
 # sketch aggregates: HLL/quantile internals are engine-specific → rows-only;
 # error bounds vs exact answers are property-tested in tests/test_relational.py
 register("approx_event_stats", R.approx_event_stats)
+register(
+    "event_value_quantiles", R.event_value_quantiles, R.EVENT_VALUE_QUANTILES_SQL
+)
 register("events_last_click_asof", R.events_last_click_asof, R.EVENTS_ASOF_SQL)
 
 # --- streaming frequent items (HW3 semantics on the events-derived stream).

@@ -1,0 +1,99 @@
+"""Degenerate-input hardening: empty tables, single rows, k > n, D ≤ 0.
+
+Every operator must either produce the mathematically sensible empty/tiny
+answer or fail with an explicit ValueError — never a partition-level
+PythonException or a cryptic ANSI SQL error surfacing from deep in a job.
+(Empirically, empty mapInPandas partitions, 1-D NumPy reshapes of empty
+collections, and a radius-0 grid side were all real crashes before this
+module pinned them.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from bigdata_hwk_spark.functions import text as TX
+from bigdata_hwk_spark.operators import dedup as D
+from bigdata_hwk_spark.operators import kcenter as KC
+from bigdata_hwk_spark.operators import outliers as O
+from bigdata_hwk_spark.operators import similarity as SIM
+from bigdata_hwk_spark.operators import splits as SP
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    return {
+        "pts0": spark.createDataFrame([], "point_id long, x double, y double"),
+        "pts1": spark.createDataFrame(
+            [(0, 1.0, 2.0)], "point_id long, x double, y double"
+        ),
+        "pts3": spark.createDataFrame(
+            [(i, float(i), 0.0) for i in range(3)],
+            "point_id long, x double, y double",
+        ),
+        "docs0": spark.createDataFrame([], "doc_id long, lang string, text string"),
+        "embs0": spark.createDataFrame(
+            [], "vec_id long, embedding array<double>"
+        ),
+        "embs1": spark.createDataFrame(
+            [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        ),
+    }
+
+
+def test_outliers_empty_and_single(frames):
+    assert O.exact_outliers(frames["pts0"], 1.0, 3).count() == 0
+    assert O.exact_outliers(frames["pts1"], 1.0, 3).count() == 1
+    row = O.mr_approx_outliers_summary(frames["pts0"], 1.0, 3).collect()[0]
+    assert (row.sure_outliers, row.uncertain_points) == (0, 0)
+    row = O.mr_approx_outliers_summary(frames["pts1"], 1.0, 3).collect()[0]
+    assert (row.sure_outliers, row.uncertain_points) == (1, 0)
+
+
+def test_grid_rejects_nonpositive_d(frames):
+    with pytest.raises(ValueError, match="positive|D > 0"):
+        O.mr_approx_outliers_summary(frames["pts1"], 0.0, 3)
+    with pytest.raises(ValueError, match="positive|D > 0"):
+        O.exact_outliers(frames["pts1"], -1.0, 3)
+
+
+def test_mrfft_empty_single_and_k_above_n(frames):
+    centers, r = KC.mrfft(frames["pts0"], 3, 2)
+    assert centers.shape == (0, 2) and r == 0.0
+    centers, r = KC.mrfft(frames["pts1"], 3, 2)
+    assert centers.shape == (1, 2) and r == 0.0
+    # k > n: every point becomes a center, radius 0
+    centers, r = KC.mrfft(frames["pts3"], 8, 2)
+    assert sorted(map(tuple, centers)) == [(0.0, 0.0), (1.0, 0.0), (2.0, 0.0)]
+    assert r == 0.0
+
+
+def test_sequential_fft_degenerate():
+    assert KC.sequential_fft(np.empty((0, 2)), 4).shape == (0, 2)
+    one = np.array([[3.0, 4.0]])
+    assert KC.sequential_fft(one, 4).tolist() == [[3.0, 4.0]]
+
+
+def test_dedup_family_empty_corpus(frames):
+    docs0 = frames["docs0"]
+    assert D.doc_shingles(docs0).count() == 0
+    assert D.minhash_lsh_pairs(docs0).count() == 0
+    assert D.simhash_pairs(docs0).count() == 0
+    assert D.dedup_clusters(docs0).count() == 0
+    assert TX.tfidf_top_terms(docs0).count() == 0
+    assert SP.hash_split(docs0).count() == 0
+    assert SP.leakage_safe_split(docs0).count() == 0
+
+
+def test_similarity_family_empty_corpus(frames):
+    embs0 = frames["embs0"]
+    df = SIM.similar_pairs_threshold(embs0)
+    assert df.columns == ["vec_a", "vec_b", "cosine"] and df.count() == 0
+    df = SIM.ann_ivf_topk(embs0)
+    assert df.columns == ["query_id", "neighbor_id", "cosine", "rk"]
+    assert df.count() == 0
+    assert SIM.ann_lsh_pairs(embs0).count() == 0
+    assert SIM.cosine_topk_bruteforce(embs0).count() == 0
+    # single vector: no pairs, but no crash either
+    assert SIM.similar_pairs_threshold(frames["embs1"]).count() == 0
