@@ -321,6 +321,24 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all 2^k grouping sets in one pass (rollup's superset;
+    completes the §2.4 grouping-sets surface). One shuffle: Spark expands
+    the grouping sets map-side and aggregates once, same as rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+LINEITEM_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 # ---------------------------------------------------------------------------
 # SQL-text interface (spark.sql over registered views) — same engine, the
 # other front door; Catalyst plans text and DataFrame calls identically

@@ -269,6 +269,7 @@ register("user_sessions", R.user_sessions, R.USER_SESSIONS_SQL)
 register("event_props_stats", R.event_props_stats, R.EVENT_PROPS_SQL)
 register("nations_with_both", R.nations_with_both, R.NATIONS_BOTH_SQL)
 register("lineitem_rollup", R.lineitem_rollup, R.LINEITEM_ROLLUP_SQL)
+register("lineitem_cube", R.lineitem_cube, R.LINEITEM_CUBE_SQL)
 register(
     "shipping_priority_sqltext",
     R.shipping_priority_sqltext,
