@@ -9,9 +9,10 @@ Spark-first over the ``documents`` fixture table:
   index on word-3-gram shingles (explode → equi-join on shingle →
   per-pair common counts → Jaccard). No O(N²) anywhere: only documents
   sharing ≥1 shingle ever meet in the join.
-* **MinHash + LSH** — H md5-derived minhashes per doc, banded into
-  B bands of R rows; docs equi-join on (band, signature-slice) so only
-  LSH candidates are generated, then candidates are *verified* with the
+* **MinHash + LSH** — H minhashes per doc from ONE md5 per shingle plus
+  H universal-hash derivations (a·h+b mod 2³¹−1), banded into B bands of
+  R rows; docs equi-join on an 8-byte hashed band key so only LSH
+  candidates are generated, then candidates are *verified* with the
   exact shingle Jaccard. This is the scale path: candidate generation is
   linear in corpus size for fixed collision rate.
 * **SimHash** — 60-bit fingerprints from word hashes; near-dup iff
@@ -249,28 +250,57 @@ FROM jac WHERE jaccard >= {tau!r}
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+# Universal-hash family over the Mersenne prime 2^31−1: the i-th minhash
+# of a shingle is (aᵢ·(md5₆₀(sh) mod P) + bᵢ) mod P. ONE md5 per shingle
+# (the expensive part — the previous form computed H md5s per shingle and
+# exploded H× rows before aggregating); the H derived hashes are two
+# integer ops each and fold into H min-aggregates in a single groupBy of
+# one row per doc, so the shuffle carries |docs|·H ints, not
+# |shingles|·H rows. All operands stay < 2^62 (a, b, base < 2^31), so
+# 64-bit arithmetic is exact and identical in DuckDB — the oracle uses
+# the same (aᵢ, bᵢ) literals.
+MINHASH_P = (1 << 31) - 1
+
+
+def _uhash_params(h: int) -> list[tuple[int, int]]:
+    """Deterministic (aᵢ, bᵢ) pairs, derived from md5 of the index so both
+    engines inline the same literals (no RNG state anywhere)."""
+    import hashlib
+
+    out = []
+    for i in range(h):
+        a = int(hashlib.md5(f"minhash-a:{i}".encode()).hexdigest()[:15], 16)
+        b = int(hashlib.md5(f"minhash-b:{i}".encode()).hexdigest()[:15], 16)
+        out.append((a % (MINHASH_P - 1) + 1, b % MINHASH_P))
+    return out
+
+
 def minhash_signatures(documents: DataFrame, h: int = MINHASH_H) -> DataFrame:
-    """(doc_id, i, mh): the i-th minhash = min over shingles of
-    hash64(i ‖ ':' ‖ shingle). One shuffle: groupBy (doc_id, i) with
-    partial min map-side; the explode is H× the shingle count but stays
-    in codegen."""
+    """(doc_id, i, mh): the i-th minhash = min over shingles of the i-th
+    universal hash of the shingle's 60-bit md5."""
     return _minhash_from_shingles(doc_shingles(documents), h)
 
 
 def _minhash_from_shingles(ex: DataFrame, h: int = MINHASH_H) -> DataFrame:
-    return (
-        ex.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(h - 1))).alias("i"),
-            F.col("sh"),
-        )
-        .select(
-            "doc_id",
-            "i",
-            md5_hash64(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("sh"))).alias("hv"),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.min("hv").alias("mh"))
+    base = md5_hash64(F.col("sh")) % MINHASH_P
+    wide = ex.select("doc_id", base.alias("hb")).groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("hb") + F.lit(b)) % MINHASH_P).alias(
+                f"__mh{i}"
+            )
+            for i, (a, b) in enumerate(_uhash_params(h))
+        ]
+    )
+    # long form (doc_id, i, mh) for banding/consumers — exploded AFTER the
+    # aggregation, so the H× fan-out touches one row per doc
+    structs = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), F.col(f"__mh{i}").alias("mh"))
+            for i in range(h)
+        ]
+    )
+    return wide.select("doc_id", F.explode(structs).alias("s")).select(
+        "doc_id", F.col("s.i").alias("i"), F.col("s.mh").alias("mh")
     )
 
 
@@ -350,13 +380,17 @@ def minhash_lsh_pairs_sql(
     tau: float = JACCARD_TAU, h: int = MINHASH_H, bands: int = MINHASH_BANDS
 ) -> str:
     r = h // bands
-    hv = md5_hash64_sql("i::VARCHAR || ':' || sh")
+    params_rows = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_uhash_params(h))
+    )
+    base = f"({md5_hash64_sql('sh')} % {MINHASH_P})"
     return f"""
 WITH {_pair_jaccard_sql()},
+params(i, a, b) AS (VALUES {params_rows}),
 mh AS (
-  SELECT doc_id, i, min({hv}) AS mh
-  FROM ex, generate_series(0, {h - 1}) AS t(i)
-  GROUP BY doc_id, i),
+  SELECT doc_id, p.i, min((p.a * {base} + p.b) % {MINHASH_P}) AS mh
+  FROM ex CROSS JOIN params p
+  GROUP BY doc_id, p.i),
 band_sig AS (
   SELECT doc_id, CAST(i // {r} AS INTEGER) AS band,
          list(mh ORDER BY i) AS sig
@@ -491,28 +525,33 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """(node, cluster_id) — connected components of an undirected pair
-    graph by iterative min-label propagation, entirely in DataFrame ops.
+    graph, entirely in DataFrame ops above ``driver_max_edges``.
 
     A dedup pipeline can't stop at PAIRS: dropping one doc per pair
     over-deletes (A~B, B~C drops two of three docs), so pairs must
     collapse into clusters first and keep one canonical doc per cluster.
 
-    Each round: every node adopts min(own label, neighbors' labels) — two
-    shuffles (edge-label equi-join + groupBy min), both on the node key.
-    Rounds needed = graph diameter, and near-dup graphs are
-    micro-clusters (pairs/triangles/small chains), so 2-4 rounds close
-    almost any corpus; ``max_iter`` bounds adversarial chains, and a
-    million-node chain is a data bug, not a dedup workload. Convergence
-    is detected with a 1-row existence probe per round.
-    ``localCheckpoint`` truncates lineage each round — without it the
-    plan nests one join layer per round and analysis time explodes; on a
-    cluster with dynamic executors, swap for a reliable
+    Size-adaptive strategy (same pattern as the exact-path gates in
+    ``similarity.similar_pairs_threshold`` and ``outliers.outliers_auto``):
+    the edge list here is the *output* of LSH dedup — usually a tiny
+    fraction of the corpus — so up to ``driver_max_edges`` edges a driver
+    union-find answers in one collect (an 8-byte-pair collect, ~16 MB at
+    the gate). Above the gate, iterative min-label propagation runs fully
+    distributed: each round every node adopts min(own, neighbors')
+    labels — two shuffles on the node key. Rounds = graph diameter, and
+    near-dup graphs are micro-clusters, so 2-4 rounds close almost any
+    corpus; ``max_iter`` bounds adversarial chains. Convergence is a
+    1-row existence probe per round; ``localCheckpoint`` truncates
+    lineage each round (plans nest one join layer per round otherwise) —
+    on a cluster with dynamic executors, swap for a reliable
     ``checkpoint()`` directory.
 
     Labels are node ids, so cluster_id = min doc_id in the component —
-    deterministic, and directly usable as the canonical document id.
+    deterministic, identical on both paths, and directly usable as the
+    canonical document id.
     """
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -520,6 +559,29 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    n_edges = edges.count()  # also materializes the persist
+    spark = pairs.sparkSession
+    if n_edges <= driver_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edges.collect():
+            ra, rb = find(r.u), find(r.v)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = [(n, find(n)) for n in parent]
+        edges.unpersist()
+        if not rows:
+            return spark.createDataFrame([], "node bigint, cluster_id bigint")
+        return spark.createDataFrame(rows, "node bigint, cluster_id bigint")
     labels = edges.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     ).localCheckpoint()

@@ -40,8 +40,9 @@ def _union_find(pairs):
 
 
 def test_connected_components_vs_union_find(spark):
-    """Label propagation must equal a driver union-find on a random graph
-    with chains, triangles, singleton-free pairs and two big components."""
+    """The DISTRIBUTED label-propagation path (forced via
+    driver_max_edges=0) must equal a driver union-find on a random graph
+    with chains, a star, and noise edges."""
     rng = random.Random(7)
     pairs = set()
     # chain 0-1-2-...-9 (diameter 9 exercises multiple rounds)
@@ -58,10 +59,15 @@ def test_connected_components_vs_union_find(spark):
     )
     got = {
         r.node: r.cluster_id
-        for r in D.connected_components(pdf).collect()
+        for r in D.connected_components(pdf, driver_max_edges=0).collect()
     }
     want = _union_find(sorted(pairs))
     assert got == want
+    # and the gated driver path gives the identical answer
+    got_driver = {
+        r.node: r.cluster_id for r in D.connected_components(pdf).collect()
+    }
+    assert got_driver == want
 
 
 def test_dedup_clusters_invariants(spark):
