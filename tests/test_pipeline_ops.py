@@ -145,3 +145,32 @@ def test_write_partitioned_layout_and_pruning(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:200]
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_hash_split_is_shuffle_free(spark):
+    """The salted-hash split is a pure per-row projection: its physical
+    plan must contain NO Exchange — the property that makes it free at
+    100 TB (no data movement, no RNG state, appends stay consistent)."""
+    # raw table, not _docs: fan_out deliberately repartitions narrow
+    # fixture scans (an Exchange of its own) — the claim under test is
+    # about the split operator
+    plan = _plan(SP.hash_split(load_table(spark, SF_SMOKE, "documents")))
+    assert "Exchange" not in plan, plan
+
+
+def test_tfidf_and_lsh_plans_avoid_nested_loops(spark):
+    """Candidate joins must stay equi-joins: a nested-loop/cartesian in
+    any of these pipelines means the theta->equi rewrite regressed."""
+    docs = _docs(spark, SF_SMOKE)
+    for df in (
+        TX.tfidf_top_terms(docs),
+        D.minhash_lsh_pairs(docs),
+        D.ngram_jaccard_pairs(docs),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
