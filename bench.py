@@ -73,7 +73,12 @@ def main() -> None:
     # table (the reference prints R1/R2/R3 ms — HWK_2/G029HW2.py:83-105)
     from bigdata_hwk_spark.operators import kcenter as KC  # noqa: E402
 
-    pts = registry._points(spark, sf_dir).cache()
+    from bigdata_hwk_spark.sources.tables import fan_out  # noqa: E402
+
+    # fan_out BEFORE caching: the narrow fixture scan would otherwise cache
+    # as 1-3 partitions and every round would pay a repartition — R1/R3
+    # should time the rounds' compute, as the reference's cluster runs do
+    pts = fan_out(registry._points(spark, sf_dir)).cache()
     pts.count()  # materialize the cache so R1/R3 time the rounds, not the scan
     _, _, mr = KC.mrfft_timed(pts, registry.FFT_K, registry.FFT_L)
     pts.unpersist()
