@@ -56,7 +56,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     warm = os.environ.get("SPARK_GRAFT_WARM", "1") != "0"
-    m = re.search(r"sf([0-9.]+)", sf_dir)
+    m = re.search(r"sf(\d+(?:\.\d+)?)", sf_dir)
     sf = float(m.group(1)) if m else None
 
     spark = get_spark(

@@ -209,14 +209,27 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessions per user with a 30-min inactivity gap: classic
     lag→gap-flag→running-sum pattern. Output: one row per session.
 
-    Gap arithmetic is µs-integer (``unix_micros``) — exact at Spark's
-    native timestamp resolution, and the oracle mirrors it with
-    ``epoch_us(CAST(ts AS TIMESTAMP))`` so both engines compare the same
-    integers (the raw parquet is TIMESTAMP_NS, which DuckDB would
-    otherwise read at ns while Spark truncates to µs)."""
+    Engine-version-proof parity contract (both sides, by construction):
+
+    * **Time is a pure integer**: Spark orders and differences
+      ``unix_micros(ts)`` — by construction exactly ``raw_ns div 1000``
+      (``sources/tables.py`` builds ts that way); the oracle computes
+      ``epoch_ns(ts) // 1000`` straight off the parquet value, never
+      casting through a timestamp type. DuckDB builds differ in whether
+      the parquet TIMESTAMP_NS survives the scan (≥1.1) or is truncated
+      to µs at read (1.0); floor-division of the ns count is identical
+      under both behaviors, so no cast semantics can shift a session
+      boundary. Both window ORDER BYs use the same (µs, event_id) key —
+      ordering by raw ns would tiebreak sub-µs neighbors differently.
+    * **Sums are exact**: ``value`` is summed as DECIMAL(18,6) on both
+      sides — decimal addition is associative/order-independent, so
+      shuffle order and fp-summation algorithm differences can't move a
+      rounded 2-decimal total across a half-boundary. Cast back to
+      DOUBLE before the final round for a schema-stable output."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    tus = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(tus, "event_id")
+    gap = tus - F.lag(tus).over(w)
     with_flag = ev.withColumn(
         "new_sess",
         F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), 1).otherwise(0),
@@ -224,29 +237,31 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = with_flag.withColumn("session_id", F.sum("new_sess").over(w))
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("session_value"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+        ).alias("session_value"),
     )
 
 
 USER_SESSIONS_SQL = f"""
-WITH cast_ev AS (
-  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM events
+WITH ev AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_id, value FROM events
 ),
 flagged AS (
-  SELECT user_id, ts, event_id, value,
-         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
-                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_MIN * 60 * 1_000_000}
+  SELECT user_id, tus, event_id, value,
+         CASE WHEN tus - lag(tus) OVER w IS NULL
+                OR tus - lag(tus) OVER w > {SESSION_GAP_MIN * 60 * 1_000_000}
               THEN 1 ELSE 0 END AS new_sess
-  FROM cast_ev
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
 ),
 sess AS (
   SELECT user_id, value,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
                              ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged)
 SELECT user_id, session_id, count(*) AS n_events,
-       round(sum(value), 2) AS session_value
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS session_value
 FROM sess GROUP BY user_id, session_id
 """
 

@@ -306,8 +306,13 @@ def stream_params(sf_dir: str) -> tuple[int, float, float]:
     """(n, phi, eps) for the stream sketches at this SF dir."""
     import re
 
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else 0.01
+    # strict SF token (no trailing dots — 'sf0.01.bak' must parse as 0.01);
+    # unparseable dirs fall back to the sf0.01 defaults
+    m = re.search(r"sf(\d+(?:\.\d+)?)", sf_dir)
+    try:
+        sf = float(m.group(1)) if m else 0.01
+    except (TypeError, ValueError):  # pragma: no cover - regex guarantees float
+        sf = 0.01
     # floor at the sf0.01 values: below that SF the prefix covers the whole
     # (shorter) stream anyway, and keeping (n, φ) identical preserves exact
     # oracle parity at every SF ≤ 0.01
@@ -315,13 +320,30 @@ def stream_params(sf_dir: str) -> tuple[int, float, float]:
     phi = STREAM_PHI * min(1.0, 0.01 / sf)
     return n, phi, phi / 2
 
-STREAM_TRUE_FREQ_SQL = f"""
+
+# The driver's correctness gate runs at this SF; the registered oracle is
+# generated from the SAME stream_params the engine uses, so engine and
+# oracle can never disagree on (n, φ) — if the gate SF ever moves, change
+# one constant and both sides move together.
+CORRECTNESS_GATE_SF_DIR = "sf0.01"
+
+
+def stream_true_freq_sql(sf_dir: str = CORRECTNESS_GATE_SF_DIR) -> str:
+    """Oracle for ``stream_true_frequent`` at the given SF — (n, φ) are
+    formatted from ``stream_params(sf_dir)``, the exact values the Spark
+    side computes."""
+    n, phi, _ = stream_params(sf_dir)
+    return f"""
 WITH stream AS ({STREAM_SQL_BODY})
 SELECT item, count(*) AS cnt FROM stream
-WHERE seq < {STREAM_N}
+WHERE seq < {n}
 GROUP BY item
-HAVING count(*) >= {STREAM_PHI!r} * {STREAM_N}
+HAVING count(*) >= {phi!r} * {n}
 """
+
+
+STREAM_TRUE_FREQ_SQL = stream_true_freq_sql()
+
 
 def _stream_true_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, phi, _ = stream_params(sf_dir)

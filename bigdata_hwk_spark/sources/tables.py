@@ -120,9 +120,13 @@ def points_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle twin: DuckDB total order must be Spark's (µs, event_id) key —
+# epoch_ns // 1000 floor-divides the raw parquet ns exactly like Spark's
+# `ts div 1000` (tables load above), independent of whether the DuckDB
+# build truncates TIMESTAMP_NS at scan (1.0) or preserves it (≥1.1).
 STREAM_SQL_BODY = (
-    "SELECT row_number() OVER (ORDER BY ts, event_id) - 1 AS seq, "
-    "user_id AS item FROM events"
+    "SELECT row_number() OVER (ORDER BY epoch_ns(ts) // 1000, event_id) - 1 "
+    "AS seq, user_id AS item FROM events"
 )
 
 
@@ -131,12 +135,39 @@ def stream_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``seq`` is the total arrival order (the stream IS its seq ordering —
     FIXTURES.md §2); ``item`` is the skewed ``user_id`` distribution.
-    """
-    ev = load_table(spark, sf_dir, "events")
-    from pyspark.sql import Window
 
-    w = Window.orderBy("ts", "event_id")
-    return ev.select(
-        (F.row_number().over(w) - 1).cast("bigint").alias("seq"),
-        F.col("user_id").alias("item"),
+    The total order is semantically required, but assigning it does NOT
+    need a single task: an unpartitioned ``row_number()`` window makes one
+    executor thread hold the whole table — the classic global-sort
+    bottleneck at 100× scale. Instead: range-repartition on the order key
+    (partition p holds a contiguous key range, p < p+1), sort within
+    partitions, then add per-partition start offsets JVM-side — the exact
+    ``with_point_ids`` mechanism (one light counting job + broadcast
+    join, no second shuffle of the data, no Python row path). Ordering is
+    by (µs timestamp, event_id); event_id is unique, so the order is
+    total.
+
+    The sorted layout is persisted before id assignment: the range
+    partitioner's sample seed folds in the physical RDD id, so two
+    *separate* evaluations (the offset-counting job vs the consumer job)
+    would draw different bounds and corrupt the ids (reproduced: 10k rows
+    → 9,857 distinct seqs). Materializing once pins the partitioning for
+    every pass — the same contract RDD ``zipWithIndex`` relies on. At
+    scale this is honest cost accounting: a total-order assignment IS a
+    sort, and MEMORY_AND_DISK spills rather than re-sorting per consumer.
+    """
+    from pyspark import StorageLevel
+
+    from .points_csv import with_point_ids
+
+    ev = load_table(spark, sf_dir, "events")
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    ordered = (
+        ev.select("ts", "event_id", "user_id")
+        .repartitionByRange(n_parts, "ts", "event_id")
+        .sortWithinPartitions("ts", "event_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return with_point_ids(ordered).select(
+        F.col("point_id").alias("seq"), F.col("user_id").alias("item")
     )

@@ -376,3 +376,34 @@ def test_golden_report_byte_stable(spark):
     got = "\n".join(rep.report_lines()) + "\n"
     want = (pathlib.Path(__file__).parent / "data_golden_report.txt").read_text()
     assert got == want
+
+
+def test_stream_seq_assignment_is_distributed_and_dense(spark):
+    """The seq assignment must never plan an unpartitioned window (a
+    single task holding the whole table at scale): no Window operator and
+    no single-partition Exchange anywhere in the physical plan, while seq
+    stays dense [0, N) — the contract the prefix-cutoff sketches rely on."""
+    from pyspark.sql import functions as F
+
+    stream = stream_from_events(spark, SF_SMOKE)
+    plan = stream._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    n, n_seq, lo, hi = stream.agg(
+        F.count(F.lit(1)),
+        F.countDistinct("seq"),
+        F.min("seq"),
+        F.max("seq"),
+    ).first()
+    assert (n_seq, lo, hi) == (n, 0, n - 1)
+
+
+def test_stream_oracle_derived_from_stream_params():
+    """The registered oracle SQL must embed the exact (n, φ) the engine
+    computes at the correctness-gate SF — a driver SF change can then
+    never silently decouple the query/oracle pair (round-2 ADVICE)."""
+    n, phi, _ = registry.stream_params(registry.CORRECTNESS_GATE_SF_DIR)
+    sql = registry.ORACLES["stream_true_frequent"]
+    assert f"seq < {n}" in sql
+    assert f"{phi!r} * {n}" in sql
+    assert registry.stream_true_freq_sql(registry.CORRECTNESS_GATE_SF_DIR) == sql
