@@ -204,21 +204,94 @@ def _pair_jaccard(ex: DataFrame) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(documents: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
+def _shingle_index(
+    documents: DataFrame, cut: int = SHINGLE_DF_CUT
+) -> tuple[DataFrame, DataFrame | None]:
+    """(cut_table, verify_table) for candidate generation / verification.
+
+    ``cut_table`` (persisted) is the hot-shingle-cut inverted index — its
+    window shuffle co-locates rows by shingle, exactly the partitioning
+    every downstream candidate equi-join wants, so self-joins on it are
+    exchange-free. ``verify_table`` is None when the cut dropped ZERO
+    rows (probed with two counts on persisted data): then the cut table
+    IS the full table and verification on it is provably exact — the
+    common case, and every fixture SF. When the cut is active,
+    ``verify_table`` is the persisted UNCUT table so reported Jaccard is
+    true full-set Jaccard, not truncated-set Jaccard (round-2 ADVICE) —
+    the honest 2× cost is paid only when hot shingles actually exist.
+    """
+    sh_all = doc_shingles(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    ex_cut = shingle_df_cut(sh_all, cut).persist(StorageLevel.MEMORY_AND_DISK)
+    if ex_cut.count() == sh_all.count():
+        # ex_cut is materialized; the raw table's cache is no longer needed
+        sh_all.unpersist()
+        return ex_cut, None
+    return ex_cut, sh_all
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    tau: float = JACCARD_TAU,
+    cut: int = SHINGLE_DF_CUT,
+) -> DataFrame:
     """Near-dup pairs with shingle-set Jaccard ≥ tau (rounded to 6).
 
-    The shingle table is persisted: ``_pair_jaccard`` consumes it three
-    times (sizes + both join sides), which would otherwise replan three
-    scan→shingle subtrees. The hot-shingle DF cut runs first — a no-op at
-    fixture document frequencies, the quadratic-candidate guard at scale."""
-    ex = shingle_df_cut(doc_shingles(documents)).persist(
-        StorageLevel.MEMORY_AND_DISK
+    Cut/verify separation (round-2 ADVICE): the hot-shingle DF cut is a
+    *candidate-generation* device — candidate pairs come from the cut
+    inverted index (bounded fan-out at scale) — but the Jaccard that
+    decides and is reported is computed over the FULL shingle sets. When
+    the cut is a no-op (``_shingle_index`` probes this), the single
+    inverted-index join is already exact and runs exchange-free on the
+    shingle-partitioned persisted table; only an active cut pays the
+    two-phase candidates→uncut-verify cost."""
+    ex_cut, sh_all = _shingle_index(documents, cut)
+    if sh_all is None:
+        return (
+            _pair_jaccard(ex_cut)
+            .filter(F.col("jaccard") >= tau)
+            .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        )
+    a = ex_cut.alias("a")
+    b = ex_cut.alias("b")
+    cand = (
+        a.join(b, "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
     )
     return (
-        _pair_jaccard(ex)
-        .filter(F.col("jaccard") >= tau)
+        _verify_candidates(sh_all, cand, tau)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def _verify_candidates(
+    verify_ex: DataFrame, cand: DataFrame, tau: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
+    against ``verify_ex`` (the full shingle table, or the cut table when
+    the cut is a proven no-op): restrict the index to candidate docs
+    (left-semi, no row widening), compute full-set pair Jaccard there,
+    keep candidates meeting tau. Shared by the inverted-index and LSH
+    candidate generators.
+
+    ``cand`` is persisted here — it has three consumers (both sides of
+    the doc union + the final pair join); unpersisted, each replans the
+    full candidate-generation pipeline from scratch (measured 3× wall on
+    the inverted-index path)."""
+    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # no broadcast hint: AQE auto-broadcasts when the candidate set is
+    # small, falls back to a shuffled semi-join when it isn't
+    ex = verify_ex.join(cand_docs, "doc_id", "left_semi")
+    jac = _pair_jaccard(ex)
+    return cand.join(jac, ["doc_a", "doc_b"]).filter(F.col("jaccard") >= tau)
 
 
 def _pair_jaccard_sql() -> str:
@@ -309,6 +382,7 @@ def minhash_lsh_pairs(
     tau: float = JACCARD_TAU,
     h: int = MINHASH_H,
     bands: int = MINHASH_BANDS,
+    cut: int = SHINGLE_DF_CUT,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard.
 
@@ -321,16 +395,20 @@ def minhash_lsh_pairs(
     (LSH only affects recall, tuned by (H, bands, tau)).
     """
     r = h // bands
-    # One shingle table feeds signature building, candidate banding AND
-    # exact verification; without an explicit persist Spark replans each
-    # consumer as its own scan→shingle subtree (measured: 23 parquet scans
-    # of `documents` in one query, exchange reuse recovering only a few).
-    # MEMORY_AND_DISK: at corpus scale the shingle table spills instead of
-    # re-reading + re-hashing the corpus per consumer.
-    ex_all = shingle_df_cut(doc_shingles(documents)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    sig = _minhash_from_shingles(ex_all, h)
+    # One persisted shingle table feeds signature building, candidate
+    # banding AND exact verification; without an explicit persist Spark
+    # replans each consumer as its own scan→shingle subtree (measured: 23
+    # parquet scans of `documents` in one query, exchange reuse
+    # recovering only a few). MEMORY_AND_DISK: at corpus scale the
+    # shingle table spills instead of re-reading + re-hashing the corpus
+    # per consumer. The hot-shingle cut applies to the signature /
+    # candidate side only — when it actually drops rows, verification
+    # runs against the uncut table so reported Jaccard is true full-set
+    # Jaccard (round-2 ADVICE); ``_shingle_index`` probes for the no-op
+    # case and then verifies on the (identical) cut table.
+    ex_cut, sh_all = _shingle_index(documents, cut)
+    verify_ex = ex_cut if sh_all is None else sh_all
+    sig = _minhash_from_shingles(ex_cut, h)
     band_sig = (
         sig.withColumn("band", (F.col("i") / r).cast("int"))
         .groupBy("doc_id", "band")
@@ -351,27 +429,13 @@ def minhash_lsh_pairs(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
-        # cand feeds the doc_a/doc_b union AND the final pair join — three
-        # consumers; unpersisted, each replans the full banding pipeline
-        # (minhash explode + groupBy + band self-join) from scratch
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # _verify_candidates persists cand (three consumers there)
     )
-    # Verify ONLY the LSH candidates: restrict the shingle index to docs
-    # that appear in ≥1 candidate pair (left-semi, no row widening) before
-    # the exact-Jaccard join — at corpus scale the full pair-Jaccard table
-    # is quadratic and would defeat the point of LSH banding.
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    # no broadcast hint: AQE auto-broadcasts when the candidate set is
-    # small, falls back to a shuffled semi-join when it isn't
-    ex = ex_all.join(cand_docs, "doc_id", "left_semi")
-    jac = _pair_jaccard(ex)
+    # Verify ONLY the LSH candidates, against the full shingle sets —
+    # at corpus scale the full pair-Jaccard table is quadratic and would
+    # defeat the point of LSH banding.
     return (
-        cand.join(jac, ["doc_a", "doc_b"])
-        .filter(F.col("jaccard") >= tau)
+        _verify_candidates(verify_ex, cand, tau)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
 
@@ -585,6 +649,7 @@ def connected_components(
     labels = edges.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     ).localCheckpoint()
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.v == labels.node)
@@ -604,18 +669,39 @@ def connected_components(
         changed = new.filter(F.col("new_lbl") < F.col("lbl")).limit(1).count()
         labels = new.select("node", F.col("new_lbl").alias("lbl"))
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # Partial labels are WRONG labels: a downstream leakage-safe split
+        # would place near-dup docs in different train/test splits with no
+        # signal. Fail loudly rather than return silently-bad clusters
+        # (round-2 ADVICE) — raise max_iter, or pre-collapse with the
+        # large-star/small-star variant for adversarially long chains.
+        raise RuntimeError(
+            f"connected_components: label propagation did not converge in "
+            f"{max_iter} rounds (graph diameter exceeds max_iter)"
+        )
     return labels.select("node", F.col("lbl").alias("cluster_id"))
 
 
-def dedup_clusters(documents: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
+def dedup_clusters(
+    documents: DataFrame,
+    tau: float = JACCARD_TAU,
+    comp: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, cluster_id, cluster_size, is_canonical) for every document
     in ≥1 MinHash-LSH near-dup pair: the end-to-end dedup collapse. Keep
     rows with ``is_canonical`` (plus every doc absent from this table) and
     the corpus is near-dup-free with one survivor per cluster.
+
+    ``comp`` (node, cluster_id) lets callers inject precomputed
+    components — the registry shares ONE pair/component pipeline across
+    the three LSH consumers instead of rebuilding the ~equal-cost
+    shingle→MinHash→LSH→verify chain per query.
     """
-    comp = connected_components(minhash_lsh_pairs(documents, tau=tau))
+    if comp is None:
+        comp = connected_components(minhash_lsh_pairs(documents, tau=tau))
     w = Window.partitionBy("cluster_id")
     return comp.select(
         F.col("node").alias("doc_id"),

@@ -19,11 +19,15 @@ equi-join → exact re-rank).
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 ANN_BITS = 4        # hyperplanes per LSH table
 ANN_TABLES = 8      # independent tables (OR-amplification)
@@ -135,6 +139,15 @@ def similar_pairs_threshold(
     if exact_max_rows is not None:
         n = embeddings.count()
         if n > exact_max_rows:
+            # loud degrade (round-2 ADVICE): recall becomes approximate
+            # here — callers relying on exhaustive pairs should see it
+            _LOG.warning(
+                "similar_pairs_threshold: corpus has %d rows > exact_max_rows"
+                "=%d; degrading to the sub-quadratic LSH plan (exact "
+                "re-scoring keeps precision 1.0, recall is approximate)",
+                n,
+                exact_max_rows,
+            )
             return ann_lsh_pairs(embeddings, tau=tau)
 
     pdf_all = embeddings.select("vec_id", "embedding").toPandas()
@@ -168,9 +181,18 @@ def similar_pairs_threshold(
     emb = embeddings.select("vec_id", "embedding")
     if emb.rdd.getNumPartitions() < emb.sparkSession.sparkContext.defaultParallelism:
         emb = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
-    return emb.mapInPandas(
+    out = emb.mapInPandas(
         score, schema="vec_a bigint, vec_b bigint, cosine double"
     )
+    # Release executor copies of the corpus broadcast once the caller
+    # drops the result DataFrame (round-2 ADVICE: repeated calls were
+    # accumulating driver+executor memory). unpersist (not destroy): the
+    # driver copy stays, so a still-referenced plan that re-executes
+    # later simply re-broadcasts.
+    import weakref
+
+    weakref.finalize(out, bc.unpersist)
+    return out
 
 
 def similar_pairs_sql(tau: float = 0.4) -> str:

@@ -64,17 +64,23 @@ def hash_split(documents: DataFrame) -> DataFrame:
 
 
 def leakage_safe_split(
-    documents: DataFrame, tau: float = JACCARD_TAU
+    documents: DataFrame,
+    tau: float = JACCARD_TAU,
+    comp: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, cluster_id, split): near-dup-cluster-keyed assignment.
 
     Docs in no near-dup pair are their own cluster (cluster_id = doc_id);
     every member of a cluster hashes identically, so no near-dup pair
     ever straddles a split boundary.
+
+    ``comp`` (node, cluster_id) lets callers inject precomputed
+    components — the registry shares one LSH pair/component pipeline
+    across its three consumers instead of rebuilding it per query.
     """
-    comp = connected_components(minhash_lsh_pairs(documents, tau=tau)).select(
-        F.col("node").alias("doc_id"), "cluster_id"
-    )
+    if comp is None:
+        comp = connected_components(minhash_lsh_pairs(documents, tau=tau))
+    comp = comp.select(F.col("node").alias("doc_id"), "cluster_id")
     return (
         documents.select("doc_id")
         .join(comp, "doc_id", "left")

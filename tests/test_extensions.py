@@ -212,3 +212,62 @@ def test_resize_media_geometry_and_determinism(spark):
         assert 0 < r.scale <= 1.0
         assert isinstance(r.payload, (bytes, bytearray))
         assert bytes(r.payload) == bytes(r2[mid].payload)  # deterministic
+
+
+def _brute_jaccard_pairs(texts: dict[int, str], tau: float):
+    """Full-shingle-set Jaccard over every doc pair, pure Python."""
+    shs = {
+        i: {
+            " ".join(ws[j : j + D.SHINGLE_W])
+            for j in range(len(ws) - D.SHINGLE_W + 1)
+        }
+        for i, t in texts.items()
+        for ws in [t.split(" ")]
+        if len(ws) >= D.SHINGLE_W
+    }
+    out = set()
+    ids = sorted(shs)
+    for x in ids:
+        for y in ids:
+            if x < y and shs[x] & shs[y]:
+                j = len(shs[x] & shs[y]) / len(shs[x] | shs[y])
+                if j >= tau:
+                    out.add((x, y, round(j, 6)))
+    return out
+
+
+def test_active_df_cut_still_reports_full_set_jaccard(spark):
+    """When the hot-shingle cut actually drops rows, reported Jaccard must
+    still be computed over the UNCUT shingle sets (round-2 ADVICE): the
+    cut bounds candidate generation, never the verification arithmetic."""
+    hot = "zz zz zz zz"  # yields the df=8 shingle "zz zz zz" in every doc
+    texts = {
+        1: f"{hot} alpha beta gamma delta epsilon zeta eta theta",
+        2: f"{hot} alpha beta gamma delta epsilon zeta eta iota",
+        3: f"{hot} totally different words here now okay fine",
+        4: f"{hot} totally different words here now okay fine yes",
+        **{i: f"{hot} unrelated{i} filler{i} tail{i} end{i}" for i in range(5, 9)},
+    }
+    docs = spark.createDataFrame(
+        sorted(texts.items()), "doc_id bigint, text string"
+    )
+    tau = 0.3
+    want = _brute_jaccard_pairs(texts, tau)
+    assert want, "test corpus must contain qualifying pairs"
+
+    # cut=4 < df(hot shingles): the cut path is active (probe must NOT
+    # take the no-op shortcut), yet values are full-set Jaccard
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(docs, tau=tau, cut=4).collect()
+    }
+    assert got == want
+
+    # LSH path: candidates may lose recall under the cut, but every
+    # emitted pair must carry the exact full-set Jaccard value
+    got_lsh = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.minhash_lsh_pairs(docs, tau=tau, cut=4).collect()
+    }
+    assert got_lsh <= want
+    assert (1, 2, round(next(j for a, b, j in want if (a, b) == (1, 2)), 6)) in got_lsh
