@@ -8,6 +8,7 @@ shapes against this repo:
 
     python scripts/hw1.py <path_to_points_csv> <D> <M> <K> <L>
     python scripts/hw2.py <path_to_points_csv> <M> <K> <L>
+    python scripts/hw3.py <n> <phi> <epsilon> <delta> <portExp>
 
 Report-format sources: HW1 header/argv HWK_1/G029HW1.py:125-141, point
 count :152-153, the N ≤ 200000 exact-path guard :155 (P7 — see
@@ -17,8 +18,8 @@ header/argv HWK_2/G029HW2.py:133-149, per-round MRFFT timing prints
 :83-105 (via ``operators.kcenter.mrfft_timed``), radius :169, summary +
 timing :127-131,171-180.
 
-The HW3 front door (streaming frequent items report) already exists as
-``streaming.frequent_items.format_report``.
+HW3 header/argv HWK_3/G029HW3.py:70-78, socket source :103, first-n
+cutoff :37-66, report :121-156 (via ``hw3_main`` below).
 """
 
 from __future__ import annotations
@@ -121,11 +122,57 @@ def hw2_main(argv: list[str], spark: SparkSession | None = None, out=None) -> in
     return 0
 
 
+HW3_DEFAULT_HOST = "algo.dei.unipd.it"  # reference HWK_3/G029HW3.py:103
+
+
+def hw3_main(
+    argv: list[str],
+    spark: SparkSession | None = None,
+    out=None,
+    host: str = HW3_DEFAULT_HOST,
+    timeout_s: float = 60.0,
+) -> int:
+    """Streaming frequent-items report (reference HW3 main).
+
+    argv contract ``<n> <phi> <epsilon> <delta> <portExp>`` (reference
+    HWK_3/G029HW3.py:70-78); wires the socket source →
+    ``run_sketches_on_stream`` (foreachBatch + first-n cutoff, the
+    Structured-Streaming analogue of the reference's foreachRDD driver
+    state, :103-114) → the golden-tested report format (:121-156).
+    ``host`` is overridable for tests / local replay servers; the
+    reference hard-codes its course server.
+    """
+    from .streaming.frequent_items import run_sketches_on_stream
+    from .streaming.sources import socket_item_stream
+
+    out = out or sys.stdout
+    if len(argv) != 5:
+        print("Usage: hw3 <n> <phi> <epsilon> <delta> <portExp>", file=out)
+        return 1
+    n, phi, eps, delta = int(argv[0]), float(argv[1]), float(argv[2]), float(argv[3])
+    port = int(argv[4])
+    spark = spark or _default_spark()
+
+    report = run_sketches_on_stream(
+        socket_item_stream(spark, host, port),
+        n=n,
+        phi=phi,
+        eps=eps,
+        delta=delta,
+        timeout_s=timeout_s,
+    )
+    for line in report.report_lines(port=port):
+        print(line, file=out)
+    return 0
+
+
 if __name__ == "__main__":
     prog, *rest = sys.argv[1:] or ["help"]
     if prog == "hw1":
         raise SystemExit(hw1_main(rest))
     if prog == "hw2":
         raise SystemExit(hw2_main(rest))
-    print("Usage: python -m bigdata_hwk_spark.cli {hw1|hw2} <args...>")
+    if prog == "hw3":
+        raise SystemExit(hw3_main(rest))
+    print("Usage: python -m bigdata_hwk_spark.cli {hw1|hw2|hw3} <args...>")
     raise SystemExit(1)

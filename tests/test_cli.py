@@ -112,3 +112,69 @@ def test_with_point_ids_are_dense_file_order(spark):
             columns={{'x':'DOUBLE','y':'DOUBLE'}})"""
     ).fetchall()
     assert [(r.x, r.y) for r in got] == want
+
+
+def test_hw3_cli_report_format_and_values(spark):
+    """hw3 argv contract (<n> <phi> <epsilon> <delta> <portExp>, reference
+    HWK_3/G029HW3.py:70-78) over a local TCP server: report sections in
+    the reference's order, exact section matching an independent
+    histogram of the fed items."""
+    import collections
+    import math
+    import socket
+    import threading
+
+    import random as _random
+
+    items = [_random.Random(11).randrange(40) for _ in range(500)]
+    n, phi, eps, delta = 500, 0.05, 0.02, 0.1
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            conn.sendall("".join(f"{i}\n" for i in items).encode())
+            stop.wait(30)
+
+    threading.Thread(target=serve, daemon=True).start()
+    buf = io.StringIO()
+    try:
+        rc = cli.hw3_main(
+            [str(n), str(phi), str(eps), str(delta), str(port)],
+            spark=spark, out=buf, host="127.0.0.1", timeout_s=30,
+        )
+    finally:
+        stop.set()
+        srv.close()
+    assert rc == 0
+    lines = buf.getvalue().splitlines()
+    assert lines[0] == "INPUT PROPERTIES"
+    assert lines[1] == f"n = {n} phi = {phi} epsilon = {eps} delta = {delta} port = {port}"
+    assert lines[2] == "EXACT ALGORITHM"
+    hist = collections.Counter(items)
+    want_tf = sorted(i for i, c in hist.items() if c >= phi * n)
+    assert lines[3] == f"Number of items in the data structure = {len(hist)}"
+    assert lines[4] == f"Number of true frequent items = {len(want_tf)}"
+    assert lines[5] == "True frequent items:"
+    assert lines[6 : 6 + len(want_tf)] == [str(i) for i in want_tf]
+    ri = lines.index("RESERVOIR SAMPLING")
+    assert lines[ri + 1] == f"Size m of the sample = {math.ceil(1 / phi)}"
+    si = lines.index("STICKY SAMPLING")
+    assert si > ri
+    # +/- markers agree with the true-frequent set on every estimate line
+    for ln in lines[ri + 3 :]:
+        m = re.fullmatch(r"(\d+) ([+-])", ln)
+        if m:
+            assert (int(m.group(1)) in want_tf) == (m.group(2) == "+")
+
+
+def test_hw3_cli_usage():
+    buf = io.StringIO()
+    assert cli.hw3_main(["1", "2"], out=buf) == 1
+    assert buf.getvalue().startswith("Usage: hw3 ")
