@@ -1,8 +1,10 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The real decode libraries (PIL / librosa / av) are not in this container,
-so the *decode* step is stubbed (deterministic fake or
-``NotImplementedError``), but everything Spark-side is real and tested:
+The real decode libraries (PIL / soundfile / av) may be absent from the
+container, so ``_decode_real`` gates each media type behind a call-time
+try-import (WAV audio always decodes via the stdlib ``wave`` reader) and
+the deterministic ``_decode_stub`` remains the bare-container default.
+Everything Spark-side is real and tested either way:
 the schema (binary payload + typed metadata struct), the partitioning, the
 ``mapInPandas`` UDF signatures and Arrow batch shapes — i.e. exactly the
 pieces that matter for running image/audio/video feature extraction over a
@@ -55,16 +57,65 @@ def synth_media(documents: DataFrame) -> DataFrame:
     )
 
 
-def _decode_real(payload: bytes, media_type: str) -> dict:
-    """Real decode would go here (PIL.Image.open / librosa.load / pyav).
+def _decode_real(payload: bytes, media_type: str) -> tuple[int, int, int]:
+    """Real decode, gated behind call-time try-imports (round-2 VERDICT):
 
-    The libraries are not available in this environment — callers use the
-    deterministic stub instead.
+    * ``image`` → PIL when importable: (width, height, n_frames —
+      multi-frame formats like GIF report their frame count).
+    * ``audio`` → soundfile when importable, else the stdlib ``wave``
+      reader (PCM WAV — always available): (channels, sample_rate,
+      n_frames) mapped onto the (width, height, n_frames) feature slots.
+    * ``video`` → PyAV when importable: (width, height, n_frames).
+
+    Raises ``NotImplementedError`` only when no capable decoder is
+    importable for the requested type — the Spark-side plumbing is
+    identical either way, so ``decode_features(..., stub=True)`` stays
+    the plan-equivalent fallback in a bare container.
     """
-    raise NotImplementedError(
-        "real media decoding requires PIL/librosa/av, not present in this "
-        "container; use decode_features(..., stub=True)"
-    )
+    import io as _io
+
+    if media_type == "image":
+        try:
+            from PIL import Image
+        except ImportError as e:
+            raise NotImplementedError(
+                "image decode requires PIL; use decode_features(stub=True)"
+            ) from e
+        with Image.open(_io.BytesIO(payload)) as img:
+            return img.width, img.height, int(getattr(img, "n_frames", 1))
+    if media_type == "audio":
+        try:
+            import soundfile as sf
+        except ImportError:
+            sf = None
+        if sf is not None:
+            with sf.SoundFile(_io.BytesIO(payload)) as f:
+                return int(f.channels), int(f.samplerate), int(f.frames)
+        import wave
+
+        try:
+            with wave.open(_io.BytesIO(payload), "rb") as w:
+                return (
+                    int(w.getnchannels()),
+                    int(w.getframerate()),
+                    int(w.getnframes()),
+                )
+        except wave.Error as e:
+            raise NotImplementedError(
+                "non-WAV audio decode requires soundfile; use "
+                "decode_features(stub=True)"
+            ) from e
+    if media_type == "video":
+        try:
+            import av
+        except ImportError as e:
+            raise NotImplementedError(
+                "video decode requires PyAV; use decode_features(stub=True)"
+            ) from e
+        with av.open(_io.BytesIO(payload)) as container:
+            vs = container.streams.video[0]
+            return int(vs.width), int(vs.height), int(vs.frames or 0)
+    raise NotImplementedError(f"unknown media_type {media_type!r}")
 
 
 def _decode_stub(payload: bytes, media_type: str) -> tuple[int, int, int]:

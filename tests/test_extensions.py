@@ -145,9 +145,48 @@ def test_multimodal_decode_plumbing(spark):
     assert again == sorted((r.media_id, r.checksum) for r in rows)
 
 
-def test_multimodal_real_decode_is_explicit_stub(spark):
+def test_multimodal_real_decode_gated_by_optional_deps(spark):
+    """_decode_real is a real decoder behind call-time try-imports: WAV
+    audio decodes with the always-available stdlib wave reader; image/
+    video raise NotImplementedError only when PIL/PyAV are absent."""
+    import io
+    import struct
+    import wave as wave_mod
+
+    # tiny generated PCM WAV: 2 channels, 8000 Hz, 5 frames
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<10h", *range(10)))
+    assert MM._decode_real(buf.getvalue(), "audio") == (2, 8000, 5)
+
+    # the full Spark path over real payloads (stub=False, audio-only rows)
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(buf.getvalue()), None)],
+        MM.MEDIA_SCHEMA,
+    )
+    row = MM.decode_features(media, stub=False).collect()[0]
+    assert (row.width, row.height, row.n_frames) == (2, 8000, 5)
+
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if has_pil:
+        from PIL import Image
+
+        img_buf = io.BytesIO()
+        Image.new("RGB", (7, 3)).save(img_buf, format="PNG")
+        assert MM._decode_real(img_buf.getvalue(), "image")[:2] == (7, 3)
+    else:
+        with pytest.raises(NotImplementedError):
+            MM._decode_real(b"xx", "image")
     with pytest.raises(NotImplementedError):
-        MM._decode_real(b"xx", "image")
+        MM._decode_real(b"xx", "unknown-type")
 
 
 def test_frame_sample_plan(spark):
