@@ -603,23 +603,30 @@ def connected_components(
     the edge list here is the *output* of LSH dedup — usually a tiny
     fraction of the corpus — so up to ``driver_max_edges`` edges a driver
     union-find answers in one collect (an 8-byte-pair collect, ~16 MB at
-    the gate). Above the gate, iterative min-label propagation runs fully
-    distributed: each round every node adopts min(own, neighbors')
-    labels — two shuffles on the node key. Rounds = graph diameter, and
-    near-dup graphs are micro-clusters, so 2-4 rounds close almost any
-    corpus; ``max_iter`` bounds adversarial chains. Convergence is a
-    1-row existence probe per round; ``localCheckpoint`` truncates
-    lineage each round (plans nest one join layer per round otherwise) —
-    on a cluster with dynamic executors, swap for a reliable
-    ``checkpoint()`` directory.
+    the gate). Above the gate, the large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond" —
+    public algorithm) runs fully distributed: each round hangs every
+    node's larger neighbors onto its minimum neighbor (large-star), then
+    contracts the remaining parent pointers (small-star). Rounds are
+    O(log n) even on adversarial chains — unlike min-label propagation,
+    whose round count is the graph DIAMETER (a 1M-long chain would need
+    1M shuffling rounds; the alternation needs ~20). Convergence = the
+    edge multiset reaching a fixpoint (count + hash-sum signature, one
+    cheap agg per round); ``localCheckpoint`` truncates lineage each
+    round (plans nest two join layers per round otherwise) — on a
+    cluster with dynamic executors, swap for a reliable ``checkpoint()``
+    directory.
 
     Labels are node ids, so cluster_id = min doc_id in the component —
     deterministic, identical on both paths, and directly usable as the
     canonical document id.
     """
     edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        pairs.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -646,43 +653,77 @@ def connected_components(
         if not rows:
             return spark.createDataFrame([], "node bigint, cluster_id bigint")
         return spark.createDataFrame(rows, "node bigint, cluster_id bigint")
-    labels = edges.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
-    ).localCheckpoint()
+    e = edges
+    prev_sig = None
     converged = False
     for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges.v == labels.node)
-            .groupBy("u")
-            .agg(F.min("lbl").alias("nbr_lbl"))
+        e = _star_round(e).localCheckpoint()
+        sig = tuple(
+            e.agg(
+                F.count(F.lit(1)),
+                # decimal sum: exact, order-independent, and immune to the
+                # ANSI long-overflow a bigint sum of 64-bit hashes hits
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+            ).first()
         )
-        new = (
-            labels.join(nbr_min, labels.node == nbr_min.u, "left")
-            .select(
-                "node",
-                "lbl",
-                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias(
-                    "new_lbl"
-                ),
-            )
-        ).localCheckpoint()
-        changed = new.filter(F.col("new_lbl") < F.col("lbl")).limit(1).count()
-        labels = new.select("node", F.col("new_lbl").alias("lbl"))
-        if changed == 0:
+        if sig == prev_sig:
             converged = True
             break
+        prev_sig = sig
     edges.unpersist()
     if not converged:
-        # Partial labels are WRONG labels: a downstream leakage-safe split
-        # would place near-dup docs in different train/test splits with no
-        # signal. Fail loudly rather than return silently-bad clusters
-        # (round-2 ADVICE) — raise max_iter, or pre-collapse with the
-        # large-star/small-star variant for adversarially long chains.
+        # Partial pointers are WRONG labels: a downstream leakage-safe
+        # split would place near-dup docs in different train/test splits
+        # with no signal. Fail loudly rather than return silently-bad
+        # clusters (round-2 ADVICE).
         raise RuntimeError(
-            f"connected_components: label propagation did not converge in "
-            f"{max_iter} rounds (graph diameter exceeds max_iter)"
+            f"connected_components: star alternation did not converge in "
+            f"{max_iter} rounds"
         )
-    return labels.select("node", F.col("lbl").alias("cluster_id"))
+    # fixpoint is a star per component: every non-min node points at the
+    # component min; add the (min, min) self-labels the callers expect
+    return e.select(F.col("u").alias("node"), F.col("v").alias("cluster_id")).union(
+        e.select(F.col("v").alias("node"), F.col("v").alias("cluster_id")).distinct()
+    )
+
+
+def _star_round(e: DataFrame) -> DataFrame:
+    """One large-star + small-star round over a canonical (u > v) edge
+    list; output is canonical again and equals the input iff the graph is
+    already a per-component star (the convergence fixpoint).
+
+    Large-star: for each center c with neighborhood N(c), hang every
+    neighbor n > c onto m = min(N(c) ∪ {c}) — long chains fold onto
+    their local minima, doubling the "reach" of small ids each round.
+    Small-star: for each c, point every remaining small neighbor (and c
+    itself) at m = min of c's small neighbors — contracts the parent
+    pointers built by large-star. Both phases are groupBy(u) + equi-join
+    on u: the aggregation's hash partitioning is exactly the join's, so
+    each phase costs one shuffle of the edge list plus one of the
+    (node, min) table — per-round shuffle count is constant and
+    plan-asserted in tests.
+    """
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    lmins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    ls = (
+        sym.join(lmins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(
+            F.col("v").alias("n"), F.least(F.col("mv"), F.col("u")).alias("m")
+        )
+        .filter(F.col("n") != F.col("m"))
+        .select(F.col("n").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+    smins = ls.groupBy("u").agg(F.min("v").alias("mv"))
+    return (
+        ls.join(smins, "u")
+        .select(F.col("v").alias("n"), F.col("mv").alias("m"))
+        .union(smins.select(F.col("u").alias("n"), F.col("mv").alias("m")))
+        .filter(F.col("n") != F.col("m"))
+        .select(F.col("n").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
 
 
 def dedup_clusters(

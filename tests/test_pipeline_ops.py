@@ -40,7 +40,7 @@ def _union_find(pairs):
 
 
 def test_connected_components_vs_union_find(spark):
-    """The DISTRIBUTED label-propagation path (forced via
+    """The DISTRIBUTED large-star/small-star path (forced via
     driver_max_edges=0) must equal a driver union-find on a random graph
     with chains, a star, and noise edges."""
     rng = random.Random(7)
@@ -174,3 +174,39 @@ def test_tfidf_and_lsh_plans_avoid_nested_loops(spark):
         plan = _plan(df)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_connected_components_long_chain_logarithmic_rounds(spark):
+    """Adversarial chain (diameter ≫ max_iter): the large-star/small-star
+    alternation must converge in O(log n) rounds — max_iter=25 on an
+    800-node path would be impossible for diameter-bound label
+    propagation. Ids are permuted so the minimum sits at a random chain
+    position, not an endpoint."""
+    rng = random.Random(3)
+    perm = list(range(800))
+    rng.shuffle(perm)
+    pairs = [
+        (min(perm[i], perm[i + 1]), max(perm[i], perm[i + 1]))
+        for i in range(799)
+    ]
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {
+        r.node: r.cluster_id
+        for r in D.connected_components(
+            pdf, driver_max_edges=0, max_iter=25
+        ).collect()
+    }
+    assert got == {n: 0 for n in range(800)}
+
+
+def test_star_round_constant_shuffle_count(spark):
+    """One large-star + small-star round compiles to a CONSTANT number of
+    exchanges — the property that makes total shuffle volume
+    O(E · log n), independent of graph diameter."""
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(
+        [(3, 1), (5, 2), (9, 4)], "u long, v long"
+    )
+    plan = D._star_round(e)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 12, plan
