@@ -437,3 +437,62 @@ def ann_lsh_pairs(
         .filter(F.col("cos_raw") >= tau)
         .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup collapse (the dedup family's vector member)
+# ---------------------------------------------------------------------------
+
+def embedding_dedup_clusters(
+    embeddings: DataFrame, tau: float = 0.4, pairs: DataFrame | None = None
+) -> DataFrame:
+    """(vec_id, cluster_id, cluster_size, is_canonical) for every vector in
+    ≥1 cosine-similarity pair at ``tau``: embedding-space near-dup collapse.
+
+    The vector-space sibling of ``dedup.dedup_clusters`` (shingle space):
+    semantic near-duplicates (paraphrases, re-encodes, translations with
+    aligned embeddings) that no lexical method catches. Same output
+    contract — keep ``is_canonical`` rows plus every vector absent from
+    this table and the corpus is cosine-near-dup-free with one survivor
+    per cluster.
+
+    Composition, all previously-tested pieces: pair generation via
+    ``similar_pairs_threshold`` (exact blocked-matmul under the 1M-row
+    gate, transparent LSH degrade above it) → ``dedup.connected_
+    components`` (driver union-find for small edge lists, large-star/
+    small-star above 1M edges). cluster_id = min vec_id of the component
+    on either path. ``pairs`` lets callers inject a precomputed/shared
+    pair table (the registry does).
+    """
+    from .dedup import connected_components
+
+    if pairs is None:
+        pairs = similar_pairs_threshold(embeddings, tau=tau)
+    comp = connected_components(pairs, src="vec_a", dst="vec_b")
+    w = Window.partitionBy("cluster_id")
+    return comp.select(
+        F.col("node").alias("vec_id"),
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def embedding_dedup_clusters_sql(tau: float = 0.4) -> str:
+    """Oracle: recursive-CTE transitive closure over the exact cosine pair
+    set (min reachable id = cluster id), mirroring ``dedup_clusters_sql``."""
+    return f"""
+WITH RECURSIVE pairs AS ({similar_pairs_sql(tau)}),
+edges AS (
+  SELECT vec_a AS u, vec_b AS v FROM pairs
+  UNION SELECT vec_b AS u, vec_a AS v FROM pairs),
+reach(u, v) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+comp AS (SELECT u AS vec_id, min(v) AS cluster_id FROM reach GROUP BY u)
+SELECT vec_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       vec_id = cluster_id AS is_canonical
+FROM comp
+"""

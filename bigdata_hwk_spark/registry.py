@@ -565,8 +565,40 @@ register(
 )
 register(
     "embedding_similar_pairs",
-    lambda spark, sf: SIM.similar_pairs_threshold(_embs(spark, sf)),
+    lambda spark, sf: _emb_pairs_shared(spark, sf),
     SIM.similar_pairs_sql(),
+)
+
+
+# embedding-cosine near-dup collapse shares the pair table with
+# embedding_similar_pairs (same memoization rationale as _LSH_CACHE: one
+# persisted pair table per session/SF, not one per consumer)
+_EMB_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _emb_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EMB_PAIRS_CACHE:
+        while len(_EMB_PAIRS_CACHE) >= _LSH_CACHE_MAX:
+            oldest = next(iter(_EMB_PAIRS_CACHE))
+            try:
+                _EMB_PAIRS_CACHE.pop(oldest).unpersist()
+            except Exception:
+                pass
+        _EMB_PAIRS_CACHE[key] = SIM.similar_pairs_threshold(
+            _embs(spark, sf_dir)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    return _EMB_PAIRS_CACHE[key]
+
+
+register(
+    "embedding_dedup_clusters",
+    lambda spark, sf: SIM.embedding_dedup_clusters(
+        _embs(spark, sf), pairs=_emb_pairs_shared(spark, sf)
+    ),
+    SIM.embedding_dedup_clusters_sql(),
 )
 # LSH ANN: hash-bucketed candidates are seeded-RNG-dependent → rows-only;
 # recall vs brute force is property-tested in tests/test_extensions.py.

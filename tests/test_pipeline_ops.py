@@ -210,3 +210,37 @@ def test_star_round_constant_shuffle_count(spark):
     )
     plan = D._star_round(e)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 12, plan
+
+
+def test_embedding_dedup_clusters_synthetic(spark):
+    """Embedding near-dup collapse on a constructed corpus: two tight
+    cosine clusters plus orthogonal singletons. Singletons must not
+    appear; each cluster collapses to its min vec_id."""
+    from bigdata_hwk_spark.operators import similarity as SIM
+
+    def unit(i, eps=0.0):
+        v = [0.0] * 8
+        v[i] = 1.0
+        v[(i + 1) % 8] = eps
+        return v
+
+    rows = [
+        # cluster A: three tiny perturbations of e0
+        (0, unit(0)), (1, unit(0, 0.01)), (2, unit(0, 0.02)),
+        # cluster B: two perturbations of e3
+        (10, unit(3)), (11, unit(3, 0.01)),
+        # singletons: orthogonal axes
+        (20, unit(5)), (21, unit(6)),
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {r.vec_id: r for r in SIM.embedding_dedup_clusters(emb, tau=0.9).collect()}
+    assert set(got) == {0, 1, 2, 10, 11}
+    assert {got[i].cluster_id for i in (0, 1, 2)} == {0}
+    assert {got[i].cluster_id for i in (10, 11)} == {10}
+    assert got[0].is_canonical and got[10].is_canonical
+    assert not any(got[i].is_canonical for i in (1, 2, 11))
+    assert all(got[i].cluster_size == 3 for i in (0, 1, 2))
+    assert all(got[i].cluster_size == 2 for i in (10, 11))
