@@ -251,3 +251,123 @@ SELECT doc_id, term, tf, df,
        round(tf * ln((SELECT n FROM n) / df), 4) AS tfidf, rk
 FROM ranked WHERE rk <= {k}
 """
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style per-doc repetition metrics (Rae et al. 2021, public):
+    top-token fraction, top-bigram fraction, duplicate-trigram fraction —
+    the standard signals a corpus-quality filter thresholds to drop
+    boilerplate and degenerate generations.
+
+    Shape: three explode→groupBy(doc_id, gram)→max/sum aggregations joined
+    back on doc_id. Deliberately NOT a per-row higher-order-function mode
+    computation (O(n·distinct) per doc — quadratic on long docs): the
+    explode shape is linear in corpus token count, map-side-combined, and
+    every join is on the same doc_id key the aggregations just hash-
+    partitioned by, so Catalyst reuses the exchange. n-gram arrays are
+    built with ``transform(sequence(...))`` over the token array —
+    codegen, no Python.
+    """
+    ws = _words()
+    base = documents.select(
+        "doc_id", ws.alias("ws"), F.size(ws).alias("n_tokens")
+    )
+    bigrams = F.when(
+        F.col("n_tokens") >= 2,
+        F.expr("transform(sequence(1, n_tokens - 1), i -> concat_ws(' ', ws[i-1], ws[i]))"),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    trigrams = F.when(
+        F.col("n_tokens") >= 3,
+        F.expr(
+            "transform(sequence(1, n_tokens - 2), i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+
+    def top_count(col):
+        return (
+            base.select("doc_id", F.explode(col).alias("g"))
+            .groupBy("doc_id", "g")
+            .count()
+            .groupBy("doc_id")
+            .agg(F.max("count"))
+        )
+
+    top_tok = top_count(F.col("ws")).withColumnRenamed("max(count)", "max_tok")
+    top_big = top_count(bigrams).withColumnRenamed("max(count)", "max_big")
+    tri = (
+        base.select("doc_id", F.explode(trigrams).alias("g"))
+        .groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(0)).alias("dup"),
+            F.sum("count").alias("tot"),
+        )
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(top_tok, "doc_id", "left")
+        .join(top_big, "doc_id", "left")
+        .join(tri, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.coalesce(F.col("max_tok"), F.lit(0)) / F.col("n_tokens"), 6)
+            .alias("top_token_frac"),
+            F.round(
+                F.coalesce(F.col("max_big"), F.lit(0))
+                / F.greatest(F.col("n_tokens") - 1, F.lit(1)),
+                6,
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.coalesce(F.col("dup"), F.lit(0))
+                / F.coalesce(F.col("tot"), F.lit(1)),
+                6,
+            ).alias("dup_trigram_frac"),
+        )
+    )
+
+
+REPETITION_STATS_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+tok AS (
+  SELECT doc_id, max(c) AS max_tok FROM (
+    SELECT doc_id, w, count(*) AS c
+    FROM (SELECT doc_id, unnest(ws) AS w FROM base) GROUP BY doc_id, w)
+  GROUP BY doc_id),
+big AS (
+  SELECT doc_id, max(c) AS max_big FROM (
+    SELECT doc_id, g, count(*) AS c
+    FROM (SELECT doc_id,
+                 unnest(CASE WHEN n >= 2
+                        THEN list_transform(range(1, n), i -> ws[i] || ' ' || ws[i+1])
+                        ELSE []::VARCHAR[] END) AS g
+          FROM base) GROUP BY doc_id, g)
+  GROUP BY doc_id),
+tri AS (
+  SELECT doc_id,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+         sum(c) AS tot
+  FROM (
+    SELECT doc_id, g, count(*) AS c
+    FROM (SELECT doc_id,
+                 unnest(CASE WHEN n >= 3
+                        THEN list_transform(range(1, n - 1),
+                                            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                        ELSE []::VARCHAR[] END) AS g
+          FROM base) GROUP BY doc_id, g)
+  GROUP BY doc_id)
+SELECT b.doc_id, b.n AS n_tokens,
+       round(coalesce(tok.max_tok, 0)::DOUBLE / b.n, 6) AS top_token_frac,
+       round(coalesce(big.max_big, 0)::DOUBLE / greatest(b.n - 1, 1), 6)
+         AS top_bigram_frac,
+       round(coalesce(tri.dup, 0)::DOUBLE / coalesce(tri.tot, 1), 6)
+         AS dup_trigram_frac
+FROM base b
+LEFT JOIN tok USING (doc_id)
+LEFT JOIN big USING (doc_id)
+LEFT JOIN tri USING (doc_id)
+"""

@@ -556,6 +556,11 @@ register(
     lambda spark, sf: TX.tfidf_top_terms(_docs(spark, sf)),
     TX.tfidf_top_terms_sql(),
 )
+register(
+    "text_repetition_stats",
+    lambda spark, sf: TX.repetition_stats(_docs(spark, sf)),
+    TX.REPETITION_STATS_SQL,
+)
 
 # similarity search family
 register(

@@ -244,3 +244,31 @@ def test_embedding_dedup_clusters_synthetic(spark):
     assert not any(got[i].is_canonical for i in (1, 2, 11))
     assert all(got[i].cluster_size == 3 for i in (0, 1, 2))
     assert all(got[i].cluster_size == 2 for i in (10, 11))
+
+
+def test_repetition_stats_known_values(spark):
+    """Hand-computed Gopher repetition metrics on a constructed doc."""
+    docs = spark.createDataFrame(
+        [
+            # tokens: a a a b  -> top token 3/4; bigrams: "a a" x2, "a b"
+            # -> top 2/3; trigrams: "a a a", "a a b" all unique -> dup 0
+            (1, "a a a b"),
+            # one token: bigram/trigram fracs must be 0, top token 1.0
+            (2, "solo"),
+            # a b a b a b: top token 3/6; bigrams "a b" x3 "b a" x2 -> 3/5;
+            # trigrams: "a b a" x2, "b a b" x2 -> all 4 duplicated -> 1.0
+            (3, "a b a b a b"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in TX.repetition_stats(docs).collect()}
+    assert got[1].n_tokens == 4
+    assert got[1].top_token_frac == 0.75
+    assert got[1].top_bigram_frac == round(2 / 3, 6)
+    assert got[1].dup_trigram_frac == 0.0
+    assert got[2].n_tokens == 1
+    assert (got[2].top_token_frac, got[2].top_bigram_frac,
+            got[2].dup_trigram_frac) == (1.0, 0.0, 0.0)
+    assert got[3].top_token_frac == 0.5
+    assert got[3].top_bigram_frac == 0.6
+    assert got[3].dup_trigram_frac == 1.0
