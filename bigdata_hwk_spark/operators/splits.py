@@ -25,7 +25,7 @@ transfers O(1).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_hash64, md5_hash64_sql
@@ -99,3 +99,145 @@ def leakage_safe_split(
 def split_counts(split_df: DataFrame) -> DataFrame:
     """(split, n_docs) — the O(1)-row summary the registry exposes."""
     return split_df.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+SAMPLE_SALT = "sample-v1"
+
+
+def stratified_sample(
+    documents: DataFrame, group_col: str = "lang", n_per_group: int = 20
+) -> DataFrame:
+    """(doc_id, <group_col>, rk) — deterministic equal-size per-stratum
+    sample: the ``n_per_group`` docs with the smallest salted hash in each
+    group (all of them when a group is smaller).
+
+    Why not ``df.sampleBy``: its strata fractions are partition-order- and
+    RNG-state-dependent, so two runs (or a re-layout) sample different
+    docs. Ordering each stratum by a salted md5 of the key is a pure
+    projection — reproducible across runs, re-layouts, engines (the
+    DuckDB oracle recomputes it), and appends (a new doc displaces at
+    most one sampled doc in its own stratum). Per-stratum window is one
+    hash-partitioned sort per group; a pathologically hot stratum at
+    100 TB would swap in the classic two-phase top-n (per-partition top-n
+    then global) without changing semantics, since top-n-by-hash is
+    associative.
+    """
+    hk = md5_hash64(
+        F.concat(F.lit(SAMPLE_SALT + ":"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(hk, F.col("doc_id"))
+    return (
+        documents.select("doc_id", group_col, F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= n_per_group)
+    )
+
+
+def stratified_sample_sql(
+    group_col: str = "lang", n_per_group: int = 20
+) -> str:
+    """DuckDB oracle: identical salted-hash ranking."""
+    hk = md5_hash64_sql(f"'{SAMPLE_SALT}:' || doc_id::VARCHAR")
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, {group_col},
+         row_number() OVER (PARTITION BY {group_col}
+                            ORDER BY {hk}, doc_id) AS rk
+  FROM documents)
+SELECT doc_id, {group_col}, rk FROM ranked WHERE rk <= {n_per_group}
+"""
+
+
+SHARD_SALT = "shard-v1"
+SHARD_TOKEN_BUDGET = 2500
+
+
+def training_shard_manifest(
+    documents: DataFrame, token_budget: int = SHARD_TOKEN_BUDGET
+) -> DataFrame:
+    """(shard_id, n_docs, sum_tokens) — contiguous token-budget packing of
+    the corpus in a deterministic shuffled order: the manifest a training
+    run reads to pull ~equal-token shards.
+
+    Two training-pipeline needs in one pass: a *global deterministic
+    shuffle* (order by salted md5 of the doc key — reproducible across
+    runs/re-layouts, no RNG state) and *token-aware sharding* (shard i =
+    docs whose cumulative-token start offset falls in
+    [i·budget, (i+1)·budget)).
+
+    The cumulative sum is a distributed scan, NOT a single-task global
+    window: range-repartition on the order key (partition p holds a
+    contiguous range, p < p+1), sort within partitions, persist to pin
+    the range sampler's bounds (same contract as ``stream_from_events``),
+    one light per-partition token-sum job whose P rows the driver folds
+    into start offsets, then a per-partition running-sum window plus the
+    broadcast offset. Every task touches ~1/P of the data; nothing
+    sequential anywhere.
+    """
+    from pyspark import StorageLevel
+
+    hk = md5_hash64(
+        F.concat(F.lit(SHARD_SALT + ":"), F.col("doc_id").cast("string"))
+    )
+    n_parts = max(documents.sparkSession.sparkContext.defaultParallelism, 1)
+    ordered = (
+        documents.select(
+            "doc_id",
+            hk.alias("hk"),
+            F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        )
+        .repartitionByRange(n_parts, "hk", "doc_id")
+        .sortWithinPartitions("hk", "doc_id")
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    psums = ordered.groupBy("__pid").agg(F.sum("n_tokens").alias("__t")).collect()
+    acc = 0
+    offsets = []
+    for r in sorted(psums, key=lambda r: r["__pid"]):
+        offsets.append((r["__pid"], acc))
+        acc += r["__t"]
+    off_df = documents.sparkSession.createDataFrame(
+        offsets, "__pid int, __off bigint"
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("hk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.col("__off") + F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        ordered.join(F.broadcast(off_df), "__pid")
+        .select("doc_id", "n_tokens", start.alias("start_tok"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(f"start_tok div {token_budget}").alias("shard_id"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+    )
+
+
+def training_shard_manifest_sql(token_budget: int = SHARD_TOKEN_BUDGET) -> str:
+    """DuckDB oracle: the same packing via a global window cumsum (fine at
+    oracle SF — the sequential scan is exactly what the engine avoids)."""
+    hk = md5_hash64_sql(f"'{SHARD_SALT}:' || doc_id::VARCHAR")
+    return f"""
+WITH t AS (
+  SELECT doc_id, {hk} AS hk,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT n_tokens,
+         sum(n_tokens) OVER (ORDER BY hk, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM t)
+SELECT (cum - n_tokens) // {token_budget} AS shard_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM c GROUP BY 1
+"""

@@ -518,6 +518,16 @@ register(
     HASH_SPLIT_COUNTS_SQL,
 )
 register(
+    "doc_stratified_sample",
+    lambda spark, sf: SP.stratified_sample(_docs(spark, sf)),
+    SP.stratified_sample_sql(),
+)
+register(
+    "training_shard_manifest",
+    lambda spark, sf: SP.training_shard_manifest(_docs(spark, sf)),
+    SP.training_shard_manifest_sql(),
+)
+register(
     "doc_leakage_safe_split_counts",
     lambda spark, sf: SP.split_counts(
         SP.leakage_safe_split(_docs(spark, sf), comp=_lsh_shared(spark, sf)[1])

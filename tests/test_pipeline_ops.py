@@ -272,3 +272,50 @@ def test_repetition_stats_known_values(spark):
     assert got[3].top_token_frac == 0.5
     assert got[3].top_bigram_frac == 0.6
     assert got[3].dup_trigram_frac == 1.0
+
+
+def test_stratified_sample_invariants(spark):
+    docs = _docs(spark, SF_CORRECT)
+    group_sizes = {r.lang: r.n for r in
+                   docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    rows = SP.stratified_sample(docs, n_per_group=20).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, size in group_sizes.items():
+        assert len(by_lang.get(lang, [])) == min(20, size)
+        rks = sorted(r.rk for r in by_lang[lang])
+        assert rks == list(range(1, len(rks) + 1))
+    # pure projection of a salted hash: two runs pick identical docs
+    again = {(r.lang, r.doc_id) for r in
+             SP.stratified_sample(docs, n_per_group=20).collect()}
+    assert {(r.lang, r.doc_id) for r in rows} == again
+
+
+def test_training_shard_manifest_packing_invariants(spark):
+    docs = _docs(spark, SF_CORRECT)
+    budget = 2500
+    rows = SP.training_shard_manifest(docs, token_budget=budget).collect()
+    n_docs_total = docs.count()
+    tok_total = docs.select(
+        F.sum(F.size(F.split("text", " ")))
+    ).first()[0]
+    max_doc = docs.select(
+        F.max(F.size(F.split("text", " ")))
+    ).first()[0]
+    assert sum(r.n_docs for r in rows) == n_docs_total
+    assert sum(r.sum_tokens for r in rows) == tok_total
+    sids = sorted(r.shard_id for r in rows)
+    assert sids == list(range(len(rows)))  # contiguous, 0-based
+    by_id = {r.shard_id: r for r in rows}
+    for sid in sids[:-1]:
+        # a full shard holds at least budget - (max_doc - 1) tokens (its
+        # last doc starts before the boundary) and at most
+        # budget + (max_doc - 1) (it may overhang)
+        assert budget - max_doc < by_id[sid].sum_tokens < budget + max_doc
+    # deterministic: same manifest on a re-run
+    again = sorted(
+        (r.shard_id, r.n_docs, r.sum_tokens)
+        for r in SP.training_shard_manifest(docs, token_budget=budget).collect()
+    )
+    assert again == sorted((r.shard_id, r.n_docs, r.sum_tokens) for r in rows)
