@@ -76,3 +76,27 @@ def streaming_exact_histogram(items: DataFrame) -> DataFrame:
     what the oracle checks (``true_frequent_items``).
     """
     return items.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication: emit the first arrival of each key,
+    drop every later duplicate that lands within the watermark.
+
+    The streaming face of the dedup family (batch exact dedup is
+    ``operators.dedup``): ingest pipelines re-deliver (at-least-once
+    sources, retried crawls), and deduping AT INGEST is cheaper than a
+    batch pass later. ``dropDuplicatesWithinWatermark`` keys the state
+    store by ``keys``; the watermark bounds state (keys older than it are
+    evicted), so state is O(keys per watermark window) per partition —
+    the unbounded-driver-dict trap (reference HWK_3/G029HW3.py:52-57)
+    never happens. Same body works in batch (watermark no-op,
+    ``dropDuplicates``-equivalent modulo which row survives — irrelevant
+    for key-only projections).
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

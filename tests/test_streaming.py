@@ -407,3 +407,52 @@ def test_stream_oracle_derived_from_stream_params():
     assert f"seq < {n}" in sql
     assert f"{phi!r} * {n}" in sql
     assert registry.stream_true_freq_sql(registry.CORRECTNESS_GATE_SF_DIR) == sql
+
+
+def test_streaming_dedup_across_microbatches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over a file stream replayed one file
+    per micro-batch: re-delivered events (same event_id in a later batch)
+    must be dropped; every distinct key is emitted exactly once."""
+    from bigdata_hwk_spark.sources.tables import load_table
+    from bigdata_hwk_spark.streaming.windowed import dedup_stream
+
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "ts").limit(200)
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    # batch 1: all 200; batch 2: a re-delivered overlapping half. The
+    # file source doesn't recurse, so flatten each write's part file
+    # into src/ under a stable name (lexicographic = delivery order).
+    import shutil
+
+    for name, df in [
+        ("b1.parquet", ev),
+        ("b2.parquet", ev.filter(F.col("event_id") % 2 == 0)),
+    ]:
+        staged = tmp_path / ("stage_" + name)
+        df.coalesce(1).write.parquet(str(staged))
+        part = next(staged.glob("part-*.parquet"))
+        shutil.move(str(part), str(src / name))
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        dedup_stream(stream, keys=("event_id",))
+        .select("event_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert q.lastProgress is None or len(q.recentProgress) >= 2
+        got = [r.event_id for r in spark.table("t_dedup").collect()]
+    finally:
+        q.stop()
+    want = {r.event_id for r in ev.collect()}
+    assert len(got) == len(set(got)), "duplicate keys emitted"
+    assert set(got) == want
