@@ -371,3 +371,73 @@ LEFT JOIN tok USING (doc_id)
 LEFT JOIN big USING (doc_id)
 LEFT JOIN tri USING (doc_id)
 """
+
+
+# Curation thresholds: all comparisons are on the ROUNDED per-doc metrics
+# both engines already hash-match on, so the keep decision is
+# engine-portable by construction.
+CURATION_MIN_QUALITY = 0.45
+CURATION_MAX_TOP_TOKEN = 0.12
+CURATION_MAX_DUP_TRIGRAM = 0.1
+CURATION_MIN_TOKENS = 25
+
+
+def curation_funnel(documents: DataFrame) -> DataFrame:
+    """(predicted_lang, kept, n_docs, sum_tokens) — the end-to-end corpus
+    curation decision: language ID × quality score × repetition filters ×
+    length floor, aggregated to the funnel report a pipeline operator
+    reads before committing a training mix.
+
+    Pure composition of the oracle-checked per-doc tables (``lang_id``,
+    ``quality_scores``, ``repetition_stats``): three equi-joins on
+    doc_id, all co-partitioned (each side was just hash-aggregated or
+    projected by the same key), then one grouped count/sum. At 100 TB
+    every input is a per-doc projection/aggregation of the same scan —
+    Catalyst collapses the shared ``documents`` scan, and the funnel adds
+    one small shuffle on (predicted_lang, kept).
+    """
+    metrics = (
+        lang_id(documents)
+        .select("doc_id", "predicted_lang")
+        .join(quality_scores(documents).select("doc_id", "quality_score"), "doc_id")
+        .join(
+            repetition_stats(documents).select(
+                "doc_id", "n_tokens", "top_token_frac", "dup_trigram_frac"
+            ),
+            "doc_id",
+        )
+    )
+    kept = (
+        (F.col("quality_score") >= CURATION_MIN_QUALITY)
+        & (F.col("top_token_frac") <= CURATION_MAX_TOP_TOKEN)
+        & (F.col("dup_trigram_frac") <= CURATION_MAX_DUP_TRIGRAM)
+        & (F.col("n_tokens") >= CURATION_MIN_TOKENS)
+    )
+    return (
+        metrics.select("predicted_lang", kept.alias("kept"), "n_tokens")
+        .groupBy("predicted_lang", "kept")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+    )
+
+
+def curation_funnel_sql() -> str:
+    """Oracle: the same funnel over the same per-doc CTE bodies."""
+    return f"""
+WITH lang AS ({LANG_ID_SQL}),
+q AS ({QUALITY_SCORES_SQL}),
+r AS ({REPETITION_STATS_SQL})
+SELECT lang.predicted_lang,
+       (q.quality_score >= {CURATION_MIN_QUALITY!r}
+        AND r.top_token_frac <= {CURATION_MAX_TOP_TOKEN!r}
+        AND r.dup_trigram_frac <= {CURATION_MAX_DUP_TRIGRAM!r}
+        AND r.n_tokens >= {CURATION_MIN_TOKENS}) AS kept,
+       count(*) AS n_docs,
+       CAST(sum(r.n_tokens) AS BIGINT) AS sum_tokens
+FROM lang
+JOIN q USING (doc_id)
+JOIN r USING (doc_id)
+GROUP BY 1, 2
+"""

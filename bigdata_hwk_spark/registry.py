@@ -571,6 +571,11 @@ register(
     lambda spark, sf: TX.repetition_stats(_docs(spark, sf)),
     TX.REPETITION_STATS_SQL,
 )
+register(
+    "curation_funnel",
+    lambda spark, sf: TX.curation_funnel(_docs(spark, sf)),
+    TX.curation_funnel_sql(),
+)
 
 # similarity search family
 register(

@@ -319,3 +319,23 @@ def test_training_shard_manifest_packing_invariants(spark):
         for r in SP.training_shard_manifest(docs, token_budget=budget).collect()
     )
     assert again == sorted((r.shard_id, r.n_docs, r.sum_tokens) for r in rows)
+
+
+def test_curation_funnel_consistent_with_components(spark):
+    """Funnel totals must equal the corpus; the kept predicate must agree
+    with applying the thresholds to the component per-doc tables."""
+    docs = _docs(spark, SF_CORRECT)
+    rows = TX.curation_funnel(docs).collect()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert {r.kept for r in rows} == {True, False}  # non-trivial split
+    q = {r.doc_id: r.quality_score for r in TX.quality_scores(docs).collect()}
+    rep = {r.doc_id: r for r in TX.repetition_stats(docs).collect()}
+    want_kept = sum(
+        1
+        for d in q
+        if q[d] >= TX.CURATION_MIN_QUALITY
+        and rep[d].top_token_frac <= TX.CURATION_MAX_TOP_TOKEN
+        and rep[d].dup_trigram_frac <= TX.CURATION_MAX_DUP_TRIGRAM
+        and rep[d].n_tokens >= TX.CURATION_MIN_TOKENS
+    )
+    assert sum(r.n_docs for r in rows if r.kept) == want_kept
