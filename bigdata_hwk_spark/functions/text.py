@@ -441,3 +441,88 @@ JOIN q USING (doc_id)
 JOIN r USING (doc_id)
 GROUP BY 1, 2
 """
+
+
+# PII patterns restricted to syntax that Java regex (Spark) and RE2
+# (DuckDB) interpret identically: character classes, bounded/unbounded
+# repetition, alternation-free. No backreferences, no lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL = r"https?://[^ ]+"
+PII_PHONE = r"\+[0-9][0-9-]{7,}[0-9]"
+_PII_ORDER = (  # email first: an address inside a URL must scrub as URL
+    ("n_urls", PII_URL, "<URL>"),
+    ("n_emails", PII_EMAIL, "<EMAIL>"),
+    ("n_phones", PII_PHONE, "<PHONE>"),
+)
+
+
+def pii_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_urls, n_emails, n_phones, clean_hash) — regex PII
+    redaction, the pass every public training corpus runs before release.
+
+    Counts then replaces URLs → emails → phones (fixed order: an email
+    inside a URL authority must count once, as a URL). Everything is
+    ``regexp_count``/``regexp_replace`` inside whole-stage codegen — a
+    pure per-row projection, zero shuffle at any scale. The scrubbed text
+    itself stays distributed; only its md5 leaves the executor, so the
+    registry query's driver transfer is O(rows), not O(corpus bytes).
+    """
+    cur = F.col(text_col)
+    counts = []
+    for alias, pat, token in _PII_ORDER:
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(alias))
+        cur = F.regexp_replace(cur, pat, token)
+    return documents.select(
+        "doc_id", *counts, F.md5(cur).alias("clean_hash")
+    )
+
+
+def pii_scrub_sql(text_expr: str = "text") -> str:
+    """DuckDB oracle: same patterns, same order, global-flag replaces."""
+    cur = text_expr
+    cols = []
+    for alias, pat, token in _PII_ORDER:
+        cols.append(f"len(regexp_extract_all({cur}, '{pat}')) AS {alias}")
+        cur = f"regexp_replace({cur}, '{pat}', '{token}', 'g')"
+    cols_sql = ",\n       ".join(cols)
+    return f"""
+SELECT doc_id,
+       {cols_sql},
+       md5({cur}) AS clean_hash
+FROM documents
+"""
+
+
+def doctor_pii(documents: DataFrame) -> DataFrame:
+    """Deterministically embed synthetic PII into the fixture text (the
+    corpus itself is PII-free, which would make the scrub a no-op): every
+    3rd doc gains an email, every 5th a URL, every 7th a phone number.
+    The DuckDB twin is ``DOCTOR_PII_SQL_EXPR``."""
+    did = F.col("doc_id")
+    text = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" mail user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" see https://site"), did.cast("string"), F.lit(".example/p")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" call +1555"), F.lpad(did.cast("string"), 7, "0")),
+        ).otherwise(F.lit("")),
+    )
+    return documents.select("doc_id", text.alias("text"))
+
+
+DOCTOR_PII_SQL_EXPR = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0"
+    " THEN ' mail user' || doc_id::VARCHAR || '@example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0"
+    " THEN ' see https://site' || doc_id::VARCHAR || '.example/p' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0"
+    " THEN ' call +1555' || lpad(doc_id::VARCHAR, 7, '0') ELSE '' END"
+)

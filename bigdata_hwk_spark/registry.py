@@ -576,6 +576,11 @@ register(
     lambda spark, sf: TX.curation_funnel(_docs(spark, sf)),
     TX.curation_funnel_sql(),
 )
+register(
+    "pii_scrub",
+    lambda spark, sf: TX.pii_scrub(TX.doctor_pii(_docs(spark, sf))),
+    TX.pii_scrub_sql(f"({TX.DOCTOR_PII_SQL_EXPR})"),
+)
 
 # similarity search family
 register(

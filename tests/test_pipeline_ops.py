@@ -339,3 +339,27 @@ def test_curation_funnel_consistent_with_components(spark):
         and rep[d].n_tokens >= TX.CURATION_MIN_TOKENS
     )
     assert sum(r.n_docs for r in rows if r.kept) == want_kept
+
+
+def test_pii_scrub_known_values(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "write to bob.smith+x@mail.example.org today"),
+            (2, "docs at https://ex.com/a?b=1 and http://y.io/z"),
+            (3, "call +1-555-0100200 or +49-30-1234567 now"),
+            # an email-shaped string inside a URL must scrub as URL only
+            (4, "https://ex.com/u@example.com rest"),
+            (5, "no pii here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in TX.pii_scrub(docs).collect()}
+    assert (got[1].n_emails, got[1].n_urls, got[1].n_phones) == (1, 0, 0)
+    assert (got[2].n_emails, got[2].n_urls, got[2].n_phones) == (0, 2, 0)
+    assert (got[3].n_emails, got[3].n_urls, got[3].n_phones) == (0, 0, 2)
+    assert (got[4].n_emails, got[4].n_urls) == (0, 1)
+    assert (got[5].n_emails, got[5].n_urls, got[5].n_phones) == (0, 0, 0)
+    # nothing PII-shaped survives a scrub
+    import hashlib
+
+    assert got[5].clean_hash == hashlib.md5(b"no pii here").hexdigest()
