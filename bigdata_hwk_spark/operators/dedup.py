@@ -377,6 +377,18 @@ def _minhash_from_shingles(ex: DataFrame, h: int = MINHASH_H) -> DataFrame:
     )
 
 
+def _band_keys(sig: DataFrame, r: int) -> DataFrame:
+    """(doc_id, bk): per-band 8-byte LSH bucket keys from a (doc_id, i,
+    mh) signature table. Band key = xxhash64(band, ordered minhash
+    slice) — constant-width shuffle keys at any H."""
+    return (
+        sig.withColumn("band", (F.col("i") / r).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("slice_"))
+        .select("doc_id", F.xxhash64("band", F.col("slice_.mh")).alias("bk"))
+    )
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     tau: float = JACCARD_TAU,
@@ -408,15 +420,7 @@ def minhash_lsh_pairs(
     # case and then verifies on the (identical) cut table.
     ex_cut, sh_all = _shingle_index(documents, cut)
     verify_ex = ex_cut if sh_all is None else sh_all
-    sig = _minhash_from_shingles(ex_cut, h)
-    band_sig = (
-        sig.withColumn("band", (F.col("i") / r).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("slice_"))
-        .select(
-            "doc_id", F.xxhash64("band", F.col("slice_.mh")).alias("bk")
-        )
-    )
+    band_sig = _band_keys(_minhash_from_shingles(ex_cut, h), r)
     a = band_sig.alias("a")
     b = band_sig.alias("b")
     cand = (
@@ -770,4 +774,85 @@ SELECT doc_id, cluster_id,
        count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
        doc_id = cluster_id AS is_canonical
 FROM comp
+"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest dedup (new batch vs existing corpus)
+# ---------------------------------------------------------------------------
+
+def incremental_lsh_pairs(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    tau: float = JACCARD_TAU,
+    h: int = MINHASH_H,
+    bands: int = MINHASH_BANDS,
+    cut: int = SHINGLE_DF_CUT,
+) -> DataFrame:
+    """(new_doc, corpus_doc, jaccard) — near-dups of an INCOMING batch
+    against an EXISTING corpus, without re-pairing the corpus with
+    itself.
+
+    The batch-ingest sibling of ``streaming.windowed.dedup_stream``
+    (which handles exact re-delivery): every refresh of a 100 TB corpus
+    asks "which new docs near-duplicate something we already have?", and
+    running ``minhash_lsh_pairs`` on the union wastes almost all its
+    candidate volume on corpus×corpus pairs that were already
+    adjudicated. Here the LSH band join is *bipartite* — incoming band
+    keys against corpus band keys only — so candidate volume scales with
+    the batch, not the corpus. In production the corpus side of the band
+    table is a materialized index, append-only across ingests; this
+    function recomputes it (same plan shape) since the fixture has no
+    index store.
+
+    Semantics: exactly the full pipeline on ``incoming ∪ corpus``
+    restricted to cross pairs — shingles, the hot-shingle DF cut, and
+    minhash parameters are all computed over the union, so the oracle
+    (full-corpus SQL filtered to cross pairs) matches by construction.
+    Doc ids must be disjoint across the two inputs.
+    """
+    r = h // bands
+    tagged = incoming.select("doc_id", "text").withColumn(
+        "is_new", F.lit(True)
+    ).unionByName(
+        corpus.select("doc_id", "text").withColumn("is_new", F.lit(False))
+    )
+    ex_cut, sh_all = _shingle_index(tagged.select("doc_id", "text"), cut)
+    verify_ex = ex_cut if sh_all is None else sh_all
+    band_sig = _band_keys(_minhash_from_shingles(ex_cut, h), r).join(
+        tagged.select("doc_id", "is_new"), "doc_id"
+    )
+    a = band_sig.filter(F.col("is_new")).alias("a")
+    b = band_sig.filter(~F.col("is_new")).alias("b")
+    cand = (
+        a.join(b, F.col("a.bk") == F.col("b.bk"))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            F.col("a.doc_id").alias("new_doc"),
+            F.col("b.doc_id").alias("corpus_doc"),
+        )
+        .distinct()
+    )
+    return (
+        _verify_candidates(verify_ex, cand, tau)
+        .select("new_doc", "corpus_doc", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def incremental_lsh_pairs_sql(
+    incoming_pred: str, tau: float = JACCARD_TAU
+) -> str:
+    """Oracle: the full-union LSH pair SQL restricted to pairs that cross
+    the ``incoming_pred`` boundary, re-oriented (new first)."""
+    return f"""
+WITH full_pairs AS ({minhash_lsh_pairs_sql(tau)})
+SELECT CASE WHEN ({incoming_pred.replace('doc_id', 'doc_a')}) THEN doc_a ELSE doc_b END
+         AS new_doc,
+       CASE WHEN ({incoming_pred.replace('doc_id', 'doc_a')}) THEN doc_b ELSE doc_a END
+         AS corpus_doc,
+       jaccard
+FROM full_pairs
+WHERE ({incoming_pred.replace('doc_id', 'doc_a')})
+      <> ({incoming_pred.replace('doc_id', 'doc_b')})
 """

@@ -478,6 +478,14 @@ register(
 # propagation) → canonical doc per cluster. Oracle = recursive-CTE
 # transitive closure over the identical pair set.
 register(
+    "dedup_incremental_ingest",
+    lambda spark, sf: D.incremental_lsh_pairs(
+        _docs(spark, sf).filter("doc_id % 5 = 0"),
+        _docs(spark, sf).filter("doc_id % 5 != 0"),
+    ),
+    D.incremental_lsh_pairs_sql("doc_id % 5 = 0"),
+)
+register(
     "dedup_clusters",
     lambda spark, sf: D.dedup_clusters(
         _docs(spark, sf), comp=_lsh_shared(spark, sf)[1]

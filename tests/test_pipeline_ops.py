@@ -363,3 +363,24 @@ def test_pii_scrub_known_values(spark):
     import hashlib
 
     assert got[5].clean_hash == hashlib.md5(b"no pii here").hexdigest()
+
+
+def test_incremental_lsh_matches_full_pipeline_cross_pairs(spark):
+    """Bipartite ingest dedup must equal the full-union LSH pair set
+    restricted to pairs crossing the incoming/corpus boundary."""
+    docs = _docs(spark, SF_CORRECT)
+    incoming = docs.filter("doc_id % 5 = 0")
+    corpus = docs.filter("doc_id % 5 != 0")
+    got = {
+        (r.new_doc, r.corpus_doc, r.jaccard)
+        for r in D.incremental_lsh_pairs(incoming, corpus).collect()
+    }
+    full = D.minhash_lsh_pairs(docs).collect()
+    want = {
+        (p.doc_a, p.doc_b, p.jaccard) if p.doc_a % 5 == 0
+        else (p.doc_b, p.doc_a, p.jaccard)
+        for p in full
+        if (p.doc_a % 5 == 0) != (p.doc_b % 5 == 0)
+    }
+    assert got == want
+    assert all(n % 5 == 0 and c % 5 != 0 for n, c, _ in got)
