@@ -384,3 +384,17 @@ def test_incremental_lsh_matches_full_pipeline_cross_pairs(spark):
     }
     assert got == want
     assert all(n % 5 == 0 and c % 5 != 0 for n, c, _ in got)
+
+
+def test_shard_manifest_plan_has_no_single_partition_stage(spark):
+    """The prefix-sum must never degrade to a single-task global window
+    (the scale-killer the distributed scan exists to avoid)."""
+    docs = _docs(spark, SF_CORRECT)
+    plan = (
+        SP.training_shard_manifest(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan
+    assert "windowspecdefinition(__pid" in plan  # cumsum is per-partition
