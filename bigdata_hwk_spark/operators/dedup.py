@@ -233,6 +233,7 @@ def ngram_jaccard_pairs(
     documents: DataFrame,
     tau: float = JACCARD_TAU,
     cut: int = SHINGLE_DF_CUT,
+    index: tuple[DataFrame, DataFrame | None] | None = None,
 ) -> DataFrame:
     """Near-dup pairs with shingle-set Jaccard ≥ tau (rounded to 6).
 
@@ -243,8 +244,13 @@ def ngram_jaccard_pairs(
     the cut is a no-op (``_shingle_index`` probes this), the single
     inverted-index join is already exact and runs exchange-free on the
     shingle-partitioned persisted table; only an active cut pays the
-    two-phase candidates→uncut-verify cost."""
-    ex_cut, sh_all = _shingle_index(documents, cut)
+    two-phase candidates→uncut-verify cost.
+
+    ``index`` injects a precomputed ``_shingle_index`` result — the
+    registry builds ONE persisted shingle table per (session, corpus)
+    and shares it between the Jaccard and MinHash families (each call
+    otherwise re-shingles and re-persists the corpus)."""
+    ex_cut, sh_all = index if index is not None else _shingle_index(documents, cut)
     if sh_all is None:
         return (
             _pair_jaccard(ex_cut)
@@ -395,6 +401,7 @@ def minhash_lsh_pairs(
     h: int = MINHASH_H,
     bands: int = MINHASH_BANDS,
     cut: int = SHINGLE_DF_CUT,
+    index: tuple[DataFrame, DataFrame | None] | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard.
 
@@ -418,7 +425,7 @@ def minhash_lsh_pairs(
     # runs against the uncut table so reported Jaccard is true full-set
     # Jaccard (round-2 ADVICE); ``_shingle_index`` probes for the no-op
     # case and then verifies on the (identical) cut table.
-    ex_cut, sh_all = _shingle_index(documents, cut)
+    ex_cut, sh_all = index if index is not None else _shingle_index(documents, cut)
     verify_ex = ex_cut if sh_all is None else sh_all
     band_sig = _band_keys(_minhash_from_shingles(ex_cut, h), r)
     a = band_sig.alias("a")

