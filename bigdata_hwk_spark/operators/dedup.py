@@ -795,10 +795,16 @@ def incremental_lsh_pairs(
     h: int = MINHASH_H,
     bands: int = MINHASH_BANDS,
     cut: int = SHINGLE_DF_CUT,
+    index: tuple[DataFrame, DataFrame | None] | None = None,
 ) -> DataFrame:
     """(new_doc, corpus_doc, jaccard) — near-dups of an INCOMING batch
     against an EXISTING corpus, without re-pairing the corpus with
     itself.
+
+    ``index`` injects a precomputed ``_shingle_index`` — valid ONLY when
+    it was built over exactly ``incoming ∪ corpus`` (the registry passes
+    the session-shared index because its incoming/corpus split partitions
+    the full ``documents`` table).
 
     The batch-ingest sibling of ``streaming.windowed.dedup_stream``
     (which handles exact re-delivery): every refresh of a 100 TB corpus
@@ -824,7 +830,10 @@ def incremental_lsh_pairs(
     ).unionByName(
         corpus.select("doc_id", "text").withColumn("is_new", F.lit(False))
     )
-    ex_cut, sh_all = _shingle_index(tagged.select("doc_id", "text"), cut)
+    ex_cut, sh_all = (
+        index if index is not None
+        else _shingle_index(tagged.select("doc_id", "text"), cut)
+    )
     verify_ex = ex_cut if sh_all is None else sh_all
     band_sig = _band_keys(_minhash_from_shingles(ex_cut, h), r).join(
         tagged.select("doc_id", "is_new"), "doc_id"

@@ -507,6 +507,7 @@ register(
     lambda spark, sf: D.incremental_lsh_pairs(
         _docs(spark, sf).filter("doc_id % 5 = 0"),
         _docs(spark, sf).filter("doc_id % 5 != 0"),
+        index=_shingle_shared(spark, sf),
     ),
     D.incremental_lsh_pairs_sql("doc_id % 5 = 0"),
 )
