@@ -205,7 +205,7 @@ def training_shard_manifest(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     start = F.col("__off") + F.sum("n_tokens").over(w) - F.col("n_tokens")
-    return (
+    out = (
         ordered.join(F.broadcast(off_df), "__pid")
         .select("doc_id", "n_tokens", start.alias("start_tok"))
         .select(
@@ -219,6 +219,13 @@ def training_shard_manifest(
             F.sum("n_tokens").alias("sum_tokens"),
         )
     )
+    # release the pinned sort once the caller drops the result (repeated
+    # calls would otherwise accumulate executor storage); a re-executed
+    # plan after that simply re-sorts.
+    import weakref
+
+    weakref.finalize(out, ordered.unpersist)
+    return out
 
 
 def training_shard_manifest_sql(token_budget: int = SHARD_TOKEN_BUDGET) -> str:
