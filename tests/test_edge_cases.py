@@ -97,3 +97,26 @@ def test_similarity_family_empty_corpus(frames):
     assert SIM.cosine_topk_bruteforce(embs0).count() == 0
     # single vector: no pairs, but no crash either
     assert SIM.similar_pairs_threshold(frames["embs1"]).count() == 0
+
+
+def test_round3_ops_empty_and_single_doc(frames, spark):
+    docs0 = frames["docs0"]
+    docs1 = spark.createDataFrame(
+        [(1, "en", "one tiny doc")], "doc_id long, lang string, text string"
+    )
+    assert TX.repetition_stats(docs0).count() == 0
+    assert TX.repetition_stats(docs1).count() == 1
+    assert TX.curation_funnel(docs0).count() == 0
+    assert TX.pii_scrub(docs0).count() == 0
+    assert SP.stratified_sample(docs0).count() == 0
+    assert SP.stratified_sample(docs1).count() == 1
+    assert SP.training_shard_manifest(docs0).count() == 0
+    m = SP.training_shard_manifest(docs1).collect()
+    assert len(m) == 1 and m[0].shard_id == 0 and m[0].n_docs == 1
+    assert D.incremental_lsh_pairs(docs0, docs1).count() == 0
+    assert D.incremental_lsh_pairs(docs1, docs0).count() == 0
+
+
+def test_round3_embedding_clusters_empty(frames):
+    assert SIM.embedding_dedup_clusters(frames["embs0"]).count() == 0
+    assert SIM.embedding_dedup_clusters(frames["embs1"]).count() == 0
