@@ -178,3 +178,34 @@ def test_hw3_cli_usage():
     buf = io.StringIO()
     assert cli.hw3_main(["1", "2"], out=buf) == 1
     assert buf.getvalue().startswith("Usage: hw3 ")
+
+
+def test_curate_pipeline_funnel_and_write(spark, tmp_path):
+    """End-to-end curation: counts must be monotone down the funnel, the
+    split sum must equal the kept corpus, and the parquet output must be
+    hive-partitioned by split and round-trip to the same assignment."""
+    from bigdata_hwk_spark.pipeline import curate_corpus
+
+    out = str(tmp_path / "curated")
+    split, report = curate_corpus(spark, "/root/testdata/sf0.001", out)
+    vals = {l.split(" = ")[0]: int(l.split(" = ")[1]) for l in report}
+    assert (
+        vals["Docs in corpus"]
+        >= vals["After exact dedup"]
+        >= vals["After near-dup collapse"]
+        >= vals["After quality funnel"]
+        > 0
+    )
+    assert (
+        vals["Split train"] + vals["Split valid"] + vals["Split test"]
+        == vals["After quality funnel"]
+    )
+    back = spark.read.parquet(out)
+    assert sorted(back.columns) == ["doc_id", "split"]
+    got = {(r.doc_id, r.split) for r in back.collect()}
+    assert got == {(r.doc_id, r.split) for r in split.collect()}
+    import os
+
+    assert {d for d in os.listdir(out) if d.startswith("split=")} == {
+        "split=train", "split=valid", "split=test"
+    }
