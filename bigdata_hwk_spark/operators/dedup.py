@@ -54,9 +54,9 @@ SIMHASH_CHUNKS = SIMHASH_K + 1  # pigeonhole: k diffs can't hit all k+1 chunks
 # Shingling (shared by Jaccard + MinHash)
 # ---------------------------------------------------------------------------
 
-def doc_shingles(documents: DataFrame) -> DataFrame:
-    """(doc_id, sh) — exploded distinct word-3-gram shingles; docs shorter
-    than one shingle drop out (same in the oracle).
+def doc_shingles(documents: DataFrame, w: int = SHINGLE_W) -> DataFrame:
+    """(doc_id, sh) — exploded distinct word-``w``-gram shingles; docs
+    shorter than one shingle drop out (same in the oracle).
 
     The split word array is materialized into its own projection before the
     shingle transform: referencing the raw ``split(text)`` expression from
@@ -74,13 +74,13 @@ def doc_shingles(documents: DataFrame) -> DataFrame:
     """
     ws_df = documents.select(
         "doc_id", F.split(F.col("text"), " ").alias("ws")
-    ).filter(F.size("ws") >= SHINGLE_W)
+    ).filter(F.size("ws") >= w)
     shingles = F.when(
-        F.size("ws") >= SHINGLE_W,
+        F.size("ws") >= w,
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(1), F.size("ws") - (SHINGLE_W - 1)),
-                lambda i: F.array_join(F.slice(F.col("ws"), i, SHINGLE_W), " "),
+                F.sequence(F.lit(1), F.size("ws") - (w - 1)),
+                lambda i: F.array_join(F.slice(F.col("ws"), i, w), " "),
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
@@ -112,17 +112,19 @@ def shingle_df_cut(ex: DataFrame, cut: int = SHINGLE_DF_CUT) -> DataFrame:
     )
 
 
-def shingles_sql() -> str:
+def shingles_sql(w: int = SHINGLE_W, table: str = "documents") -> str:
     """DuckDB CTE body producing the identical (doc_id, sh) rows."""
+    concat = " || ' ' || ".join(
+        f"string_split(text, ' ')[i+{k}]" if k else "string_split(text, ' ')[i]"
+        for k in range(w)
+    )
     return f"""
 SELECT DISTINCT doc_id, sh FROM (
   SELECT doc_id,
          unnest(list_transform(
-           generate_series(1, len(string_split(text, ' ')) - {SHINGLE_W - 1}),
-           i -> string_split(text, ' ')[i] || ' ' ||
-                string_split(text, ' ')[i+1] || ' ' ||
-                string_split(text, ' ')[i+2])) AS sh
-  FROM documents)
+           generate_series(1, len(string_split(text, ' ')) - {w - 1}),
+           i -> {concat})) AS sh
+  FROM {table})
 """
 
 
@@ -871,4 +873,58 @@ SELECT CASE WHEN ({incoming_pred.replace('doc_id', 'doc_a')}) THEN doc_a ELSE do
 FROM full_pairs
 WHERE ({incoming_pred.replace('doc_id', 'doc_a')})
       <> ({incoming_pred.replace('doc_id', 'doc_b')})
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (eval-set n-gram overlap)
+# ---------------------------------------------------------------------------
+
+DECONTAM_W = 8  # overlap n-gram width (longer than dedup shingles: a hit
+                # must be verbatim benchmark text, not shared phrasing)
+
+
+def contamination_check(
+    corpus: DataFrame, eval_docs: DataFrame, w: int = DECONTAM_W
+) -> DataFrame:
+    """(doc_id, n_overlap_shingles, n_eval_docs_hit) — training docs that
+    share ≥1 verbatim word-``w``-gram with any eval/benchmark document:
+    the decontamination pass run before training so eval numbers aren't
+    inflated by memorized test items.
+
+    Same bipartite inverted-index shape as ``incremental_lsh_pairs``:
+    both sides shingle (distinct per doc), equi-join on the shingle, so
+    only docs sharing an exact n-gram ever meet — candidate volume scales
+    with the eval set, which is tiny by construction. At 100 TB the
+    corpus side streams through the join against a broadcast-or-shuffled
+    eval index; a DF cut is deliberately NOT applied — at ``w`` = 8 a
+    hot shingle IS the contamination signal, and dropping it would hide
+    hits.
+    """
+    c = doc_shingles(corpus, w=w)
+    e = doc_shingles(eval_docs, w=w).select(
+        F.col("doc_id").alias("eval_id"), "sh"
+    )
+    return (
+        c.join(e, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sh").alias("n_overlap_shingles"),
+            F.countDistinct("eval_id").alias("n_eval_docs_hit"),
+        )
+    )
+
+
+def contamination_check_sql(eval_pred: str, w: int = DECONTAM_W) -> str:
+    """Oracle: same join over the same shingle CTE, the corpus/eval sides
+    selected by ``eval_pred`` over doc_id."""
+    return f"""
+WITH sh AS ({shingles_sql(w)}),
+c AS (SELECT doc_id, sh FROM sh WHERE NOT ({eval_pred})),
+e AS (SELECT doc_id AS eval_id, sh FROM sh WHERE {eval_pred})
+SELECT c.doc_id,
+       count(DISTINCT c.sh) AS n_overlap_shingles,
+       count(DISTINCT e.eval_id) AS n_eval_docs_hit
+FROM c JOIN e USING (sh)
+GROUP BY c.doc_id
 """

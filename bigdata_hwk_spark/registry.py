@@ -512,6 +512,14 @@ register(
     D.incremental_lsh_pairs_sql("doc_id % 5 = 0"),
 )
 register(
+    "decontamination_check",
+    lambda spark, sf: D.contamination_check(
+        _docs(spark, sf).filter("doc_id % 7 != 0"),
+        _docs(spark, sf).filter("doc_id % 7 = 0"),
+    ),
+    D.contamination_check_sql("doc_id % 7 = 0"),
+)
+register(
     "dedup_clusters",
     lambda spark, sf: D.dedup_clusters(
         _docs(spark, sf), comp=_lsh_shared(spark, sf)[1]

@@ -398,3 +398,26 @@ def test_shard_manifest_plan_has_no_single_partition_stage(spark):
     )
     assert "SinglePartition" not in plan
     assert "windowspecdefinition(__pid" in plan  # cumsum is per-partition
+
+
+def test_contamination_check_known_values(spark):
+    """A corpus doc quoting an eval doc's 8-gram verbatim is flagged with
+    the right overlap counts; clean docs are absent."""
+    eight = "alpha beta gamma delta epsilon zeta eta theta"
+    evals = spark.createDataFrame(
+        [(100, f"{eight} iota kappa"), (101, "totally different benchmark words here ok fine yes")],
+        "doc_id bigint, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # quotes the full 8-gram once (plus one shifted 8-gram from
+            # the 9-word overlap region: 'beta..iota')
+            (1, f"intro words {eight} iota outro"),
+            (2, "clean document with no overlap at all whatsoever truly"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in D.contamination_check(corpus, evals).collect()}
+    assert set(got) == {1}
+    assert got[1].n_overlap_shingles == 2
+    assert got[1].n_eval_docs_hit == 1
