@@ -119,9 +119,13 @@ def _decode_real(payload: bytes, media_type: str) -> tuple[int, int, int]:
 
 
 def _decode_stub(payload: bytes, media_type: str) -> tuple[int, int, int]:
-    """Deterministic fake 'decode': width/height/frames derived from the
-    payload bytes — exercises the exact same dataflow as a real decoder."""
-    h = hashlib.sha1(payload).digest()
+    """Deterministic fake 'decode': width/height/frames read directly from
+    the payload's leading bytes — exercises the exact same dataflow as a
+    real decoder, and (unlike a second hash of the blob) is expressible
+    in the DuckDB oracle, so the whole Arrow/mapInPandas plumbing is
+    hash-checked end-to-end, not just rows-only. Hash fallback keeps the
+    stub total on payloads shorter than 3 bytes."""
+    h = payload if len(payload) >= 3 else hashlib.sha1(payload).digest()
     width = 16 + h[0] % 640
     height = 16 + h[1] % 480
     n_frames = 1 if media_type == "image" else 1 + h[2] % 240
@@ -253,3 +257,29 @@ def media_feature_summary(media: DataFrame) -> DataFrame:
             F.max("n_frames").alias("max_frames"),
         )
     )
+
+
+# Oracle for the STUB decode path over synth_media(documents): the fake
+# payload is unhex(md5(text)), so its leading bytes — and therefore the
+# stub's width/height/n_frames — are pure SQL over the md5 hex. This
+# verifies the Python-side Arrow kernel against an independent engine;
+# a real-decoder deployment (stub=False) has no SQL twin by nature.
+MEDIA_FEATURE_SUMMARY_SQL = """
+WITH feats AS (
+  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         ELSE 'video' END AS media_type,
+         16 AS n_bytes,
+         16 + ('0x' || substr(md5(text), 1, 2))::INT % 640 AS width,
+         16 + ('0x' || substr(md5(text), 3, 2))::INT % 480 AS height,
+         CASE WHEN doc_id % 3 = 0 THEN 1
+              ELSE 1 + ('0x' || substr(md5(text), 5, 2))::INT % 240
+         END AS n_frames
+  FROM documents)
+SELECT media_type,
+       count(*) AS n_items,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       round(avg(width), 4) AS avg_width,
+       round(avg(height), 4) AS avg_height,
+       CAST(max(n_frames) AS INTEGER) AS max_frames
+FROM feats GROUP BY media_type
+"""

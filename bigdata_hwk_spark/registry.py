@@ -674,9 +674,11 @@ register("ann_lsh_pairs", lambda spark, sf: SIM.ann_lsh_pairs(_embs(spark, sf)))
 # SQL-expressible → rows-only; recall vs brute force is property-tested.
 register("ann_ivf_topk", lambda spark, sf: SIM.ann_ivf_topk(_embs(spark, sf)))
 
-# multimodal plumbing (decode is stubbed — rows-only; Arrow batch shape
-# and schema are pytest-verified)
+# multimodal: the stub decode derives features from the payload's own
+# leading bytes, so the Arrow/mapInPandas kernel is fully oracle-checked
+# (a real-decoder deployment has no SQL twin and would be rows-only)
 register(
     "media_feature_summary",
     lambda spark, sf: MM.media_feature_summary(MM.synth_media(_docs(spark, sf))),
+    MM.MEDIA_FEATURE_SUMMARY_SQL,
 )
