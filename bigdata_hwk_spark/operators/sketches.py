@@ -1,0 +1,126 @@
+"""Count-min sketch as a DataFrame (declarative, mergeable, oracle-checked).
+
+The reference's approximate-frequency operators (Reservoir, Sticky
+Sampling — SURVEY.md §2.5, reference HWK_3/G029HW3.py:10-29) are
+driver-state algorithms; the Spark-native sibling is a *distributed*
+frequency sketch: a (row, bucket) → count table built with one
+explode + groupBy, additive under union (merge two sketches by summing
+matching cells — the property that lets every executor sketch its
+partition and the shuffle combine them, which is exactly what the
+partial/final hash aggregate already does here), with point queries as a
+min over d cells.
+
+Width/depth give the classic guarantee: est ≥ true, and
+est ≤ true + εN with probability 1−δ for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉.
+Hashing is the engine-portable md5 (functions/hashing.py), so sketch
+AND estimates are bit-reproducible in DuckDB — the registry query
+hash-matches estimates joined against true counts, making the
+overestimate directly visible (and test-bounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_hash64, md5_hash64_sql
+
+CMS_D = 4     # depth (independent hash rows): δ = e^-4 ≈ 1.8%
+CMS_W = 512   # width (buckets per row): ε = e/512 ≈ 0.53%
+
+
+def cms_sketch(
+    items: DataFrame, item_col: str = "item", d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """(r, b, cnt) — the sketch table: d·w cells max, built in ONE
+    explode + groupBy pass (map-side combined; the shuffle carries at
+    most d·w rows per partition regardless of stream length)."""
+    rows = items.select(
+        F.col(item_col).cast("string").alias("it"),
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("r"),
+    )
+    bucket = (
+        md5_hash64(F.concat(F.lit("cms"), F.col("r"), F.lit(":"), F.col("it")))
+        % w
+    )
+    return (
+        rows.select("r", bucket.alias("b"))
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimates(
+    items: DataFrame,
+    query: DataFrame,
+    item_col: str = "item",
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """(item, est_cnt, true_cnt) for every item in ``query`` — point
+    queries (min over the d matching cells) side-by-side with the exact
+    count, so the CM overestimate is directly observable. The probe is a
+    broadcast-able equi-join of d·|query| probe rows against the ≤ d·w
+    cell table; the exact counts reuse the same aggregation shuffle
+    shape. Items absent from the stream estimate 0 only when ALL their
+    cells are empty (CM never underestimates)."""
+    sk = cms_sketch(items, item_col, d, w)
+    probes = query.select(F.col(item_col).cast("string").alias("it")).distinct()
+    probes = probes.select(
+        "it", F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("r")
+    )
+    bucket = (
+        md5_hash64(F.concat(F.lit("cms"), F.col("r"), F.lit(":"), F.col("it")))
+        % w
+    )
+    probed = (
+        probes.select("it", "r", bucket.alias("b"))
+        .join(sk, ["r", "b"], "left")
+        .groupBy("it")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
+    )
+    true_cnt = (
+        items.select(F.col(item_col).cast("string").alias("it"))
+        .groupBy("it")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
+    return (
+        probed.join(true_cnt, "it", "left")
+        .select(
+            F.col("it").alias("item"),
+            "est_cnt",
+            F.coalesce("true_cnt", F.lit(0)).alias("true_cnt"),
+        )
+    )
+
+
+def cms_estimates_sql(
+    items_body: str,
+    query_pred: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> str:
+    """DuckDB oracle: identical sketch construction and probe.
+
+    ``items_body`` — SQL body yielding (it VARCHAR); ``query_pred`` — a
+    predicate over ``it`` selecting the probed items."""
+    h = md5_hash64_sql("'cms' || r || ':' || it")
+    return f"""
+WITH its AS ({items_body}),
+cells AS (
+  SELECT r, {h} % {w} AS b, count(*) AS cnt
+  FROM its, generate_series(0, {d - 1}) AS t(r)
+  GROUP BY 1, 2),
+probes AS (
+  SELECT DISTINCT it FROM its WHERE {query_pred}),
+probed AS (
+  SELECT p.it, min(coalesce(c.cnt, 0)) AS est_cnt
+  FROM (SELECT it, r, {h} % {w} AS b
+        FROM probes p, generate_series(0, {d - 1}) AS t(r)) p
+  LEFT JOIN cells c ON c.r = p.r AND c.b = p.b
+  GROUP BY p.it),
+truth AS (SELECT it, count(*) AS true_cnt FROM its GROUP BY it)
+SELECT p.it AS item, p.est_cnt,
+       coalesce(t.true_cnt, 0) AS true_cnt
+FROM probed p LEFT JOIN truth t USING (it)
+"""

@@ -674,6 +674,34 @@ register("ann_lsh_pairs", lambda spark, sf: SIM.ann_lsh_pairs(_embs(spark, sf)))
 # SQL-expressible → rows-only; recall vs brute force is property-tested.
 register("ann_ivf_topk", lambda spark, sf: SIM.ann_ivf_topk(_embs(spark, sf)))
 
+# count-min sketch: distributed mergeable frequency sketch over the event
+# item stream; estimates joined with true counts so the CM overestimate
+# is part of the hash-checked output
+from .operators import sketches as SK  # noqa: E402
+
+
+def _cms_items(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .sources.tables import load_table
+
+    return load_table(spark, sf, "events").select(
+        F.col("user_id").alias("item")
+    )
+
+
+register(
+    "cms_item_estimates",
+    lambda spark, sf: SK.cms_estimates(
+        _cms_items(spark, sf),
+        _cms_items(spark, sf).filter("item % 9 = 0"),
+    ),
+    SK.cms_estimates_sql(
+        "SELECT user_id::VARCHAR AS it FROM events",
+        "CAST(it AS BIGINT) % 9 = 0",
+    ),
+)
+
 # multimodal: the stub decode derives features from the payload's own
 # leading bytes, so the Arrow/mapInPandas kernel is fully oracle-checked
 # (a real-decoder deployment has no SQL twin and would be rows-only)

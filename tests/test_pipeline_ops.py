@@ -421,3 +421,36 @@ def test_contamination_check_known_values(spark):
     assert set(got) == {1}
     assert got[1].n_overlap_shingles == 2
     assert got[1].n_eval_docs_hit == 1
+
+
+def test_cms_never_underestimates_and_bounds(spark):
+    """Count-min guarantees: est ≥ true always; overestimate within the
+    εN bound on the (deterministic) fixture; sketches merge additively."""
+    import math
+
+    from bigdata_hwk_spark.operators import sketches as SK
+    from bigdata_hwk_spark.sources.tables import load_table
+
+    items = load_table(spark, SF_CORRECT, "events").select(
+        F.col("user_id").alias("item")
+    )
+    n = items.count()
+    rows = SK.cms_estimates(items, items.filter("item % 9 = 0")).collect()
+    assert rows
+    eps_n = math.e / SK.CMS_W * n
+    for r in rows:
+        assert r.est_cnt >= r.true_cnt
+        assert r.est_cnt - r.true_cnt <= eps_n
+    # mergeability: sketch(A ∪ B) == cell-wise sum of the two sketches
+    a = items.filter("item % 2 = 0")
+    b = items.filter("item % 2 != 0")
+    merged = {
+        (r.r, r.b): r.cnt
+        for r in SK.cms_sketch(a)
+        .unionByName(SK.cms_sketch(b))
+        .groupBy("r", "b")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    whole = {(r.r, r.b): r.cnt for r in SK.cms_sketch(items).collect()}
+    assert merged == whole
