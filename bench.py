@@ -1,9 +1,16 @@
 #!/usr/bin/env python3
 """Benchmark harness: run every registered headline query at the target SF.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
-   "sf": sf, "rows": {name: row_count}}
+Prints ONE compact JSON line (< 1 KB — the driver captures only a short
+stdout tail, so the full per-query detail goes to ``BENCH_DETAIL.json``
+next to this script instead):
+  {"metric": ..., "value": total_sec, "unit": "sec", "sf": sf,
+   "n_queries": N, "queries": {top-5 slowest only}, "mrfft_*_ms": ...}
+
+The line is printed as the absolute last action, after ``spark.stop()``
+and a forced ``gc.collect()``, so no finalizer traceback can land after
+it (BENCH_r01–r04 were all unparseable: the 3 KB line overflowed the tail
+capture and a post-stop Py4J NPE clobbered what remained).
 
 Each query is forced end-to-end with the noop sink (full materialization,
 no driver collect); the row count comes from an ``Observation`` attached to
@@ -85,22 +92,45 @@ def main() -> None:
     print(f"# mrfft rounds: {mr}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "rows": rows,
-                "sf": sf,
-                "mrfft_r1_ms": mr["r1_ms"],
-                "mrfft_r2_ms": mr["r2_ms"],
-                "mrfft_r3_ms": mr["r3_ms"],
-            }
-        )
+    top5 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows,
+        "sf": sf,
+        "mrfft_r1_ms": mr["r1_ms"],
+        "mrfft_r2_ms": mr["r2_ms"],
+        "mrfft_r3_ms": mr["r3_ms"],
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(timings),
+            "queries": top5,
+            "mrfft_r1_ms": mr["r1_ms"],
+            "mrfft_r2_ms": mr["r2_ms"],
+            "mrfft_r3_ms": mr["r3_ms"],
+        }
+    )
+
     spark.stop()
+    # Flush any pending broadcast/persist finalizers while their guard can
+    # still see the stopped context, THEN emit the one parseable line.
+    import gc
+
+    gc.collect()
+    sys.stderr.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -449,7 +449,7 @@ GROUP BY 1, 2
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_URL = r"https?://[^ ]+"
 PII_PHONE = r"\+[0-9][0-9-]{7,}[0-9]"
-_PII_ORDER = (  # email first: an address inside a URL must scrub as URL
+_PII_ORDER = (  # URL first: an address inside a URL must scrub as URL
     ("n_urls", PII_URL, "<URL>"),
     ("n_emails", PII_EMAIL, "<EMAIL>"),
     ("n_phones", PII_PHONE, "<PHONE>"),

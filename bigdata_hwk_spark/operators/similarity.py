@@ -189,9 +189,9 @@ def similar_pairs_threshold(
     # accumulating driver+executor memory). unpersist (not destroy): the
     # driver copy stays, so a still-referenced plan that re-executes
     # later simply re-broadcasts.
-    import weakref
+    from ..session import finalize_release
 
-    weakref.finalize(out, bc.unpersist)
+    finalize_release(out, bc.unpersist)
     return out
 
 

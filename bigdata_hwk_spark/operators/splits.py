@@ -165,48 +165,49 @@ def training_shard_manifest(
     [i·budget, (i+1)·budget)).
 
     The cumulative sum is a distributed scan, NOT a single-task global
-    window: range-repartition on the order key (partition p holds a
-    contiguous range, p < p+1), sort within partitions, persist to pin
-    the range sampler's bounds (same contract as ``stream_from_events``),
-    one light per-partition token-sum job whose P rows the driver folds
-    into start offsets, then a per-partition running-sum window plus the
-    broadcast offset. Every task touches ~1/P of the data; nothing
-    sequential anywhere.
+    window, and every intermediate is a *pure projection of row values*
+    so any re-execution reproduces it bit-identically (no sampled range
+    partitioner, no persist to pin, no GC coupling): bucket each row by
+    the top bits of its order key ``hk`` (md5-uniform, so buckets are
+    balanced; bucket ranges are contiguous in hk, so (bucket, hk,
+    doc_id) order ≡ global (hk, doc_id) order), fold the per-bucket
+    token sums into start offsets on the driver (B tiny rows), then a
+    per-bucket running-sum window plus the broadcast offset. Every task
+    touches ~1/B of the data; nothing sequential anywhere. Costs one
+    extra pruned 3-column scan instead of materializing the whole corpus
+    in executor storage — the right trade at 100 TB.
     """
-    from pyspark import StorageLevel
+    sc = documents.sparkSession.sparkContext
+    n_buckets = 1
+    while n_buckets < max(sc.defaultParallelism, 64):
+        n_buckets *= 2
+    shift = 64 - (n_buckets.bit_length() - 1)
 
     hk = md5_hash64(
         F.concat(F.lit(SHARD_SALT + ":"), F.col("doc_id").cast("string"))
     )
-    n_parts = max(documents.sparkSession.sparkContext.defaultParallelism, 1)
-    ordered = (
-        documents.select(
-            "doc_id",
-            hk.alias("hk"),
-            F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
-        )
-        .repartitionByRange(n_parts, "hk", "doc_id")
-        .sortWithinPartitions("hk", "doc_id")
-        .withColumn("__pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    t = documents.select(
+        "doc_id",
+        hk.alias("hk"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    ).withColumn(
+        "__b", (F.shiftright(F.col("hk"), shift) + n_buckets // 2).cast("int")
     )
-    psums = ordered.groupBy("__pid").agg(F.sum("n_tokens").alias("__t")).collect()
+    psums = t.groupBy("__b").agg(F.sum("n_tokens").alias("__t")).collect()
     acc = 0
     offsets = []
-    for r in sorted(psums, key=lambda r: r["__pid"]):
-        offsets.append((r["__pid"], acc))
+    for r in sorted(psums, key=lambda r: r["__b"]):
+        offsets.append((r["__b"], acc))
         acc += r["__t"]
-    off_df = documents.sparkSession.createDataFrame(
-        offsets, "__pid int, __off bigint"
-    )
+    off_df = documents.sparkSession.createDataFrame(offsets, "__b int, __off bigint")
     w = (
-        Window.partitionBy("__pid")
+        Window.partitionBy("__b")
         .orderBy("hk", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     start = F.col("__off") + F.sum("n_tokens").over(w) - F.col("n_tokens")
-    out = (
-        ordered.join(F.broadcast(off_df), "__pid")
+    return (
+        t.join(F.broadcast(off_df), "__b")
         .select("doc_id", "n_tokens", start.alias("start_tok"))
         .select(
             "doc_id",
@@ -219,13 +220,6 @@ def training_shard_manifest(
             F.sum("n_tokens").alias("sum_tokens"),
         )
     )
-    # release the pinned sort once the caller drops the result (repeated
-    # calls would otherwise accumulate executor storage); a re-executed
-    # plan after that simply re-sorts.
-    import weakref
-
-    weakref.finalize(out, ordered.unpersist)
-    return out
 
 
 def training_shard_manifest_sql(token_budget: int = SHARD_TOKEN_BUDGET) -> str:
@@ -243,7 +237,7 @@ c AS (
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS cum
   FROM t)
-SELECT (cum - n_tokens) // {token_budget} AS shard_id,
+SELECT CAST((cum - n_tokens) // {token_budget} AS BIGINT) AS shard_id,
        count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
 FROM c GROUP BY 1

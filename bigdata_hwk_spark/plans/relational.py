@@ -257,8 +257,10 @@ flagged AS (
 ),
 sess AS (
   SELECT user_id, value,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+         -- DuckDB window sum(INTEGER) yields HUGEINT (int128); Spark emits
+         -- BIGINT — cast so the driver's value-hash sees identical types.
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged)
 SELECT user_id, session_id, count(*) AS n_events,
        round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS session_value

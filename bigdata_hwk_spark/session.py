@@ -41,6 +41,29 @@ def ensure_package_on_executors(spark: SparkSession) -> None:
     sc._bigdata_hwk_pyfile = True
 
 
+def finalize_release(obj, release) -> None:
+    """``weakref.finalize(obj, release)`` guarded against JVM teardown.
+
+    A finalizer can fire at interpreter shutdown *after* ``spark.stop()``;
+    an unpersist then raises a Py4J NullPointerException traceback on
+    stderr/stdout — harmless, but it clobbered the bench harness's final
+    JSON line for four rounds. No-op when no SparkContext is active.
+    """
+    import weakref
+
+    def _release() -> None:
+        from pyspark import SparkContext
+
+        if SparkContext._active_spark_context is None:
+            return
+        try:
+            release()
+        except Exception:
+            pass
+
+    weakref.finalize(obj, _release)
+
+
 def get_spark(
     app_name: str = "bigdata_hwk_spark",
     master: str | None = None,

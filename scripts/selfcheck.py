@@ -65,6 +65,42 @@ def main() -> int:
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
             )
 
+    # Fixture-drift canary: before any query, assert Spark and DuckDB read
+    # the same table (row count + min/max ts where present). Catches silent
+    # environment drift — e.g. round 4's events.ts regeneration from
+    # TIMESTAMP(NANOS) to TIMESTAMP(MICROS) — as one clear line naming the
+    # parquet footer type, instead of N red query rows downstream.
+    from bigdata_hwk_spark.sources.tables import load_table
+
+    drift = []
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(p):
+            continue
+        sdf = load_table(spark, sf_dir, t)
+        probes = ["count(*) AS n"]
+        if t == "events":
+            probes += ["min(epoch_us(CAST(ts AS TIMESTAMP))) AS lo",
+                       "max(epoch_us(CAST(ts AS TIMESTAMP))) AS hi"]
+        orow = con.execute(f"SELECT {', '.join(probes)} FROM {t}").fetchone()
+        if t == "events":
+            from pyspark.sql import functions as F
+
+            srow = sdf.agg(
+                F.count(F.lit(1)), F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+            ).first()
+        else:
+            srow = (sdf.count(),)
+        if tuple(srow) != tuple(orow):
+            import pyarrow.parquet as pq
+
+            footer = pq.read_schema(p)
+            drift.append(t)
+            print(f"DRIFT {t}: spark={tuple(srow)} duckdb={tuple(orow)} footer={footer}")
+    if drift:
+        print(f"\nfixture drift in {drift} — fix the loaders before trusting query rows")
+        return 1
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []

@@ -397,7 +397,25 @@ def test_shard_manifest_plan_has_no_single_partition_stage(spark):
         .toString()
     )
     assert "SinglePartition" not in plan
-    assert "windowspecdefinition(__pid" in plan  # cumsum is per-partition
+    assert "windowspecdefinition(__b" in plan  # cumsum is per-bucket
+
+
+def test_shard_manifest_stable_after_gc(spark):
+    """Re-execution stability: a derived plan evaluated after the original
+    result is dropped and GC has run must reproduce the same manifest.
+    (The old persist+weakref scheme could re-sample range-partitioner
+    bounds on re-execution while the collected offsets described the old
+    layout — silently wrong shard_ids.)"""
+    import gc
+
+    docs = _docs(spark, SF_CORRECT)
+    manifest = SP.training_shard_manifest(docs)
+    baseline = {(r.shard_id, r.n_docs, r.sum_tokens) for r in manifest.collect()}
+    derived = manifest.filter("n_docs > 0")  # unevaluated derived plan
+    del manifest
+    gc.collect()
+    again = {(r.shard_id, r.n_docs, r.sum_tokens) for r in derived.collect()}
+    assert again == baseline
 
 
 def test_contamination_check_known_values(spark):
