@@ -319,6 +319,55 @@ jac AS (
 """
 
 
+def duplication_profile(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_shingles, n_dup_shingles, dup_fraction) — per-document
+    boilerplate measure: the fraction of a doc's distinct word-shingles
+    that also appear in at least one *other* document. The C4/RefinedWeb
+    "duplicated n-gram fraction" filter signal, as a first-class operator
+    (pair-level near-dup detection says WHICH docs collide; this says HOW
+    MUCH of each doc is corpus boilerplate, feeding quality filtering).
+
+    Plan: one count-over-window on ``sh`` (the same shuffle shape as
+    ``shingle_df_cut`` — co-locates by shingle), then a per-doc hash
+    aggregation. Two shuffles total, no joins, no pair explosion — cost
+    is O(total shingles) regardless of how duplicated the corpus is, so
+    the shape survives 100 TB where any pair-based formulation would
+    blow up on heavy boilerplate.
+    """
+    sh = doc_shingles(documents)
+    w = Window.partitionBy("sh")
+    # df counts DOCS per shingle (doc_shingles is distinct per doc), so
+    # df >= 2 ⇔ the shingle exists in some other document.
+    flagged = sh.withColumn("__df", F.count(F.lit(1)).over(w))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("__df") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_shingles"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("n_dup_shingles") / F.col("n_shingles"), 6),
+        )
+    )
+
+
+def duplication_profile_sql() -> str:
+    """DuckDB oracle: identical distinct-shingle frequency flagging."""
+    return f"""
+WITH sh AS ({shingles_sql()}),
+f AS (SELECT doc_id, count(*) OVER (PARTITION BY sh) AS df FROM sh)
+SELECT doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
+       round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS dup_fraction
+FROM f GROUP BY doc_id
+"""
+
+
 def ngram_jaccard_pairs_sql(tau: float = JACCARD_TAU) -> str:
     return f"""
 WITH {_pair_jaccard_sql()}

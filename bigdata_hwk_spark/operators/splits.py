@@ -147,6 +147,71 @@ SELECT doc_id, {group_col}, rk FROM ranked WHERE rk <= {n_per_group}
 """
 
 
+# Temperature exponent for source mixing. Fixed at 0.5 so the weight is
+# sqrt(p): IEEE-754 sqrt is correctly rounded on every platform, making the
+# Spark and DuckDB doubles bit-identical (a general pow(p, α) can differ by
+# an ulp across libm implementations and break the oracle hash).
+MIX_ALPHA = 0.5
+_MIX_QUANT = 1_000_000_000_000  # quantize weights to ints before summing
+
+
+def source_mix_weights(documents: DataFrame) -> DataFrame:
+    """(source, n_docs, sum_tokens, p_tokens, mix_weight) — temperature-
+    smoothed multinomial sampling weights per corpus source: w_i ∝
+    p_i^0.5, the standard upsampling of low-resource sources when mixing
+    heterogeneous corpora into one training stream.
+
+    Numeric parity is by construction, not tolerance: p_i is an exact
+    BIGINT/BIGINT double division; sqrt is correctly rounded; the weight
+    is quantized to an integer (×1e12, round-half-up — same rule both
+    engines) BEFORE normalization so the cross-source sum is exact
+    integer arithmetic — double-summation order, which differs between
+    engines and across Spark shuffle arrivals, can never move the hash.
+
+    Scale: two global windows, but over the per-SOURCE aggregate — its
+    cardinality is the number of corpus sources (thousands at worst),
+    not documents, so the single-partition exchange moves O(sources)
+    rows after a map-side-combined aggregation of the corpus.
+    """
+    per = documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("sum_tokens"),
+    )
+    wall = Window.partitionBy()
+    p = F.col("sum_tokens") / F.sum("sum_tokens").over(wall)
+    quant = per.withColumn(
+        "p_tokens", F.round(p, 6)
+    ).withColumn(
+        "__wq", F.round(F.sqrt(p) * _MIX_QUANT, 0).cast("bigint")
+    )
+    return quant.select(
+        "source",
+        "n_docs",
+        "sum_tokens",
+        "p_tokens",
+        F.round(F.col("__wq") / F.sum("__wq").over(wall), 6).alias("mix_weight"),
+    )
+
+
+def source_mix_weights_sql() -> str:
+    """DuckDB oracle: identical exact-integer normalization."""
+    return f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+  FROM documents GROUP BY source),
+q AS (
+  SELECT source, n_docs, sum_tokens,
+         round(CAST(sum_tokens AS DOUBLE) / sum(sum_tokens) OVER (), 6) AS p_tokens,
+         CAST(round(sqrt(CAST(sum_tokens AS DOUBLE) / sum(sum_tokens) OVER ())
+                    * {_MIX_QUANT}, 0) AS BIGINT) AS wq
+  FROM per)
+SELECT source, n_docs, sum_tokens, p_tokens,
+       round(CAST(wq AS DOUBLE) / sum(wq) OVER (), 6) AS mix_weight
+FROM q
+"""
+
+
 SHARD_SALT = "shard-v1"
 SHARD_TOKEN_BUDGET = 2500
 

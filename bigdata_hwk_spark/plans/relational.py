@@ -546,6 +546,57 @@ FROM events e ASOF LEFT JOIN
 """
 
 
+ATTRIB_DAYS = 7
+
+
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: for every purchase, the same user's click count and
+    most recent click in the preceding 7 days. The windowed-attribution
+    shape (range join on time) that complements the as-of join's
+    nearest-one semantics.
+
+    Plan shape: equi-join on ``user_id`` with the time range as a join
+    residual — Catalyst plans a hash/sort-merge join keyed on user, so
+    per-task work is bounded by per-user event counts (no interval
+    explosion, no nested loop). A left join keeps zero-click purchases
+    with n_clicks_7d = 0, matching SQL count(col) semantics.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {ATTRIB_DAYS} DAYS")),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id", "purchase_ts").agg(
+        F.count("click_ts").alias("n_clicks_7d"),
+        F.max("click_ts").alias("last_click_ts"),
+    )
+
+
+# CASTs keep the oracle unit-robust: on a TIMESTAMP_NS fixture DuckDB ≥1.1
+# scans ns-typed values; casting to TIMESTAMP truncates to µs exactly like
+# Spark's loader.
+PURCHASE_ATTRIBUTION_SQL = f"""
+SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+       count(CAST(c.ts AS TIMESTAMP)) AS n_clicks_7d,
+       max(CAST(c.ts AS TIMESTAMP)) AS last_click_ts
+FROM events p LEFT JOIN events c
+  ON p.user_id = c.user_id AND c.event_type = 'click'
+ AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+ AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL {ATTRIB_DAYS} DAY
+WHERE p.event_type = 'purchase'
+GROUP BY 1, 2, 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Exact grouped quantiles — the exact twin of approx_event_stats
 # ---------------------------------------------------------------------------

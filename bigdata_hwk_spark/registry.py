@@ -711,15 +711,42 @@ register(
     MM.MEDIA_FEATURE_SUMMARY_SQL,
 )
 
+# per-doc boilerplate measure (C4-style duplicated-shingle fraction)
+register(
+    "doc_duplication_profile",
+    lambda spark, sf: D.duplication_profile(_docs(spark, sf)),
+    D.duplication_profile_sql(),
+)
+
+# temperature-smoothed source sampling weights (corpus mixing)
+register(
+    "source_mix_weights",
+    lambda spark, sf: SP.source_mix_weights(_docs(spark, sf)),
+    SP.source_mix_weights_sql(),
+)
+
+# windowed attribution: range join on (user, time) — the interval twin of
+# the as-of join
+register(
+    "purchase_attribution",
+    R.purchase_attribution,
+    R.PURCHASE_ATTRIBUTION_SQL,
+)
+
 
 # ---------------------------------------------------------------------------
 # Gate-window ordering
 # ---------------------------------------------------------------------------
 # The driver records correctness rows for the FIRST 50 registered queries
 # only. Oracle-backed queries must all sit inside that window, so rows-only
-# (no-oracle) entries — whose driver check is weaker by design — are moved
-# to the tail. Pure reorder of the insertion-ordered dict; no query is
-# added, removed, or renamed.
-for _name in [k for k in list(QUERIES) if k not in ORACLES]:
+# (no-oracle) entries — whose driver check is weaker by design (they carry
+# pytest property coverage instead) — are moved to the tail. With 51
+# oracle-backed queries, exactly one must overflow the window: lineitem_cube
+# is the designated overflow because its F.rollup twin (lineitem_rollup,
+# gated) exercises the identical grouping-sets code path and oracle shape,
+# so it loses the least checking power. Pure reorder of the
+# insertion-ordered dict; no query is added, removed, or renamed.
+_GATE_OVERFLOW = ["lineitem_cube"]
+for _name in _GATE_OVERFLOW + [k for k in list(QUERIES) if k not in ORACLES]:
     QUERIES[_name] = QUERIES.pop(_name)
 del _name

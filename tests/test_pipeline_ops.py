@@ -472,3 +472,51 @@ def test_cms_never_underestimates_and_bounds(spark):
     }
     whole = {(r.r, r.b): r.cnt for r in SK.cms_sketch(items).collect()}
     assert merged == whole
+
+
+def test_duplication_profile_known_values(spark):
+    """Docs sharing a 3-gram verbatim get it flagged; unique docs score 0."""
+    shared = "alpha beta gamma"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} one two three"),       # 6 words -> 4 shingles
+            (2, f"intro {shared} outro"),         # 5 words -> 3 shingles
+            (3, "totally unique words here only"),  # 5 words -> 3 shingles
+            (4, "xy zz"),                          # too short: drops out
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in D.duplication_profile(docs).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].n_shingles == 4 and got[1].n_dup_shingles == 1
+    assert got[2].n_shingles == 3 and got[2].n_dup_shingles == 1
+    assert got[3].n_shingles == 3 and got[3].n_dup_shingles == 0
+    assert got[3].dup_fraction == 0.0
+    assert got[1].dup_fraction == 0.25
+
+
+def test_duplication_profile_counts_docs_not_occurrences(spark):
+    """A shingle repeated WITHIN one doc is not a duplicate (distinct
+    per-doc shingling): only cross-document sharing flags it."""
+    docs = spark.createDataFrame(
+        [(1, "a b c x a b c"), (2, "unrelated words entirely different here")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in D.duplication_profile(docs).collect()}
+    assert got[1].n_dup_shingles == 0
+
+
+def test_source_mix_weights_properties(spark):
+    """Weights are a distribution, temperature-flattened toward uniform:
+    every source's weight share sits between its token share and 1/N."""
+    docs = _docs(spark, SF_CORRECT)
+    rows = SP.source_mix_weights(docs).collect()
+    n = len(rows)
+    assert abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.p_tokens for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        lo, hi = sorted((r.p_tokens, 1.0 / n))
+        assert lo - 1e-6 <= r.mix_weight <= hi + 1e-6
+    # deterministic across evaluations (no RNG, no layout dependence)
+    again = SP.source_mix_weights(docs).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

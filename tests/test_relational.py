@@ -169,3 +169,62 @@ def test_asof_join_tie_determinism(spark):
             for r in asof_join(left, right, "k", "t", "rt", ["v"]).collect()
         }
         assert got == {(1, 10): "c", (1, 5): None, (2, 10): "z"}
+
+
+def test_purchase_attribution_known_values(spark):
+    """Clicks inside the 7-day lookback count; older or later ones don't;
+    purchases with no clicks survive the left join with a zero count."""
+    from bigdata_hwk_spark.plans import relational as R
+
+    rows = [
+        # user 1: purchase at day 10; clicks at day 9 (in), day 10 (in,
+        # same instant), day 2 (out: > 7 days before), day 11 (out: after)
+        (1, 1, "2024-01-10 12:00:00", "purchase"),
+        (2, 1, "2024-01-09 12:00:00", "click"),
+        (3, 1, "2024-01-10 12:00:00", "click"),
+        (4, 1, "2024-01-02 12:00:00", "click"),
+        (5, 1, "2024-01-11 12:00:00", "click"),
+        # user 2: purchase with no clicks at all
+        (6, 2, "2024-01-05 00:00:00", "purchase"),
+        # user 3: clicks only — no purchase row comes out
+        (7, 3, "2024-01-05 00:00:00", "click"),
+    ]
+    import datetime as dt
+
+    ev = spark.createDataFrame(
+        [
+            (eid, uid, dt.datetime.fromisoformat(ts), et, 0.0, "{}")
+            for eid, uid, ts, et in rows
+        ],
+        "event_id bigint, user_id bigint, ts timestamp, event_type string, "
+        "value double, props string",
+    )
+    import bigdata_hwk_spark.sources.tables as T
+
+    orig = T.load_table
+    try:
+        T.load_table = lambda spark_, sf_, name_: ev
+        R.load_table = T.load_table
+        got = {r.event_id: r for r in R.purchase_attribution(spark, "ignored").collect()}
+    finally:
+        T.load_table = orig
+        R.load_table = orig
+    assert set(got) == {1, 6}
+    assert got[1].n_clicks_7d == 2
+    assert got[1].last_click_ts == dt.datetime.fromisoformat("2024-01-10 12:00:00")
+    assert got[6].n_clicks_7d == 0 and got[6].last_click_ts is None
+
+
+def test_purchase_attribution_plan_is_keyed_join(spark):
+    """The interval join must plan as a join keyed on user_id (hash or
+    sort-merge), never a nested-loop/cartesian over purchases x clicks."""
+    from bigdata_hwk_spark.plans import relational as R
+
+    plan = (
+        R.purchase_attribution(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
