@@ -319,7 +319,10 @@ jac AS (
 """
 
 
-def duplication_profile(documents: DataFrame) -> DataFrame:
+def duplication_profile(
+    documents: DataFrame,
+    index: tuple[DataFrame, DataFrame | None] | None = None,
+) -> DataFrame:
     """(doc_id, n_shingles, n_dup_shingles, dup_fraction) — per-document
     boilerplate measure: the fraction of a doc's distinct word-shingles
     that also appear in at least one *other* document. The C4/RefinedWeb
@@ -333,8 +336,18 @@ def duplication_profile(documents: DataFrame) -> DataFrame:
     is O(total shingles) regardless of how duplicated the corpus is, so
     the shape survives 100 TB where any pair-based formulation would
     blow up on heavy boilerplate.
+
+    ``index`` injects the registry's shared ``_shingle_index`` result; the
+    UNCUT table is used (duplication of a hot shingle is exactly the
+    signal here). When the shared table is the persisted cut table with
+    no active cut, it is already shingle-partitioned, so the window runs
+    exchange-free.
     """
-    sh = doc_shingles(documents)
+    if index is not None:
+        ex_cut, sh_all = index
+        sh = sh_all if sh_all is not None else ex_cut
+    else:
+        sh = doc_shingles(documents)
     w = Window.partitionBy("sh")
     # df counts DOCS per shingle (doc_shingles is distinct per doc), so
     # df >= 2 ⇔ the shingle exists in some other document.

@@ -711,10 +711,13 @@ register(
     MM.MEDIA_FEATURE_SUMMARY_SQL,
 )
 
-# per-doc boilerplate measure (C4-style duplicated-shingle fraction)
+# per-doc boilerplate measure (C4-style duplicated-shingle fraction);
+# shares the session's persisted shingle index with the dedup family
 register(
     "doc_duplication_profile",
-    lambda spark, sf: D.duplication_profile(_docs(spark, sf)),
+    lambda spark, sf: D.duplication_profile(
+        _docs(spark, sf), index=_shingle_shared(spark, sf)
+    ),
     D.duplication_profile_sql(),
 )
 

@@ -100,3 +100,53 @@ def dedup_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+ATTRIBUTION_HORIZON = "30 minutes"
+
+
+def stream_stream_attribution(
+    views: DataFrame,
+    clicks: DataFrame,
+    horizon: str = ATTRIBUTION_HORIZON,
+    watermark: str = EVENT_WATERMARK,
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each click paired with the
+    same user's views in the preceding ``horizon``.
+
+    The two-unbounded-inputs face of the interval-join family (the batch
+    face is ``plans.relational.purchase_attribution``): both sides carry
+    an event-time watermark and the join predicate bounds click time to
+    [view_ts, view_ts + horizon], so Spark can prove a view row stops
+    matching once the click watermark passes view_ts + horizon and evict
+    it — state is O(events per horizon+watermark window) per key range,
+    never the whole history. Without the time-range predicate Spark
+    would have to keep both streams forever (and rejects the plan in
+    append mode). Same body runs in batch (watermarks no-op) for tests.
+
+    Output: (user_id, view_id, view_ts, click_id, click_ts), one row per
+    attributed (view, click) pair.
+    """
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    return v.join(
+        c,
+        F.expr(
+            f"v_user = c_user AND click_ts >= view_ts "
+            f"AND click_ts <= view_ts + INTERVAL {horizon}"
+        ),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "view_ts",
+        "click_id",
+        "click_ts",
+    )

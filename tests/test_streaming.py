@@ -6,6 +6,7 @@ from __future__ import annotations
 import random
 
 import pytest
+from pyspark.sql import functions as F
 
 from bigdata_hwk_spark import registry
 from bigdata_hwk_spark.sources.tables import stream_from_events
@@ -456,3 +457,82 @@ def test_streaming_dedup_across_microbatches(spark, tmp_path):
     want = {r.event_id for r in ev.collect()}
     assert len(got) == len(set(got)), "duplicate keys emitted"
     assert set(got) == want
+
+
+def test_stream_stream_attribution_matches_batch(spark, tmp_path):
+    """A real two-stream watermarked interval join (file-replayed views and
+    clicks, chunked so watermarks advance) must emit exactly the batch
+    join of the same data — inner stream-stream joins emit every match."""
+    from bigdata_hwk_spark.sources.tables import load_table
+    from bigdata_hwk_spark.streaming.windowed import stream_stream_attribution
+
+    events = load_table(spark, SF_SMOKE, "events")
+    schema = "event_id bigint, user_id bigint, ts timestamp"
+    srcs = {}
+    for et in ("view", "click"):
+        rows = (
+            events.filter(F.col("event_type") == et)
+            .select("event_id", "user_id", "ts")
+            .orderBy("ts")
+            .collect()
+        )
+        d = tmp_path / f"{et}_src"
+        d.mkdir()
+        mid = len(rows) // 2
+        for name, chunk in (("a", rows[:mid]), ("b", rows[mid:])):
+            spark.createDataFrame(
+                [(r.event_id, r.user_id, r.ts) for r in chunk], schema
+            ).coalesce(1).write.mode("overwrite").parquet(str(d / name))
+        srcs[et] = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d) + "/*")
+        )
+
+    q = (
+        stream_stream_attribution(srcs["view"], srcs["click"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_attr")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.view_id, r.click_id) for r in spark.table("t_attr").collect()
+        }
+    finally:
+        q.stop()
+
+    views = events.filter(F.col("event_type") == "view")
+    clicks = events.filter(F.col("event_type") == "click")
+    want = {
+        (r.user_id, r.view_id, r.click_id)
+        for r in stream_stream_attribution(views, clicks).collect()
+    }
+    assert got == want
+    assert want  # fixture must actually produce attributed pairs
+
+
+def test_stream_stream_attribution_state_is_bounded(spark):
+    """The STREAMING plan must carry event-time watermarks on both inputs
+    and the time-range join condition (what Spark uses to evict join
+    state); a join without them would keep both streams forever. Batch
+    plans elide withWatermark, so this must check a streaming plan."""
+    from bigdata_hwk_spark.streaming.windowed import stream_stream_attribution
+
+    def rate_events(rows_per_sec):
+        r = spark.readStream.format("rate").option(
+            "rowsPerSecond", rows_per_sec
+        ).load()
+        return r.select(
+            F.col("value").alias("event_id"),
+            (F.col("value") % 5).alias("user_id"),
+            F.col("timestamp").alias("ts"),
+        )
+
+    joined = stream_stream_attribution(rate_events(10), rate_events(7))
+    assert joined.isStreaming
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert plan.count("EventTimeWatermark") == 2
+    assert "click_ts" in plan and "view_ts" in plan
