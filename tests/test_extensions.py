@@ -310,3 +310,116 @@ def test_active_df_cut_still_reports_full_set_jaccard(spark):
     }
     assert got_lsh <= want
     assert (1, 2, round(next(j for a, b, j in want if (a, b) == (1, 2)), 6)) in got_lsh
+
+
+def test_registry_gate_window_covers_all_oracles(spark):
+    """The driver records correctness rows for the first 50 registered
+    queries only: every oracle-backed query except the designated
+    overflow (lineitem_cube, whose rollup twin is gated) must sit inside
+    that window, rows-only entries at the tail. Pins the module-end
+    reorder against future registration drift."""
+    names = list(registry.QUERIES)
+    first50 = set(names[:50])
+    missing = set(registry.ORACLES) - first50
+    assert missing <= {"lineitem_cube"}, missing
+    for tail_name in names[50:]:
+        assert tail_name == "lineitem_cube" or tail_name not in registry.ORACLES
+
+
+def _dup_profile_model(docs, w=3):
+    """Brute-force python model of duplication_profile."""
+    import collections
+
+    shingles = {}
+    for doc_id, text in docs:
+        ws = text.split(" ")
+        shingles[doc_id] = {
+            " ".join(ws[i : i + w]) for i in range(len(ws) - w + 1)
+        } if len(ws) >= w else set()
+    df = collections.Counter(s for shs in shingles.values() for s in shs)
+    out = {}
+    for doc_id, shs in shingles.items():
+        if not shs:
+            continue
+        dup = sum(1 for s in shs if df[s] >= 2)
+        out[doc_id] = (len(shs), dup)
+    return out
+
+
+def test_duplication_profile_random_corpora_match_model(spark):
+    """Randomized corpora (shared phrases, repeats, short docs) vs the
+    brute-force model — seeded, multiple shapes."""
+    import random
+
+    from bigdata_hwk_spark.operators.dedup import duplication_profile
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial in range(5):
+        docs = []
+        shared = " ".join(rng.choices(vocab, k=rng.randint(3, 6)))
+        for doc_id in range(rng.randint(4, 12)):
+            words = rng.choices(vocab, k=rng.randint(0, 20))
+            if rng.random() < 0.5:
+                insert_at = rng.randint(0, len(words))
+                words[insert_at:insert_at] = shared.split(" ")
+            docs.append((doc_id, " ".join(words)))
+        want = _dup_profile_model(docs)
+        got = {
+            r.doc_id: (r.n_shingles, r.n_dup_shingles)
+            for r in duplication_profile(
+                spark.createDataFrame(docs, "doc_id bigint, text string")
+            ).collect()
+        }
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_purchase_attribution_random_events_match_model(spark):
+    """Randomized event logs vs a brute-force model of the 7-day
+    lookback count/max — exercises boundary-equal timestamps."""
+    import datetime as dt
+    import random
+
+    from bigdata_hwk_spark.plans import relational as R
+
+    rng = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for _ in range(120):
+        eid += 1
+        uid = rng.randint(1, 5)
+        # coarse steps make exact 7-day boundary collisions likely
+        ts = base + dt.timedelta(days=rng.randint(0, 20), hours=rng.choice([0, 12]))
+        et = rng.choice(["purchase", "click", "view"])
+        rows.append((eid, uid, ts, et, 0.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, ts timestamp, event_type string, "
+        "value double, props string",
+    )
+    import bigdata_hwk_spark.sources.tables as T
+
+    orig = T.load_table
+    try:
+        T.load_table = lambda s, d, n: ev
+        R.load_table = T.load_table
+        got = {
+            r.event_id: (r.n_clicks_7d, r.last_click_ts)
+            for r in R.purchase_attribution(spark, "x").collect()
+        }
+    finally:
+        T.load_table = orig
+        R.load_table = orig
+    lookback = dt.timedelta(days=7)
+    want = {}
+    for eid_, uid, ts, et, _, _ in rows:
+        if et != "purchase":
+            continue
+        clicks = [
+            cts
+            for _, cu, cts, cet, _, _ in rows
+            if cet == "click" and cu == uid and ts - lookback <= cts <= ts
+        ]
+        want[eid_] = (len(clicks), max(clicks) if clicks else None)
+    assert got == want
