@@ -20,6 +20,10 @@ RELATIONAL = [
     "event_props_stats",
     "nations_with_both",
     "lineitem_rollup",
+    # the designated gate-window overflow query: its driver correctness row
+    # is sacrificed (50-row cap), so pytest carries its oracle check
+    "lineitem_cube",
+    "purchase_attribution",
 ]
 
 
