@@ -526,3 +526,40 @@ DOCTOR_PII_SQL_EXPR = (
     " || CASE WHEN doc_id % 7 = 0"
     " THEN ' call +1555' || lpad(doc_id::VARCHAR, 7, '0') ELSE '' END"
 )
+
+
+def token_length_histogram(documents: DataFrame) -> DataFrame:
+    """(bucket, n_docs, sum_tokens) — corpus length distribution in log2
+    token buckets (bucket b holds docs with 2^b ≤ n_tokens < 2^(b+1);
+    empty docs land in bucket -1). The first report any corpus curation
+    run prints: one map-side-combined aggregation, O(buckets) output.
+
+    Integer-only math (floor(log2(n)) computed via BIGINT bit length), so
+    engine parity has no fp hazard.
+    """
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    # floor(log2(n)) for n >= 1 == bit_length(n) - 1; Spark has no
+    # bit_length-of-int, but bit(63 - leading zeros) via log is fp-risky,
+    # so use string length of the binary representation (exact).
+    bucket = F.when(
+        n_tokens <= 0, F.lit(-1)
+    ).otherwise(F.length(F.conv(n_tokens.cast("string"), 10, 2)) - 1)
+    return (
+        documents.select(bucket.cast("int").alias("bucket"), n_tokens.alias("nt"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("sum_tokens"),
+        )
+    )
+
+
+TOKEN_LENGTH_HISTOGRAM_SQL = """
+WITH t AS (
+  SELECT len(string_split(text, ' ')) AS nt FROM documents)
+SELECT CAST(CASE WHEN nt <= 0 THEN -1
+            ELSE length(bin(CAST(nt AS BIGINT))) - 1 END AS INTEGER) AS bucket,
+       count(*) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS sum_tokens
+FROM t GROUP BY 1
+"""

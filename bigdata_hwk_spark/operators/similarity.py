@@ -496,3 +496,77 @@ SELECT vec_id, cluster_id,
        vec_id = cluster_id AS is_canonical
 FROM comp
 """
+
+
+# ---------------------------------------------------------------------------
+# Int8 quantization stats (storage/ANN compression audit; exact parity)
+# ---------------------------------------------------------------------------
+
+QUANT_LEVELS = 127  # symmetric int8
+
+
+def embedding_quantization_stats(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, n_dims, max_abs, sum_q, sum_abs_q) — symmetric int8
+    quantization audit per vector: scale = max|v|/127, q_i =
+    round(v_i/scale). The manifest a 100 TB ANN deployment checks before
+    committing to int8 storage (sum_abs_q ≈ 127·Σ|v|/max|v| says how much
+    of the dynamic range survives).
+
+    Everything is whole-stage-codegen array expressions — no UDF, no
+    shuffle (pure projection). Engine parity is by construction, with NO
+    float accumulation anywhere: max|v| is a comparison (exact), scale
+    and each v_i/scale are single IEEE double ops (exact rounding),
+    round-half-away-from-zero agrees between Spark (HALF_UP) and DuckDB,
+    and the only SUMS are over the resulting integers — associative, so
+    no summation-order hazard exists at any corpus size.
+    """
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = max_abs / QUANT_LEVELS
+    q = F.transform(v, lambda x: F.round(x / scale, 0).cast("bigint"))
+    zero = F.lit(0).cast("bigint")
+    sum_q = F.aggregate(q, zero, lambda a, x: a + x)
+    sum_abs_q = F.aggregate(q, zero, lambda a, x: a + F.abs(x))
+    nonzero = F.col("__max_abs") > 0
+    return (
+        embeddings.select(
+            "vec_id",
+            F.size("embedding").alias("n_dims"),
+            max_abs.alias("__max_abs"),
+            sum_q.alias("__sum_q"),
+            sum_abs_q.alias("__sum_abs_q"),
+        )
+        .select(
+            "vec_id",
+            "n_dims",
+            F.round(F.col("__max_abs"), 6).alias("max_abs"),
+            # zero vectors quantize to all-zero (scale is 0/127 = 0 → q is
+            # null from 0/0; emit 0 explicitly on both sides)
+            F.when(nonzero, F.col("__sum_q")).otherwise(0).alias("sum_q"),
+            F.when(nonzero, F.col("__sum_abs_q")).otherwise(0).alias("sum_abs_q"),
+        )
+    )
+
+
+EMBEDDING_QUANTIZATION_SQL = f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings),
+m AS (
+  SELECT vec_id, len(vd) AS n_dims,
+         list_max(list_transform(vd, x -> abs(x))) AS max_abs, vd
+  FROM v),
+q AS (
+  SELECT vec_id, n_dims, max_abs,
+         list_transform(vd, x -> CAST(round(x / (max_abs / {QUANT_LEVELS}), 0)
+                                      AS BIGINT)) AS qs
+  FROM m)
+SELECT vec_id, n_dims, round(max_abs, 6) AS max_abs,
+       CASE WHEN max_abs > 0
+            THEN CAST(list_sum(qs) AS BIGINT) ELSE 0 END AS sum_q,
+       CASE WHEN max_abs > 0
+            THEN CAST(list_sum(list_transform(qs, x -> abs(x))) AS BIGINT)
+            ELSE 0 END AS sum_abs_q
+FROM q
+"""
