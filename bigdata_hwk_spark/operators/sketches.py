@@ -124,3 +124,116 @@ SELECT p.it AS item, p.est_cnt,
        coalesce(t.true_cnt, 0) AS true_cnt
 FROM probed p LEFT JOIN truth t USING (it)
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter as a DataFrame (membership twin of the CM sketch)
+# ---------------------------------------------------------------------------
+
+BLOOM_K = 5       # hash functions: fp ≈ (1 - e^{-kn/m})^k
+BLOOM_M = 8192    # bits
+
+
+def bloom_bits(
+    keys: DataFrame, key_col: str = "key", k: int = BLOOM_K, m: int = BLOOM_M
+) -> DataFrame:
+    """(bit,) — the set bit positions of a Bloom filter over ``keys``.
+
+    The distributed form of the filter is the distinct set-bit table: at
+    most ``m`` rows regardless of corpus size, built in one
+    explode + distinct pass (map-side partial dedup; the shuffle carries
+    ≤ m rows per partition). Mergeable by construction — the union of two
+    filters is the DISTINCT of their bit tables (a bitwise OR), so
+    per-partition filters combine exactly like the CM sketch's cells.
+    Spark's own ``df.stat.bloomFilter`` collects a driver-side object;
+    this stays a DataFrame end-to-end and is engine-portable (md5).
+    """
+    probes = keys.select(
+        F.col(key_col).cast("string").alias("kk"),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("h"),
+    )
+    bit = (
+        md5_hash64(F.concat(F.lit("bloom"), F.col("h"), F.lit(":"), F.col("kk")))
+        % m
+    )
+    return probes.select(bit.alias("bit")).distinct()
+
+
+def bloom_membership(
+    corpus_keys: DataFrame,
+    probe_keys: DataFrame,
+    key_col: str = "key",
+    k: int = BLOOM_K,
+    m: int = BLOOM_M,
+) -> DataFrame:
+    """(key, claimed_present, actually_present) for every probe key —
+    Bloom membership (ALL k bits set) next to ground truth, so false
+    positives are directly observable (false negatives are impossible,
+    which the tests pin).
+
+    The probe is an equi-join of k·|probes| rows against the ≤ m set-bit
+    table — broadcast-able at any corpus size since the filter is bounded
+    by m, the whole point of shipping a Bloom filter instead of the key
+    set. The 100 TB use: membership pre-filter before an expensive join
+    (e.g. "was this URL already crawled"), where a false-positive rate of
+    ~1% trades a bounded recheck for not shuffling the key universe.
+    """
+    bits = bloom_bits(corpus_keys, key_col, k, m)
+    probes = probe_keys.select(
+        F.col(key_col).cast("string").alias("kk")
+    ).distinct()
+    exploded = probes.select(
+        "kk", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("h")
+    )
+    bit = (
+        md5_hash64(F.concat(F.lit("bloom"), F.col("h"), F.lit(":"), F.col("kk")))
+        % m
+    )
+    claimed = (
+        exploded.select("kk", bit.alias("bit"))
+        .join(F.broadcast(bits.withColumn("__set", F.lit(1))), "bit", "left")
+        .groupBy("kk")
+        .agg((F.count(F.lit(1)) == F.sum(F.coalesce("__set", F.lit(0)))).alias(
+            "claimed_present"
+        ))
+    )
+    truth = corpus_keys.select(
+        F.col(key_col).cast("string").alias("kk")
+    ).distinct().withColumn("__in", F.lit(True))
+    return (
+        claimed.join(truth, "kk", "left")
+        .select(
+            F.col("kk").alias("key"),
+            "claimed_present",
+            F.coalesce("__in", F.lit(False)).alias("actually_present"),
+        )
+    )
+
+
+def bloom_membership_sql(
+    corpus_body: str, probe_body: str, k: int = BLOOM_K, m: int = BLOOM_M
+) -> str:
+    """DuckDB oracle: identical bit construction and probe.
+
+    ``corpus_body`` / ``probe_body`` — SQL bodies yielding (kk VARCHAR).
+    """
+    h = md5_hash64_sql("'bloom' || h || ':' || kk")
+    return f"""
+WITH corpus AS ({corpus_body}),
+probes AS (SELECT DISTINCT kk FROM ({probe_body})),
+bits AS (
+  SELECT DISTINCT {h} % {m} AS bit
+  FROM corpus, generate_series(0, {k - 1}) AS t(h)),
+claimed AS (
+  SELECT p.kk,
+         count(*) = sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END)
+           AS claimed_present
+  FROM (SELECT kk, {h} % {m} AS bit
+        FROM probes, generate_series(0, {k - 1}) AS t(h)) p
+  LEFT JOIN bits b USING (bit)
+  GROUP BY p.kk),
+truth AS (SELECT DISTINCT kk, TRUE AS act FROM corpus)
+SELECT c.kk AS key, c.claimed_present,
+       coalesce(t.act, FALSE) AS actually_present
+FROM claimed c LEFT JOIN truth t USING (kk)
+"""

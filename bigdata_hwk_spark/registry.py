@@ -751,6 +751,33 @@ register(
 )
 
 
+def _doc_keys(spark: SparkSession, sf: str, pred: str | None = None) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    d = _docs(spark, sf)
+    if pred:
+        d = d.filter(pred)
+    return d.select(F.col("doc_id").cast("string").alias("key"))
+
+
+# Bloom membership over doc keys: m sized so the fixture exhibits a few
+# observable (bounded) false positives next to ground truth
+_BLOOM_M_FIXTURE = 2048
+register(
+    "bloom_membership_check",
+    lambda spark, sf: SK.bloom_membership(
+        _doc_keys(spark, sf, "doc_id % 4 != 0"),
+        _doc_keys(spark, sf),
+        m=_BLOOM_M_FIXTURE,
+    ),
+    SK.bloom_membership_sql(
+        "SELECT doc_id::VARCHAR AS kk FROM documents WHERE doc_id % 4 != 0",
+        "SELECT doc_id::VARCHAR AS kk FROM documents",
+        m=_BLOOM_M_FIXTURE,
+    ),
+)
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering
 # ---------------------------------------------------------------------------
@@ -770,6 +797,7 @@ _GATE_OVERFLOW = [
     "lineitem_cube",
     "embedding_quantization_stats",
     "token_length_histogram",
+    "bloom_membership_check",
 ]
 for _name in _GATE_OVERFLOW + [k for k in list(QUERIES) if k not in ORACLES]:
     QUERIES[_name] = QUERIES.pop(_name)

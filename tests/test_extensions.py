@@ -27,6 +27,7 @@ EXTENSION_ORACLE_QUERIES = [
     # gate-window overflow entries: pytest carries their oracle checks
     "embedding_quantization_stats",
     "token_length_histogram",
+    "bloom_membership_check",
 ]
 
 
@@ -427,3 +428,40 @@ def test_purchase_attribution_random_events_match_model(spark):
         ]
         want[eid_] = (len(clicks), max(clicks) if clicks else None)
     assert got == want
+
+
+def test_bloom_membership_properties(spark):
+    """No false negatives ever; false positives exist at the fixture's
+    deliberately small m but stay bounded; and the filter is mergeable:
+    bits(A ∪ B) == bits(A) ∪ bits(B)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_hwk_spark.operators import sketches as SK
+
+    docs = registry._docs(spark, SF_CORRECT)
+    corpus = docs.filter("doc_id % 4 != 0").select(
+        F.col("doc_id").cast("string").alias("key")
+    )
+    probes = docs.select(F.col("doc_id").cast("string").alias("key"))
+    rows = SK.bloom_membership(corpus, probes, m=2048).collect()
+    assert rows
+    fp = fn = 0
+    for r in rows:
+        if r.actually_present and not r.claimed_present:
+            fn += 1
+        if r.claimed_present and not r.actually_present:
+            fp += 1
+    assert fn == 0  # Bloom filters never report a present key absent
+    n_absent = sum(1 for r in rows if not r.actually_present)
+    assert 0 < fp < 0.35 * n_absent  # observable but bounded at this m
+
+    a = corpus.filter("key < '250'")
+    b = corpus.filter("key >= '250'")
+    merged = {
+        r.bit
+        for r in SK.bloom_bits(a, m=2048).union(SK.bloom_bits(b, m=2048))
+        .distinct()
+        .collect()
+    }
+    whole = {r.bit for r in SK.bloom_bits(corpus, m=2048).collect()}
+    assert merged == whole
