@@ -522,7 +522,10 @@ def embedding_quantization_stats(embeddings: DataFrame) -> DataFrame:
     """
     v = F.transform("embedding", lambda x: x.cast("double"))
     max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = max_abs / QUANT_LEVELS
+    # nullif: a zero vector has scale 0, and x/0 is an ANSI-mode
+    # DIVIDE_BY_ZERO crash (Spark 4 default); NULL propagates through
+    # round/cast/sum instead and the output CASE emits explicit zeros
+    scale = F.nullif(max_abs, F.lit(0.0)) / QUANT_LEVELS
     q = F.transform(v, lambda x: F.round(x / scale, 0).cast("bigint"))
     zero = F.lit(0).cast("bigint")
     sum_q = F.aggregate(q, zero, lambda a, x: a + x)
@@ -559,7 +562,7 @@ m AS (
   FROM v),
 q AS (
   SELECT vec_id, n_dims, max_abs,
-         list_transform(vd, x -> CAST(round(x / (max_abs / {QUANT_LEVELS}), 0)
+         list_transform(vd, x -> CAST(round(x / (nullif(max_abs, 0) / {QUANT_LEVELS}), 0)
                                       AS BIGINT)) AS qs
   FROM m)
 SELECT vec_id, n_dims, round(max_abs, 6) AS max_abs,

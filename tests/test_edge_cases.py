@@ -120,3 +120,47 @@ def test_round3_ops_empty_and_single_doc(frames, spark):
 def test_round3_embedding_clusters_empty(frames):
     assert SIM.embedding_dedup_clusters(frames["embs0"]).count() == 0
     assert SIM.embedding_dedup_clusters(frames["embs1"]).count() == 0
+
+
+def test_round5_ops_empty_and_degenerate(frames, spark):
+    """Round-5 operators on empty/degenerate inputs: empty results or
+    well-defined zeros, never a crash."""
+    from pyspark.sql import functions as F
+
+    from bigdata_hwk_spark.operators import sketches as SK
+
+    docs0 = frames["docs0"]
+    docs0_src = spark.createDataFrame(
+        [], "doc_id long, lang string, text string, source string"
+    )
+    assert D.duplication_profile(docs0).count() == 0
+    assert SP.source_mix_weights(docs0_src).count() == 0
+    assert TX.token_length_histogram(docs0).count() == 0
+    assert SP.training_shard_manifest(docs0).count() == 0
+
+    # single doc: all its shingles are unique by definition
+    one = spark.createDataFrame(
+        [(1, "en", "a b c d e")], "doc_id long, lang string, text string"
+    )
+    row = D.duplication_profile(one).collect()[0]
+    assert row.n_dup_shingles == 0 and row.dup_fraction == 0.0
+    # one source gets the whole mixing weight
+    mix = SP.source_mix_weights(one.withColumn("source", F.lit("s0"))).collect()
+    assert len(mix) == 1 and mix[0].mix_weight == 1.0 and mix[0].p_tokens == 1.0
+
+    # zero embedding vector: quantizes to explicit zeros, no div-by-zero null
+    embq = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [0.5, -1.0, 0.25])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: r for r in SIM.embedding_quantization_stats(embq).collect()}
+    assert got[0].sum_q == 0 and got[0].sum_abs_q == 0 and got[0].max_abs == 0.0
+    assert got[1].sum_abs_q > 0
+
+    # bloom: empty corpus claims nothing; empty probes produce no rows
+    keys0 = spark.createDataFrame([], "key string")
+    keys2 = spark.createDataFrame([("a",), ("b",)], "key string")
+    rows = SK.bloom_membership(keys0, keys2).collect()
+    assert {r.key: r.claimed_present for r in rows} == {"a": False, "b": False}
+    assert all(not r.actually_present for r in rows)
+    assert SK.bloom_membership(keys2, keys0).count() == 0
