@@ -57,8 +57,15 @@ def cosine_topk_bruteforce(
 
     Query side is tiny → ``F.broadcast`` cross join (the corpus side never
     shuffles); per-query ranking via a window partitioned by query_id.
+
+    Zero-norm vectors are excluded up front on both engines: their cosine
+    is undefined, and the division would be an ANSI-mode DIVIDE_BY_ZERO
+    crash (Spark 4 default) — one corrupt embedding must not kill a
+    corpus-wide query.
     """
-    emb = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    emb = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).filter(_dot(F.col("v"), F.col("v")) > 0)
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -88,7 +95,8 @@ def cosine_topk_bruteforce(
 
 def cosine_topk_sql(n_queries: int = 5, k: int = 10) -> str:
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {n_queries}),
 scored AS (
   SELECT query_id, e.vec_id AS neighbor_id,

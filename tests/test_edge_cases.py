@@ -157,6 +157,16 @@ def test_round5_ops_empty_and_degenerate(frames, spark):
     assert got[0].sum_q == 0 and got[0].sum_abs_q == 0 and got[0].max_abs == 0.0
     assert got[1].sum_abs_q > 0
 
+    # a zero-norm vector must not crash brute-force cosine (ANSI divide)
+    # and is excluded (undefined cosine), not ranked
+    embz = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.8, 0.6]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    topk = SIM.cosine_topk_bruteforce(embz, n_queries=2, k=5).collect()
+    assert topk
+    assert all(r.neighbor_id != 1 and r.query_id != 1 for r in topk)
+
     # bloom: empty corpus claims nothing; empty probes produce no rows
     keys0 = spark.createDataFrame([], "key string")
     keys2 = spark.createDataFrame([("a",), ("b",)], "key string")
