@@ -123,13 +123,18 @@ def main() -> None:
         }
     )
 
-    spark.stop()
     # Flush any pending broadcast/persist finalizers while their guard can
-    # still see the stopped context, THEN emit the one parseable line.
-    import gc
+    # still see the stopped context, THEN emit the one parseable line. The
+    # print must run even if stop() raises (a dead JVM after a long run
+    # would otherwise cost the round's only parseable metric line).
+    try:
+        spark.stop()
+        import gc
 
-    gc.collect()
-    sys.stderr.flush()
+        gc.collect()
+        sys.stderr.flush()
+    except Exception as exc:  # pragma: no cover - JVM teardown failure
+        print(f"# teardown failed: {exc!r}", file=sys.stderr)
     print(line, flush=True)
 
 

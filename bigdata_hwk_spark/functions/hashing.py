@@ -14,6 +14,12 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# md5_hash64 values span exactly [0, 2**HASH_BITS): 15 hex chars = 60 bits,
+# always non-negative. Anything deriving buckets from the hash's top bits
+# (e.g. the shard-manifest prefix-sum bucketing) must shift within THIS
+# domain, not a signed-64 one.
+HASH_BITS = 60
+
 
 def md5_hash64(col: Column) -> Column:
     """Spark: first 60 bits of md5(col) as a non-negative bigint."""

@@ -536,8 +536,12 @@ def token_length_histogram(documents: DataFrame) -> DataFrame:
 
     Integer-only math (floor(log2(n)) computed via BIGINT bit length), so
     engine parity has no fp hazard.
+
+    Empty tokens are filtered from the split (split('', ' ') is [''] —
+    size 1 — on both engines; without the filter an empty doc would count
+    one token and the -1 bucket would be unreachable).
     """
-    n_tokens = F.size(F.split(F.col("text"), " "))
+    n_tokens = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
     # floor(log2(n)) for n >= 1 == bit_length(n) - 1; Spark has no
     # bit_length-of-int, but bit(63 - leading zeros) via log is fp-risky,
     # so use string length of the binary representation (exact).
@@ -556,7 +560,8 @@ def token_length_histogram(documents: DataFrame) -> DataFrame:
 
 TOKEN_LENGTH_HISTOGRAM_SQL = """
 WITH t AS (
-  SELECT len(string_split(text, ' ')) AS nt FROM documents)
+  SELECT len(list_filter(string_split(text, ' '), x -> x <> '')) AS nt
+  FROM documents)
 SELECT CAST(CASE WHEN nt <= 0 THEN -1
             ELSE length(bin(CAST(nt AS BIGINT))) - 1 END AS INTEGER) AS bucket,
        count(*) AS n_docs,

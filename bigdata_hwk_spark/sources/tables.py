@@ -82,8 +82,9 @@ def _events_ts_is_nanos(sf_dir: str) -> bool:
         parts = sorted(
             f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith("_")
         )
-        if parts:
-            probe = os.path.join(path, parts[0])
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {path}")
+        probe = os.path.join(path, parts[0])
     ts_type = pq.read_schema(probe).field("ts").type
     unit = getattr(ts_type, "unit", None)
     if unit not in ("ns", "us", "ms", "s"):
@@ -208,14 +209,21 @@ def stream_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .points_csv import with_point_ids
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
     if key not in _STREAM_CACHE:
-        while len(_STREAM_CACHE) >= _STREAM_CACHE_MAX:
-            oldest = next(iter(_STREAM_CACHE))  # dicts preserve insert order
+        # Evict dead-application entries first; entries of the LIVE app are
+        # never evicted — unpersisting a pinned sorted layout that a derived
+        # plan still references would let a re-execution resample the range
+        # partitioner bounds and corrupt the deterministic seq assignment.
+        stale = [k for k in _STREAM_CACHE if k[0] != app_id]
+        for k in stale:
+            if len(_STREAM_CACHE) < _STREAM_CACHE_MAX:
+                break
             try:
-                _STREAM_CACHE.pop(oldest).unpersist()
+                _STREAM_CACHE.pop(k).unpersist()
             except Exception:  # session of the evicted entry may be gone
-                pass
+                _STREAM_CACHE.pop(k, None)
         ev = load_table(spark, sf_dir, "events")
         n_parts = max(spark.sparkContext.defaultParallelism, 1)
         ordered = (
