@@ -375,7 +375,27 @@ def _stream_sticky(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(i,) for i in rep.sticky_estimate], "item bigint")
 
 
+def _stream_reservoir_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable twin of stream_reservoir_sample: per-group reservoirs in one
+    mapInPandas pass + exact hypergeometric driver merge (O(L·m) driver
+    bytes instead of the whole prefix). Rows-only by design (RNG-bearing);
+    uniformity/merge/L=1 properties are pytest-pinned."""
+    import math
+
+    n, phi, _ = stream_params(sf_dir)
+    sample, _total = FI.distributed_reservoir_sample(
+        stream_from_events(spark, sf_dir),
+        m=math.ceil(1 / phi),
+        n=n,
+        seed=STREAM_SEED,
+    )
+    return spark.createDataFrame(
+        [(i,) for i in sorted(set(sample))], "item bigint"
+    )
+
+
 register("stream_reservoir_sample", _stream_reservoir)
+register("stream_reservoir_distributed", _stream_reservoir_distributed)
 register("stream_sticky_sampling", _stream_sticky)
 
 

@@ -335,6 +335,124 @@ def run_structured_stream(
 
 
 # ---------------------------------------------------------------------------
+# Distributed reservoir (the scalable twin of ReservoirSample)
+# ---------------------------------------------------------------------------
+
+
+def _merge_two_reservoirs(
+    a: tuple[list[int], int], b: tuple[list[int], int], m: int, rng: random.Random
+) -> tuple[list[int], int]:
+    """Exact uniform merge of two reservoirs (sample, population count).
+
+    Draw how many merged slots come from A by the sequential
+    without-replacement process (≡ Hypergeometric(nA+nB, nA, k)), then take
+    that many uniform picks from each partial sample. Each partial is
+    itself a uniform sample of its population, so the composition is a
+    uniform k-sample of the union — the standard distributed-reservoir
+    merge, exact rather than the approximate proportional draw.
+    """
+    sa, na = a
+    sb, nb = b
+    k = min(m, na + nb)
+    rem_a, rem_b = na, nb
+    take_a = take_b = 0
+    for _ in range(k):
+        if rng.random() * (rem_a + rem_b) < rem_a:
+            take_a += 1
+            rem_a -= 1
+        else:
+            take_b += 1
+            rem_b -= 1
+    return rng.sample(sa, take_a) + rng.sample(sb, take_b), na + nb
+
+
+def distributed_reservoir_sample(
+    stream: DataFrame,
+    m: int,
+    n: int | None = None,
+    num_reservoirs: int | None = None,
+    seed: int = 42,
+) -> tuple[list[int], int]:
+    """Uniform m-sample of the (first-n prefix of the) stream, computed
+    WITHOUT driver-side sequential state: the scalable twin of
+    ``ReservoirSample`` (reference A8, HWK_3/G029HW3.py:10-19), whose
+    driver-dict form a 100 TB stream cannot run.
+
+    Shape: L independent per-group reservoirs run inside one
+    ``mapInPandas`` pass (group = ``seq % L``, hash-co-located by an equi
+    repartition, seq-sorted within partitions so every run is
+    deterministic — no range partitioner, no sampled bounds), then the L
+    (sample, count) rows — O(L·m) values total — fold on the driver
+    through an exact hypergeometric merge. Per-group RNGs are seeded
+    ``seed + 1_000_003·p``, so L=1 reproduces the sequential reservoir's
+    RNG stream exactly (pinned by test), mirroring the ``sequential_fft``
+    L=1 contract.
+
+    Returns (sample list, population count actually sampled from).
+    """
+    import pandas as pd
+
+    sess = stream.sparkSession
+    L = num_reservoirs or sess.sparkContext.defaultParallelism
+    src = stream
+    if n is not None:
+        src = src.filter(F.col("seq") < n)
+    parts = (
+        src.select((F.col("seq") % L).cast("int").alias("__p"), "seq", "item")
+        .repartition(L, "__p")
+        .sortWithinPartitions("__p", "seq")
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        # p -> [rng, sample, count]; groups are contiguous after the sort,
+        # but the keyed dict stays correct even if Arrow re-batches them.
+        states: dict[int, list] = {}
+        for pdf in batches:
+            for p, it in zip(pdf["__p"].to_numpy(), pdf["item"].to_numpy()):
+                st = states.get(int(p))
+                if st is None:
+                    st = states[int(p)] = [
+                        random.Random(seed + 1_000_003 * int(p)),
+                        [],
+                        0,
+                    ]
+                rng, sample, _ = st
+                st[2] = t = st[2] + 1
+                if len(sample) < m:
+                    sample.append(int(it))
+                else:
+                    j = rng.randrange(t)
+                    if j < m:
+                        sample[j] = int(it)
+        if states:
+            yield pd.DataFrame(
+                {
+                    "p": list(states),
+                    "cnt": [st[2] for st in states.values()],
+                    "sample": [st[1] for st in states.values()],
+                }
+            )
+
+    partials = parts.mapInPandas(run, "p int, cnt bigint, sample array<bigint>").collect()
+    merge_rng = random.Random(seed ^ 0x5EED)
+    merged: list[int] = []
+    total = 0
+    for row in sorted(partials, key=lambda r: r["p"]):
+        if row["cnt"] == 0:
+            continue
+        if total == 0:
+            merged, total = [int(i) for i in row["sample"]], int(row["cnt"])
+        else:
+            merged, total = _merge_two_reservoirs(
+                (merged, total),
+                ([int(i) for i in row["sample"]], int(row["cnt"])),
+                m,
+                merge_rng,
+            )
+    return merged, total
+
+
+# ---------------------------------------------------------------------------
 # Declarative exact path (the scalable analogue; oracle-checked)
 # ---------------------------------------------------------------------------
 

@@ -536,3 +536,64 @@ def test_stream_stream_attribution_state_is_bounded(spark):
     plan = joined._jdf.queryExecution().analyzed().toString()
     assert plan.count("EventTimeWatermark") == 2
     assert "click_ts" in plan and "view_ts" in plan
+
+
+# ---------------------------------------------------------------------------
+# Distributed reservoir (scalable twin of ReservoirSample)
+# ---------------------------------------------------------------------------
+
+
+def _synthetic_stream(spark, n):
+    return spark.range(n).select(F.col("id").alias("seq"), F.col("id").alias("item"))
+
+
+def test_distributed_reservoir_l1_equals_sequential(spark):
+    """L=1 must reproduce the sequential reservoir's RNG stream exactly —
+    same contract as sequential_fft's L=1 equivalence."""
+    n, m = 5000, 50
+    dist, total = FI.distributed_reservoir_sample(
+        _synthetic_stream(spark, n), m=m, num_reservoirs=1, seed=42
+    )
+    seq = FI.ReservoirSample(m=m, seed=42)
+    seq.add_batch(range(n))
+    assert total == n
+    assert dist == seq.sample  # exact list equality incl. eviction slots
+
+
+def test_distributed_reservoir_uniformity_chi2(spark):
+    """One seeded draw of 500 from 100k, chi-square over 20 equal id
+    buckets: uniform sampling keeps the statistic under the p=0.001
+    critical value (43.8 at 19 dof). Deterministic seed, no flake."""
+    n, m, L = 100_000, 500, 8
+    sample, total = FI.distributed_reservoir_sample(
+        _synthetic_stream(spark, n), m=m, num_reservoirs=L, seed=42
+    )
+    assert total == n and len(sample) == m
+    assert len(set(sample)) == m  # without replacement: stream items unique
+    buckets = [0] * 20
+    for it in sample:
+        buckets[it // 5000] += 1
+    exp = m / 20
+    chi2 = sum((b - exp) ** 2 / exp for b in buckets)
+    assert chi2 < 43.8, (chi2, buckets)
+
+
+def test_distributed_reservoir_small_population(spark):
+    """n < m: every item is kept, across all partial reservoirs."""
+    sample, total = FI.distributed_reservoir_sample(
+        _synthetic_stream(spark, 30), m=100, num_reservoirs=4, seed=3
+    )
+    assert total == 30
+    assert sorted(sample) == list(range(30))
+
+
+def test_distributed_reservoir_first_n_and_determinism(spark):
+    stream = stream_from_events(spark, SF_SMOKE)
+    s1, t1 = FI.distributed_reservoir_sample(
+        stream, m=20, n=400, num_reservoirs=4, seed=9
+    )
+    s2, t2 = FI.distributed_reservoir_sample(
+        stream, m=20, n=400, num_reservoirs=4, seed=9
+    )
+    assert (s1, t1) == (s2, t2)  # deterministic across runs
+    assert t1 == 400 and len(s1) == 20
