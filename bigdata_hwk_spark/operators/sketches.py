@@ -210,6 +210,150 @@ def bloom_membership(
     )
 
 
+# ---------------------------------------------------------------------------
+# HyperLogLog as a DataFrame (cardinality leg of the sketch family)
+# ---------------------------------------------------------------------------
+
+HLL_P = 5                     # m = 2^p registers; rel err ≈ 1.04/√m ≈ 18% at m=32
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _hll_alpha(m: int) -> float:
+    return _HLL_ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
+
+
+def hll_registers(
+    items: DataFrame,
+    item_col: str = "item",
+    p: int = HLL_P,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(*group_cols, bucket, max_rho) — the HLL register table: ≤ 2^p rows
+    per group, mergeable via ``groupBy(bucket).max(max_rho)`` (register-
+    max is idempotent/commutative/associative, so per-partition sketches
+    combine exactly like the CM sketch's cells — the 100 TB shape, and
+    what Spark's partial/final max aggregate already does here).
+
+    Engine-portable: bucket = low p bits of the md5 hash, rho = leading-
+    zero count of the remaining 60-p bits + 1, computed integer-only via
+    binary-string bit length (no fp log), so DuckDB reproduces the table
+    bit-for-bit. Completes the sketch family next to CMS (frequency) and
+    Bloom (membership); the built-in ``approx_count_distinct`` twin lacks
+    an engine-portable register table.
+    """
+    m = 1 << p
+    rho_max = 61 - p  # w spans 60-p bits; rho = (60-p) - bit_length(w) + 1
+    h = md5_hash64(F.concat(F.lit("hll:"), F.col(item_col).cast("string")))
+    hashed = items.select(*group_cols, h.alias("h"))
+    w = F.expr(f"h div {m}")
+    bitlen = F.length(F.conv(w.cast("string"), 10, 2))
+    rho = F.when(w == 0, F.lit(rho_max)).otherwise(F.lit(rho_max) - bitlen)
+    return (
+        hashed.select(*group_cols, (F.col("h") % m).alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_cardinality(
+    items: DataFrame,
+    item_col: str = "item",
+    p: int = HLL_P,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(*group_cols, n_exact, n_est, v_zero) — HLL cardinality estimate
+    next to the exact distinct count, so the sketch error is directly
+    observable (and oracle-checked: all arithmetic is either exact
+    integer or identical-order IEEE double ops in both engines).
+
+    One shuffle: per-(group, bucket) max-rho + exact-distinct partials
+    (distinct items never straddle buckets — the bucket is a function of
+    the item — so summing per-bucket distincts IS the exact global
+    count; no second pass, no join). The harmonic-mean denominator is
+    folded to exact integers (Σ 2^(rho_max−M_j) ≤ 2^61 fits BIGINT), so
+    summation order can never move the oracle hash; the standard
+    small-range linear-counting correction applies when E ≤ 2.5m with
+    empty registers.
+    """
+    m = 1 << p
+    rho_max = 61 - p
+    h = md5_hash64(F.concat(F.lit("hll:"), F.col(item_col).cast("string")))
+    hashed = items.select(
+        *group_cols, F.col(item_col).cast("string").alias("it"), h.alias("h")
+    )
+    w = F.expr(f"h div {m}")
+    bitlen = F.length(F.conv(w.cast("string"), 10, 2))
+    rho = F.when(w == 0, F.lit(rho_max)).otherwise(F.lit(rho_max) - bitlen)
+    per_bucket = (
+        hashed.select(
+            *group_cols, (F.col("h") % m).alias("bucket"), rho.alias("rho"), "it"
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("max_rho"), F.countDistinct("it").alias("nd"))
+    )
+    one = per_bucket.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(rho_max) - F.col("max_rho")).cast("bigint")
+        ).alias("s_present"),
+        F.sum("nd").cast("bigint").alias("n_exact"),
+    )
+    v = F.lit(m) - F.col("n_present")
+    s_scaled = F.col("s_present") + v * F.lit(1 << rho_max)
+    e_raw = F.lit(_hll_alpha(m) * m * m * (1 << rho_max)) / s_scaled
+    est = F.when(
+        (v > 0) & (e_raw <= 2.5 * m),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(e_raw)
+    return one.select(
+        *group_cols,
+        "n_exact",
+        F.round(est, 2).alias("n_est"),
+        v.cast("int").alias("v_zero"),
+    )
+
+
+def hll_cardinality_sql(
+    items_body: str,
+    p: int = HLL_P,
+    group_cols: tuple[str, ...] = (),
+) -> str:
+    """DuckDB oracle: identical registers, denominator, and estimator.
+
+    ``items_body`` — SQL body yielding (*group_cols, it VARCHAR)."""
+    m = 1 << p
+    rho_max = 61 - p
+    alpha_c = repr(_hll_alpha(m) * m * m * (1 << rho_max))
+    h = md5_hash64_sql("'hll:' || it")
+    gcp = "".join(c + ", " for c in group_cols)
+    gb1 = ", ".join([*group_cols, "bucket"])
+    gb2 = ", ".join(group_cols)
+    gb2_clause = f"GROUP BY {gb2}" if group_cols else ""
+    e_raw = f"({alpha_c} / (s_present + ({m} - n_present) * {1 << rho_max}))"
+    return f"""
+WITH its AS ({items_body}),
+hashed AS (SELECT {gcp}it, {h} AS h FROM its),
+regs AS (
+  SELECT {gcp}h % {m} AS bucket,
+         max(CASE WHEN h // {m} = 0 THEN {rho_max}
+                  ELSE {rho_max} - length(bin(h // {m})) END) AS max_rho,
+         count(DISTINCT it) AS nd
+  FROM hashed GROUP BY {gb1}),
+one AS (
+  SELECT {gcp}count(*) AS n_present,
+         CAST(sum(CAST(power(2.0, {rho_max} - max_rho) AS BIGINT)) AS BIGINT)
+           AS s_present,
+         CAST(sum(nd) AS BIGINT) AS n_exact
+  FROM regs {gb2_clause})
+SELECT {gcp}n_exact,
+       round(CASE WHEN ({m} - n_present) > 0 AND {e_raw} <= {2.5 * m!r}
+                  THEN {float(m)!r} * ln({float(m)!r} / ({m} - n_present))
+                  ELSE {e_raw} END, 2) AS n_est,
+       CAST({m} - n_present AS INTEGER) AS v_zero
+FROM one
+"""
+
+
 def bloom_membership_sql(
     corpus_body: str, probe_body: str, k: int = BLOOM_K, m: int = BLOOM_M
 ) -> str:

@@ -798,6 +798,31 @@ register(
 )
 
 
+# HLL cardinality per event segment: distinct users per event_type, sketch
+# estimate next to the exact count (the engine-portable mergeable twin of
+# approx_event_stats' built-in approx_count_distinct)
+def _hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return SK.hll_cardinality(
+        ev.select("event_type", F.col("user_id").alias("item")),
+        group_cols=("event_type",),
+    )
+
+
+register(
+    "hll_user_cardinality",
+    _hll_users,
+    SK.hll_cardinality_sql(
+        "SELECT event_type, user_id::VARCHAR AS it FROM events",
+        group_cols=("event_type",),
+    ),
+)
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering
 # ---------------------------------------------------------------------------
@@ -818,6 +843,7 @@ _GATE_OVERFLOW = [
     "embedding_quantization_stats",
     "token_length_histogram",
     "bloom_membership_check",
+    "hll_user_cardinality",
 ]
 for _name in _GATE_OVERFLOW + [k for k in list(QUERIES) if k not in ORACLES]:
     QUERIES[_name] = QUERIES.pop(_name)
