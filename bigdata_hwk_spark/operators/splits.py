@@ -105,7 +105,10 @@ SAMPLE_SALT = "sample-v1"
 
 
 def stratified_sample(
-    documents: DataFrame, group_col: str = "lang", n_per_group: int = 20
+    documents: DataFrame,
+    group_col: str = "lang",
+    n_per_group: int = 20,
+    n_salts: int = 16,
 ) -> DataFrame:
     """(doc_id, <group_col>, rk) — deterministic equal-size per-stratum
     sample: the ``n_per_group`` docs with the smallest salted hash in each
@@ -116,18 +119,34 @@ def stratified_sample(
     docs. Ordering each stratum by a salted md5 of the key is a pure
     projection — reproducible across runs, re-layouts, engines (the
     DuckDB oracle recomputes it), and appends (a new doc displaces at
-    most one sampled doc in its own stratum). Per-stratum window is one
-    hash-partitioned sort per group; a pathologically hot stratum at
-    100 TB would swap in the classic two-phase top-n (per-partition top-n
-    then global) without changing semantics, since top-n-by-hash is
-    associative.
+    most one sampled doc in its own stratum).
+
+    Two-phase top-n so a pathologically hot stratum never sorts in one
+    task: phase 1 ranks within (stratum, salt) — ``n_salts``-way parallel
+    per stratum, keeping ≤ n_salts·n_per_group candidates per stratum —
+    and phase 2 ranks the surviving candidates per stratum. Top-n-by-hash
+    is associative (every global top-n row is in its salt's top-n), so
+    the result — ranks included — is identical to the single-phase form
+    and the same DuckDB oracle checks it. The salt is xxhash64 (JVM-fast;
+    it never reaches the output, so engine portability doesn't apply).
     """
     hk = md5_hash64(
         F.concat(F.lit(SAMPLE_SALT + ":"), F.col("doc_id").cast("string"))
     )
-    w = Window.partitionBy(group_col).orderBy(hk, F.col("doc_id"))
+    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_salts))
+    w1 = Window.partitionBy(group_col, "__salt").orderBy("__hk", "doc_id")
+    w2 = Window.partitionBy(group_col).orderBy("__hk", "doc_id")
+    candidates = (
+        documents.select(
+            "doc_id", group_col, hk.alias("__hk"), salt.alias("__salt")
+        )
+        .withColumn("__rk1", F.row_number().over(w1))
+        .filter(F.col("__rk1") <= n_per_group)
+    )
     return (
-        documents.select("doc_id", group_col, F.row_number().over(w).alias("rk"))
+        candidates.select(
+            "doc_id", group_col, F.row_number().over(w2).alias("rk")
+        )
         .filter(F.col("rk") <= n_per_group)
     )
 

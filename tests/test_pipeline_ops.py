@@ -292,6 +292,21 @@ def test_stratified_sample_invariants(spark):
     assert {(r.lang, r.doc_id) for r in rows} == again
 
 
+def test_stratified_sample_two_phase_topn(spark):
+    """The physical plan must run the partial (stratum, salt) top-n before
+    the per-stratum rank — no single-task sort of a hot stratum — and the
+    two-phase result must be identical (ranks included) to the
+    single-phase form, here modeled by n_salts=1."""
+    docs = _docs(spark, SF_CORRECT)
+    df = SP.stratified_sample(docs, n_per_group=20)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan  # phase-1 partial rank is in the plan
+    assert plan.count("Window") >= 2
+    single = {(r.lang, r.doc_id, r.rk) for r in
+              SP.stratified_sample(docs, n_per_group=20, n_salts=1).collect()}
+    assert {(r.lang, r.doc_id, r.rk) for r in df.collect()} == single
+
+
 def test_training_shard_manifest_packing_invariants(spark):
     docs = _docs(spark, SF_CORRECT)
     budget = 2500
