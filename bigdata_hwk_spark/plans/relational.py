@@ -206,6 +206,10 @@ WHERE rk <= 3
 # ---------------------------------------------------------------------------
 
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize_events(load_table(spark, sf_dir, "events"))
+
+
+def sessionize_events(ev: DataFrame) -> DataFrame:
     """Sessions per user with a 30-min inactivity gap: classic
     lag→gap-flag→running-sum pattern. Output: one row per session.
 
@@ -225,8 +229,12 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
       sides — decimal addition is associative/order-independent, so
       shuffle order and fp-summation algorithm differences can't move a
       rounded 2-decimal total across a half-boundary. Cast back to
-      DOUBLE before the final round for a schema-stable output."""
-    ev = load_table(spark, sf_dir, "events")
+      DOUBLE before the final round for a schema-stable output.
+
+    Skew posture: the per-user window is the semantic unit (a running
+    sum over one user's ordered history can't split mid-stream), so a
+    hot user costs one task sorting that user's rows — linear, and
+    pinned by the planted-hot-key test in tests/test_skew.py."""
     tus = F.unix_micros(F.col("ts"))
     w = Window.partitionBy("user_id").orderBy(tus, "event_id")
     gap = tus - F.lag(tus).over(w)
@@ -550,6 +558,13 @@ ATTRIB_DAYS = 7
 
 
 def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    return attribute_purchases(ev)
+
+
+def attribute_purchases(ev: DataFrame) -> DataFrame:
     """Interval join: for every purchase, the same user's click count and
     most recent click in the preceding 7 days. The windowed-attribution
     shape (range join on time) that complements the as-of join's
@@ -559,9 +574,10 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual — Catalyst plans a hash/sort-merge join keyed on user, so
     per-task work is bounded by per-user event counts (no interval
     explosion, no nested loop). A left join keeps zero-click purchases
-    with n_clicks_7d = 0, matching SQL count(col) semantics.
+    with n_clicks_7d = 0, matching SQL count(col) semantics. Join-key
+    skew (a hot user) is AQE's skew-split territory — the session
+    enables it (session.py) and tests/test_skew.py plants a 20% hot key.
     """
-    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", F.col("ts").alias("purchase_ts")
     )
