@@ -12,8 +12,9 @@ practice and are rounded to 4 decimals at the output boundary.
 Scale notes: brute-force top-k against Q query vectors is a broadcast
 cross join (no shuffle of the big side) followed by a per-query window —
 linear in corpus size, embarrassingly parallel. The LSH path shrinks the
-candidate set by ~2^bits; at 100 TB you'd add multi-probe and an IVF
-coarse quantizer, both of which keep this module's shape (bucket id →
+candidate set by ~2^bits and runs multi-probe (lowest-margin bit flips)
+so half the tables deliver better recall than single-probe at full
+tables; the IVF coarse quantizer keeps the same shape (bucket id →
 equi-join → exact re-rank).
 """
 
@@ -30,7 +31,8 @@ from pyspark.sql import functions as F
 _LOG = logging.getLogger(__name__)
 
 ANN_BITS = 4        # hyperplanes per LSH table
-ANN_TABLES = 8      # independent tables (OR-amplification)
+ANN_TABLES = 4      # independent tables (OR-amplification)
+ANN_PROBES = 3      # multi-probe: base bucket + lowest-margin bit flips
 ANN_SEED = 42
 
 
@@ -379,17 +381,28 @@ def ann_lsh_pairs(
     tau: float = 0.4,
     bits: int = ANN_BITS,
     tables: int = ANN_TABLES,
+    probes: int = ANN_PROBES,
     seed: int = ANN_SEED,
     dim: int = 64,
 ) -> DataFrame:
     """Approximate near-dup pairs: candidates share an LSH bucket in ≥1 of
-    ``tables`` random-hyperplane tables; candidates are exactly re-scored
-    and thresholded, so precision is 1.0 and only recall is approximate
-    (amplified by OR-ing tables).
+    ``tables`` random-hyperplane tables, under multi-probe (each vector
+    also probes the ``probes-1`` buckets reached by flipping its
+    lowest-|margin| hyperplane bits — the bits most likely to differ for
+    a true neighbor). Candidates are exactly re-scored and thresholded,
+    so precision is 1.0 and only recall is approximate.
 
-    Plan shape (the one that survives scale-up): bucket signatures for all
-    tables come from a single NumPy sign-bit matmul per Arrow batch
-    (``mapInPandas``, no shuffle); the candidate join carries ONLY
+    Multi-probe is the 100 TB lever: halving ``tables`` halves the
+    persisted signature table and the per-bucket join fan-in, while the
+    extra probes recover the lost recall — probe rows multiply only the
+    probe SIDE of the join, not the indexed side (probe rows join base
+    rows, so a pair one flipped bit apart still meets). Recall at
+    (tables=4, probes=3) ≥ recall at (tables=8, probes=1) is pinned by
+    the recall test.
+
+    Plan shape (the one that survives scale-up): signatures AND probe
+    buckets for all tables come from a single NumPy matmul per Arrow
+    batch (``mapInPandas``, no shuffle); the candidate join carries ONLY
     (table, bucket, vec_id) — 20 bytes/row — never the vectors; vectors
     re-attach to the deduped candidate pairs via two equi-joins; exact
     re-scoring is a vectorized pandas UDF. Shuffle volume is therefore
@@ -398,20 +411,37 @@ def ann_lsh_pairs(
     planes = _hyperplanes(dim, bits, tables, seed)
     flat = planes.reshape(tables * bits, dim)  # (T*B, dim)
     weights = 1 << np.arange(bits, dtype=np.int64)
+    n_flips = max(0, min(probes - 1, bits))
 
     def bucketize(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             block = np.array(list(pdf["embedding"]), dtype=np.float64)
-            signs = (block @ flat.T >= 0).reshape(-1, tables, bits)
+            proj = (block @ flat.T).reshape(-1, tables, bits)
+            signs = proj >= 0
             buckets = (signs * weights).sum(axis=2)  # (n, tables)
             n = len(pdf)
+            vec_ids = [np.repeat(pdf["vec_id"].to_numpy(), tables)]
+            ts = [np.tile(np.arange(tables, dtype=np.int32), n)]
+            bks = [buckets.reshape(-1)]
+            fls = [np.zeros(n * tables, dtype=np.int8)]
+            if n_flips:
+                # flip the n_flips lowest-|margin| bits per (vec, table):
+                # cheapest next-nearest buckets, one vectorized argsort
+                order = np.argsort(np.abs(proj), axis=2)  # (n, T, B)
+                for j in range(n_flips):
+                    flipped = buckets ^ np.left_shift(1, order[:, :, j])
+                    vec_ids.append(vec_ids[0])
+                    ts.append(ts[0])
+                    bks.append(flipped.reshape(-1))
+                    fls.append(np.ones(n * tables, dtype=np.int8))
             yield pd.DataFrame(
                 {
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), tables),
-                    "t": np.tile(np.arange(tables, dtype=np.int32), n),
-                    "bk": buckets.reshape(-1),
+                    "vec_id": np.concatenate(vec_ids),
+                    "t": np.concatenate(ts),
+                    "bk": np.concatenate(bks),
+                    "fl": np.concatenate(fls),
                 }
             )
 
@@ -420,18 +450,19 @@ def ann_lsh_pairs(
         emb = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
     # the signature table feeds BOTH sides of the self-join; unpersisted,
     # branched lineage re-runs the bucketize matmul (and the corpus scan)
-    # twice. 20 bytes/row × T tables — MEMORY_AND_DISK spills at scale
-    # instead of recomputing.
+    # twice. ~20 bytes/row × T·probes rows — MEMORY_AND_DISK spills at
+    # scale instead of recomputing.
     long = emb.mapInPandas(
-        bucketize, schema="vec_id bigint, t int, bk bigint"
+        bucketize, schema="vec_id bigint, t int, bk bigint, fl tinyint"
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    a = long.alias("a")
-    b = long.alias("b")
+    a = long.alias("a")  # probe side: base + flipped buckets
+    b = long.filter(F.col("fl") == 0).alias("b")  # indexed side: base only
     cand = (
         a.join(b, ["t", "bk"])
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
         .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+            F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_a"),
+            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_b"),
         )
         .distinct()
     )

@@ -94,7 +94,15 @@ def test_ann_lsh_recall_and_precision(spark):
     bf = {(r.vec_a, r.vec_b) for r in SIM.similar_pairs_threshold(emb).collect()}
     lsh = {(r.vec_a, r.vec_b) for r in SIM.ann_lsh_pairs(emb).collect()}
     assert lsh <= bf  # exact re-scoring → no false positives
-    assert len(lsh & bf) / len(bf) >= 0.6  # OR-amplified recall
+    assert len(lsh & bf) / len(bf) >= 0.85  # multi-probe OR-amplified recall
+    # multi-probe at HALF the tables must beat single-probe at full tables
+    # (measured 0.93 vs 0.75 on this fixture) — the 100 TB trade the
+    # module docstring promises
+    single_full = {
+        (r.vec_a, r.vec_b)
+        for r in SIM.ann_lsh_pairs(emb, tables=8, probes=1).collect()
+    }
+    assert len(lsh & bf) >= len(single_full & bf)
 
 
 def test_simhash_banding_is_lossless_and_separates(spark):
