@@ -202,6 +202,38 @@ def test_multimodal_real_decode_gated_by_optional_deps(spark):
         MM._decode_real(b"xx", "unknown-type")
 
 
+def _has_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_pil(), reason="PIL not installed; stub oracle covers the gate"
+)
+def test_multimodal_real_png_decode_full_path(spark):
+    """Real-decode matrix, image leg (audio's WAV leg runs above
+    unconditionally): a generated PNG through the full mapInPandas path
+    with stub=False must yield its true dimensions. Skipif-gated so the
+    suite is green without PIL while the stub twin stays oracle-checked."""
+    import io
+
+    from PIL import Image
+
+    img_buf = io.BytesIO()
+    Image.new("RGB", (9, 4)).save(img_buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(img_buf.getvalue()), None)],
+        MM.MEDIA_SCHEMA,
+    )
+    row = MM.decode_features(media, stub=False).collect()[0]
+    assert (row.width, row.height, row.n_frames) == (9, 4, 1)
+    assert row.media_type == "image"
+
+
 def test_frame_sample_plan(spark):
     docs = load_table(spark, SF_CORRECT, "documents")
     plan = MM.frame_sample_plan(MM.synth_media(docs), every_n=30)
