@@ -65,15 +65,21 @@ TABLE_SCHEMAS: dict[str, str] = {
 # Memoized parquet-footer probe per events file: unit drift between fixture
 # generations (ns in earlier rounds, µs now) must not silently corrupt
 # timestamps, so the footer — not an assumption — decides the read path.
-_EVENTS_TS_IS_NANOS: dict[str, bool] = {}
+# Keyed by (path, mtime) so a fixture regenerated mid-session re-probes.
+_EVENTS_TS_IS_NANOS: dict[tuple[str, float], bool] = {}
 
 
 def _events_ts_is_nanos(sf_dir: str) -> bool:
+    import os
+
     path = f"{sf_dir}/events.parquet"
-    cached = _EVENTS_TS_IS_NANOS.get(path)
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = -1.0
+    cached = _EVENTS_TS_IS_NANOS.get((path, mtime))
     if cached is not None:
         return cached
-    import os
 
     import pyarrow.parquet as pq
 
@@ -92,7 +98,7 @@ def _events_ts_is_nanos(sf_dir: str) -> bool:
     if unit in ("ms", "s"):
         raise TypeError(f"events.ts unit {unit!r} unsupported; expected ns or us")
     is_nanos = unit == "ns"
-    _EVENTS_TS_IS_NANOS[path] = is_nanos
+    _EVENTS_TS_IS_NANOS[(path, mtime)] = is_nanos
     return is_nanos
 
 
@@ -113,6 +119,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# (applicationId, analyzed-plan semanticHash) -> whether the scan needs a
+# fan-out repartition. The probe (df.rdd.getNumPartitions()) forces a
+# logical-plan→RDD conversion on the driver; memoizing it per semantically
+# equal plan makes repeat registry/bench invocations skip that driver work.
+_FAN_OUT_MEMO: dict[tuple[str, int], bool] = {}
+_FAN_OUT_MEMO_MAX = 512
+
+
 def fan_out(df: DataFrame) -> DataFrame:
     """Spread a narrow scan across the cluster before CPU-heavy map work.
 
@@ -126,10 +140,20 @@ def fan_out(df: DataFrame) -> DataFrame:
     deliberate no-op — the condition keys off actual scan parallelism, not
     a fixed size heuristic.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        key = (sc.applicationId, int(df._jdf.queryExecution().analyzed().semanticHash()))
+        need = _FAN_OUT_MEMO.get(key)
+    except Exception:  # private-API drift: fall back to the direct probe
+        key, need = None, None
+    if need is None:
+        need = df.rdd.getNumPartitions() < target
+        if key is not None:
+            if len(_FAN_OUT_MEMO) >= _FAN_OUT_MEMO_MAX:
+                _FAN_OUT_MEMO.clear()
+            _FAN_OUT_MEMO[key] = need
+    return df.repartition(target) if need else df
 
 
 # SQL fragment shared verbatim with the DuckDB oracles so both engines build
