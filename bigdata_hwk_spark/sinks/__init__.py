@@ -1,3 +1,7 @@
 """Sinks: layout-aware parquet writers for pipeline outputs."""
 
-from .parquet import write_partitioned  # noqa: F401
+from .parquet import (  # noqa: F401
+    joins_are_colocated,
+    write_bucketed,
+    write_partitioned,
+)

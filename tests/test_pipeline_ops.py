@@ -126,6 +126,50 @@ def test_tfidf_top_terms_ranking(spark):
         assert all(r.tfidf >= 0 for r in rows)
 
 
+def test_write_bucketed_join_is_shuffle_free(spark):
+    """Two tables bucketed on the same key and count must join with NO
+    Exchange in the plan (each task zips bucket i with bucket i) — the
+    co-located fact/fact join layout a 100 TB deployment persists its hot
+    join keys in. Also checks the join result against the plain join."""
+    from bigdata_hwk_spark.sinks import joins_are_colocated, write_bucketed
+
+    docs = _docs(spark, SF_CORRECT).select("doc_id", "lang", "source")
+    tok = _docs(spark, SF_CORRECT).select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    try:
+        write_bucketed(docs, "t_docs_bkt", ["doc_id"], 8, sort_cols=["doc_id"])
+        write_bucketed(tok, "t_tok_bkt", ["doc_id"], 8, sort_cols=["doc_id"])
+        assert joins_are_colocated(spark, "t_docs_bkt", "t_tok_bkt", ["doc_id"])
+        got = {
+            (r.doc_id, r.lang, r.n_tokens)
+            for r in spark.table("t_docs_bkt")
+            .join(spark.table("t_tok_bkt"), "doc_id")
+            .collect()
+        }
+        want = {
+            (r.doc_id, r.lang, r.n_tokens) for r in docs.join(tok, "doc_id").collect()
+        }
+        assert got == want and got
+        # sanity: the UNbucketed join of the same data does shuffle under
+        # the same no-broadcast conditions the co-location probe uses
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            plan = (
+                docs.join(tok, "doc_id")
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "Exchange hashpartitioning" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_docs_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_tok_bkt")
+
+
 def test_write_partitioned_layout_and_pruning(spark, tmp_path):
     """Hive layout on disk, lossless round-trip, and partition pruning
     visible in the read plan."""
