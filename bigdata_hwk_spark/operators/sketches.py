@@ -222,6 +222,21 @@ def _hll_alpha(m: int) -> float:
     return _HLL_ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
 
 
+def hll_bucket_rho(item, p: int = HLL_P):
+    """(bucket, rho) Columns for one item expression — the per-row HLL
+    projection shared by the batch register table, the grouped
+    cardinality estimator, and the streaming windowed register table.
+    bucket = low p hash bits (= h % 2^p), rho = leading-zero count of the
+    remaining 60-p bits + 1, integer-only (binary-string bit length)."""
+    rho_max = 61 - p
+    h = md5_hash64(F.concat(F.lit("hll:"), item.cast("string")))
+    bucket = h.bitwiseAND((1 << p) - 1)
+    w = F.shiftright(h, p)
+    bitlen = F.length(F.conv(w.cast("string"), 10, 2))
+    rho = F.when(w == 0, F.lit(rho_max)).otherwise(F.lit(rho_max) - bitlen)
+    return bucket, rho
+
+
 def hll_registers(
     items: DataFrame,
     item_col: str = "item",
@@ -241,15 +256,9 @@ def hll_registers(
     Bloom (membership); the built-in ``approx_count_distinct`` twin lacks
     an engine-portable register table.
     """
-    m = 1 << p
-    rho_max = 61 - p  # w spans 60-p bits; rho = (60-p) - bit_length(w) + 1
-    h = md5_hash64(F.concat(F.lit("hll:"), F.col(item_col).cast("string")))
-    hashed = items.select(*group_cols, h.alias("h"))
-    w = F.expr(f"h div {m}")
-    bitlen = F.length(F.conv(w.cast("string"), 10, 2))
-    rho = F.when(w == 0, F.lit(rho_max)).otherwise(F.lit(rho_max) - bitlen)
+    bucket, rho = hll_bucket_rho(F.col(item_col), p)
     return (
-        hashed.select(*group_cols, (F.col("h") % m).alias("bucket"), rho.alias("rho"))
+        items.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("max_rho"))
     )
@@ -277,16 +286,13 @@ def hll_cardinality(
     """
     m = 1 << p
     rho_max = 61 - p
-    h = md5_hash64(F.concat(F.lit("hll:"), F.col(item_col).cast("string")))
-    hashed = items.select(
-        *group_cols, F.col(item_col).cast("string").alias("it"), h.alias("h")
-    )
-    w = F.expr(f"h div {m}")
-    bitlen = F.length(F.conv(w.cast("string"), 10, 2))
-    rho = F.when(w == 0, F.lit(rho_max)).otherwise(F.lit(rho_max) - bitlen)
+    bucket, rho = hll_bucket_rho(F.col(item_col), p)
     per_bucket = (
-        hashed.select(
-            *group_cols, (F.col("h") % m).alias("bucket"), rho.alias("rho"), "it"
+        items.select(
+            *group_cols,
+            bucket.alias("bucket"),
+            rho.alias("rho"),
+            F.col(item_col).cast("string").alias("it"),
         )
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("max_rho"), F.countDistinct("it").alias("nd"))

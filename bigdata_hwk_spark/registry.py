@@ -411,9 +411,24 @@ def _windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return WD.windowed_event_counts(load_table(spark, sf_dir, "events"))
 
 
-from .streaming.windowed import WINDOWED_EVENT_COUNTS_SQL  # noqa: E402
+from .streaming.windowed import (  # noqa: E402
+    WINDOWED_EVENT_COUNTS_SQL,
+    windowed_hll_registers_sql,
+)
 
 register("windowed_event_counts", _windowed_events, WINDOWED_EVENT_COUNTS_SQL)
+
+
+# Streaming cardinality sketch, batch twin: per-hour HLL register table
+# over user_id (mergeable state as output; ≤ 2^p rows per window)
+def _windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.tables import load_table
+    from .streaming import windowed as WD
+
+    return WD.windowed_hll_registers(load_table(spark, sf_dir, "events"))
+
+
+register("windowed_hll_registers", _windowed_hll, windowed_hll_registers_sql())
 
 
 # --- training-data-pipeline extensions (SURVEY.md §2.11) ---
@@ -844,6 +859,7 @@ _GATE_OVERFLOW = [
     "token_length_histogram",
     "bloom_membership_check",
     "hll_user_cardinality",
+    "windowed_hll_registers",
 ]
 for _name in _GATE_OVERFLOW + [k for k in list(QUERIES) if k not in ORACLES]:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -78,6 +78,61 @@ def streaming_exact_histogram(items: DataFrame) -> DataFrame:
     return items.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def windowed_hll_registers(
+    events: DataFrame,
+    item_col: str = "user_id",
+    window: str = EVENT_WINDOW,
+    watermark: str = EVENT_WATERMARK,
+    p: int | None = None,
+) -> DataFrame:
+    """(win_start, bucket, max_rho) — HLL register table per event-time
+    window: the streaming face of the cardinality sketch
+    (``operators.sketches.hll_registers``).
+
+    The stream's OUTPUT is the mergeable sketch state itself, which is
+    the 100 TB shape for "distinct users per window": per-window state is
+    ≤ 2^p integer registers (vs. the full user set a
+    ``countDistinct``-style agg would hold), the ``max`` aggregation is
+    associative so partial aggregation and late-data updates both fold in
+    correctly, and downstream consumers estimate cardinality — or merge
+    windows into coarser ones — from the registers alone via
+    ``groupBy(bucket).max``. Watermark bounds open-window state. Same
+    body runs in batch (watermark no-op) — that twin is
+    DuckDB-oracle-checked in the registry; streaming ≡ batch is pinned in
+    tests/test_streaming.py.
+    """
+    from ..operators import sketches as SK
+
+    bucket, rho = SK.hll_bucket_rho(F.col(item_col), p or SK.HLL_P)
+    return (
+        events.withWatermark("ts", watermark)
+        .select("ts", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(F.window("ts", window).alias("w"), "bucket")
+        .agg(F.max("rho").cast("int").alias("max_rho"))
+        .select(F.col("w.start").alias("win_start"), "bucket", "max_rho")
+    )
+
+
+def windowed_hll_registers_sql(item_expr: str = "user_id::VARCHAR") -> str:
+    """DuckDB oracle for the batch twin of ``windowed_hll_registers``:
+    identical hash, bucket split, rho, and hour-bucket alignment."""
+    from ..functions.hashing import md5_hash64_sql
+    from ..operators.sketches import HLL_P
+
+    m = 1 << HLL_P
+    rho_max = 61 - HLL_P
+    h = md5_hash64_sql(f"'hll:' || {item_expr}")
+    return f"""
+WITH hashed AS (SELECT ts, {h} AS h FROM events)
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+       h % {m} AS bucket,
+       CAST(max(CASE WHEN h // {m} = 0 THEN {rho_max}
+                     ELSE {rho_max} - length(bin(h // {m})) END) AS INTEGER)
+         AS max_rho
+FROM hashed GROUP BY 1, 2
+"""
+
+
 def dedup_stream(
     events: DataFrame,
     keys: tuple[str, ...] = ("event_id",),

@@ -29,6 +29,7 @@ EXTENSION_ORACLE_QUERIES = [
     "token_length_histogram",
     "bloom_membership_check",
     "hll_user_cardinality",
+    "windowed_hll_registers",
 ]
 
 

@@ -597,3 +597,73 @@ def test_distributed_reservoir_first_n_and_determinism(spark):
     )
     assert (s1, t1) == (s2, t2)  # deterministic across runs
     assert t1 == 400 and len(s1) == 20
+
+
+def test_windowed_hll_registers_streaming_equals_batch(spark, tmp_path):
+    """The streaming windowed HLL register table (append mode + watermark,
+    file-replayed chunks) must emit exactly the batch twin's registers for
+    every closed window — the mergeable-sketch-as-stream-output contract.
+    Also: registers must stay within the 2^p-per-window bound, and
+    merging the per-window registers (groupBy(bucket).max) must equal the
+    whole-table sketch — window rollup needs registers only."""
+    from bigdata_hwk_spark.operators import sketches as SK
+    from bigdata_hwk_spark.sources.tables import load_table
+    from bigdata_hwk_spark.streaming.windowed import windowed_hll_registers
+
+    events = load_table(spark, SF_SMOKE, "events")
+    src = tmp_path / "hll_src"
+    src.mkdir()
+    ordered = events.orderBy("ts").collect()
+    mid = len(ordered) // 2
+    schema = "ts timestamp, user_id bigint"
+    for name, chunk in (("a", ordered[:mid]), ("b", ordered[mid:])):
+        spark.createDataFrame(
+            [(r.ts, r.user_id) for r in chunk], schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        windowed_hll_registers(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_hll_win")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.win_start, r.bucket): r.max_rho
+            for r in spark.table("t_hll_win").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.win_start, r.bucket): r.max_rho
+        for r in windowed_hll_registers(events).collect()
+    }
+    assert got  # the watermark closed at least one window
+    assert set(got) <= set(want)
+    for k, v in got.items():
+        assert v == want[k]
+
+    # per-window register count bounded by 2^p
+    per_window = {}
+    for (w, _b), _ in want.items():
+        per_window[w] = per_window.get(w, 0) + 1
+    assert max(per_window.values()) <= 1 << SK.HLL_P
+
+    # merging per-window registers == whole-table registers
+    rolled = {}
+    for (_w, b), rho in want.items():
+        rolled[b] = max(rolled.get(b, 0), rho)
+    whole = {
+        r.bucket: r.max_rho
+        for r in SK.hll_registers(
+            events.select(F.col("user_id").alias("item"))
+        ).collect()
+    }
+    assert rolled == whole
