@@ -20,7 +20,7 @@ overestimate directly visible (and test-bounded).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_hash64, md5_hash64_sql
@@ -357,6 +357,132 @@ SELECT {gcp}n_exact,
                   ELSE {e_raw} END, 2) AS n_est,
        CAST({m} - n_present AS INTEGER) AS v_zero
 FROM one
+"""
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch (quantile leg of the sketch family)
+# ---------------------------------------------------------------------------
+
+QSK_LO = 0.0        # bin range [lo, hi): fixed a priori so shard sketches merge
+QSK_HI = 1024.0
+QSK_BINS = 1024     # width 1.0 → estimate error ≤ width/2 per side
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str = "value",
+    lo: float = QSK_LO,
+    hi: float = QSK_HI,
+    bins: int = QSK_BINS,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(*group_cols, bin, cnt) — fixed-bin histogram: ≤ ``bins`` rows per
+    group, mergeable by ``groupBy(bin).sum(cnt)`` (bin edges are fixed a
+    priori, not data-dependent, which is exactly what makes per-shard
+    histograms combinable at 100 TB — the quantile leg of the sketch
+    family next to CMS/Bloom/HLL). Values outside [lo, hi) clamp to the
+    edge bins. One map-side-combined aggregation; no value ever reaches
+    the driver."""
+    width = (hi - lo) / bins
+    b = F.floor((F.col(value_col) - lo) / width).cast("int")
+    b = F.least(F.lit(bins - 1), F.greatest(F.lit(0), b))
+    return (
+        df.groupBy(*group_cols, b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str = "value",
+    lo: float = QSK_LO,
+    hi: float = QSK_HI,
+    bins: int = QSK_BINS,
+    group_cols: tuple[str, ...] = (),
+    qs: tuple[float, ...] = (0.5, 0.95),
+) -> DataFrame:
+    """(*group_cols, n_events, p<q>_est ...) — bin-midpoint quantile
+    estimates off the histogram sketch: for each q, the midpoint of the
+    first bin whose cumulative count reaches q·n. Error is bounded by the
+    bin width (test-pinned against the exact percentile twin,
+    ``event_value_quantiles``). The cumulative walk runs over ≤ ``bins``
+    rows per group — a per-group window on the aggregate, never the data.
+
+    Engine parity by construction: bin/cum/n are exact integers; q·n is
+    one double multiply and the midpoint one multiply-add, identical ops
+    both sides; outputs rounded at the boundary."""
+    width = (hi - lo) / bins
+    hist = histogram_sketch(df, value_col, lo, hi, bins, group_cols)
+    # constant partition key when ungrouped (see source_mix_weights: a
+    # literal would be folded away by EliminateWindowPartitions)
+    part = list(group_cols) or [F.substring(F.col("bin").cast("string"), 1, 0)]
+    wcum = (
+        Window.partitionBy(*part)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*part)
+    aug = hist.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "n", F.sum("cnt").over(wall)
+    )
+    aggs = [F.max("n").alias("n_events")]
+    for q in qs:
+        bq = F.min(F.when(F.col("cum") >= q * F.col("n"), F.col("bin")))
+        aggs.append(
+            F.round(lo + width * (bq + F.lit(0.5)), 6).alias(
+                f"p{int(q * 100)}_est"
+            )
+        )
+    return aug.groupBy(*group_cols).agg(*aggs)
+
+
+def histogram_quantiles_sql(
+    items_body: str,
+    value_expr: str = "value",
+    lo: float = QSK_LO,
+    hi: float = QSK_HI,
+    bins: int = QSK_BINS,
+    group_cols: tuple[str, ...] = (),
+    qs: tuple[float, ...] = (0.5, 0.95),
+) -> str:
+    """DuckDB oracle: identical binning, cumulative walk, and midpoint
+    arithmetic. ``items_body`` yields (*group_cols, the value column)."""
+    width = (hi - lo) / bins
+    gcp = "".join(c + ", " for c in group_cols)
+    gb = ", ".join([*group_cols, "bin"])
+    gb2 = ", ".join(group_cols) if group_cols else ""
+    gb2_clause = f"GROUP BY {gb2}" if group_cols else ""
+    part = f"PARTITION BY {gb2} " if group_cols else ""
+    # ::DOUBLE on every literal: DuckDB parses bare decimal literals as
+    # DECIMAL and would return a DECIMAL column (driver-hash type drift)
+    # computed under different rounding than Spark's double ops
+    sels = []
+    for q in qs:
+        sels.append(
+            f"round({lo!r}::DOUBLE + {width!r}::DOUBLE * "
+            f"(min(CASE WHEN cum >= {q!r}::DOUBLE * n THEN bin END) "
+            f"+ 0.5::DOUBLE), 6) "
+            f"AS p{int(q * 100)}_est"
+        )
+    sel = ",\n       ".join(sels)
+    return f"""
+WITH its AS ({items_body}),
+hist AS (
+  SELECT {gcp}least({bins - 1}, greatest(0,
+           CAST(floor(({value_expr} - {lo!r}::DOUBLE) / {width!r}::DOUBLE)
+                AS INTEGER))) AS bin,
+         count(*) AS cnt
+  FROM its GROUP BY {gb}),
+aug AS (
+  SELECT {gcp}bin,
+         CAST(sum(cnt) OVER ({part}ORDER BY bin
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER ({part}) AS BIGINT) AS n
+  FROM hist)
+SELECT {gcp}CAST(max(n) AS BIGINT) AS n_events,
+       {sel}
+FROM aug {gb2_clause}
 """
 
 

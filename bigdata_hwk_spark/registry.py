@@ -838,6 +838,28 @@ register(
 )
 
 
+# Histogram quantile sketch: mergeable fixed-bin histogram + bin-midpoint
+# quantile estimates per event_type, next to the exact percentile twin
+# (event_value_quantiles)
+def _value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.tables import load_table
+
+    return SK.histogram_quantiles(
+        load_table(spark, sf_dir, "events"),
+        value_col="value",
+        group_cols=("event_type",),
+    )
+
+
+register(
+    "event_value_quantile_sketch",
+    _value_quantile_sketch,
+    SK.histogram_quantiles_sql(
+        "SELECT event_type, value FROM events", group_cols=("event_type",)
+    ),
+)
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering
 # ---------------------------------------------------------------------------
@@ -860,6 +882,7 @@ _GATE_OVERFLOW = [
     "bloom_membership_check",
     "hll_user_cardinality",
     "windowed_hll_registers",
+    "event_value_quantile_sketch",
 ]
 for _name in _GATE_OVERFLOW + [k for k in list(QUERIES) if k not in ORACLES]:
     QUERIES[_name] = QUERIES.pop(_name)

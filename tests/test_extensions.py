@@ -30,6 +30,7 @@ EXTENSION_ORACLE_QUERIES = [
     "bloom_membership_check",
     "hll_user_cardinality",
     "windowed_hll_registers",
+    "event_value_quantile_sketch",
 ]
 
 
@@ -551,3 +552,44 @@ def test_hll_linear_counting_small_range(spark):
     assert row.n_exact == 12
     assert row.v_zero > 0
     assert abs(row.n_est - 12) / 12 < 0.35
+
+
+def test_histogram_sketch_mergeable_and_quantile_error_bound(spark):
+    """Per-shard histograms merge by groupBy(bin).sum into the whole-table
+    histogram (fixed a-priori bin edges — the mergeability contract), and
+    bin-midpoint quantile estimates sit within one bin width of the exact
+    percentiles (the error bound the bin count buys)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_hwk_spark.operators import sketches as SK
+    from bigdata_hwk_spark.plans.relational import event_value_quantiles
+    from bigdata_hwk_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_CORRECT, "events")
+    a = ev.filter("event_id % 2 = 0")
+    b = ev.filter("event_id % 2 != 0")
+    merged = {
+        (r.bin, r.cnt)
+        for r in SK.histogram_sketch(a)
+        .unionByName(SK.histogram_sketch(b))
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    whole = {(r.bin, r.cnt) for r in SK.histogram_sketch(ev).collect()}
+    assert merged == whole
+
+    width = (SK.QSK_HI - SK.QSK_LO) / SK.QSK_BINS
+    est = {
+        r.event_type: (r.p50_est, r.p95_est)
+        for r in SK.histogram_quantiles(
+            ev, group_cols=("event_type",)
+        ).collect()
+    }
+    exact = {
+        r.event_type: (r.p25_value, r.p50_value, r.p75_value)
+        for r in event_value_quantiles(spark, SF_CORRECT).collect()
+    }
+    assert set(est) == set(exact)
+    for et, (p50e, _p95e) in est.items():
+        assert abs(p50e - exact[et][1]) <= width, (et, p50e, exact[et][1])
