@@ -170,6 +170,31 @@ def test_write_bucketed_join_is_shuffle_free(spark):
         spark.sql("DROP TABLE IF EXISTS t_tok_bkt")
 
 
+def test_dynamic_partition_pruning_through_partitioned_sink(spark, tmp_path):
+    """Joining the hive-partitioned layout against a filtered dimension on
+    the partition column must insert a dynamicpruningexpression into the
+    fact scan's PartitionFilters — at 100 TB this is the lever that turns
+    a full-fact-scan join into a read of only the partitions the filtered
+    dim actually references. Pins that the sink's layout composes with
+    Spark's DPP, not just static pruning."""
+    from bigdata_hwk_spark.sinks import write_partitioned
+    from bigdata_hwk_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_CORRECT, "events")
+    path = str(tmp_path / "ev_part")
+    write_partitioned(ev, path, ["event_type"])
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 0), ("purchase", 0), ("error", 0), ("signup", 0)],
+        "event_type string, flag int",
+    ).filter("flag = 1")
+    joined = fact.join(dim, "event_type")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower()
+    # and the pruned join computes the right thing
+    assert joined.count() == ev.filter("event_type = 'click'").count()
+
+
 def test_write_partitioned_layout_and_pruning(spark, tmp_path):
     """Hive layout on disk, lossless round-trip, and partition pruning
     visible in the read plan."""
