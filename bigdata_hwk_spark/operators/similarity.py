@@ -205,6 +205,90 @@ def similar_pairs_threshold(
     return out
 
 
+def incremental_embedding_pairs(
+    batch: DataFrame, corpus: DataFrame, tau: float = 0.4
+) -> DataFrame:
+    """(batch_id, corpus_id, cosine) — every (new vector, existing vector)
+    pair at cosine ≥ tau: the embedding-side twin of
+    ``dedup.incremental_lsh_pairs`` (ingest dedup checks the incoming
+    batch against the corpus, never the corpus against itself).
+
+    Exact AND linear in the corpus: an ingest batch is small by
+    definition, so it broadcasts as one normalized matrix (torrent, one
+    copy per executor) and a single blocked NumPy matmul per corpus
+    partition scores it — no shuffle, no quadratic corpus term, and
+    recall is 1, which is what makes the DuckDB oracle an equality check
+    rather than a recall bound. Per-batch cost is O(|corpus|·|batch|)
+    BLAS flops spread evenly across partitions; at 100 TB the corpus
+    side stays a pure scan. Zero-norm vectors on either side are
+    excluded (cosine undefined).
+    """
+    pdf_b = batch.select("vec_id", "embedding").toPandas()
+    sess = corpus.sparkSession
+    empty_schema = "batch_id bigint, corpus_id bigint, cosine double"
+    if len(pdf_b) == 0:
+        return sess.createDataFrame([], empty_schema)
+    b_ids = pdf_b["vec_id"].to_numpy(np.int64)
+    b_mat = np.array(list(pdf_b["embedding"]), dtype=np.float64)
+    b_norms = np.linalg.norm(b_mat, axis=1)
+    keep = b_norms > 0
+    b_ids, b_mat = b_ids[keep], b_mat[keep] / b_norms[keep, None]
+    if len(b_ids) == 0:
+        return sess.createDataFrame([], empty_schema)
+    bc = sess.sparkContext.broadcast((b_ids, b_mat))
+
+    def score(batches):
+        ids_b, mat_b = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            block = np.array(list(pdf["embedding"]), dtype=np.float64)
+            norms = np.linalg.norm(block, axis=1)
+            ok = norms > 0
+            if not ok.any():
+                continue
+            block = block[ok] / norms[ok, None]
+            cids = pdf["vec_id"].to_numpy()[ok]
+            cos = mat_b @ block.T  # (|batch|, |block|)
+            bi, cj = np.nonzero(cos >= tau)
+            yield pd.DataFrame(
+                {
+                    "batch_id": ids_b[bi],
+                    "corpus_id": cids[cj],
+                    "cosine": np.round(cos[bi, cj], 4),
+                }
+            )
+
+    emb = corpus.select("vec_id", "embedding")
+    if emb.rdd.getNumPartitions() < sess.sparkContext.defaultParallelism:
+        emb = emb.repartition(sess.sparkContext.defaultParallelism)
+    out = emb.mapInPandas(score, schema=empty_schema)
+    from ..session import finalize_release
+
+    finalize_release(out, bc.unpersist)
+    return out
+
+
+def incremental_embedding_pairs_sql(batch_pred: str, tau: float = 0.4) -> str:
+    """DuckDB oracle: literal bipartite cross score over the same split.
+
+    ``batch_pred`` — predicate over ``vec_id`` selecting the batch side;
+    the corpus is its complement."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+b AS (SELECT * FROM e WHERE {batch_pred}),
+c AS (SELECT * FROM e WHERE NOT ({batch_pred}))
+SELECT b.vec_id AS batch_id, c.vec_id AS corpus_id,
+       round(list_dot_product(b.v, c.v)
+             / sqrt(list_dot_product(b.v, b.v) * list_dot_product(c.v, c.v)), 4)
+         AS cosine
+FROM b, c
+WHERE list_dot_product(b.v, c.v)
+      / sqrt(list_dot_product(b.v, b.v) * list_dot_product(c.v, c.v)) >= {tau!r}
+"""
+
+
 def similar_pairs_sql(tau: float = 0.4) -> str:
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -860,6 +860,26 @@ register(
 )
 
 
+# Embedding-side incremental ingest: new-batch vectors (vec_id % 10 = 0)
+# exactly scored against the corpus — broadcast-batch blocked matmul,
+# linear in the corpus, recall 1 (so the oracle is an equality check)
+_EMB_BATCH_PRED = "vec_id % 10 = 0"
+
+
+def _incr_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir)
+    return SIM.incremental_embedding_pairs(
+        e.filter(_EMB_BATCH_PRED), e.filter(f"NOT ({_EMB_BATCH_PRED})")
+    )
+
+
+register(
+    "embedding_incremental_ingest",
+    _incr_embedding,
+    SIM.incremental_embedding_pairs_sql(_EMB_BATCH_PRED),
+)
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering
 # ---------------------------------------------------------------------------
@@ -883,6 +903,7 @@ _GATE_OVERFLOW = [
     "hll_user_cardinality",
     "windowed_hll_registers",
     "event_value_quantile_sketch",
+    "embedding_incremental_ingest",
 ]
 for _name in _GATE_OVERFLOW + [k for k in list(QUERIES) if k not in ORACLES]:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -31,6 +31,7 @@ EXTENSION_ORACLE_QUERIES = [
     "hll_user_cardinality",
     "windowed_hll_registers",
     "event_value_quantile_sketch",
+    "embedding_incremental_ingest",
 ]
 
 
@@ -593,3 +594,27 @@ def test_histogram_sketch_mergeable_and_quantile_error_bound(spark):
     assert set(est) == set(exact)
     for et, (p50e, _p95e) in est.items():
         assert abs(p50e - exact[et][1]) <= width, (et, p50e, exact[et][1])
+
+
+def test_incremental_embedding_pairs_equal_full_cross_pairs(spark):
+    """The bipartite broadcast-matmul must find EXACTLY the full all-pairs
+    result restricted to (batch, corpus) cross pairs — recall 1 is the
+    property that makes it oracle-checkable (unlike the LSH variant)."""
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    batch = emb.filter("vec_id % 10 = 0")
+    corpus = emb.filter("vec_id % 10 != 0")
+    got = {
+        (r.batch_id, r.corpus_id)
+        for r in SIM.incremental_embedding_pairs(batch, corpus).collect()
+    }
+    full = {
+        (r.vec_a, r.vec_b)
+        for r in SIM.similar_pairs_threshold(emb).collect()
+    }
+    want = {
+        (a, b) if a % 10 == 0 else (b, a)
+        for a, b in full
+        if (a % 10 == 0) != (b % 10 == 0)
+    }
+    assert got == want
+    assert got  # fixture must actually produce cross pairs
