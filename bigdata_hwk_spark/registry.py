@@ -413,6 +413,7 @@ def _windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .streaming.windowed import (  # noqa: E402
     WINDOWED_EVENT_COUNTS_SQL,
+    windowed_histogram_sql,
     windowed_hll_registers_sql,
 )
 
@@ -429,6 +430,18 @@ def _windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("windowed_hll_registers", _windowed_hll, windowed_hll_registers_sql())
+
+
+# Streaming quantile sketch, batch twin: per-hour fixed-bin value
+# histogram (mergeable state as output; ≤ QSK_BINS rows per window)
+def _windowed_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.tables import load_table
+    from .streaming import windowed as WD
+
+    return WD.windowed_histogram(load_table(spark, sf_dir, "events"))
+
+
+register("windowed_value_histogram", _windowed_hist, windowed_histogram_sql())
 
 
 # --- training-data-pipeline extensions (SURVEY.md §2.11) ---
@@ -904,6 +917,7 @@ _GATE_OVERFLOW = [
     "windowed_hll_registers",
     "event_value_quantile_sketch",
     "embedding_incremental_ingest",
+    "windowed_value_histogram",
 ]
 for _name in _GATE_OVERFLOW + [k for k in list(QUERIES) if k not in ORACLES]:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -113,6 +113,53 @@ def windowed_hll_registers(
     )
 
 
+def windowed_histogram(
+    events: DataFrame,
+    value_col: str = "value",
+    window: str = EVENT_WINDOW,
+    watermark: str = EVENT_WATERMARK,
+) -> DataFrame:
+    """(win_start, bin, cnt) — fixed-bin value histogram per event-time
+    window: the streaming face of the quantile sketch
+    (``operators.sketches.histogram_sketch``).
+
+    Per-window latency/value quantiles are THE canonical streaming
+    metric, and the mergeable histogram is its 100 TB shape: per-window
+    state is ≤ QSK_BINS integer counters (vs. buffering every value for
+    an exact percentile), count aggregation folds partials and late rows
+    associatively, and consumers read quantiles — or merge windows —
+    from the bins alone (``histogram_quantiles`` logic over the output).
+    Watermark bounds open-window state. Batch twin oracle-checked in the
+    registry; streaming ≡ batch pinned in tests.
+    """
+    from ..operators import sketches as SK
+
+    width = (SK.QSK_HI - SK.QSK_LO) / SK.QSK_BINS
+    b = F.floor((F.col(value_col) - SK.QSK_LO) / width).cast("int")
+    b = F.least(F.lit(SK.QSK_BINS - 1), F.greatest(F.lit(0), b))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("win_start"), "bin", "cnt")
+    )
+
+
+def windowed_histogram_sql(value_expr: str = "value") -> str:
+    """DuckDB oracle for the batch twin of ``windowed_histogram``."""
+    from ..operators.sketches import QSK_BINS, QSK_HI, QSK_LO
+
+    width = (QSK_HI - QSK_LO) / QSK_BINS
+    return f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+       least({QSK_BINS - 1}, greatest(0,
+         CAST(floor(({value_expr} - {QSK_LO!r}::DOUBLE) / {width!r}::DOUBLE)
+              AS INTEGER))) AS bin,
+       count(*) AS cnt
+FROM events GROUP BY 1, 2
+"""
+
+
 def windowed_hll_registers_sql(item_expr: str = "user_id::VARCHAR") -> str:
     """DuckDB oracle for the batch twin of ``windowed_hll_registers``:
     identical hash, bucket split, rho, and hour-bucket alignment."""

@@ -32,6 +32,7 @@ EXTENSION_ORACLE_QUERIES = [
     "windowed_hll_registers",
     "event_value_quantile_sketch",
     "embedding_incremental_ingest",
+    "windowed_value_histogram",
 ]
 
 

@@ -667,3 +667,82 @@ def test_windowed_hll_registers_streaming_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert rolled == whole
+
+
+def test_reservoir_merge_inclusion_proportional_to_population():
+    """The hypergeometric merge must include items proportionally to the
+    source populations, not the partial-sample sizes: merging a reservoir
+    over 9000 items with one over 1000 (both sampled to m=100) must draw
+    ~90% of merged slots from the big side. Pure-python, 2000 seeded
+    merges; binomial 3σ band."""
+    import random as _random
+
+    m = 100
+    big_share = 0
+    for seed in range(2000):
+        rng = _random.Random(seed)
+        merged, total = FI._merge_two_reservoirs(
+            (["big"] * m, 9000), (["small"] * m, 1000), m, rng
+        )
+        assert total == 10_000 and len(merged) == m
+        big_share += sum(1 for x in merged if x == "big")
+    frac = big_share / (2000 * m)
+    # E=0.9; 3σ of the per-run mean over 2000·100 draws is ≈ 0.002, use a
+    # loose 0.01 band (draws within a run are dependent via the
+    # without-replacement walk)
+    assert abs(frac - 0.9) < 0.01, frac
+
+
+def test_windowed_histogram_streaming_equals_batch(spark, tmp_path):
+    """Streaming per-window histogram bins (append + watermark, file
+    replay) must equal the batch twin for closed windows, and summing the
+    per-window bins must equal the whole-table histogram sketch (window
+    rollup from bins alone)."""
+    from bigdata_hwk_spark.operators import sketches as SK
+    from bigdata_hwk_spark.sources.tables import load_table
+    from bigdata_hwk_spark.streaming.windowed import windowed_histogram
+
+    events = load_table(spark, SF_SMOKE, "events")
+    src = tmp_path / "hist_src"
+    src.mkdir()
+    ordered = events.orderBy("ts").collect()
+    mid = len(ordered) // 2
+    schema = "ts timestamp, value double"
+    for name, chunk in (("a", ordered[:mid]), ("b", ordered[mid:])):
+        spark.createDataFrame(
+            [(r.ts, r.value) for r in chunk], schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        windowed_histogram(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_hist_win")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.win_start, r.bin): r.cnt
+            for r in spark.table("t_hist_win").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.win_start, r.bin): r.cnt
+        for r in windowed_histogram(events).collect()
+    }
+    assert got and set(got) <= set(want)
+    for k, v in got.items():
+        assert v == want[k]
+
+    rolled = {}
+    for (_w, b), cnt in want.items():
+        rolled[b] = rolled.get(b, 0) + cnt
+    whole = {r.bin: r.cnt for r in SK.histogram_sketch(events).collect()}
+    assert rolled == whole
