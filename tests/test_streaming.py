@@ -746,3 +746,40 @@ def test_windowed_histogram_streaming_equals_batch(spark, tmp_path):
         rolled[b] = rolled.get(b, 0) + cnt
     whole = {r.bin: r.cnt for r in SK.histogram_sketch(events).collect()}
     assert rolled == whole
+
+
+def test_merge_two_reservoirs_invariants_hypothesis():
+    """Property-based pin on the hypergeometric merge: for ANY population
+    sizes and capacity, the merged sample has exactly min(m, na+nb)
+    items, draws only from the partial samples, never takes more from a
+    side than that side's sample holds, and is deterministic per seed."""
+    import random as _random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        na=st.integers(1, 400),
+        nb=st.integers(1, 400),
+        m=st.integers(1, 120),
+        seed=st.integers(0, 2**31),
+    )
+    def check(na, nb, m, seed):
+        sa = [("a", i) for i in range(min(m, na))]
+        sb = [("b", i) for i in range(min(m, nb))]
+        merged, total = FI._merge_two_reservoirs(
+            (list(sa), na), (list(sb), nb), m, _random.Random(seed)
+        )
+        assert total == na + nb
+        assert len(merged) == min(m, na + nb)
+        assert len(set(merged)) == len(merged)  # no slot drawn twice
+        assert set(merged) <= set(sa) | set(sb)
+        n_from_a = sum(1 for x in merged if x[0] == "a")
+        assert n_from_a <= len(sa) and len(merged) - n_from_a <= len(sb)
+        again, _ = FI._merge_two_reservoirs(
+            (list(sa), na), (list(sb), nb), m, _random.Random(seed)
+        )
+        assert again == merged  # deterministic per seed
+
+    check()
