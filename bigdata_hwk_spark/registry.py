@@ -413,6 +413,7 @@ def _windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .streaming.windowed import (  # noqa: E402
     WINDOWED_EVENT_COUNTS_SQL,
+    windowed_cms_sql,
     windowed_histogram_sql,
     windowed_hll_registers_sql,
 )
@@ -442,6 +443,18 @@ def _windowed_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("windowed_value_histogram", _windowed_hist, windowed_histogram_sql())
+
+
+# Streaming frequency sketch, batch twin: per-hour CMS cells over user_id
+# (heavy hitters per window from ≤ d·w cells of state)
+def _windowed_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.tables import load_table
+    from .streaming import windowed as WD
+
+    return WD.windowed_cms(load_table(spark, sf_dir, "events"))
+
+
+register("windowed_cms_cells", _windowed_cms, windowed_cms_sql())
 
 
 # --- training-data-pipeline extensions (SURVEY.md §2.11) ---
@@ -918,6 +931,7 @@ _GATE_OVERFLOW = [
     "event_value_quantile_sketch",
     "embedding_incremental_ingest",
     "windowed_value_histogram",
+    "windowed_cms_cells",
 ]
 for _name in _GATE_OVERFLOW + [k for k in list(QUERIES) if k not in ORACLES]:
     QUERIES[_name] = QUERIES.pop(_name)

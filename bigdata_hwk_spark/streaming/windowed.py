@@ -160,6 +160,61 @@ FROM events GROUP BY 1, 2
 """
 
 
+def windowed_cms(
+    events: DataFrame,
+    item_col: str = "user_id",
+    window: str = EVENT_WINDOW,
+    watermark: str = EVENT_WATERMARK,
+    d: int | None = None,
+    w: int | None = None,
+) -> DataFrame:
+    """(win_start, r, b, cnt) — count-min sketch cells per event-time
+    window: the streaming face of ``operators.sketches.cms_sketch``
+    (heavy-hitters-per-window without per-item state).
+
+    Per-window state is ≤ d·w integer cells regardless of item
+    cardinality; counts fold associatively (late rows just add), and
+    consumers answer point frequency queries — or merge windows — from
+    the cells alone (min over d matching cells, exactly the batch probe).
+    Watermark bounds open-window state. Batch twin oracle-checked in the
+    registry; streaming ≡ batch pinned in tests.
+    """
+    from ..functions.hashing import md5_hash64
+    from ..operators import sketches as SK
+
+    d = d or SK.CMS_D
+    w = w or SK.CMS_W
+    rows = events.withWatermark("ts", watermark).select(
+        "ts",
+        F.col(item_col).cast("string").alias("it"),
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("r"),
+    )
+    bucket = (
+        md5_hash64(F.concat(F.lit("cms"), F.col("r"), F.lit(":"), F.col("it")))
+        % w
+    )
+    return (
+        rows.groupBy(F.window("ts", window).alias("win"), "r", bucket.alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("win.start").alias("win_start"), "r", "b", "cnt")
+    )
+
+
+def windowed_cms_sql(item_expr: str = "user_id::VARCHAR") -> str:
+    """DuckDB oracle for the batch twin of ``windowed_cms``."""
+    from ..functions.hashing import md5_hash64_sql
+    from ..operators.sketches import CMS_D, CMS_W
+
+    h = md5_hash64_sql("'cms' || r || ':' || it")
+    return f"""
+WITH its AS (SELECT ts, {item_expr} AS it FROM events)
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+       r, {h} % {CMS_W} AS b, count(*) AS cnt
+FROM its, generate_series(0, {CMS_D - 1}) AS t(r)
+GROUP BY 1, 2, 3
+"""
+
+
 def windowed_hll_registers_sql(item_expr: str = "user_id::VARCHAR") -> str:
     """DuckDB oracle for the batch twin of ``windowed_hll_registers``:
     identical hash, bucket split, rho, and hour-bucket alignment."""

@@ -33,6 +33,7 @@ EXTENSION_ORACLE_QUERIES = [
     "event_value_quantile_sketch",
     "embedding_incremental_ingest",
     "windowed_value_histogram",
+    "windowed_cms_cells",
 ]
 
 

@@ -783,3 +783,78 @@ def test_merge_two_reservoirs_invariants_hypothesis():
         assert again == merged  # deterministic per seed
 
     check()
+
+
+def test_windowed_cms_streaming_equals_batch_and_probes(spark, tmp_path):
+    """Streaming per-window CMS cells (append + watermark, file replay)
+    must equal the batch twin for closed windows, and probing the summed
+    cells (min over d rows) must upper-bound every item's true count —
+    the CM guarantee holds through the windowed/merged state."""
+    from bigdata_hwk_spark.operators import sketches as SK
+    from bigdata_hwk_spark.sources.tables import load_table
+    from bigdata_hwk_spark.streaming.windowed import windowed_cms
+
+    events = load_table(spark, SF_SMOKE, "events")
+    src = tmp_path / "cms_src"
+    src.mkdir()
+    ordered = events.orderBy("ts").collect()
+    mid = len(ordered) // 2
+    schema = "ts timestamp, user_id bigint"
+    for name, chunk in (("a", ordered[:mid]), ("b", ordered[mid:])):
+        spark.createDataFrame(
+            [(r.ts, r.user_id) for r in chunk], schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        windowed_cms(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_cms_win")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.win_start, r.r, r.b): r.cnt
+            for r in spark.table("t_cms_win").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.win_start, r.r, r.b): r.cnt for r in windowed_cms(events).collect()
+    }
+    assert got and set(got) <= set(want)
+    for k, v in got.items():
+        assert v == want[k]
+
+    # merge windows -> whole-table sketch; probe upper-bounds true counts
+    rolled = {}
+    for (_ws, r, b), cnt in want.items():
+        rolled[(r, b)] = rolled.get((r, b), 0) + cnt
+    whole = {
+        (r.r, r.b): r.cnt
+        for r in SK.cms_sketch(
+            events.select(F.col("user_id").alias("item"))
+        ).collect()
+    }
+    assert rolled == whole
+    truth = {
+        r.user_id: r.cnt
+        for r in events.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    import hashlib
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    for uid, true_cnt in list(truth.items())[:50]:
+        est = min(
+            rolled.get((r, h64(f"cms{r}:{uid}") % SK.CMS_W), 0)
+            for r in range(SK.CMS_D)
+        )
+        assert est >= true_cnt
