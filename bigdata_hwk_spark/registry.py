@@ -457,6 +457,26 @@ def _windowed_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("windowed_cms_cells", _windowed_cms, windowed_cms_sql())
 
 
+# Stream-static broadcast enrichment, batch twin: events decorated with
+# the customer dim (map-side broadcast join, no stream shuffle), revenue
+# per (hour, market segment)
+def _windowed_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.tables import load_table
+    from .streaming import windowed as WD
+
+    return WD.stream_static_enrichment(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+from .streaming.windowed import STREAM_STATIC_ENRICHMENT_SQL  # noqa: E402
+
+register(
+    "windowed_segment_revenue", _windowed_segments, STREAM_STATIC_ENRICHMENT_SQL
+)
+
+
 # --- training-data-pipeline extensions (SURVEY.md §2.11) ---
 # fan_out: the fixture documents/embeddings parquet scans are 1 partition
 # at test SFs, which would serialize the CPU-heavy dedup/text/similarity
@@ -932,6 +952,7 @@ _GATE_OVERFLOW = [
     "embedding_incremental_ingest",
     "windowed_value_histogram",
     "windowed_cms_cells",
+    "windowed_segment_revenue",
 ]
 for _name in _GATE_OVERFLOW + [k for k in list(QUERIES) if k not in ORACLES]:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -259,6 +259,64 @@ def dedup_stream(
     )
 
 
+def stream_static_enrichment(
+    events: DataFrame,
+    customers: DataFrame,
+    window: str = EVENT_WINDOW,
+    watermark: str = EVENT_WATERMARK,
+) -> DataFrame:
+    """(win_start, mktsegment, n_events, total_value) — streaming events
+    enriched against a static dimension (customer → market segment), then
+    windowed-aggregated: revenue per segment per hour.
+
+    The stream-STATIC face of the join family (stream-stream is
+    ``stream_stream_attribution``; batch dims are `plans.relational`):
+    the canonical ingest-enrichment pattern — an unbounded fact stream
+    decorated with a small slowly-changing dimension. The dim side is an
+    explicit ``F.broadcast``: each micro-batch joins map-side against the
+    replicated dim, no shuffle of the stream, no join state at all (the
+    static side is re-planned per batch, which is also what picks up dim
+    refreshes). Left join keeps facts with no dim row (``UNKNOWN``) — at
+    100 TB dropping unmatched facts silently is how revenue goes missing.
+    Same body runs in batch (watermark no-op) — that twin is the
+    oracle-checked registry entry; streaming ≡ batch is pinned in tests.
+    """
+    dim = F.broadcast(
+        customers.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .join(dim, "user_id", "left")
+        .groupBy(
+            F.window("ts", window).alias("w"),
+            F.coalesce("mktsegment", F.lit("UNKNOWN")).alias("mktsegment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "mktsegment",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+STREAM_STATIC_ENRICHMENT_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+       coalesce(c_mktsegment, 'UNKNOWN') AS mktsegment,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events LEFT JOIN customer ON c_custkey = user_id
+GROUP BY 1, 2
+"""
+
+
 ATTRIBUTION_HORIZON = "30 minutes"
 
 

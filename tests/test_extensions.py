@@ -34,6 +34,7 @@ EXTENSION_ORACLE_QUERIES = [
     "embedding_incremental_ingest",
     "windowed_value_histogram",
     "windowed_cms_cells",
+    "windowed_segment_revenue",
 ]
 
 

@@ -858,3 +858,64 @@ def test_windowed_cms_streaming_equals_batch_and_probes(spark, tmp_path):
             for r in range(SK.CMS_D)
         )
         assert est >= true_cnt
+
+
+def test_stream_static_enrichment_streaming_equals_batch(spark, tmp_path):
+    """Stream-static broadcast enrichment (append mode + watermark,
+    file-replayed fact chunks against the static customer dim) must emit
+    exactly the batch twin's rows for every closed window, and the batch
+    plan must broadcast the dim (no shuffle of the fact side)."""
+    from bigdata_hwk_spark.sources.tables import load_table
+    from bigdata_hwk_spark.streaming.windowed import stream_static_enrichment
+
+    events = load_table(spark, SF_SMOKE, "events")
+    customers = load_table(spark, SF_SMOKE, "customer")
+
+    # batch plan shape: dim side broadcast, fact side never shuffled for
+    # the join (the only exchange is the windowed aggregation's)
+    plan = stream_static_enrichment(events, customers)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    src = tmp_path / "seg_src"
+    src.mkdir()
+    ordered = events.orderBy("ts").collect()
+    mid = len(ordered) // 2
+    schema = "ts timestamp, user_id bigint, value double"
+    for name, chunk in (("a", ordered[:mid]), ("b", ordered[mid:])):
+        spark.createDataFrame(
+            [(r.ts, r.user_id, r.value) for r in chunk], schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        stream_static_enrichment(stream, customers)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_seg_win")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.win_start, r.mktsegment): (r.n_events, r.total_value)
+            for r in spark.table("t_seg_win").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.win_start, r.mktsegment): (r.n_events, r.total_value)
+        for r in stream_static_enrichment(events, customers).collect()
+    }
+    assert got  # the watermark closed at least one window
+    assert set(got) <= set(want)
+    for k, (n, v) in got.items():
+        wn, wv = want[k]
+        assert n == wn
+        # micro-batch state folds partial double sums in arrival order;
+        # the rounded values may differ by one ulp-at-the-6th-decimal
+        assert abs(v - wv) <= 2e-6
