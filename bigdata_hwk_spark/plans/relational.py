@@ -646,3 +646,97 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Disjunctive join predicate (TPC-H Q19 shape) — OR-of-ANDs spanning both
+# join sides must still plan as a single hash join, not a nested loop
+# ---------------------------------------------------------------------------
+
+def disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row discounted-revenue total over lineitem⋈part where the join
+    carries an OR-of-ANDs mixing columns from BOTH sides (TPC-H Q19's
+    signature shape; the reference has no joins at all — SURVEY.md §2.3).
+
+    The plan hazard this query pins: a disjunction spanning both sides
+    can't be pushed to either scan, and a naive planner falls back to a
+    nested loop. Catalyst instead extracts the common equi-conjunct
+    (l_partkey = p_partkey) as the hash-join key and keeps the OR as a
+    post-join residual — so the 100 TB fact side is joined hash-wise
+    against the broadcast dimension and the disjunction costs one
+    vectorized filter over matched rows. tests/test_plan_lint.py's
+    no-cartesian sweep plus the dedicated plan test pin that shape.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    arm1 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#17")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 40)
+    )
+    arm3 = (F.col("p_type") == "ECONOMY") & (F.col("l_quantity") >= 30)
+    return (
+        li.join(
+            F.broadcast(part),
+            (li.l_partkey == part.p_partkey) & (arm1 | arm2 | arm3),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("promo_revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+DISJUNCTIVE_PROMO_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS promo_revenue,
+       count(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#17' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 40)
+   OR (p_type = 'ECONOMY' AND l_quantity >= 30)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar subquery + anti join (TPC-H Q22 shape) — a 1-row aggregate used
+# as a comparison threshold inside the main query's filter
+# ---------------------------------------------------------------------------
+
+WEALTHY_INACTIVE_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+GROUP BY c_mktsegment
+"""
+
+
+def wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers with no finalized order, by segment
+    (TPC-H Q22's shape), executed from SQL TEXT so Catalyst plans the
+    scalar subquery itself.
+
+    Two plan features in one query: the 1-row scalar subquery becomes an
+    independent broadcast stage reused as a literal in the scan filter
+    (NOT a per-row re-evaluation), and the NOT EXISTS becomes a left-anti
+    hash join. At 100 TB the threshold subquery costs one map-side-
+    combined aggregation of the balance column; the anti join shuffles on
+    the customer key only. The identical ANSI string is the DuckDB
+    oracle. (The o_orderstatus = 'F' restriction keeps the anti side
+    non-trivial — see ``customers_without_orders``.)
+    """
+    for name in ("customer", "orders"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(WEALTHY_INACTIVE_SQL)

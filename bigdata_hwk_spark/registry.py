@@ -817,6 +817,21 @@ register(
     R.PURCHASE_ATTRIBUTION_SQL,
 )
 
+# disjunctive join predicate (TPC-H Q19 shape): OR-of-ANDs spanning both
+# sides hash-joins on the extracted common equi-key, never a nested loop
+register(
+    "disjunctive_promo_revenue",
+    R.disjunctive_promo_revenue,
+    R.DISJUNCTIVE_PROMO_SQL,
+)
+
+# scalar subquery + anti join (TPC-H Q22 shape), planned from SQL text
+register(
+    "wealthy_inactive_customers",
+    R.wealthy_inactive_customers,
+    R.WEALTHY_INACTIVE_SQL,
+)
+
 # int8 quantization audit over the embedding corpus (pure projection)
 register(
     "embedding_quantization_stats",
@@ -953,6 +968,8 @@ _GATE_OVERFLOW = [
     "windowed_value_histogram",
     "windowed_cms_cells",
     "windowed_segment_revenue",
+    "disjunctive_promo_revenue",
+    "wealthy_inactive_customers",
 ]
 for _name in _GATE_OVERFLOW + [k for k in list(QUERIES) if k not in ORACLES]:
     QUERIES[_name] = QUERIES.pop(_name)

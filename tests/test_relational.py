@@ -24,6 +24,8 @@ RELATIONAL = [
     # is sacrificed (50-row cap), so pytest carries its oracle check
     "lineitem_cube",
     "purchase_attribution",
+    "disjunctive_promo_revenue",
+    "wealthy_inactive_customers",
 ]
 
 
@@ -48,6 +50,33 @@ def test_region_join_is_broadcast(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_disjunctive_join_is_hash_not_nested_loop(spark):
+    """An OR-of-ANDs join condition spanning both sides must still plan as
+    a broadcast hash join on the extracted common equi-key (l_partkey =
+    p_partkey), with the disjunction as a residual — never a nested loop
+    over the fact side."""
+    plan = (
+        registry.QUERIES["disjunctive_promo_revenue"](spark, SF_SMOKE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scalar_subquery_is_planned_once(spark):
+    """The Q22-style balance threshold must plan as a Catalyst scalar
+    subquery (one independent 1-row aggregate stage), not a per-row
+    re-evaluation or a rewritten cross join of the full table."""
+    plan = (
+        registry.QUERIES["wealthy_inactive_customers"](spark, SF_SMOKE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Subquery" in plan or "subquery" in plan
+    # anti join present for the NOT EXISTS
+    assert "LeftAnti" in plan
 
 
 def test_sqltext_and_salted_match_oracles(spark):
