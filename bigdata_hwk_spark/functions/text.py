@@ -568,3 +568,93 @@ SELECT CAST(CASE WHEN nt <= 0 THEN -1
        CAST(sum(nt) AS BIGINT) AS sum_tokens
 FROM t GROUP BY 1
 """
+
+
+# In-document repeated-n-gram removal: drop every token whose ending
+# n-gram already occurred earlier in the same document. Intra-doc
+# repetition (boilerplate headers, degenerate generation loops) survives
+# document-level dedup — this is the per-document trim that catches it.
+TRIM_NGRAM_N = 3
+
+
+def trim_repeated_ngrams(documents: DataFrame, n: int = TRIM_NGRAM_N) -> DataFrame:
+    """(doc_id, n_tokens, n_kept, clean_text) — remove in-document
+    repetition: token at position p is dropped iff the n-gram ending at p
+    (tokens p-n+1..p) already occurred earlier in the SAME document; the
+    first n-1 tokens are always kept. Deterministic single rule, no RNG.
+
+    Whole pipeline is JVM codegen + windows, no Python row path: grams
+    are built with ``lag`` over the per-doc position window (tokens
+    contain no spaces, so k-token grams have exactly k-1 separators and
+    grams of different arity can never collide as strings); "occurred
+    earlier" is ``row_number = 1`` over (doc_id, gram); the cleaned text
+    reassembles kept tokens with an order-stable
+    ``array_sort(collect_list(struct(pos, tok)))``.
+
+    Scale: rows explode ×(tokens/doc); every window and the final
+    aggregation partition by doc-grain keys (doc_id or (doc_id, gram)) —
+    per-document data parallelism, no global window, state per partition
+    bounded by the longest document.
+    """
+    toks = documents.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("pos", "tok"),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", *[F.lag("tok", i).over(wdoc) for i in range(n - 1, 0, -1)], F.col("tok")
+    )
+    g = toks.withColumn("gram", gram)
+    first = Window.partitionBy("doc_id", "gram").orderBy("pos")
+    keep = (F.col("pos") < n - 1) | (F.row_number().over(first) == 1)
+    flagged = g.withColumn("keep", keep)
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("keep").cast("int")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("pos", "tok"))
+                    )
+                ),
+                lambda s: s.tok,
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+def trim_repeated_ngrams_sql(n: int = TRIM_NGRAM_N) -> str:
+    """DuckDB oracle: identical lag-built grams, first-occurrence rule,
+    and order-stable reassembly."""
+    lags = ", ".join(
+        f"lag(tok, {i}) OVER (PARTITION BY doc_id ORDER BY pos)"
+        for i in range(n - 1, 0, -1)
+    )
+    return f"""
+WITH arrs AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents),
+toks AS (
+  SELECT doc_id, unnest(ws) AS tok,
+         unnest(range(0, len(ws))) AS pos
+  FROM arrs),
+grams AS (
+  SELECT doc_id, pos, tok,
+         concat_ws(' ', {lags}, tok) AS gram
+  FROM toks),
+flagged AS (
+  SELECT doc_id, pos, tok,
+         (pos < {n - 1} OR
+          row_number() OVER (PARTITION BY doc_id, gram ORDER BY pos) = 1)
+           AS keep
+  FROM grams)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       string_agg(CASE WHEN keep THEN tok END, ' ' ORDER BY pos) AS clean_text
+FROM flagged GROUP BY doc_id
+"""

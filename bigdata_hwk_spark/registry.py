@@ -817,6 +817,14 @@ register(
     R.PURCHASE_ATTRIBUTION_SQL,
 )
 
+# in-document repeated-n-gram removal (intra-doc repetition survives
+# document-level dedup; this is the per-doc trim that catches it)
+register(
+    "text_trim_repeated_ngrams",
+    lambda spark, sf: TX.trim_repeated_ngrams(_docs(spark, sf)),
+    TX.trim_repeated_ngrams_sql(),
+)
+
 # disjunctive join predicate (TPC-H Q19 shape): OR-of-ANDs spanning both
 # sides hash-joins on the extracted common equi-key, never a nested loop
 register(
@@ -970,6 +978,7 @@ _GATE_OVERFLOW = [
     "windowed_segment_revenue",
     "disjunctive_promo_revenue",
     "wealthy_inactive_customers",
+    "text_trim_repeated_ngrams",
 ]
 for _name in _GATE_OVERFLOW + [k for k in list(QUERIES) if k not in ORACLES]:
     QUERIES[_name] = QUERIES.pop(_name)

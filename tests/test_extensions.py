@@ -35,6 +35,7 @@ EXTENSION_ORACLE_QUERIES = [
     "windowed_value_histogram",
     "windowed_cms_cells",
     "windowed_segment_revenue",
+    "text_trim_repeated_ngrams",
 ]
 
 
@@ -621,3 +622,38 @@ def test_incremental_embedding_pairs_equal_full_cross_pairs(spark):
     }
     assert got == want
     assert got  # fixture must actually produce cross pairs
+
+
+def test_trim_repeated_ngrams_planted_properties(spark):
+    """The in-document n-gram trim's single rule on planted docs:
+    a doc with no repeated 3-gram is unchanged; a doubled doc S+S keeps
+    the first copy plus at most n-1 boundary tokens; determinism."""
+    from bigdata_hwk_spark.functions.text import TRIM_NGRAM_N, trim_repeated_ngrams
+
+    n = TRIM_NGRAM_N
+    s = "alpha beta gamma delta epsilon zeta eta theta"
+    k = len(s.split())
+    docs = spark.createDataFrame(
+        [
+            (0, s),                       # all 3-grams distinct → unchanged
+            (1, s + " " + s),             # doubled → second copy trimmed
+            (2, "x y " + "a b c " * 5),   # degenerate loop → one cycle kept
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in trim_repeated_ngrams(docs).collect()}
+
+    assert out[0].clean_text == s and out[0].n_kept == k
+
+    assert out[1].n_tokens == 2 * k
+    assert out[1].n_kept <= k + (n - 1)
+    assert out[1].clean_text.startswith(s)
+
+    # "a b c" repeated: after the first cycle every later token's ending
+    # 3-gram repeats, so at most the first cycle + n-1 boundary tokens of
+    # the second survive past the "x y" prefix
+    assert out[2].n_kept <= 2 + 3 + (n - 1)
+
+    # determinism across runs
+    again = {r.doc_id: r.clean_text for r in trim_repeated_ngrams(docs).collect()}
+    assert again == {d: r.clean_text for d, r in out.items()}
