@@ -106,3 +106,106 @@ def joins_are_colocated(spark: SparkSession, left: str, right: str, on: list[str
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     return "Exchange hashpartitioning" not in plan
+
+
+def compaction_plan(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    target_rows_per_file: int,
+) -> DataFrame:
+    """Per-partition small-file report for a hive-partitioned dataset:
+    (partition values…, n_files, n_rows, target_files, needs_compaction).
+
+    Long-lived datasets accrete small files (streaming micro-batches,
+    incremental appends, skewed writes); at 100 TB the cost is real —
+    every file is a task, a footer fetch, and an open/close. The plan is
+    computed distributed from the hidden ``_metadata.file_path`` column
+    (one pruned scan, no driver directory walk), so it works the same on
+    an object store with millions of files. ``target_files`` =
+    ceil(n_rows / target_rows_per_file); a partition needs compaction
+    when it holds more files than that.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    per_file = df.groupBy(
+        *partition_cols, F.col("_metadata.file_path").alias("__file")
+    ).agg(F.count(F.lit(1)).alias("__rows"))
+    target = F.ceil(F.col("n_rows") / target_rows_per_file).cast("int")
+    return (
+        per_file.groupBy(*partition_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("__rows").alias("n_rows"),
+        )
+        .withColumn("target_files", target)
+        .withColumn("needs_compaction", F.col("n_files") > F.col("target_files"))
+    )
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    target_rows_per_file: int,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Rewrite ONLY the partitions of ``path`` that hold more files than
+    their row count warrants; returns how many partitions were rewritten.
+
+    Partition-selective maintenance is the point: a 100 TB table with a
+    handful of fragmented partitions (yesterday's streaming append) must
+    not be rewritten whole. The fragmented partitions are identified by
+    ``compaction_plan``, read back with a partition-pruning filter (only
+    their directories are scanned), co-located with one shuffle per
+    partition value, and swapped in atomically per-partition via dynamic
+    partition overwrite — untouched partitions' files are not replaced.
+
+    The read and the overwrite target the same root; Spark materializes
+    the shuffled rewrite before clearing matched partitions, and the
+    dynamic mode limits clearing to partitions present in the output.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    plan_rows = (
+        compaction_plan(spark, path, partition_cols, target_rows_per_file)
+        .filter("needs_compaction")
+        .collect()
+    )
+    if not plan_rows:
+        return 0
+    # partition-pruning disjunction over the fragmented partition values
+    pred = reduce(
+        lambda a, b: a | b,
+        [
+            reduce(
+                lambda a, c: a & (F.col(c) == r[c]),
+                partition_cols[1:],
+                F.col(partition_cols[0]) == r[partition_cols[0]],
+            )
+            for r in plan_rows
+        ],
+    )
+    frag = spark.read.parquet(path).filter(pred)
+    out = frag.repartition(*[F.col(c) for c in partition_cols])
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    # cache-materialize BEFORE the overwrite clears the source files
+    out = out.cache()
+    out.count()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            out.write.mode("overwrite")
+            .option("maxRecordsPerFile", target_rows_per_file)
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        out.unpersist()
+    return len(plan_rows)

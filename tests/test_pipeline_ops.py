@@ -604,3 +604,59 @@ def test_source_mix_weights_properties(spark):
     # deterministic across evaluations (no RNG, no layout dependence)
     again = SP.source_mix_weights(docs).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_compaction_is_partition_selective(spark, tmp_path):
+    """compact_partitioned must (1) shrink fragmented partitions to their
+    target file count, (2) preserve content exactly, and (3) leave
+    already-healthy partitions' files untouched on disk."""
+    import glob
+    import os
+
+    from bigdata_hwk_spark.sinks.parquet import compaction_plan, compact_partitioned
+
+    d = str(tmp_path / "ds")
+    docs = spark.range(900).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+        F.md5(F.col("id").cast("string")).alias("text"),
+    )
+    # healthy partition first: lang=en written compact (1 file)
+    docs.filter("lang = 'en'").coalesce(1).write.partitionBy("lang").parquet(d)
+    # fragmented partitions: lang=de,fr appended as 10 files each
+    docs.filter("lang != 'en'").repartition(10).write.mode("append").partitionBy(
+        "lang"
+    ).parquet(d)
+
+    healthy_before = sorted(glob.glob(f"{d}/lang=en/*.parquet"))
+    mtimes_before = [os.path.getmtime(p) for p in healthy_before]
+    before = sorted(
+        (r.doc_id, r.lang, r.text) for r in spark.read.parquet(d).collect()
+    )
+
+    plan = {
+        r.lang: (r.n_files, r.target_files, r.needs_compaction)
+        for r in compaction_plan(spark, d, ["lang"], 1000).collect()
+    }
+    assert plan["en"] == (1, 1, False)
+    assert plan["de"][0] == 10 and plan["de"][2]
+    assert plan["fr"][0] == 10 and plan["fr"][2]
+
+    assert compact_partitioned(spark, d, ["lang"], 1000) == 2
+
+    # fragmented partitions now at their target; healthy files untouched
+    assert len(glob.glob(f"{d}/lang=de/*.parquet")) == 1
+    assert len(glob.glob(f"{d}/lang=fr/*.parquet")) == 1
+    assert sorted(glob.glob(f"{d}/lang=en/*.parquet")) == healthy_before
+    assert [os.path.getmtime(p) for p in healthy_before] == mtimes_before
+
+    after = sorted(
+        (r.doc_id, r.lang, r.text) for r in spark.read.parquet(d).collect()
+    )
+    assert after == before
+
+    # idempotent: a second pass finds nothing to do
+    assert compact_partitioned(spark, d, ["lang"], 1000) == 0
