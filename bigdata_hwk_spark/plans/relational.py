@@ -740,3 +740,94 @@ def wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("customer", "orders"):
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(WEALTHY_INACTIVE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel (sequence matching): view → click → purchase, in order
+# ---------------------------------------------------------------------------
+
+# Funnel window: first fixture day only. Over the whole 30-day fixture
+# every user completes every stage (150/150/150 — a trivially-passing
+# oracle); one day yields distinct per-stage counts at every SF.
+FUNNEL_END = "2024-01-02 00:00:00"
+
+
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_viewed, n_clicked_after_view, n_purchased_after_click):
+    how many users completed each prefix of the ordered funnel
+    view → click → purchase within the first fixture day — each later
+    stage strictly AFTER the user's first qualifying earlier stage.
+
+    Sequence matching without a self-join: stage k's timestamp is a
+    conditional ``min`` window over the user partition referencing stage
+    k-1's column, so the three chained windows share ONE hash partition
+    by user_id (Catalyst reuses the exchange; ``.explain`` shows a single
+    shuffle). The alternative — k-way self-join on user with time
+    predicates — shuffles the fact table k times and explodes on hot
+    users. Timestamps are compared at µs (the loader's unit), keeping the
+    strict inequalities engine-portable on ns-typed fixtures.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type")
+        .filter(F.col("ts") < F.lit(FUNNEL_END).cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    step1 = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+            F.col("ts"),
+        )
+    ).over(w)
+    step2 = step1.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        step2.withColumn("t3", t3)
+        .groupBy("user_id")
+        .agg(
+            F.min("t1").alias("t1"),
+            F.min("t2").alias("t2"),
+            F.min("t3").alias("t3"),
+        )
+    )
+    return per_user.agg(
+        F.count("t1").alias("n_viewed"),
+        F.count("t2").alias("n_clicked_after_view"),
+        F.count("t3").alias("n_purchased_after_click"),
+    )
+
+
+CONVERSION_FUNNEL_SQL = f"""
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+  WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '{FUNNEL_END}'),
+s1 AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM e),
+s2 AS (
+  SELECT user_id, ts, event_type, t1,
+         min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+           OVER (PARTITION BY user_id) AS t2
+  FROM s1),
+s3 AS (
+  SELECT user_id, t1, t2,
+         min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+           OVER (PARTITION BY user_id) AS t3
+  FROM s2),
+pu AS (
+  SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+  FROM s3 GROUP BY user_id)
+SELECT count(t1) AS n_viewed,
+       count(t2) AS n_clicked_after_view,
+       count(t3) AS n_purchased_after_click
+FROM pu
+"""

@@ -840,6 +840,10 @@ register(
     R.WEALTHY_INACTIVE_SQL,
 )
 
+# ordered funnel (view → click → purchase) via chained conditional-min
+# windows sharing one user-partitioned exchange
+register("conversion_funnel", R.conversion_funnel, R.CONVERSION_FUNNEL_SQL)
+
 # int8 quantization audit over the embedding corpus (pure projection)
 register(
     "embedding_quantization_stats",
@@ -979,6 +983,7 @@ _GATE_OVERFLOW = [
     "disjunctive_promo_revenue",
     "wealthy_inactive_customers",
     "text_trim_repeated_ngrams",
+    "conversion_funnel",
 ]
 for _name in _GATE_OVERFLOW + [k for k in list(QUERIES) if k not in ORACLES]:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -26,6 +26,7 @@ RELATIONAL = [
     "purchase_attribution",
     "disjunctive_promo_revenue",
     "wealthy_inactive_customers",
+    "conversion_funnel",
 ]
 
 
@@ -77,6 +78,63 @@ def test_scalar_subquery_is_planned_once(spark):
     assert "Subquery" in plan or "subquery" in plan
     # anti join present for the NOT EXISTS
     assert "LeftAnti" in plan
+
+
+def test_funnel_windows_share_one_exchange(spark):
+    """The three chained conditional-min windows all partition by user_id,
+    so the whole funnel must plan exactly ONE hash-partitioning exchange
+    on user_id (Catalyst reuses the partitioning across window passes and
+    the per-user aggregation)."""
+    plan = (
+        registry.QUERIES["conversion_funnel"](spark, SF_SMOKE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    n_user_exchanges = len(
+        re.findall(r"Exchange hashpartitioning\(user_id", plan)
+    )
+    assert n_user_exchanges == 1, plan
+
+
+def test_funnel_ordered_semantics_planted(spark):
+    """Planted sequences: out-of-order stages must NOT count — a purchase
+    before the first view-then-click chain is not a conversion."""
+    from bigdata_hwk_spark.plans.relational import conversion_funnel
+    import bigdata_hwk_spark.sources.tables as T
+
+    rows = [
+        # u1: full ordered funnel
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:05:00", "click"),
+        (1, "2024-01-01 10:10:00", "purchase"),
+        # u2: purchase BEFORE click → stages 1-2 only
+        (2, "2024-01-01 10:00:00", "view"),
+        (2, "2024-01-01 10:01:00", "purchase"),
+        (2, "2024-01-01 10:02:00", "click"),
+        # u3: click before any view → stage 1 only
+        (3, "2024-01-01 10:00:00", "click"),
+        (3, "2024-01-01 10:01:00", "view"),
+        # u4: never viewed → no stage
+        (4, "2024-01-01 10:00:00", "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, ts, et) for u, ts, et in rows],
+        "user_id bigint, ts string, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    import unittest.mock as mock
+
+    with mock.patch.object(T, "load_table", return_value=ev):
+        from bigdata_hwk_spark.plans import relational as R
+
+        with mock.patch.object(R, "load_table", return_value=ev):
+            out = conversion_funnel(spark, "unused").collect()[0]
+    assert (out.n_viewed, out.n_clicked_after_view, out.n_purchased_after_click) == (
+        3,
+        2,
+        1,
+    )
 
 
 def test_sqltext_and_salted_match_oracles(spark):
