@@ -658,3 +658,85 @@ SELECT doc_id,
        string_agg(CASE WHEN keep THEN tok END, ' ' ORDER BY pos) AS clean_text
 FROM flagged GROUP BY doc_id
 """
+
+
+# Fixed-window sequence chunking: split each document into consecutive
+# W-token chunks — the precursor to context-window packing in a training
+# pipeline (trim → chunk → shard).
+CHUNK_TOKENS = 64
+
+
+def chunk_documents(documents: DataFrame, w: int = CHUNK_TOKENS) -> DataFrame:
+    """(doc_id, chunk_id, n_tokens, chunk_text) — consecutive ``w``-token
+    chunks of each document, in order; the last chunk keeps the
+    remainder. Pure codegen: build the chunk array with
+    ``transform(sequence(...), slice(...))`` and ``posexplode`` it — a
+    map-side projection, no shuffle, no Python row path (the UDTF twin
+    below exists to pin the UDTF *surface*, not to run in the hot path).
+    Empty documents yield no chunks (both engines).
+    """
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n = F.size(ws)
+    n_chunks = F.ceil(n / F.lit(w)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(ws, i * w + 1, w), " "),
+    )
+    return (
+        documents.filter(n > 0)
+        .select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk_text"))
+        .withColumn(
+            "n_tokens",
+            F.size(F.filter(F.split(F.col("chunk_text"), " "), lambda x: x != "")),
+        )
+        .select("doc_id", "chunk_id", "n_tokens", "chunk_text")
+    )
+
+
+def chunk_documents_sql(w: int = CHUNK_TOKENS) -> str:
+    """DuckDB oracle: identical slicing (1-based list slices both ends
+    inclusive in DuckDB — the window is [i*w+1, i*w+w])."""
+    return f"""
+WITH arrs AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents),
+idx AS (
+  SELECT doc_id, ws,
+         unnest(range(0, CAST(ceil(len(ws) / {w}.0) AS INTEGER))) AS chunk_id
+  FROM arrs WHERE len(ws) > 0)
+SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+       len(ws[chunk_id * {w} + 1 : chunk_id * {w} + {w}]) AS n_tokens,
+       array_to_string(ws[chunk_id * {w} + 1 : chunk_id * {w} + {w}], ' ')
+         AS chunk_text
+FROM idx
+"""
+
+
+def chunk_documents_udtf(documents: DataFrame, w: int = CHUNK_TOKENS) -> DataFrame:
+    """The same chunking as a Python UDTF (``@udtf``) — pins the
+    table-function surface (SURVEY.md §2.11): arbitrary one-row→many-rows
+    Python logic with a declared schema, composable in the DataFrame API.
+
+    This is the SLOW path (row-at-a-time Python, pickled transfer) and
+    exists for parity testing and as the template for chunkers that
+    genuinely need Python (a real tokenizer); production chunking is the
+    codegen ``chunk_documents`` above. Tests pin exact output equality
+    between the two.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_id int, n_tokens int, chunk_text string")
+    class ChunkDocs:
+        def eval(self, doc_id, text):
+            toks = [t for t in (text or "").split(" ") if t]
+            for i in range(0, (len(toks) + w - 1) // w):
+                piece = toks[i * w : (i + 1) * w]
+                yield doc_id, i, len(piece), " ".join(piece)
+
+    spark = documents.sparkSession
+    spark.udtf.register("chunk_docs_udtf", ChunkDocs)
+    documents.createOrReplaceTempView("__chunk_udtf_in")
+    return spark.sql(
+        "SELECT t.doc_id, t.chunk_id, t.n_tokens, t.chunk_text "
+        "FROM __chunk_udtf_in, LATERAL chunk_docs_udtf(doc_id, text) AS t"
+    )

@@ -513,3 +513,45 @@ SELECT c.kk AS key, c.claimed_present,
        coalesce(t.act, FALSE) AS actually_present
 FROM claimed c LEFT JOIN truth t USING (kk)
 """
+
+
+def bloom_prune(
+    fact: DataFrame,
+    bits: DataFrame,
+    key_col: str,
+    k: int = BLOOM_K,
+    m: int = BLOOM_M,
+) -> DataFrame:
+    """Filter ``fact`` to rows whose ``key_col`` PASSES the Bloom filter
+    given by ``bits`` (a set-bit table from ``bloom_bits``): the
+    semi-join-reduction pattern — prune the 100 TB fact side map-side
+    BEFORE any shuffle toward the real join.
+
+    No false negatives (every true match survives), bounded false
+    positives (the later exact join removes them), so composing
+    ``bloom_prune`` + exact join returns exactly the plain join's result
+    while the shuffle carries only candidates. This is the engine-portable
+    DataFrame twin of Spark's runtime bloom-filter join
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``), with the
+    filter state visible and mergeable like the rest of this module.
+
+    The ≤ m-row bit table is fetched to the driver once (m bits ≈ 1 KB at
+    the default m=8192 — a bounded metadata transfer, same class as the
+    module's other sketch fetches) and folded into an m-char '0'/'1'
+    literal; each row's k probes are then pure whole-stage-codegen
+    ``substr`` lookups — no explode, no join, no shuffle to test
+    membership.
+    """
+    words = ["0"] * m
+    for r in bits.collect():
+        words[r.bit] = "1"
+    bitstr = F.lit("".join(words))
+    kk = F.col(key_col).cast("string")
+    cond = None
+    for h in range(k):
+        bit = (
+            md5_hash64(F.concat(F.lit("bloom"), F.lit(h), F.lit(":"), kk)) % m
+        )
+        ok = F.substr(bitstr, bit + 1, F.lit(1)) == "1"
+        cond = ok if cond is None else (cond & ok)
+    return fact.filter(cond)

@@ -831,3 +831,74 @@ SELECT count(t1) AS n_viewed,
        count(t3) AS n_purchased_after_click
 FROM pu
 """
+
+
+# ---------------------------------------------------------------------------
+# Pivot / unpivot — the wide↔long reshaping surface
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, n_view, n_click, n_purchase, n_signup, n_error) — the
+    per-user event-type matrix via ``groupBy().pivot()``.
+
+    The pivot value list is EXPLICIT (the five fixture event types): with
+    it, Spark plans one pass (pivot compiles to conditional aggregates —
+    the same plan as the DuckDB oracle's CASE sums); without it, Spark
+    must first run a distinct scan to discover values, an extra job a
+    100 TB pipeline should never pay for a known vocabulary. Missing
+    combinations surface as 0 (count semantics), not null.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+USER_EVENT_PIVOT_SQL = """
+SELECT user_id,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+def user_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, event_type, n_events) — the long form back out of the
+    pivoted matrix via ``DataFrame.unpivot`` (wide→long melt), zero rows
+    dropped: the round-trip ``pivot |> unpivot`` preserves every nonzero
+    count, which is what the oracle (a plain GROUP BY of the base table)
+    checks. Unpivot is a zero-shuffle projection (each input row explodes
+    to V output rows map-side).
+    """
+    wide = user_event_pivot(spark, sf_dir)
+    return (
+        wide.unpivot(
+            "user_id",
+            [f"n_{t}" for t in EVENT_TYPES],
+            "event_type",
+            "n_events",
+        )
+        .filter(F.col("n_events") > 0)
+        .withColumn("event_type", F.expr("substring(event_type, 3)"))
+    )
+
+
+USER_EVENT_UNPIVOT_SQL = """
+SELECT user_id, event_type, count(*) AS n_events
+FROM events GROUP BY user_id, event_type
+"""

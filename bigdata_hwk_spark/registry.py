@@ -825,6 +825,15 @@ register(
     TX.trim_repeated_ngrams_sql(),
 )
 
+# fixed-window sequence chunking (context-window prep): map-side
+# posexplode of slice-built chunk arrays, no shuffle; the UDTF twin
+# (chunk_documents_udtf) pins the table-function surface in tests
+register(
+    "doc_chunks",
+    lambda spark, sf: TX.chunk_documents(_docs(spark, sf)),
+    TX.chunk_documents_sql(),
+)
+
 # disjunctive join predicate (TPC-H Q19 shape): OR-of-ANDs spanning both
 # sides hash-joins on the extracted common equi-key, never a nested loop
 register(
@@ -843,6 +852,44 @@ register(
 # ordered funnel (view → click → purchase) via chained conditional-min
 # windows sharing one user-partitioned exchange
 register("conversion_funnel", R.conversion_funnel, R.CONVERSION_FUNNEL_SQL)
+
+# pivot (explicit value list → one-pass conditional aggregates) and the
+# unpivot melt back to long form (zero-shuffle projection)
+register("user_event_pivot", R.user_event_pivot, R.USER_EVENT_PIVOT_SQL)
+register("user_event_unpivot", R.user_event_unpivot, R.USER_EVENT_UNPIVOT_SQL)
+
+
+# Bloom-pruned semi join: the dim key set's Bloom filter prunes the fact
+# scan map-side before the exact join; no false negatives, so the result
+# is the plain join's (which is exactly what the oracle checks)
+def _bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    bits = SK.bloom_bits(cust.select(F.col("c_custkey").alias("key")))
+    orders = load_table(spark, sf_dir, "orders")
+    pruned = SK.bloom_prune(orders, bits, "o_custkey")
+    return pruned.join(
+        F.broadcast(cust), pruned.o_custkey == cust.c_custkey, "left_semi"
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("building_revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+BLOOM_PRUNED_REVENUE_SQL = """
+SELECT round(sum(o_totalprice), 2) AS building_revenue,
+       count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM customer
+              WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+"""
+
+register("bloom_pruned_revenue", _bloom_pruned_revenue, BLOOM_PRUNED_REVENUE_SQL)
 
 # int8 quantization audit over the embedding corpus (pure projection)
 register(
@@ -984,6 +1031,10 @@ _GATE_OVERFLOW = [
     "wealthy_inactive_customers",
     "text_trim_repeated_ngrams",
     "conversion_funnel",
+    "user_event_pivot",
+    "user_event_unpivot",
+    "bloom_pruned_revenue",
+    "doc_chunks",
 ]
 for _name in _GATE_OVERFLOW + [k for k in list(QUERIES) if k not in ORACLES]:
     QUERIES[_name] = QUERIES.pop(_name)

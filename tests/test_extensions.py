@@ -36,6 +36,8 @@ EXTENSION_ORACLE_QUERIES = [
     "windowed_cms_cells",
     "windowed_segment_revenue",
     "text_trim_repeated_ngrams",
+    "bloom_pruned_revenue",
+    "doc_chunks",
 ]
 
 
@@ -657,3 +659,66 @@ def test_trim_repeated_ngrams_planted_properties(spark):
     # determinism across runs
     again = {r.doc_id: r.clean_text for r in trim_repeated_ngrams(docs).collect()}
     assert again == {d: r.clean_text for d, r in out.items()}
+
+
+def test_bloom_prune_no_false_negatives_and_effective(spark):
+    """bloom_prune must keep EVERY true match (no false negatives), prune
+    a meaningful share of non-matching fact rows, and compose with the
+    exact join to the plain join's exact result."""
+    from pyspark.sql import functions as F
+
+    from bigdata_hwk_spark.operators import sketches as SK
+
+    cust = load_table(spark, SF_CORRECT, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    keys = {r.c_custkey for r in cust.collect()}
+    orders = load_table(spark, SF_CORRECT, "orders")
+    bits = SK.bloom_bits(cust.select(F.col("c_custkey").alias("key")))
+    pruned = SK.bloom_prune(orders, bits, "o_custkey")
+
+    n_orders = orders.count()
+    n_true = orders.filter(F.col("o_custkey").isin(keys)).count()
+    n_pruned = pruned.count()
+    # no false negatives: every true match survives the prune
+    assert n_pruned >= n_true
+    surviving = {r.o_custkey for r in pruned.select("o_custkey").collect()}
+    assert keys & {r.o_custkey for r in orders.select("o_custkey").collect()} <= surviving
+    # effective: the filter actually prunes (fp rate is ~1e-4 at these
+    # parameters; allow a loose bound)
+    assert n_pruned <= n_true + 0.05 * n_orders
+
+    # the prune predicate stays map-side: no exchange below the filter
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_chunking_udtf_twin_equals_codegen(spark):
+    """The Python-UDTF chunker (the §2.11 table-function surface) must
+    produce exactly the codegen chunker's rows, including chunk order,
+    remainders, and empty-doc elision."""
+    from bigdata_hwk_spark.functions.text import (
+        chunk_documents,
+        chunk_documents_udtf,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(130))),  # 64+64+2
+            (2, "exactly " + " ".join(f"t{i}" for i in range(63))),  # one full
+            (3, "tiny doc"),
+            (4, ""),  # no chunks
+            (5, "   "),  # whitespace only → no chunks
+        ],
+        "doc_id bigint, text string",
+    )
+    cg = sorted(map(tuple, chunk_documents(docs).collect()))
+    ut = sorted(map(tuple, chunk_documents_udtf(docs).collect()))
+    assert cg == ut
+    assert {r[0] for r in cg} == {1, 2, 3}
+    by_doc = {}
+    for doc_id, chunk_id, n_tokens, _ in cg:
+        by_doc.setdefault(doc_id, []).append((chunk_id, n_tokens))
+    assert by_doc[1] == [(0, 64), (1, 64), (2, 2)]
+    assert by_doc[2] == [(0, 64)]
+    assert by_doc[3] == [(0, 2)]

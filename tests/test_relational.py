@@ -27,6 +27,8 @@ RELATIONAL = [
     "disjunctive_promo_revenue",
     "wealthy_inactive_customers",
     "conversion_funnel",
+    "user_event_pivot",
+    "user_event_unpivot",
 ]
 
 
