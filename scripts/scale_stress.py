@@ -59,6 +59,10 @@ QUERIES = [
     "text_tfidf_top_terms",
     "dedup_incremental_ingest",
     "ann_lsh_pairs",
+    # round-6 additions: the heaviest new document-grain operators — the
+    # chained-window trim and the pigeonhole simhash join
+    "text_trim_repeated_ngrams",
+    "dedup_simhash",
 ]
 LINEAR_BUDGET = 1.3  # tN <= LINEAR_BUDGET * N * t1 counts as "scales linearly"
 
