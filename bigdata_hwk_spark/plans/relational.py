@@ -902,3 +902,92 @@ USER_EVENT_UNPIVOT_SQL = """
 SELECT user_id, event_type, count(*) AS n_events
 FROM events GROUP BY user_id, event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Variant semi-structured surface (Spark 4): parse once, extract many
+# ---------------------------------------------------------------------------
+
+def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(k_decile, n_events, n_event_types, max_k) — props decoded through
+    the VARIANT type: ``parse_json`` parses each JSON string ONCE into
+    Spark's binary-encoded variant; ``variant_get`` then extracts typed
+    paths without re-parsing. That's the semi-structured contract at
+    100 TB — ``get_json_object`` (the `event_props_stats` twin) re-parses
+    the string per extraction, so a query touching f fields pays f parses
+    per row; variant pays one. Grouping by the extracted value's decile
+    exercises the typed path end-to-end (cast inside the engine, not at
+    the output boundary).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select(k.alias("k"), "event_type")
+        .groupBy(F.floor(F.col("k") / 10).cast("bigint").alias("k_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_event_types"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+EVENT_PROPS_VARIANT_SQL = """
+WITH k AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, event_type
+  FROM events)
+SELECT CAST(floor(k / 10.0) AS BIGINT) AS k_decile,
+       count(*) AS n_events,
+       count(DISTINCT event_type) AS n_event_types,
+       max(k) AS max_k
+FROM k GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Supplier-side revenue (completes fixture-table coverage: supplier was
+# the one table no query touched)
+# ---------------------------------------------------------------------------
+
+def top_suppliers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 suppliers by lineitem revenue with their nation (TPC-H
+    Q15's shape): aggregate the fact FIRST (map-side-combined groupBy on
+    l_suppkey — the shuffle carries per-supplier partials, not line
+    items), THEN join the small per-supplier aggregate to the broadcast
+    supplier/nation dims. Joining before aggregating would shuffle the
+    whole fact table through the join; at 100 TB the agg-then-join order
+    is the difference between moving partials and moving the corpus.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+    return (
+        rev.join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", "revenue", "n_lineitems")
+        .orderBy(F.desc("revenue"), "s_suppkey")
+        .limit(10)
+    )
+
+
+TOP_SUPPLIERS_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n_lineitems
+  FROM lineitem GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, n_name, revenue, n_lineitems
+FROM rev
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+ORDER BY revenue DESC, s_suppkey LIMIT 10
+"""

@@ -853,6 +853,18 @@ register(
 # windows sharing one user-partitioned exchange
 register("conversion_funnel", R.conversion_funnel, R.CONVERSION_FUNNEL_SQL)
 
+# supplier-side revenue (agg-then-join: the shuffle carries per-supplier
+# partials, not line items) — completes fixture-table coverage
+register(
+    "top_suppliers_by_revenue", R.top_suppliers_by_revenue, R.TOP_SUPPLIERS_SQL
+)
+
+# VARIANT semi-structured path: parse_json once → typed variant_get
+# extraction (vs get_json_object's re-parse-per-field in event_props_stats)
+register(
+    "event_props_variant", R.event_props_variant, R.EVENT_PROPS_VARIANT_SQL
+)
+
 # pivot (explicit value list → one-pass conditional aggregates) and the
 # unpivot melt back to long form (zero-shuffle projection)
 register("user_event_pivot", R.user_event_pivot, R.USER_EVENT_PIVOT_SQL)
@@ -1035,6 +1047,8 @@ _GATE_OVERFLOW = [
     "user_event_unpivot",
     "bloom_pruned_revenue",
     "doc_chunks",
+    "event_props_variant",
+    "top_suppliers_by_revenue",
 ]
 for _name in _GATE_OVERFLOW + [k for k in list(QUERIES) if k not in ORACLES]:
     QUERIES[_name] = QUERIES.pop(_name)

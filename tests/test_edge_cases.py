@@ -174,3 +174,32 @@ def test_round5_ops_empty_and_degenerate(frames, spark):
     assert {r.key: r.claimed_present for r in rows} == {"a": False, "b": False}
     assert all(not r.actually_present for r in rows)
     assert SK.bloom_membership(keys2, keys0).count() == 0
+
+
+def test_round6_text_ops_empty_and_degenerate(frames, spark):
+    """Round-6 text operators on empty corpora and degenerate docs: empty
+    results or sensible per-doc rows, never a crash."""
+    from bigdata_hwk_spark.functions import text as TX
+
+    docs0 = frames["docs0"]
+    assert TX.trim_repeated_ngrams(docs0).collect() == []
+    assert TX.chunk_documents(docs0).collect() == []
+    assert TX.token_length_histogram(docs0).collect() == []
+
+    weird = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "x"), (4, "a a a a a a a a")],
+        "doc_id long, text string",
+    )
+    trimmed = {r.doc_id: r for r in TX.trim_repeated_ngrams(weird).collect()}
+    # empty/whitespace docs have zero tokens → no output row (both engines)
+    assert set(trimmed) == {3, 4}
+    assert trimmed[3].clean_text == "x" and trimmed[3].n_kept == 1
+    # 'a'×8: every 3-gram after the first repeats → first 3 tokens survive
+    assert trimmed[4].n_tokens == 8 and trimmed[4].n_kept == 3
+
+    chunks = TX.chunk_documents(weird, w=3).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.n_tokens))
+    assert set(by_doc) == {3, 4}
+    assert by_doc[4] == [(0, 3), (1, 3), (2, 2)]

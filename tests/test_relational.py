@@ -29,6 +29,8 @@ RELATIONAL = [
     "conversion_funnel",
     "user_event_pivot",
     "user_event_unpivot",
+    "event_props_variant",
+    "top_suppliers_by_revenue",
 ]
 
 

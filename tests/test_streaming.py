@@ -919,3 +919,53 @@ def test_stream_static_enrichment_streaming_equals_batch(spark, tmp_path):
         # micro-batch state folds partial double sums in arrival order;
         # the rounded values may differ by one ulp-at-the-6th-decimal
         assert abs(v - wv) <= 2e-6
+
+
+def test_available_now_incremental_batch_exactly_once(spark, tmp_path):
+    """The incremental-ETL pattern a 100 TB ingest actually runs: a
+    trigger(availableNow=True) job drains whatever landed since the last
+    run and STOPS; the checkpoint makes re-runs incremental and the file
+    sink exactly-once. Two runs over a growing source directory must
+    produce every input row exactly once — run 2 must not reprocess run
+    1's chunk."""
+    from bigdata_hwk_spark.sources.tables import load_table
+
+    events = load_table(spark, SF_SMOKE, "events")
+    rows = events.select("event_id", "user_id").orderBy("event_id").collect()
+    mid = len(rows) // 2
+    src = tmp_path / "inc_src"
+    src.mkdir()
+    out = str(tmp_path / "inc_out")
+    ckpt = str(tmp_path / "inc_ckpt")
+    schema = "event_id bigint, user_id bigint"
+
+    def land(name, chunk):
+        spark.createDataFrame(
+            [(r.event_id, r.user_id) for r in chunk], schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(str(src) + "/*")
+            .writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .format("parquet")
+            .option("path", out)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive  # availableNow terminates on its own
+
+    land("a", rows[:mid])
+    drain()
+    first = spark.read.parquet(out).count()
+    assert first == mid
+
+    land("b", rows[mid:])
+    drain()
+    got = sorted(
+        (r.event_id, r.user_id) for r in spark.read.parquet(out).collect()
+    )
+    want = sorted((r.event_id, r.user_id) for r in rows)
+    assert got == want  # every row exactly once across the two runs
