@@ -740,3 +740,60 @@ def chunk_documents_udtf(documents: DataFrame, w: int = CHUNK_TOKENS) -> DataFra
         "SELECT t.doc_id, t.chunk_id, t.n_tokens, t.chunk_text "
         "FROM __chunk_udtf_in, LATERAL chunk_docs_udtf(doc_id, text) AS t"
     )
+
+
+# Corpus profile: the schema-audit every ingest gate runs before a table
+# is admitted into a pipeline.
+PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def documents_profile(documents: DataFrame) -> DataFrame:
+    """(column, n_nulls, n_distinct, min_value, max_value) — one row per
+    profiled column, computed in a SINGLE aggregation pass over the table
+    (all per-column aggregates in one ``agg``; the 1-row wide result is
+    then reshaped row-per-column — O(columns) rows, O(1) driver cost).
+
+    min/max are taken over the STRING cast (lexicographic) so one
+    operator signature covers every column type; both engines apply the
+    same cast-then-min, keeping parity exact. ``n_distinct`` is the exact
+    distinct count — at 100 TB swap in ``approx_count_distinct`` (the
+    documented trade; the oracle pins the exact variant).
+    """
+    aggs = []
+    for c in PROFILE_COLS:
+        s = F.col(c).cast("string")
+        aggs += [
+            F.sum(F.col(c).isNull().cast("int")).cast("bigint").alias(f"{c}__n"),
+            F.countDistinct(c).alias(f"{c}__d"),
+            F.min(s).alias(f"{c}__lo"),
+            F.max(s).alias(f"{c}__hi"),
+        ]
+    wide = documents.agg(*aggs)
+    parts = [
+        wide.select(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__n").alias("n_nulls"),
+            F.col(f"{c}__d").alias("n_distinct"),
+            F.col(f"{c}__lo").alias("min_value"),
+            F.col(f"{c}__hi").alias("max_value"),
+        )
+        for c in PROFILE_COLS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def documents_profile_sql() -> str:
+    """DuckDB oracle: identical cast-then-aggregate per column."""
+    selects = [
+        f"""SELECT '{c}' AS "column",
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       min(CAST({c} AS VARCHAR)) AS min_value,
+       max(CAST({c} AS VARCHAR)) AS max_value
+FROM documents"""
+        for c in PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(selects)

@@ -834,6 +834,14 @@ register(
     TX.chunk_documents_sql(),
 )
 
+# corpus profile (per-column null/distinct/min/max in one pass): the
+# data-quality gate every ingest runs before admitting a table
+register(
+    "documents_profile",
+    lambda spark, sf: TX.documents_profile(_docs(spark, sf)),
+    TX.documents_profile_sql(),
+)
+
 # disjunctive join predicate (TPC-H Q19 shape): OR-of-ANDs spanning both
 # sides hash-joins on the extracted common equi-key, never a nested loop
 register(
@@ -1049,6 +1057,7 @@ _GATE_OVERFLOW = [
     "doc_chunks",
     "event_props_variant",
     "top_suppliers_by_revenue",
+    "documents_profile",
 ]
 for _name in _GATE_OVERFLOW + [k for k in list(QUERIES) if k not in ORACLES]:
     QUERIES[_name] = QUERIES.pop(_name)

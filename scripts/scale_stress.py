@@ -3,11 +3,14 @@
 
 Every "survives 100x" claim in the docstrings is a plan-shape argument;
 this script converts it into data (round-6 VERDICT #1). It
-union-replicates the sf0.1 documents/embeddings fixtures N times with
-shifted ids and decorrelated content, times the six slowest queries at
-1x and Nx (warm pass then timed pass, noop sink — the bench.py
-methodology), and records the wall-time ratio and scaling exponent
-log(tN/t1)/log(N) into SCALE_STRESS.json at the repo root.
+union-replicates the sf0.1 documents/embeddings/events fixtures N times
+with shifted ids and decorrelated content, times the slowest document-
+and events-grain queries at 1x and Nx (warm pass then timed pass, noop
+sink — the bench.py methodology), and records the wall-time ratio and
+scaling exponent log(tN/t1)/log(N) into SCALE_STRESS.json at the repo
+root. Events replicate by shifting user_id — horizontal growth (N× users
+at constant per-user density), the shape a bigger cluster actually sees
+for the interval-join/window family.
 
 Replication preserves workload character instead of planting adversarial
 duplicates:
@@ -63,6 +66,15 @@ QUERIES = [
     # chained-window trim and the pigeonhole simhash join
     "text_trim_repeated_ngrams",
     "dedup_simhash",
+    # the events-grain interval/window family — where join-state and
+    # window-partition growth live; replication shifts user_id, so growth
+    # is horizontal (N× users of constant per-user density), the shape a
+    # bigger cluster actually sees
+    "purchase_attribution",
+    "user_sessions",
+    "events_last_click_asof",
+    "windowed_event_counts",
+    "conversion_funnel",
 ]
 LINEAR_BUDGET = 1.3  # tN <= LINEAR_BUDGET * N * t1 counts as "scales linearly"
 
@@ -84,8 +96,10 @@ def build_scaled_dir(
     os.makedirs(out_dir)
     docs = spark.read.parquet(f"{src_dir}/documents.parquet")
     embs = spark.read.parquet(f"{src_dir}/embeddings.parquet")
+    evs = spark.read.parquet(f"{src_dir}/events.parquet")
     doc_parts = []
     emb_parts = []
+    ev_parts = []
     for r in range(n_replicas):
         doc_parts.append(
             docs.select(
@@ -111,13 +125,26 @@ def build_scaled_dir(
                 "label",
             )
         )
-    u_docs, u_embs = doc_parts[0], emb_parts[0]
+        ev_parts.append(
+            evs.select(
+                (F.col("event_id") + r * ID_STRIDE).alias("event_id"),
+                "ts",
+                (F.col("user_id") + r * ID_STRIDE).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    u_docs, u_embs, u_evs = doc_parts[0], emb_parts[0], ev_parts[0]
     for d in doc_parts[1:]:
         u_docs = u_docs.unionByName(d)
     for e in emb_parts[1:]:
         u_embs = u_embs.unionByName(e)
+    for e in ev_parts[1:]:
+        u_evs = u_evs.unionByName(e)
     u_docs.write.parquet(f"{out_dir}/documents.parquet")
     u_embs.write.parquet(f"{out_dir}/embeddings.parquet")
+    u_evs.write.parquet(f"{out_dir}/events.parquet")
 
 
 def time_query(df: DataFrame) -> tuple[float, int]:

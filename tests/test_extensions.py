@@ -38,6 +38,7 @@ EXTENSION_ORACLE_QUERIES = [
     "text_trim_repeated_ngrams",
     "bloom_pruned_revenue",
     "doc_chunks",
+    "documents_profile",
 ]
 
 

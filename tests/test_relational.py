@@ -323,3 +323,33 @@ def test_purchase_attribution_plan_is_keyed_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_join_strategy_hints_honored(spark):
+    """The engine's join-strategy controls must reach the physical plan:
+    `merge` → SortMergeJoin, `shuffle_hash` → ShuffledHashJoin (with
+    auto-broadcast off so the planner can't shortcut either) — the knobs
+    a 100 TB deployment turns when the stats-based default picks wrong
+    (e.g. forcing shuffle-hash when one side is modest but above the
+    broadcast threshold, sparing both sides the sort)."""
+    from bigdata_hwk_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        merge_plan = (
+            li.hint("merge")
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        hash_plan = (
+            li.hint("shuffle_hash")
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in merge_plan
+    assert "ShuffledHashJoin" in hash_plan
