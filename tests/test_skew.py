@@ -77,3 +77,46 @@ def test_attribution_hot_user_completes_and_is_correct(spark):
             assert r.last_click_ts == click_list[hi - 1]
         else:
             assert r.last_click_ts is None
+
+
+def test_funnel_hot_user_matches_independent_model(spark):
+    """The ordered funnel's chained windows concentrate the hot user's
+    entire event history in one window partition; the query must complete
+    and agree with a driver-side model of the same rule over the same
+    (first-day) slice."""
+    from bigdata_hwk_spark.plans.relational import FUNNEL_END, conversion_funnel
+    import bigdata_hwk_spark.plans.relational as R
+    import unittest.mock as mock
+
+    skewed = _skewed_events(spark)
+    with mock.patch.object(R, "load_table", return_value=skewed):
+        out = conversion_funnel(spark, "unused").collect()[0]
+
+    rows = (
+        skewed.filter(F.col("ts") < F.lit(FUNNEL_END).cast("timestamp"))
+        .select("user_id", "ts", "event_type")
+        .collect()
+    )
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_type))
+    n1 = n2 = n3 = 0
+    for evs in by_user.values():
+        evs.sort()
+        t1 = min((t for t, e in evs if e == "view"), default=None)
+        if t1 is None:
+            continue
+        n1 += 1
+        t2 = min((t for t, e in evs if e == "click" and t > t1), default=None)
+        if t2 is None:
+            continue
+        n2 += 1
+        if any(e == "purchase" and t > t2 for t, e in evs):
+            n3 += 1
+    assert (out.n_viewed, out.n_clicked_after_view, out.n_purchased_after_click) == (
+        n1,
+        n2,
+        n3,
+    )
+    # the planted key is genuinely hot inside the funnel horizon
+    assert any(u == HOT_USER for u in by_user) and len(by_user[HOT_USER]) > 100
