@@ -39,3 +39,28 @@ def test_no_quadratic_join_shapes(spark, name):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} plans a nested-loop join"
         )
+
+
+# Representative filtered queries: the filter must reach the parquet scan
+# (PushedFilters) and the scan must not read a column the query never
+# touches (ReadSchema pruning). name -> (pushed-filter fragment, a column
+# that must be pruned out of the whole plan)
+PUSHDOWN_EXPECTED = {
+    "tpch_q1": ("LessThanOrEqual(l_shipdate", "l_partkey"),
+    "conversion_funnel": ("LessThan(ts", "props"),
+    "orders_with_heavy_items": ("GreaterThan(l_quantity", "l_extendedprice"),
+    "customers_without_orders": ("EqualTo(o_orderstatus", "o_totalprice"),
+}
+
+
+@pytest.mark.parametrize("name", sorted(PUSHDOWN_EXPECTED))
+def test_filters_reach_the_scan_and_columns_prune(spark, name):
+    frag, pruned_col = PUSHDOWN_EXPECTED[name]
+    plan = (
+        registry.QUERIES[name](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert frag in plan, f"{name}: filter not pushed to the scan"
+    assert pruned_col not in plan, f"{name}: scan reads unused column {pruned_col}"
