@@ -991,3 +991,113 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 ORDER BY revenue DESC, s_suppkey LIMIT 10
 """
+
+
+# ---------------------------------------------------------------------------
+# Range-frame rolling window (event-time moving aggregate)
+# ---------------------------------------------------------------------------
+
+ROLLING_SECONDS = 3600
+
+
+def events_rolling_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, user_id, ts, n_1h, sum_1h) — per event, the count and
+    value sum of the SAME user's events in the trailing hour (current row
+    included): the RANGE window frame, bounded by the ORDER-BY value
+    rather than a row count — the event-time rolling metric shape
+    (rolling spend, rate limiting, burst detection).
+
+    Row frames (``rowsBetween``) are pinned elsewhere (`user_sessions`);
+    this pins the range frame: frame membership follows event-time
+    spacing, so the same plan serves sparse and bursty users. Partitioned
+    by user_id — bounded state per key, no global window. Both engines
+    order by epoch SECONDS (Spark's long cast and DuckDB's floored epoch
+    agree at the loader's µs precision).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-(ROLLING_SECONDS - 1), 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 6).alias("sum_1h"),
+    )
+
+
+EVENTS_ROLLING_SQL = f"""
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+       count(*) OVER w AS n_1h,
+       round(sum(value) OVER w, 6) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+             RANGE BETWEEN {ROLLING_SECONDS - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gap-filled time series (spine join): empty windows surface as zeros
+# ---------------------------------------------------------------------------
+
+def windowed_counts_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(win_start, event_type, n_events) — hourly counts per type with an
+    EXPLICIT zero row for every (hour, type) that saw no events: the
+    gap-filling pattern every time-series consumer needs (a monitoring
+    chart that silently skips empty hours hides outages).
+
+    The spine is generated, not scanned: the min/max hour come from one
+    1-row aggregate, ``sequence`` explodes the complete hour range, and
+    the 5-row type dictionary cross-joins onto it — a broadcast of two
+    tiny generated sides, NOT a join of fact data (the fact table joins
+    once, by (hour, type) against the spine). Spine size = hours × types,
+    independent of event volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    counts = ev.groupBy(
+        hour.alias("win_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    spine_hours = (
+        ev.agg(
+            F.min(hour).alias("lo"),
+            F.max(hour).alias("hi"),
+        )
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("win_start")
+        )
+    )
+    types = ev.select("event_type").distinct()
+    spine = spine_hours.crossJoin(F.broadcast(types))
+    return (
+        spine.join(counts, ["win_start", "event_type"], "left")
+        .select(
+            "win_start",
+            "event_type",
+            F.coalesce("cnt", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+WINDOWED_GAPFILL_SQL = """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events),
+hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS win_start
+  FROM bounds),
+types AS (SELECT DISTINCT event_type FROM events),
+counts AS (
+  SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS cnt
+  FROM events GROUP BY 1, 2)
+SELECT h.win_start, t.event_type,
+       CAST(coalesce(c.cnt, 0) AS BIGINT) AS n_events
+FROM hours h CROSS JOIN types t
+LEFT JOIN counts c ON c.win_start = h.win_start AND c.event_type = t.event_type
+"""

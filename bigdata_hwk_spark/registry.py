@@ -861,6 +861,17 @@ register(
 # windows sharing one user-partitioned exchange
 register("conversion_funnel", R.conversion_funnel, R.CONVERSION_FUNNEL_SQL)
 
+# range-frame rolling window (event-time trailing-hour metrics per user)
+register("events_rolling_value", R.events_rolling_value, R.EVENTS_ROLLING_SQL)
+
+# gap-filled hourly series: generated spine × type dictionary, zeros for
+# empty windows
+register(
+    "windowed_counts_gapfilled",
+    R.windowed_counts_gapfilled,
+    R.WINDOWED_GAPFILL_SQL,
+)
+
 # supplier-side revenue (agg-then-join: the shuffle carries per-supplier
 # partials, not line items) — completes fixture-table coverage
 register(
@@ -1065,6 +1076,8 @@ _GATE_OVERFLOW = [
     "event_props_variant",
     "top_suppliers_by_revenue",
     "documents_profile",
+    "events_rolling_value",
+    "windowed_counts_gapfilled",
 ]
 for _name in _GATE_OVERFLOW + [k for k in list(QUERIES) if k not in ORACLES]:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -23,6 +23,9 @@ SF = "/root/testdata/sf0.001"
 BNLJ_ALLOWED = {
     "knn_cosine_topk": "Q fixed query vectors broadcast against the corpus "
                        "(correctness baseline; scale path is ann_*)",
+    "windowed_counts_gapfilled": "generated hour spine × 5-row type "
+                                 "dictionary — two tiny generated sides, "
+                                 "no fact data in the cross join",
 }
 
 

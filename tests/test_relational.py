@@ -31,6 +31,8 @@ RELATIONAL = [
     "user_event_unpivot",
     "event_props_variant",
     "top_suppliers_by_revenue",
+    "events_rolling_value",
+    "windowed_counts_gapfilled",
 ]
 
 
