@@ -209,3 +209,30 @@ def test_curate_pipeline_funnel_and_write(spark, tmp_path):
     assert {d for d in os.listdir(out) if d.startswith("split=")} == {
         "split=train", "split=valid", "split=test"
     }
+
+
+def test_analyze_cli_lists_and_validates(spark, capsys):
+    """scripts/analyze.py: --list prints every registry query with its
+    check kind; an unknown name exits 2 without starting work."""
+    import importlib.util
+    import os
+
+    from bigdata_hwk_spark import registry
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+        "analyze.py",
+    )
+    spec = importlib.util.spec_from_file_location("analyze_cli", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    assert mod.main(["--list"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == len(registry.QUERIES)
+    kinds = dict(line.split("\t") for line in out)
+    assert kinds["tpch_q1"] == "oracle"
+    assert kinds["mrfft_radius"] == "rows-only"
+
+    assert mod.main(["not_a_query"]) == 2
