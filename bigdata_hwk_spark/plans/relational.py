@@ -1101,3 +1101,54 @@ SELECT h.win_start, t.event_type,
 FROM hours h CROSS JOIN types t
 LEFT JOIN counts c ON c.win_start = h.win_start AND c.event_type = t.event_type
 """
+
+
+def user_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, session_start, session_end, n_events) — the same 30-min
+    inactivity sessions via Spark's NATIVE ``session_window`` aggregate
+    (the one-liner form; the lag→cumsum twin above is the portable
+    construction). One semantic boundary difference, encoded in the
+    oracle: ``session_window`` treats sessions as half-open
+    [start, last+gap) intervals and merges on OVERLAP, so a gap of
+    EXACTLY the gap duration starts a new session (the cumsum twin's
+    ``gap >`` keeps it). ``session_end`` is last event + gap, per the
+    native definition. Same body runs in streaming with a watermark —
+    the state-store-native alternative to ``applyInPandasWithState``
+    sessionization (`streaming/sessions.py`).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = F.session_window("ts", f"{SESSION_GAP_MIN} minutes")
+    return (
+        ev.groupBy(w.alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+USER_SESSIONS_NATIVE_SQL = f"""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+"""

@@ -861,6 +861,12 @@ register(
 # windows sharing one user-partitioned exchange
 register("conversion_funnel", R.conversion_funnel, R.CONVERSION_FUNNEL_SQL)
 
+# native session_window aggregate (the one-liner sessionization twin;
+# boundary semantics encoded in the oracle)
+register(
+    "user_sessions_native", R.user_sessions_native, R.USER_SESSIONS_NATIVE_SQL
+)
+
 # range-frame rolling window (event-time trailing-hour metrics per user)
 register("events_rolling_value", R.events_rolling_value, R.EVENTS_ROLLING_SQL)
 
@@ -1078,6 +1084,7 @@ _GATE_OVERFLOW = [
     "documents_profile",
     "events_rolling_value",
     "windowed_counts_gapfilled",
+    "user_sessions_native",
 ]
 for _name in _GATE_OVERFLOW + [k for k in list(QUERIES) if k not in ORACLES]:
     QUERIES[_name] = QUERIES.pop(_name)

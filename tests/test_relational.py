@@ -33,6 +33,7 @@ RELATIONAL = [
     "top_suppliers_by_revenue",
     "events_rolling_value",
     "windowed_counts_gapfilled",
+    "user_sessions_native",
 ]
 
 
