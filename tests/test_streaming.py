@@ -969,3 +969,69 @@ def test_available_now_incremental_batch_exactly_once(spark, tmp_path):
     )
     want = sorted((r.event_id, r.user_id) for r in rows)
     assert got == want  # every row exactly once across the two runs
+
+
+def test_native_session_window_streaming_equals_batch(spark, tmp_path):
+    """The native session_window aggregation must run as a STREAMING query
+    (watermark + append mode, the state-store-native alternative to
+    applyInPandasWithState) and emit exactly the batch twin's sessions
+    for every window the watermark closed."""
+    from pyspark.sql import functions as F
+
+    from bigdata_hwk_spark.plans.relational import SESSION_GAP_MIN
+    from bigdata_hwk_spark.sources.tables import load_table
+
+    def sessions(df):
+        return (
+            df.withWatermark("ts", "2 hours")
+            .groupBy(
+                F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+                "user_id",
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                "n_events",
+            )
+        )
+
+    events = load_table(spark, SF_SMOKE, "events")
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    ordered = events.orderBy("ts").collect()
+    mid = len(ordered) // 2
+    schema = "ts timestamp, user_id bigint"
+    for name, chunk in (("a", ordered[:mid]), ("b", ordered[mid:])):
+        spark.createDataFrame(
+            [(r.ts, r.user_id) for r in chunk], schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        sessions(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_native_sess")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.session_start): r.n_events
+            for r in spark.table("t_native_sess").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.user_id, r.session_start): r.n_events
+        for r in sessions(events.select("ts", "user_id")).collect()
+    }
+    assert got  # the watermark closed at least one session
+    assert set(got) <= set(want)
+    for k, v in got.items():
+        assert v == want[k]
