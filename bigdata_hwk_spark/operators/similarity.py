@@ -696,3 +696,54 @@ SELECT vec_id, n_dims, round(max_abs, 6) AS max_abs,
             ELSE 0 END AS sum_abs_q
 FROM q
 """
+
+
+def embedding_norm_by_lang(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """(lang, n_docs, avg_norm, min_norm, max_norm) — text⋈embedding
+    fusion: the documents table joined to its embedding table on the
+    shared id, L2 norms aggregated per language. The cross-modality
+    join every multimodal corpus audit runs (does a language's embedding
+    distribution drift?).
+
+    Parity by construction: each element is cast to double BEFORE
+    squaring and the fold is left-to-right on BOTH engines
+    (``F.aggregate`` ≡ DuckDB ``list_sum`` over the transformed list),
+    so per-row norms are bit-identical; only the per-group mean crosses
+    a shuffle and it's rounded at the boundary. At scale this is an
+    id-keyed equi-join of two co-partitionable tables — bucket both on
+    the id (``sinks.write_bucketed``) and it plans shuffle-free.
+    """
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    e = embeddings.select(F.col("vec_id").alias("doc_id"), norm.alias("norm"))
+    return (
+        documents.select("doc_id", "lang")
+        .join(e, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("norm"), 6).alias("avg_norm"),
+            F.round(F.min("norm"), 6).alias("min_norm"),
+            F.round(F.max("norm"), 6).alias("max_norm"),
+        )
+    )
+
+
+EMBEDDING_NORM_BY_LANG_SQL = """
+WITH norms AS (
+  SELECT vec_id AS doc_id,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+  FROM embeddings)
+SELECT lang, count(*) AS n_docs,
+       round(avg(norm), 6) AS avg_norm,
+       round(min(norm), 6) AS min_norm,
+       round(max(norm), 6) AS max_norm
+FROM documents JOIN norms USING (doc_id)
+GROUP BY lang
+"""

@@ -834,6 +834,16 @@ register(
     TX.chunk_documents_sql(),
 )
 
+# text⋈embedding fusion: per-language L2-norm distribution (the
+# cross-modality drift audit); id-keyed equi-join, bucketable
+register(
+    "embedding_norm_by_lang",
+    lambda spark, sf: SIM.embedding_norm_by_lang(
+        _docs(spark, sf), _embs(spark, sf)
+    ),
+    SIM.EMBEDDING_NORM_BY_LANG_SQL,
+)
+
 # corpus profile (per-column null/distinct/min/max in one pass): the
 # data-quality gate every ingest runs before admitting a table
 register(
@@ -1085,6 +1095,7 @@ _GATE_OVERFLOW = [
     "events_rolling_value",
     "windowed_counts_gapfilled",
     "user_sessions_native",
+    "embedding_norm_by_lang",
 ]
 for _name in _GATE_OVERFLOW + [k for k in list(QUERIES) if k not in ORACLES]:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -39,6 +39,7 @@ EXTENSION_ORACLE_QUERIES = [
     "bloom_pruned_revenue",
     "doc_chunks",
     "documents_profile",
+    "embedding_norm_by_lang",
 ]
 
 
