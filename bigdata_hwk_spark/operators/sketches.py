@@ -545,9 +545,24 @@ def bloom_prune(
     O(position) string scan (a '0'/'1'-string ``substr`` probe measured
     ~10× slower: UTF8 substring walks the literal per row).
     """
+    return bloom_prune_bits(fact, (r.bit for r in bits.collect()), key_col, k=k, m=m)
+
+
+def bloom_prune_bits(
+    fact: DataFrame,
+    bit_positions,
+    key_col: str,
+    k: int = BLOOM_K,
+    m: int = BLOOM_M,
+) -> DataFrame:
+    """``bloom_prune`` with the set-bit positions already on the driver
+    (any iterable of ints in [0, m)). Lets a caller that sized ``m`` from
+    the same small job that produced the bits (see the registry's
+    ``bloom_pruned_revenue``) build the probe without a second collect.
+    """
     words = [0] * ((m + 31) // 32)
-    for r in bits.collect():
-        words[r.bit // 32] |= 1 << (r.bit % 32)
+    for b in bit_positions:
+        words[b // 32] |= 1 << (b % 32)
     arr = F.array(*[F.lit(w) for w in words])
     kk = F.col(key_col).cast("string")
     cond = None

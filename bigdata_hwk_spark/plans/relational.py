@@ -1107,12 +1107,13 @@ def user_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(user_id, session_start, session_end, n_events) — the same 30-min
     inactivity sessions via Spark's NATIVE ``session_window`` aggregate
     (the one-liner form; the lag→cumsum twin above is the portable
-    construction). One semantic boundary difference, encoded in the
-    oracle: ``session_window`` treats sessions as half-open
-    [start, last+gap) intervals and merges on OVERLAP, so a gap of
-    EXACTLY the gap duration starts a new session (the cumsum twin's
-    ``gap >`` keeps it). ``session_end`` is last event + gap, per the
-    native definition. Same body runs in streaming with a watermark —
+    construction). Boundary semantics (verified empirically on Spark
+    4.1.2 and pinned in ``tests/test_extensions.py``'s exact-gap test):
+    two events EXACTLY ``gap`` apart land in ONE session — the native
+    aggregate merges windows whose [start, last+gap) spans touch —
+    which is the same rule as the cumsum twin's strict ``gap >`` flag.
+    ``session_end`` is last event + gap, per the native definition.
+    Same body runs in streaming with a watermark —
     the state-store-native alternative to ``applyInPandasWithState``
     sessionization (`streaming/sessions.py`).
     """
@@ -1136,7 +1137,7 @@ WITH ev AS (
 flagged AS (
   SELECT user_id, ts,
          CASE WHEN ts - lag(ts) OVER w IS NULL
-                OR ts - lag(ts) OVER w >= INTERVAL {SESSION_GAP_MIN} MINUTE
+                OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
               THEN 1 ELSE 0 END AS new_sess
   FROM ev
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

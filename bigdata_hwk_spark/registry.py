@@ -908,8 +908,19 @@ register("user_event_unpivot", R.user_event_unpivot, R.USER_EVENT_UNPIVOT_SQL)
 
 # Bloom-pruned semi join: the dim key set's Bloom filter prunes the fact
 # scan map-side before the exact join; no false negatives, so the result
-# is the plain join's (which is exactly what the oracle checks)
+# is the plain join's (which is exactly what the oracle checks).
+#
+# EAGER CONSTRUCTION, one small job: the probe literal (the word array)
+# can only exist after the dim side runs, so building this DataFrame
+# executes a single dim-side Spark job — unlike the rest of the registry,
+# `analyze --explain` on this entry runs that job too. It is one job,
+# not three: set bits are collected once at a power-of-two ceiling
+# modulus M_BIG; the key count is estimated from the set-bit count
+# (linear counting), and m | M_BIG makes folding the bits down to the
+# sized m exact ((h % M_BIG) % m == h % m for the non-negative md5 hash).
 def _bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     from pyspark.sql import functions as F
 
     from .sources.tables import load_table
@@ -921,12 +932,15 @@ def _bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size the filter to the key set (~16 bits/key → fp ≈ 0.05%): a fixed
     # m saturates once k·n approaches m and the prune silently stops
     # pruning (measured at sf0.1: 15k set bits into m=8192 → fp ≈ 1).
-    # The dim-side count is a cheap aggregate of the small side.
-    n_keys = max(keys.count(), 1)
-    m = max(SK.BLOOM_M, 1 << (16 * n_keys - 1).bit_length())
-    bits = SK.bloom_bits(keys, m=m)
+    M_BIG = 1 << 20  # caps the driver fetch at m/8 = 128 KiB of bits
+    big_bits = [r.bit for r in SK.bloom_bits(keys, m=M_BIG).collect()]
+    load = min(len(big_bits) / M_BIG, 0.999)
+    n_est = max(int(-M_BIG * math.log1p(-load) / SK.BLOOM_K), 1)
+    m = min(max(SK.BLOOM_M, 1 << (16 * n_est - 1).bit_length()), M_BIG)
     orders = load_table(spark, sf_dir, "orders")
-    pruned = SK.bloom_prune(orders, bits, "o_custkey", m=m)
+    pruned = SK.bloom_prune_bits(
+        orders, (b % m for b in big_bits), "o_custkey", m=m
+    )
     return pruned.join(
         F.broadcast(cust), pruned.o_custkey == cust.c_custkey, "left_semi"
     ).agg(

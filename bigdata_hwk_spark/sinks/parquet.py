@@ -159,12 +159,23 @@ def compact_partitioned(
     not be rewritten whole. The fragmented partitions are identified by
     ``compaction_plan``, read back with a partition-pruning filter (only
     their directories are scanned), co-located with one shuffle per
-    partition value, and swapped in atomically per-partition via dynamic
-    partition overwrite — untouched partitions' files are not replaced.
+    partition value, and written COMPLETELY to a temp sibling directory
+    before any source file is touched — the rewrite never reads and
+    clears the same files in one job (an earlier cache()-based variant
+    could recompute evicted blocks from source files mid-overwrite).
+    Each rewritten partition directory is then swapped into place via
+    the Hadoop ``FileSystem`` API (delete old + rename new), so
+    untouched partitions' files are never replaced.
 
-    The read and the overwrite target the same root; Spark materializes
-    the shuffled rewrite before clearing matched partitions, and the
-    dynamic mode limits clearing to partitions present in the output.
+    Crash window, documented honestly: the per-partition delete→rename
+    pair is not one atomic operation. On HDFS/local both steps are
+    metadata-only and the window is microseconds; on object stores
+    "rename" is copy+delete, so a crash mid-swap can leave ONE partition
+    missing or duplicated — re-running compaction (or restoring from the
+    surviving temp dir, which is only removed after all swaps succeed)
+    repairs it. That is strictly narrower than the previous dynamic
+    partition-overwrite commit, whose clear-then-move window spanned
+    every rewritten partition at once.
     """
     from functools import reduce
 
@@ -193,19 +204,41 @@ def compact_partitioned(
     out = frag.repartition(*[F.col(c) for c in partition_cols])
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
-    # cache-materialize BEFORE the overwrite clears the source files
-    out = out.cache()
-    out.count()
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    try:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
-            out.write.mode("overwrite")
-            .option("maxRecordsPerFile", target_rows_per_file)
-            .partitionBy(*partition_cols)
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        out.unpersist()
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    root = HPath(path)
+    fs = root.getFileSystem(hconf)
+    qualified_root = fs.makeQualified(root)
+    tmp = HPath(qualified_root.toString() + "__compact_tmp")
+    fs.delete(tmp, True)
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .partitionBy(*partition_cols)
+        .parquet(tmp.toString())
+    )
+
+    # the temp dir holds exactly the fragmented partitions; mirror its
+    # leaf partition directories (depth = len(partition_cols)) onto the
+    # root so hive value encoding is taken from what Spark wrote, not
+    # re-derived. On exception the temp dir survives for manual repair.
+    def leaves(p, depth):
+        if depth == 0:
+            return [p]
+        found = []
+        for st in fs.listStatus(p):
+            if st.isDirectory():
+                found.extend(leaves(st.getPath(), depth - 1))
+        return found
+
+    tmp_str = fs.makeQualified(tmp).toString()
+    for leaf in leaves(tmp, len(partition_cols)):
+        rel = fs.makeQualified(leaf).toString()[len(tmp_str) :].lstrip("/")
+        target = HPath(qualified_root, rel)
+        fs.delete(target, True)
+        if not fs.rename(leaf, target):
+            raise IOError(f"compaction swap failed for partition {rel}")
+    fs.delete(tmp, True)
     return len(plan_rows)

@@ -658,5 +658,8 @@ def test_compaction_is_partition_selective(spark, tmp_path):
     )
     assert after == before
 
+    # the swap staging directory must not survive a successful run
+    assert not os.path.exists(f"{d}__compact_tmp")
+
     # idempotent: a second pass finds nothing to do
     assert compact_partitioned(spark, d, ["lang"], 1000) == 0

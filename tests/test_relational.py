@@ -356,3 +356,64 @@ def test_join_strategy_hints_honored(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "SortMergeJoin" in merge_plan
     assert "ShuffledHashJoin" in hash_plan
+
+
+def test_native_session_window_exact_gap_boundary(spark):
+    """Planted exact-gap boundary: two events EXACTLY SESSION_GAP apart must
+    land in ONE session under Spark's native session_window (touching
+    [start, last+gap) spans merge — verified here, not assumed), which is
+    the same rule as the cumsum twin's strict `gap >` new-session flag and
+    the rule USER_SESSIONS_NATIVE_SQL's oracle now encodes. A gap one
+    second past the boundary must split into two sessions."""
+    from datetime import datetime
+
+    from bigdata_hwk_spark.plans.relational import SESSION_GAP_MIN
+
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # user A: second event exactly gap after the first → ONE session
+        ("a", t0),
+        ("a", datetime(2024, 1, 1, 10 + SESSION_GAP_MIN // 60,
+                       SESSION_GAP_MIN % 60, 0)),
+        # user B: gap + 1s → TWO sessions
+        ("b", t0),
+        ("b", datetime(2024, 1, 1, 10 + SESSION_GAP_MIN // 60,
+                       SESSION_GAP_MIN % 60, 1)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    native = (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "n_events")
+        .collect()
+    )
+    by_user = {}
+    for r in native:
+        by_user.setdefault(r.user_id, []).append(r.n_events)
+    assert by_user["a"] == [2], f"exact-gap events must merge: {by_user}"
+    assert sorted(by_user["b"]) == [1, 1], f"gap+1s must split: {by_user}"
+
+    # the cumsum twin (strict >) agrees on both planted users
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+        "user_id"
+    ).orderBy("ts")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    tus = F.unix_micros(F.col("ts"))
+    twin = (
+        ev.withColumn(
+            "new_sess",
+            F.when(
+                (tus - F.lag(tus).over(w)).isNull()
+                | (tus - F.lag(tus).over(w) > gap_us),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").alias("n_sessions"))
+        .collect()
+    )
+    twin_map = {r.user_id: r.n_sessions for r in twin}
+    assert twin_map == {"a": 1, "b": 2}
