@@ -104,10 +104,21 @@ def main() -> None:
         "mrfft_r2_ms": mr["r2_ms"],
         "mrfft_r3_ms": mr["r3_ms"],
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(repo_dir, "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    # round-keyed copy for the repo history (BENCH_DETAIL.json is
+    # gitignored, so per-query tables were lost each round — VERDICT r6
+    # item 5). The round is inferred from the driver's BENCH_r{N}.json
+    # artifacts: this run feeds the NEXT one the driver will write.
+    rounds = [
+        int(m.group(1))
+        for f_ in os.listdir(repo_dir)
+        if (m := re.match(r"BENCH_r(\d+)\.json$", f_))
+    ]
+    round_no = (max(rounds) + 1) if rounds else 1
+    with open(os.path.join(repo_dir, f"BENCH_DETAIL_r{round_no:02d}.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     line = json.dumps(
         {
