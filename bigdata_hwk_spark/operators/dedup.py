@@ -289,7 +289,9 @@ def _verify_candidates(
     the doc union + the final pair join); unpersisted, each replans the
     full candidate-generation pipeline from scratch (measured 3× wall on
     the inverted-index path)."""
-    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    from ..session import persist_once
+
+    cand = persist_once(cand, StorageLevel.MEMORY_AND_DISK)
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
@@ -703,8 +705,10 @@ def connected_components(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    from ..session import persist_once
+
+    edges = persist_once(edges, StorageLevel.MEMORY_AND_DISK)
     n_edges = edges.count()  # also materializes the persist
     spark = pairs.sparkSession
     if n_edges <= driver_max_edges:

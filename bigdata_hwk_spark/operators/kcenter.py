@@ -185,12 +185,11 @@ def hw2_pipeline(points: DataFrame, k: int, l: int, m: int) -> DataFrame:
     # Spark evicts LRU if memory is needed). Guarded: a repeated run
     # (bench warm + timed passes) hands in the same logical plan, and
     # re-caching an already-cached plan draws a CacheManager WARN on the
-    # stdout channel the bench's one parseable line shares. NB the probe
-    # must be `storageLevel` (a CacheManager plan lookup) — `is_cached`
-    # only reflects THIS handle's own cache() call.
-    sl = points.storageLevel
-    if not (sl.useMemory or sl.useDisk or sl.useOffHeap):
-        points = points.cache()
+    # stdout channel the bench's one parseable line shares (see
+    # session.persist_once).
+    from ..session import persist_once
+
+    points = persist_once(points)
     centers, radius = mrfft(points, k, l)
     summary = mr_approx_outliers_summary(points, radius, m)
     return summary.select(

@@ -99,3 +99,21 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def persist_once(df, storage_level=None):
+    """``persist`` unless the CacheManager already holds this logical plan.
+
+    Re-persisting a plan that an earlier identical run (bench warm pass,
+    repeated registry call) already cached is harmless but draws a
+    ``WARN CacheManager`` line on the stdout channel the bench's one
+    parseable JSON line shares. The probe must be ``storageLevel`` — a
+    CacheManager plan lookup — not ``is_cached``, which only reflects the
+    handle's own persist call.
+    """
+    from pyspark import StorageLevel
+
+    sl = df.storageLevel
+    if sl.useMemory or sl.useDisk or sl.useOffHeap:
+        return df
+    return df.persist(storage_level or StorageLevel.MEMORY_AND_DISK)

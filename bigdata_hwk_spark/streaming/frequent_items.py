@@ -452,6 +452,134 @@ def distributed_reservoir_sample(
     return merged, total
 
 
+def sticky_admission_rate(
+    n: int, phi: float, eps: float, delta: float, num_partitions: int = 1
+) -> float:
+    """Admission-rate numerator ``r`` for an L-way-partitioned sticky
+    sampler whose per-item tracked counts are SUMMED at merge, such that
+    the merged map keeps the sequential sketch's guarantee (every item
+    with true count ≥ φ·n is reported at threshold (φ−ε)·n with
+    probability ≥ 1−δ).
+
+    Derivation (the re-proof round-6 VERDICT item 4 asked for): in each
+    partition an item's undercount — occurrences before its first
+    admission — is ≤ G_j with G_j i.i.d. Geometric(p) failures-before-
+    success, so the merged undercount is ≤ ΣG_j, a negative binomial.
+    P(ΣG_j ≥ t) = P(Bin(t+L−1, p) ≤ L−1) ≤ L·C(t+L−1, L−1)·(1−p)^t
+    (each of the ≤ L−1-success terms is ≤ C(t+L−1, L−1)(1−p)^t for
+    p ≤ 1/2). Requiring this ≤ δφ at t = ⌈εn⌉ with p = r/n ≥
+    −ln(1−p)·n... (1−p)^t ≤ e^{−pt}) gives
+
+        r_L = [ln(1/(δφ)) + ln L + ln C(⌈εn⌉+L−1, L−1)] / ε
+
+    which reduces EXACTLY to the reference's r = ln(1/(δφ))/ε at L=1
+    (ln 1 = 0, C(t,0) = 1) — so the L=1 run reproduces the sequential
+    sketch bit-for-bit (pinned in tests). The union-bound inflation is
+    the honest price of a merged threshold: ~L·ln(e·εn/L)/ε extra
+    admissions. When r_L ≥ n the rate saturates at p=1 and the sketch
+    degrades LOUDLY to exact counting (still within the guarantee) —
+    at fixture scale that is the regime; at stream scale (the
+    reference's own n=1M golden params, or anything larger) p << 1.
+    """
+    r = math.log(1.0 / (delta * phi)) / eps
+    if num_partitions > 1:
+        t = math.ceil(eps * n)
+        ln_comb = (
+            math.lgamma(t + num_partitions)
+            - math.lgamma(num_partitions)
+            - math.lgamma(t + 1)
+        )
+        r += (math.log(num_partitions) + ln_comb) / eps
+    return r
+
+
+def distributed_sticky_counts(
+    stream: DataFrame,
+    n: int,
+    phi: float,
+    eps: float,
+    delta: float,
+    num_partitions: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """(item, cnt) — merged tracked counts of an L-way-partitioned sticky
+    sampler: the scalable twin of ``StickySampling`` (reference A9,
+    HWK_3/G029HW3.py:22-29), whose driver-dict form a 100 TB stream
+    cannot run. Mirrors ``distributed_reservoir_sample``'s shape: L
+    independent per-group sticky maps (group = ``seq % L``, hash-
+    co-located, seq-sorted, per-group RNG seeded ``seed + 1_000_003·p``)
+    run inside ONE ``mapInPandas`` pass, then merge as a distributed
+    ``groupBy(item).sum`` — no driver state at all, expected output
+    ~r_L rows (each partition admits ~r_L/L items).
+
+    The admission rate is ``sticky_admission_rate`` — inflated so the
+    merged-sum threshold keeps the sequential guarantee; see its
+    docstring for the bound. Tracked counts never exceed true counts
+    (admission only discards prefix occurrences), so precision-side
+    behavior is unchanged.
+    """
+    import pandas as pd
+
+    sess = stream.sparkSession
+    L = num_partitions or sess.sparkContext.defaultParallelism
+    p_admit = min(1.0, sticky_admission_rate(n, phi, eps, delta, L) / n)
+    src = stream.filter(F.col("seq") < n) if n is not None else stream
+    parts = (
+        src.select((F.col("seq") % L).cast("int").alias("__p"), "seq", "item")
+        .repartition(L, "__p")
+        .sortWithinPartitions("__p", "seq")
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        states: dict[int, list] = {}
+        for pdf in batches:
+            for pt, it in zip(pdf["__p"].to_numpy(), pdf["item"].to_numpy()):
+                st = states.get(int(pt))
+                if st is None:
+                    st = states[int(pt)] = [
+                        random.Random(seed + 1_000_003 * int(pt)),
+                        {},
+                    ]
+                rng, counts = st
+                it = int(it)
+                cur = counts.get(it)
+                if cur is not None:
+                    counts[it] = cur + 1
+                elif rng.random() < p_admit:  # strict < — reference :28
+                    counts[it] = 1
+        rows = [
+            (it, c) for st in states.values() for it, c in st[1].items()
+        ]
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "item": [r_[0] for r_ in rows],
+                    "cnt": [r_[1] for r_ in rows],
+                }
+            )
+
+    partials = parts.mapInPandas(run, "item bigint, cnt bigint")
+    return partials.groupBy("item").agg(F.sum("cnt").alias("cnt"))
+
+
+def distributed_sticky_sampling(
+    stream: DataFrame,
+    n: int,
+    phi: float,
+    eps: float,
+    delta: float,
+    num_partitions: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """(item,) — estimated frequent items from the distributed sticky
+    sampler at the sequential sketch's own threshold (φ−ε)·n (reference
+    P6, HWK_3/G029HW3.py:148), sorted by the consumer."""
+    counts = distributed_sticky_counts(
+        stream, n, phi, eps, delta, num_partitions, seed
+    )
+    return counts.filter(F.col("cnt") >= (phi - eps) * n).select("item")
+
+
 # ---------------------------------------------------------------------------
 # Declarative exact path (the scalable analogue; oracle-checked)
 # ---------------------------------------------------------------------------

@@ -1,16 +1,15 @@
 #!/usr/bin/env python3
-"""Self-scaled stress run: measure how the slowest queries actually scale.
+"""Self-scaled stress run: measure how EVERY registry query actually scales.
 
 Every "survives 100x" claim in the docstrings is a plan-shape argument;
-this script converts it into data (round-6 VERDICT #1). It
-union-replicates the sf0.1 documents/embeddings/events fixtures N times
-with shifted ids and decorrelated content, times the slowest document-
-and events-grain queries at 1x and Nx (warm pass then timed pass, noop
-sink — the bench.py methodology), and records the wall-time ratio and
-scaling exponent log(tN/t1)/log(N) into SCALE_STRESS.json at the repo
-root. Events replicate by shifting user_id — horizontal growth (N× users
-at constant per-user density), the shape a bigger cluster actually sees
-for the interval-join/window family.
+this script converts it into data (round-6 VERDICT #1, extended to the
+full registry per round-6 item 2). It union-replicates the sf0.1
+fixtures N times with shifted ids and decorrelated content, times every
+registered query at 1x and Nx (warm pass then timed pass, noop sink —
+the bench.py methodology; construction time is included, so eager
+queries like mrfft_radius are measured honestly), and records the
+wall-time ratio and scaling exponent log(tN/t1)/log(N) into
+SCALE_STRESS.json at the repo root.
 
 Replication preserves workload character instead of planting adversarial
 duplicates:
@@ -24,6 +23,22 @@ duplicates:
   measure an artifact, not scaling).
 * embeddings: vec_id shifted; the vector cyclically rotated per replica
   (norm-preserving, decorrelates cross-replica cosines).
+* events: event_id/user_id shifted — horizontal growth (N× users at
+  constant per-user density), the shape a bigger cluster actually sees
+  for the interval-join/window family.
+* TPC-H: fact and big-dim keys shifted consistently (custkey/orderkey/
+  partkey/suppkey), foreign keys preserved; region/nation stay fixed —
+  at 100 TB the facts grow, the 25-row dims don't. Lineitem-derived
+  points therefore replicate at the SAME coordinates (N× density in the
+  same spatial domain — the grid operators' vertical-growth regime).
+
+Some queries read constant input BY DESIGN and are annotated as such in
+the output (flat ratios there are a pushdown property, not a linearity
+measurement): the exact-outlier family keeps the reference's size-guard
+subset (pushed-down l_orderkey range prunes every replica), and
+csv_exact_outliers reads a fixed CSV path. The stream-sketch family is
+prefix-limited by contract (A10 first-n limiter; n is fixed for non-sf
+workdirs), annotated likewise.
 
 ann_lsh_pairs is measured twice: at fixture bits (expected to go
 superlinear — with 2^bits buckets fixed, per-bucket occupancy grows with
@@ -50,33 +65,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import DataFrame, Observation, SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
-# divisible by 4, 5, 7 (registry filter moduli) and far above any fixture id
+# divisible by 4, 5, 7, 8 (registry filter moduli and the point_id*8
+# packing) and far above any fixture id
 ID_STRIDE = 14_000_000
 LOWER = "abcdefghijklmnopqrstuvwxyz"
 UPPER = LOWER.upper()
 
-QUERIES = [
-    "decontamination_check",
-    "text_repetition_stats",
-    "curation_funnel",
-    "text_tfidf_top_terms",
-    "dedup_incremental_ingest",
-    "ann_lsh_pairs",
-    # round-6 additions: the heaviest new document-grain operators — the
-    # chained-window trim and the pigeonhole simhash join
-    "text_trim_repeated_ngrams",
-    "dedup_simhash",
-    # the events-grain interval/window family — where join-state and
-    # window-partition growth live; replication shifts user_id, so growth
-    # is horizontal (N× users of constant per-user density), the shape a
-    # bigger cluster actually sees
-    "purchase_attribution",
-    "user_sessions",
-    "events_last_click_asof",
-    "windowed_event_counts",
-    "conversion_funnel",
-]
 LINEAR_BUDGET = 1.3  # tN <= LINEAR_BUDGET * N * t1 counts as "scales linearly"
+
+# queries whose INPUT does not grow with the replicated dir — their flat
+# ratio measures filter pushdown / a fixed contract, not linearity
+CONSTANT_INPUT = {
+    "exact_outliers": "reference size-guard subset: pushed-down "
+    "l_orderkey range (okey < 15000) prunes every replica by design",
+    "exact_outliers_topk": "same size-guard subset as exact_outliers",
+    "csv_exact_outliers": "fixed CSV path, independent of sf_dir",
+}
+PREFIX_LIMITED = {
+    "stream_true_frequent": "A10 first-n limiter: prefix n fixed by "
+    "contract (non-sf workdir → sf0.01 defaults); only the pruned scan "
+    "of the persisted sorted layout grows",
+    "stream_reservoir_sample": "same prefix contract",
+    "stream_reservoir_distributed": "same prefix contract",
+    "stream_sticky_sampling": "same prefix contract",
+}
 
 
 def _rotate(s: str, r: int) -> str:
@@ -84,22 +96,57 @@ def _rotate(s: str, r: int) -> str:
     return s[r:] + s[:r]
 
 
+def _shift(df: DataFrame, cols: set[str], r: int) -> DataFrame:
+    """Shift the named key columns by r*ID_STRIDE, keep the rest."""
+    exprs = []
+    for f_ in df.schema.fields:
+        if f_.name in cols:
+            exprs.append(
+                (F.col(f_.name) + r * ID_STRIDE).cast(f_.dataType).alias(f_.name)
+            )
+        else:
+            exprs.append(F.col(f_.name))
+    return df.select(*exprs)
+
+
 def build_scaled_dir(
     spark: SparkSession, src_dir: str, out_dir: str, n_replicas: int
 ) -> None:
-    """Write documents/embeddings replicated ``n_replicas`` times (replica 0
+    """Write ALL fixture tables replicated ``n_replicas`` times (replica 0
     is the identity transform, so n_replicas=1 re-writes the original
     through the same path — both measurement points read parquet of
-    identical layout/compression)."""
+    identical layout/compression). region/nation copy through unchanged."""
     if os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir)
+
+    for tiny in ("region", "nation"):
+        spark.read.parquet(f"{src_dir}/{tiny}.parquet").write.parquet(
+            f"{out_dir}/{tiny}.parquet"
+        )
+
     docs = spark.read.parquet(f"{src_dir}/documents.parquet")
     embs = spark.read.parquet(f"{src_dir}/embeddings.parquet")
-    evs = spark.read.parquet(f"{src_dir}/events.parquet")
-    doc_parts = []
-    emb_parts = []
-    ev_parts = []
+    shifted_tables: dict[str, tuple[DataFrame, dict[str, int]]] = {
+        "customer": (spark.read.parquet(f"{src_dir}/customer.parquet"), {"c_custkey"}),
+        "supplier": (spark.read.parquet(f"{src_dir}/supplier.parquet"), {"s_suppkey"}),
+        "part": (spark.read.parquet(f"{src_dir}/part.parquet"), {"p_partkey"}),
+        "orders": (
+            spark.read.parquet(f"{src_dir}/orders.parquet"),
+            {"o_orderkey", "o_custkey"},
+        ),
+        "lineitem": (
+            spark.read.parquet(f"{src_dir}/lineitem.parquet"),
+            {"l_orderkey", "l_partkey", "l_suppkey"},
+        ),
+        "events": (
+            spark.read.parquet(f"{src_dir}/events.parquet"),
+            {"event_id", "user_id"},
+        ),
+    }
+
+    doc_parts, emb_parts = [], []
+    table_parts: dict[str, list[DataFrame]] = {t: [] for t in shifted_tables}
     for r in range(n_replicas):
         doc_parts.append(
             docs.select(
@@ -125,34 +172,19 @@ def build_scaled_dir(
                 "label",
             )
         )
-        ev_parts.append(
-            evs.select(
-                (F.col("event_id") + r * ID_STRIDE).alias("event_id"),
-                "ts",
-                (F.col("user_id") + r * ID_STRIDE).alias("user_id"),
-                "event_type",
-                "value",
-                "props",
-            )
-        )
-    u_docs, u_embs, u_evs = doc_parts[0], emb_parts[0], ev_parts[0]
-    for d in doc_parts[1:]:
-        u_docs = u_docs.unionByName(d)
-    for e in emb_parts[1:]:
-        u_embs = u_embs.unionByName(e)
-    for e in ev_parts[1:]:
-        u_evs = u_evs.unionByName(e)
-    u_docs.write.parquet(f"{out_dir}/documents.parquet")
-    u_embs.write.parquet(f"{out_dir}/embeddings.parquet")
-    u_evs.write.parquet(f"{out_dir}/events.parquet")
+        for t, (df, keys) in shifted_tables.items():
+            table_parts[t].append(_shift(df, keys, r))
 
+    def union_all(parts: list[DataFrame]) -> DataFrame:
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
-def time_query(df: DataFrame) -> tuple[float, int]:
-    obs = Observation()
-    out = df.observe(obs, F.count(F.lit(1)).alias("n"))
-    t0 = time.perf_counter()
-    out.write.format("noop").mode("overwrite").save()
-    return round(time.perf_counter() - t0, 3), int(obs.get["n"])
+    union_all(doc_parts).write.parquet(f"{out_dir}/documents.parquet")
+    union_all(emb_parts).write.parquet(f"{out_dir}/embeddings.parquet")
+    for t in shifted_tables:
+        union_all(table_parts[t]).write.parquet(f"{out_dir}/{t}.parquet")
 
 
 def run_point(spark: SparkSession, sf_dir: str, scaled_bits: int) -> dict:
@@ -160,19 +192,29 @@ def run_point(spark: SparkSession, sf_dir: str, scaled_bits: int) -> dict:
     from bigdata_hwk_spark.operators import similarity as SIM
     from bigdata_hwk_spark.sources.tables import fan_out
 
-    def frames():
-        for name in QUERIES:
-            yield name, registry.QUERIES[name](spark, sf_dir)
-        embs = fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
-        yield "ann_lsh_pairs_bits_scaled", SIM.ann_lsh_pairs(embs, bits=scaled_bits)
+    names = list(registry.QUERIES) + ["ann_lsh_pairs_bits_scaled"]
 
-    for _name, df in frames():  # warm: JIT, page cache, shared shingle index
-        df.write.format("noop").mode("overwrite").save()
+    def build(name: str) -> DataFrame:
+        if name == "ann_lsh_pairs_bits_scaled":
+            embs = fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+            return SIM.ann_lsh_pairs(embs, bits=scaled_bits)
+        return registry.QUERIES[name](spark, sf_dir)
+
+    for name in names:  # warm: JIT, page cache, shared persisted indexes
+        build(name).write.format("noop").mode("overwrite").save()
     result = {}
-    for name, df in frames():
-        secs, rows = time_query(df)
-        result[name] = {"sec": secs, "rows": rows}
-        print(f"# {sf_dir} {name}: {secs:.3f}s rows={rows}", file=sys.stderr)
+    for name in names:
+        # construction INSIDE the timing: eager queries (mrfft_radius,
+        # hw2_pipeline, the stream replays, bloom's dim job) do their real
+        # work before the noop write
+        t0 = time.perf_counter()
+        obs = Observation()
+        out = build(name).observe(obs, F.count(F.lit(1)).alias("n"))
+        out.write.format("noop").mode("overwrite").save()
+        secs = round(time.perf_counter() - t0, 3)
+        result[name] = {"sec": secs, "rows": int(obs.get["n"])}
+        print(f"# {sf_dir} {name}: {secs:.3f}s rows={result[name]['rows']}",
+              file=sys.stderr)
     return result
 
 
@@ -205,10 +247,11 @@ def main() -> None:
 
     queries = {}
     worst = ("", 0.0)
+    budget_breaks = []
     for name in r1:
         t1, tn = max(r1[name]["sec"], 1e-3), rn[name]["sec"]
         ratio = round(tn / t1, 2)
-        queries[name] = {
+        entry = {
             "t1_sec": r1[name]["sec"],
             "tN_sec": tn,
             "ratio": ratio,
@@ -217,25 +260,45 @@ def main() -> None:
             "rows_N": rn[name]["rows"],
             "within_linear_budget": ratio <= LINEAR_BUDGET * n,
         }
-        if name != "ann_lsh_pairs" and ratio > worst[1]:
-            worst = (name, ratio)
+        if name in CONSTANT_INPUT:
+            entry["annotation"] = "constant-input: " + CONSTANT_INPUT[name]
+        elif name in PREFIX_LIMITED:
+            entry["annotation"] = "prefix-limited: " + PREFIX_LIMITED[name]
+        queries[name] = entry
+        measures_scaling = (
+            name != "ann_lsh_pairs"  # fixed-bits config, documented excursion
+            and name not in CONSTANT_INPUT
+            and name not in PREFIX_LIMITED
+        )
+        if measures_scaling:
+            if ratio > worst[1]:
+                worst = (name, ratio)
+            if not entry["within_linear_budget"]:
+                budget_breaks.append(name)
     out = {
         "n_replicas": n,
         "base_sf_dir": src,
         "cpus": cpus,
         "linear_budget": LINEAR_BUDGET,
         "ann_bits_scaled_to": scaled_bits,
+        "n_queries": len(queries),
         "queries": queries,
         "worst_scaled_query": worst[0],
         "worst_ratio_over_n": round(worst[1] / n, 2),
+        "budget_breaks": budget_breaks,
         "notes": (
+            "Full-registry sweep; timing includes DataFrame construction. "
             "ann_lsh_pairs at fixture bits is EXPECTED to break the linear "
             "budget: 2^bits buckets are fixed, so per-bucket occupancy grows "
             "with n and the candidate join is quadratic per bucket. The "
             "deployment config scales bits with log2(n) — measured here as "
             "ann_lsh_pairs_bits_scaled, which must stay within budget. "
-            "worst_scaled_query therefore excludes the fixed-bits ann entry "
-            "and covers every query as it would actually be deployed."
+            "worst_scaled_query and budget_breaks exclude the fixed-bits ann "
+            "entry and the annotated constant-input/prefix-limited queries, "
+            "and cover every query as it would actually be deployed. "
+            "Lineitem-derived points replicate at identical coordinates "
+            "(N× per-cell density, same spatial domain), so the grid "
+            "operators are measured in their vertical-growth regime."
         ),
     }
     path = os.path.join(
@@ -246,7 +309,7 @@ def main() -> None:
         json.dump(out, f, indent=1, sort_keys=True)
     spark.stop()
     print(json.dumps({"worst": worst[0], "worst_ratio_over_n": out["worst_ratio_over_n"],
-                      "n": n, "written": path}))
+                      "budget_breaks": budget_breaks, "n": n, "written": path}))
 
 
 if __name__ == "__main__":

@@ -1035,3 +1035,97 @@ def test_native_session_window_streaming_equals_batch(spark, tmp_path):
     assert set(got) <= set(want)
     for k, v in got.items():
         assert v == want[k]
+
+@pytest.mark.parametrize("op", ["hll", "hist", "cms"])
+def test_windowed_sketch_checkpoint_restart_exact(spark, tmp_path, op):
+    """Kill a windowed-sketch stream mid-replay, restart from its
+    checkpoint, and the final sketch table must equal the uninterrupted
+    run's EXACTLY — the mergeable-state design (max/count cells keyed by
+    window) makes recovery exact, and the file sink's commit log makes it
+    duplicate-free. This is the property a 100 TB deployment leans on:
+    the long-running sketch streams (HLL registers, histogram bins, CMS
+    cells per window) must survive executor/driver loss without drifting
+    from the batch twin. (round-6 VERDICT item 3)"""
+    import time as _time
+
+    from bigdata_hwk_spark.sources.tables import load_table
+    from bigdata_hwk_spark.streaming import windowed as W
+
+    build, cols = {
+        "hll": (W.windowed_hll_registers, ("user_id",)),
+        "hist": (W.windowed_histogram, ("value",)),
+        "cms": (W.windowed_cms, ("user_id",)),
+    }[op]
+    schema = "ts timestamp, " + ", ".join(
+        f"{c} {'double' if c == 'value' else 'bigint'}" for c in cols
+    )
+
+    events = load_table(spark, SF_SMOKE, "events")
+    ordered = events.select("ts", *cols).orderBy("ts").collect()
+    n_chunks = 8
+    src = tmp_path / "sk_src"
+    src.mkdir()
+    step = (len(ordered) + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
+        chunk = ordered[i * step : (i + 1) * step]
+        spark.createDataFrame(
+            [tuple(r) for r in chunk], schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"c{i}"))
+
+    def start(ckpt: str, out: str):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        return (
+            build(stream)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .format("parquet")
+            .option("path", out)
+            .start()
+        )
+
+    def rows_of(out: str):
+        try:
+            return sorted(map(tuple, spark.read.parquet(out).collect()))
+        except Exception:  # nothing committed yet
+            return []
+
+    # uninterrupted reference run
+    out_a, out_b = str(tmp_path / "out_a"), str(tmp_path / "out_b")
+    q = start(str(tmp_path / "ckpt_a"), out_a)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    want = rows_of(out_a)
+    assert want  # the watermark closed at least one window
+
+    # interrupted run: stop as soon as the first micro-batch has state
+    ckpt_b = str(tmp_path / "ckpt_b")
+    q = start(ckpt_b, out_b)
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            p = q.lastProgress
+            if p and sum(
+                s.get("numRowsTotal", 0) for s in p.get("stateOperators", [])
+            ) > 0:
+                break
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+    rows_before = rows_of(out_b)
+    assert len(rows_before) < len(want)  # genuinely killed mid-replay
+
+    # restart from the same checkpoint: state-store recovery + sink
+    # commit log must land exactly the uninterrupted run's table
+    q = start(ckpt_b, out_b)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = rows_of(out_b)
+    assert got == want
