@@ -370,17 +370,41 @@ def test_active_df_cut_still_reports_full_set_jaccard(spark):
 
 def test_registry_gate_window_covers_all_oracles(spark):
     """The driver records correctness rows for the first 50 registered
-    queries only: every oracle-backed query except the designated
-    overflow (lineitem_cube, whose rollup twin is gated) must sit inside
-    that window, rows-only entries at the tail. Pins the module-end
-    reorder against future registration drift."""
+    queries only: in EVERY rotation, the window must hold exactly 50
+    oracle-backed queries, the rotated-out oracle queries must all be in
+    the declared overflow, and rows-only entries sit at the tail. Pins
+    the module-end reorder against future registration drift."""
     names = list(registry.QUERIES)
     first50 = set(names[:50])
     overflow = set(registry._GATE_OVERFLOW)
+    assert all(n in registry.ORACLES for n in names[:50])
     missing = set(registry.ORACLES) - first50
-    assert missing <= overflow, missing
+    assert missing == overflow, missing ^ overflow
     for tail_name in names[50:]:
         assert tail_name in overflow or tail_name not in registry.ORACLES
+
+
+def test_registry_gate_rotation_covers_every_oracle_query():
+    """The overflow set rotates by round: the stable core is never
+    excluded, consecutive rounds exclude different pool slices, and over
+    enough rounds every oracle-backed query is gated at least once (the
+    step is co-prime with the pool size, so the walk covers the pool)."""
+    import math
+
+    pool = [k for k in registry.ORACLES if k not in registry._GATE_STABLE_CORE]
+    assert math.gcd(registry._ROTATION_STEP, len(pool)) == 1
+    ever_gated = set(registry._GATE_STABLE_CORE)
+    for rnd in range(1, len(pool) + 1):
+        over = registry._rotated_gate_overflow(rnd)
+        assert not (set(over) & set(registry._GATE_STABLE_CORE))
+        assert len(over) == len(registry.ORACLES) - 50
+        ever_gated |= set(registry.ORACLES) - set(over)
+    assert ever_gated == set(registry.ORACLES)
+    # rotation actually moves between this round and the last
+    this_round = registry._gate_round_number()
+    assert set(registry._rotated_gate_overflow(this_round)) != set(
+        registry._rotated_gate_overflow(this_round - 1 or 1)
+    ) or this_round == 1
 
 
 def _dup_profile_model(docs, w=3):

@@ -1129,3 +1129,93 @@ def test_windowed_sketch_checkpoint_restart_exact(spark, tmp_path, op):
         q.stop()
     got = rows_of(out_b)
     assert got == want
+
+def _skewed_stream(spark, n, n_hot=7, hot_share_mod=10, hot_every=3):
+    """Deterministic skewed item stream: ~30% of arrivals hit n_hot hot
+    items (uniformly), the rest are near-unique tail ids."""
+    hot = (F.col("id") % n_hot).cast("bigint")
+    tail = (F.col("id") * 2654435761 % 900_000_000 + 1_000_000).cast("bigint")
+    return spark.range(n).select(
+        F.col("id").alias("seq"),
+        F.when(F.col("id") % hot_share_mod < hot_every, hot)
+        .otherwise(tail)
+        .alias("item"),
+    )
+
+
+def test_distributed_sticky_l1_equals_sequential(spark):
+    """L=1 must reproduce the sequential sticky sketch bit-for-bit: the
+    admission-rate formula reduces to the reference's r at L=1 and the
+    single group consumes the same seeded RNG stream in seq order."""
+    n, phi, eps, delta = 4000, 0.01, 0.005, 0.1
+    assert FI.sticky_admission_rate(n, phi, eps, delta, 1) == pytest.approx(
+        __import__("math").log(1 / (delta * phi)) / eps
+    )
+    stream = _skewed_stream(spark, n)
+    got = {
+        r.item: r.cnt
+        for r in FI.distributed_sticky_counts(
+            stream, n, phi, eps, delta, num_partitions=1, seed=42
+        ).collect()
+    }
+    seq = FI.StickySampling(n, phi, eps, delta, seed=42)
+    seq.add_batch([r.item for r in stream.orderBy("seq").collect()])
+    assert got == seq.counts
+
+
+def test_distributed_sticky_recall_and_undercount(spark):
+    """With the merged-map admission rate: (1) tracked counts never exceed
+    true counts, (2) every true-frequent item is reported at the (φ−ε)n
+    threshold, (3) the undercount of every true-frequent item is ≤ εn.
+    Params chosen so the rate does NOT saturate (real sampling, p<1)."""
+    n, phi, eps, delta, L = 100_000, 0.02, 0.01, 0.1, 8
+    p = FI.sticky_admission_rate(n, phi, eps, delta, L) / n
+    assert 0 < p < 1, p  # genuinely sampling, not exact counting
+    stream = _skewed_stream(spark, n)
+    true_counts = {
+        r.item: r.cnt
+        for r in stream.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    tracked = {
+        r.item: r.cnt
+        for r in FI.distributed_sticky_counts(
+            stream, n, phi, eps, delta, num_partitions=L, seed=42
+        ).collect()
+    }
+    for it, c in tracked.items():
+        assert c <= true_counts[it], (it, c, true_counts[it])
+    true_freq = {it for it, c in true_counts.items() if c >= phi * n}
+    assert true_freq  # the fixture has hot items over threshold
+    est = {
+        r.item
+        for r in FI.distributed_sticky_sampling(
+            stream, n, phi, eps, delta, num_partitions=L, seed=42
+        ).collect()
+    }
+    assert true_freq <= est, true_freq - est
+    for it in true_freq:
+        assert true_counts[it] - tracked.get(it, 0) <= eps * n
+
+
+def test_distributed_sticky_saturation_is_exact(spark):
+    """When r_L ≥ n the admission rate saturates at 1 and the sketch
+    degrades loudly to exact counting — tracked counts equal true counts
+    exactly (the guarantee holds trivially; fixture-scale regime)."""
+    n, phi, eps, delta, L = 2000, 0.01, 0.005, 0.1, 16
+    assert FI.sticky_admission_rate(n, phi, eps, delta, L) >= n
+    stream = _skewed_stream(spark, n)
+    tracked = {
+        r.item: r.cnt
+        for r in FI.distributed_sticky_counts(
+            stream, n, phi, eps, delta, num_partitions=L, seed=7
+        ).collect()
+    }
+    exact = {
+        r.item: r.cnt
+        for r in stream.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert tracked == exact
