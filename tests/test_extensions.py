@@ -292,6 +292,41 @@ def test_similar_pairs_gate_routes_to_lsh(spark):
     assert len(gpairs) / len(epairs) >= 0.6  # OR-amplified recall
 
 
+def test_similar_pairs_matrix_byte_gate(spark, monkeypatch):
+    """The exact path is gated by MATRIX BYTES (rows × dim × 8), not just
+    rows: a corpus whose float64 matrix would exceed the byte cap routes
+    to LSH even when the row count is under the row gate — the driver
+    heap stays bounded by the cap, not by whatever dim the corpus has.
+    Just under the cap, the exact path runs and its matrix is exactly
+    rows × dim × 8 bytes (Arrow flat-buffer reshape — no per-element
+    Python object overhead)."""
+    from bigdata_hwk_spark.sources.tables import load_table
+
+    embs = load_table(spark, SF_CORRECT, "embeddings")
+    n = embs.count()
+    dim = 64
+    exact = {
+        (r.vec_a, r.vec_b) for r in SIM.similar_pairs_threshold(embs).collect()
+    }
+
+    # cap just below the fixture matrix → must degrade to LSH (subset,
+    # never a superset — precision stays 1.0 through the gate)
+    monkeypatch.setattr(
+        SIM, "SIMILAR_PAIRS_MATRIX_MAX_BYTES", n * dim * 8 - 1
+    )
+    gated = {
+        (r.vec_a, r.vec_b) for r in SIM.similar_pairs_threshold(embs).collect()
+    }
+    assert gated <= exact  # LSH path: precision 1.0, recall approximate
+
+    # cap exactly at the fixture matrix → exact path, identical answer
+    monkeypatch.setattr(SIM, "SIMILAR_PAIRS_MATRIX_MAX_BYTES", n * dim * 8)
+    at_boundary = {
+        (r.vec_a, r.vec_b) for r in SIM.similar_pairs_threshold(embs).collect()
+    }
+    assert at_boundary == exact
+
+
 def test_resize_media_geometry_and_determinism(spark):
     """Resize plumbing: aspect-preserving geometry, deterministic stub
     payloads, image-only filter, binary output schema."""
