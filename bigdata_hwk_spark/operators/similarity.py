@@ -210,9 +210,9 @@ def similar_pairs_threshold(
                 }
             )
 
-    emb = embeddings.select("vec_id", "embedding")
-    if emb.rdd.getNumPartitions() < emb.sparkSession.sparkContext.defaultParallelism:
-        emb = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    from ..sources.tables import fan_out
+
+    emb = fan_out(embeddings.select("vec_id", "embedding"))
     out = emb.mapInPandas(
         score, schema="vec_a bigint, vec_b bigint, cosine double"
     )
@@ -281,9 +281,9 @@ def incremental_embedding_pairs(
                 }
             )
 
-    emb = corpus.select("vec_id", "embedding")
-    if emb.rdd.getNumPartitions() < sess.sparkContext.defaultParallelism:
-        emb = emb.repartition(sess.sparkContext.defaultParallelism)
+    from ..sources.tables import fan_out
+
+    emb = fan_out(corpus.select("vec_id", "embedding"))
     out = emb.mapInPandas(score, schema=empty_schema)
     from ..session import finalize_release
 
@@ -438,9 +438,9 @@ def ann_ivf_topk(
             out["cid"] = np.argmax(block @ centroids.T, axis=1).astype(np.int32)
             yield out
 
-    emb = embeddings.select("vec_id", "embedding")
-    if emb.rdd.getNumPartitions() < emb.sparkSession.sparkContext.defaultParallelism:
-        emb = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    from ..sources.tables import fan_out
+
+    emb = fan_out(embeddings.select("vec_id", "embedding"))
     lists = emb.mapInPandas(
         assign, schema="vec_id bigint, embedding array<float>, cid int"
     )
@@ -551,9 +551,9 @@ def ann_lsh_pairs(
                 }
             )
 
-    emb = embeddings.select("vec_id", "embedding")
-    if emb.rdd.getNumPartitions() < emb.sparkSession.sparkContext.defaultParallelism:
-        emb = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    from ..sources.tables import fan_out
+
+    emb = fan_out(embeddings.select("vec_id", "embedding"))
     # the signature table feeds BOTH sides of the self-join; unpersisted,
     # branched lineage re-runs the bucketize matmul (and the corpus scan)
     # twice. ~20 bytes/row × T·probes rows — MEMORY_AND_DISK spills at
