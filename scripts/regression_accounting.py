@@ -1,0 +1,155 @@
+#!/usr/bin/env python3
+"""Decompose the two round-6 bench regressions into bought work/recall.
+
+Round-6 VERDICT item 1: `ann_lsh_pairs` went 2.06s (r5) → 3.23s (r6) and
+`dedup_incremental_ingest` 2.33s → 3.20s, with neither regression
+decomposed anywhere. This script produces the committed accounting:
+
+* ann_lsh_pairs — times the r5 configuration (tables=8, single-probe)
+  against the r6/r7 configuration (tables=4, probes=3) on the same warm
+  session, with emitted pairs, candidate volume (tau=-1 runs the same
+  pipeline with a pass-everything threshold, so its row count IS the
+  deduped candidate count), probe-side row counts, and recall against
+  the exact all-pairs ground truth for both configs.
+* dedup_incremental_ingest — stage timings (shared shingle index build,
+  band-signature build, candidate generation, full verified run) so the
+  wall splits into named stages instead of one number.
+
+Writes BENCH_REGRESSION_NOTES_r{N}.json at the repo root (round inferred
+from the driver's BENCH_r*.json artifacts, same rule as bench.py).
+
+Usage: python scripts/regression_accounting.py  (env: SPARK_GRAFT_SF_DIR,
+SPARK_GRAFT_CPUS)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def timed_count(df) -> tuple[float, int]:
+    t0 = time.perf_counter()
+    n = df.count()
+    return round(time.perf_counter() - t0, 3), n
+
+
+def main() -> None:
+    from bigdata_hwk_spark import registry
+    from bigdata_hwk_spark.operators import dedup as D
+    from bigdata_hwk_spark.operators import similarity as SIM
+    from bigdata_hwk_spark.session import get_spark
+    from bigdata_hwk_spark.sources.tables import fan_out
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="bigdata_hwk_spark-regression-notes",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    embs = fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    n_vec = embs.count()
+
+    # ---- ann_lsh_pairs: r5 config vs current config --------------------
+    configs = {
+        "r5_tables8_probes1": dict(tables=8, probes=1),
+        "current_tables4_probes3": dict(tables=4, probes=3),
+    }
+    exact_pairs = {
+        (r.vec_a, r.vec_b)
+        for r in SIM.similar_pairs_threshold(embs).collect()
+    }
+    ann = {}
+    for name, cfg in configs.items():
+        for _ in range(1):  # warm the signature persist for this config
+            SIM.ann_lsh_pairs(embs, **cfg).count()
+        secs, n_pairs = timed_count(SIM.ann_lsh_pairs(embs, **cfg))
+        got = {
+            (r.vec_a, r.vec_b)
+            for r in SIM.ann_lsh_pairs(embs, **cfg).collect()
+        }
+        cand_secs, n_cand = timed_count(
+            SIM.ann_lsh_pairs(embs, tau=-1.0, **cfg)
+        )
+        ann[name] = {
+            "wall_sec": secs,
+            "pairs_emitted": n_pairs,
+            "recall_vs_exact": round(len(got & exact_pairs) / len(exact_pairs), 4),
+            "false_positives": len(got - exact_pairs),
+            "candidate_pairs": n_cand,
+            "candidate_pass_wall_sec": cand_secs,
+            "probe_side_rows": n_vec * cfg["tables"] * cfg["probes"],
+            "indexed_side_rows": n_vec * cfg["tables"],
+        }
+        print(f"# ann {name}: {ann[name]}", file=sys.stderr)
+
+    # ---- dedup_incremental_ingest: stage decomposition -----------------
+    docs = registry._docs(spark, sf_dir)
+    incoming = docs.filter("doc_id % 5 = 0")
+    corpus = docs.filter("doc_id % 5 != 0")
+    tagged = incoming.select("doc_id", "text").withColumn(
+        "is_new", F.lit(True)
+    ).unionByName(
+        corpus.select("doc_id", "text").withColumn("is_new", F.lit(False))
+    )
+    index = D._shingle_index(tagged.select("doc_id", "text"))
+    t_index, _ = timed_count(index[0])
+    ex_cut = index[0]
+    band = D._band_keys(
+        D._minhash_from_shingles(ex_cut, D.MINHASH_H), D.MINHASH_H // D.MINHASH_BANDS
+    )
+    t_band, n_band = timed_count(band)
+    # candidate generation = tau=0 run (verification keeps everything)
+    t_cand, n_cand = timed_count(
+        D.incremental_lsh_pairs(incoming, corpus, tau=0.0, index=index)
+    )
+    t_full, n_pairs = timed_count(
+        D.incremental_lsh_pairs(incoming, corpus, index=index)
+    )
+    ingest = {
+        "stage_shingle_index_sec": t_index,
+        "stage_band_signatures_sec": t_band,
+        "band_rows": n_band,
+        "stage_candidates_plus_jaccard_sec": t_cand,
+        "candidate_pairs": n_cand,
+        "full_run_sec": t_full,
+        "pairs_emitted": n_pairs,
+    }
+    print(f"# ingest: {ingest}", file=sys.stderr)
+
+    repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = [
+        int(m.group(1))
+        for f_ in os.listdir(repo_dir)
+        if (m := re.match(r"BENCH_r(\d+)\.json$", f_))
+    ]
+    round_no = (max(rounds) + 1) if rounds else 1
+    out = {
+        "sf_dir": sf_dir,
+        "n_vectors": n_vec,
+        "ann_lsh_pairs": ann,
+        "dedup_incremental_ingest": ingest,
+        "bench_walls": {
+            "ann_lsh_pairs": {"r5": 2.06, "r6": 3.233},
+            "dedup_incremental_ingest": {"r5": 2.33, "r6": 3.201},
+        },
+    }
+    path = os.path.join(
+        repo_dir, f"BENCH_REGRESSION_NOTES_r{round_no:02d}.json"
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    spark.stop()
+    print(json.dumps({"written": path}))
+
+
+if __name__ == "__main__":
+    main()
