@@ -138,8 +138,8 @@ def main() -> None:
         "ann_lsh_pairs": ann,
         "dedup_incremental_ingest": ingest,
         "bench_walls": {
-            "ann_lsh_pairs": {"r5": 2.06, "r6": 3.233},
-            "dedup_incremental_ingest": {"r5": 2.33, "r6": 3.201},
+            "ann_lsh_pairs": {"r5": 2.064, "r6": 3.233},
+            "dedup_incremental_ingest": {"r5": 2.328, "r6": 3.201},
         },
     }
     path = os.path.join(
