@@ -133,6 +133,8 @@ def main() -> None:
     ]
     round_no = (max(rounds) + 1) if rounds else 1
     out = {
+        "note": "see the committed r07 artifact for the adjudicated "
+        "conclusions; this script regenerates the measurements",
         "sf_dir": sf_dir,
         "n_vectors": n_vec,
         "ann_lsh_pairs": ann,
