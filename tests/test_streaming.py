@@ -1219,3 +1219,82 @@ def test_distributed_sticky_saturation_is_exact(spark):
         .collect()
     }
     assert tracked == exact
+
+def test_sessionization_checkpoint_restart_exact(spark, tmp_path):
+    """applyInPandasWithState sessionization killed mid-replay and
+    restarted from its checkpoint must emit exactly the uninterrupted
+    run's closed sessions: the custom per-key state (start/last/n/val)
+    lives in the state store, which commits per micro-batch and recovers
+    on restart; the file sink's commit log prevents duplicate emission.
+    Companion to the windowed-sketch restart test — this is the CUSTOM
+    state path, not a built-in aggregate."""
+    import time as _time
+
+    from bigdata_hwk_spark.sources.tables import load_table
+    from bigdata_hwk_spark.streaming.sessions import sessionize_stream
+
+    events = load_table(spark, SF_SMOKE, "events")
+    ordered = events.select("user_id", "ts", "event_id", "value").orderBy(
+        "ts", "event_id"
+    ).collect()
+    schema = "user_id bigint, ts timestamp, event_id bigint, value double"
+    n_chunks = 8
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    step = (len(ordered) + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
+        spark.createDataFrame(
+            [tuple(r) for r in ordered[i * step : (i + 1) * step]], schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"c{i}"))
+
+    def start(ckpt: str, out: str):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        return (
+            sessionize_stream(stream)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .format("parquet")
+            .option("path", out)
+            .start()
+        )
+
+    def rows_of(out: str):
+        try:
+            return sorted(map(tuple, spark.read.parquet(out).collect()))
+        except Exception:
+            return []
+
+    out_a, out_b = str(tmp_path / "sess_a"), str(tmp_path / "sess_b")
+    q = start(str(tmp_path / "sess_ckpt_a"), out_a)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    want = rows_of(out_a)
+    assert want  # fixture gaps close at least one session
+
+    ckpt_b = str(tmp_path / "sess_ckpt_b")
+    q = start(ckpt_b, out_b)
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            p = q.lastProgress
+            if p and sum(
+                s.get("numRowsTotal", 0) for s in p.get("stateOperators", [])
+            ) > 0:
+                break
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+    assert len(rows_of(out_b)) < len(want)  # genuinely killed mid-replay
+
+    q = start(ckpt_b, out_b)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert rows_of(out_b) == want
