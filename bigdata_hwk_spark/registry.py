@@ -394,6 +394,25 @@ def _stream_reservoir_distributed(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# L is PINNED (not defaultParallelism) so the admission rate — and with
+# it the saturation regime — is identical on any runner: at every
+# fixture SF the merged-map rate r_L exceeds n (asserted below), the
+# sampler admits everything, and the output is EXACTLY the items at the
+# sequential threshold (φ−ε)n — which is what the oracle checks. The
+# oracle therefore verifies the distributed plumbing (mapInPandas maps →
+# groupBy-sum merge → threshold) end-to-end; the non-saturated sampling
+# regime is RNG-bearing by nature and carries pytest property coverage
+# instead (L=1 ≡ sequential, recall/undercount bound at n=100k).
+STICKY_DIST_L = 32
+
+
+def _sticky_dist_saturated(sf_dir: str) -> bool:
+    n, phi, eps = stream_params(sf_dir)
+    return (
+        FI.sticky_admission_rate(n, phi, eps, STREAM_DELTA, STICKY_DIST_L) >= n
+    )
+
+
 def _stream_sticky_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalable twin of stream_sticky_sampling: L per-partition fixed-rate
     sticky maps in one mapInPandas pass, merged by a distributed
@@ -401,9 +420,7 @@ def _stream_sticky_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     admission rate is re-derived for the merged map (see
     ``sticky_admission_rate``); at fixture n it saturates to exact
     counting — the documented loud degrade — and the guarantee holds at
-    every scale. Rows-only by design (RNG-bearing at deployment scale);
-    L=1-equivalence / recall / undercount-bound properties are
-    pytest-pinned (tests/test_streaming.py)."""
+    every scale."""
     n, phi, eps = stream_params(sf_dir)
     return FI.distributed_sticky_sampling(
         stream_from_events(spark, sf_dir),
@@ -411,14 +428,35 @@ def _stream_sticky_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         phi=phi,
         eps=eps,
         delta=STREAM_DELTA,
+        num_partitions=STICKY_DIST_L,
         seed=STREAM_SEED,
     ).orderBy("item")
+
+
+def _sticky_dist_sql(sf_dir: str = CORRECTNESS_GATE_SF_DIR) -> str:
+    """Oracle, valid in the saturated regime (asserted at registration for
+    the gate SF): the merged tracked counts equal exact counts, so the
+    estimate is exactly the items at threshold (φ−ε)n over the first-n
+    prefix."""
+    n, phi, eps = stream_params(sf_dir)
+    assert _sticky_dist_saturated(sf_dir), (
+        "sticky oracle registered outside the saturated regime"
+    )
+    return f"""
+WITH stream AS ({STREAM_SQL_BODY})
+SELECT item FROM stream
+WHERE seq < {n}
+GROUP BY item
+HAVING count(*) >= {(phi - eps)!r} * {n}
+"""
 
 
 register("stream_reservoir_sample", _stream_reservoir)
 register("stream_reservoir_distributed", _stream_reservoir_distributed)
 register("stream_sticky_sampling", _stream_sticky)
-register("stream_sticky_distributed", _stream_sticky_distributed)
+register(
+    "stream_sticky_distributed", _stream_sticky_distributed, _sticky_dist_sql()
+)
 
 
 # Declarative windowed streaming aggregation (streaming/windowed.py): the
