@@ -433,6 +433,84 @@ GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# Skew-hardened (salted) equi-join
+# ---------------------------------------------------------------------------
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    fact_row_id: str,
+    salt: int = SALT_BUCKETS,
+) -> DataFrame:
+    """Exact inner equi-join with the fact side's hot keys split across
+    ``salt`` shuffle partitions — the manual skew-join pattern for when a
+    shuffled join's hottest key exceeds one reducer (AQE's skew split
+    handles sorted-bytes skew; this handles it at the partitioning level
+    and also applies to shuffled-hash joins and to engines without AQE).
+
+    Mechanics: each fact row gets a DETERMINISTIC salt derived from its
+    unique ``fact_row_id`` (pmod of the id — no RNG, so retries/replays
+    land identically); the dim side explodes into ``salt`` replicas, one
+    per salt value; the join key becomes (key, salt). Every fact row
+    meets exactly the one dim replica carrying its salt, so the result
+    is EXACTLY the plain join's — which is what the registry oracle
+    checks — while a key owning 20% of the fact now occupies ``salt``
+    reducers instead of one. Cost: dim shuffle volume × salt (dims are
+    small relative to facts by assumption; do NOT use this on fact-fact
+    joins — bucket those instead, `sinks/parquet.py write_bucketed`).
+
+    The dim side carries an explicit ``shuffle_hash`` hint: under a
+    broadcast join there is no fact shuffle and salting is pointless —
+    the operator pins the shuffled regime it is designed for (the 100 TB
+    case where the dim outgrew the broadcast threshold).
+    """
+    salted_fact = fact.withColumn(
+        "__salt", F.pmod(F.col(fact_row_id), F.lit(salt)).cast("int")
+    )
+    salted_dim = (
+        dim.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        .withColumn("__salt", F.col("__salt").cast("int"))
+        .hint("shuffle_hash")
+    )
+    out = salted_fact.join(
+        salted_dim,
+        (salted_fact[fact_key] == salted_dim[dim_key])
+        & (salted_fact["__salt"] == salted_dim["__salt"]),
+    )
+    return out.drop("__salt")
+
+
+def salted_segment_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(mktsegment, n_events, total_value) — events joined to the customer
+    dimension through ``salted_join`` (user_id is the fixtures' skewed
+    key), then aggregated per market segment. The oracle is the PLAIN
+    join + aggregation: salting must be invisible in the result."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, "user_id", "c_custkey", "event_id")
+    return joined.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+SALTED_SEGMENT_VALUE_SQL = """
+SELECT c_mktsegment AS mktsegment,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sketch aggregates (HLL++ / KLL-style) — the built-in approximate surface
 # ---------------------------------------------------------------------------
 

@@ -1019,6 +1019,12 @@ WHERE EXISTS (SELECT 1 FROM customer
 
 register("bloom_pruned_revenue", _bloom_pruned_revenue, BLOOM_PRUNED_REVENUE_SQL)
 
+# skew-hardened salted join: hot fact keys split across salt partitions,
+# result provably identical to the plain join (the oracle IS the plain join)
+register(
+    "salted_segment_value", R.salted_segment_value, R.SALTED_SEGMENT_VALUE_SQL
+)
+
 # int8 quantization audit over the embedding corpus (pure projection)
 register(
     "embedding_quantization_stats",

@@ -34,6 +34,7 @@ RELATIONAL = [
     "events_rolling_value",
     "windowed_counts_gapfilled",
     "user_sessions_native",
+    "salted_segment_value",
 ]
 
 

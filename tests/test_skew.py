@@ -120,3 +120,40 @@ def test_funnel_hot_user_matches_independent_model(spark):
     )
     # the planted key is genuinely hot inside the funnel horizon
     assert any(u == HOT_USER for u in by_user) and len(by_user[HOT_USER]) > 100
+
+
+def test_salted_join_equals_plain_join_and_splits_hot_key(spark):
+    """salted_join must (1) produce exactly the plain join's rows, (2)
+    plan as a ShuffledHashJoin whose keys include the salt column (under
+    a broadcast the fact never shuffles and salting is pointless), and
+    (3) spread a planted hot key across all salt values, so no single
+    reducer owns the hot key's fan-in."""
+    from bigdata_hwk_spark.plans.relational import SALT_BUCKETS, salted_join
+
+    skewed = _skewed_events(spark).limit(50_000)
+    cust = load_table(spark, SF_BENCH, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    # give the hot user a dim row so its fan-in actually joins
+    hot_dim = cust.sparkSession.createDataFrame(
+        [(HOT_USER, "HOTSEG")], "c_custkey bigint, c_mktsegment string"
+    )
+    dim = cust.unionByName(hot_dim)
+
+    salted = salted_join(skewed, dim, "user_id", "c_custkey", "event_id")
+    plain = skewed.join(dim, skewed.user_id == dim.c_custkey)
+    key = lambda r: (r.event_id, r.c_custkey)
+    assert sorted(map(key, salted.collect())) == sorted(map(key, plain.collect()))
+
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan and "__salt" in plan
+    assert "BroadcastHashJoin" not in plan
+
+    # the hot key's fact rows hash across every salt bucket
+    salts = (
+        skewed.filter(F.col("user_id") == HOT_USER)
+        .select(F.pmod(F.col("event_id"), F.lit(SALT_BUCKETS)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert salts == SALT_BUCKETS
