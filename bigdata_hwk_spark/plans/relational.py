@@ -511,6 +511,82 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# SCD2 history (slowly-changing-dimension type 2 from an event log)
+# ---------------------------------------------------------------------------
+
+
+def scd2_from_events(
+    events: DataFrame,
+    key: str = "user_id",
+    attr: str = "event_type",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """(key, state, valid_from, valid_to, is_current, n_events) — the
+    type-2 slowly-changing-dimension history of ``attr`` per ``key``:
+    one row per maximal run of consecutive identical values, half-open
+    validity [valid_from, valid_to) with ``valid_to`` = the next run's
+    start (NULL on the current row). The warehouse dim-maintenance
+    shape, built declaratively: lag→change-flag→running-sum assigns run
+    ids (the sessionization pattern with value-change instead of
+    time-gap), one aggregation per run, and a lead() closes each
+    interval. An incremental MERGE ingest is this same operator over
+    history ∪ batch restricted to keys present in the batch — the
+    log-derived form is the semantics, checked exactly by the oracle.
+
+    Scale: two window passes and one aggregation, all partitioned by
+    ``key`` — the single hash exchange any per-key history needs; no
+    self-join, no range join, state bounded per key.
+    """
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    changed = F.when(
+        F.lag(attr).over(w).isNull() | (F.col(attr) != F.lag(attr).over(w)),
+        1,
+    ).otherwise(0)
+    runs = events.select(key, attr, ts, tiebreak).withColumn(
+        "__run", F.sum(changed).over(w)
+    )
+    per_run = runs.groupBy(key, "__run").agg(
+        F.first(attr).alias("state"),
+        F.min(ts).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_runs = Window.partitionBy(key).orderBy("__run")
+    return (
+        per_run.withColumn("valid_to", F.lead("valid_from").over(w_runs))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(key, "state", "valid_from", "valid_to", "is_current", "n_events")
+    )
+
+
+SCD2_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR event_type <> lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS changed
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+runs AS (
+  SELECT user_id, event_type, ts,
+         sum(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run
+  FROM ordered),
+per_run AS (
+  SELECT user_id, run, any_value(event_type) AS state,
+         min(ts) AS valid_from, count(*) AS n_events
+  FROM runs GROUP BY user_id, run)
+SELECT user_id, state, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) IS NULL
+         AS is_current,
+       n_events
+FROM per_run
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sketch aggregates (HLL++ / KLL-style) — the built-in approximate surface
 # ---------------------------------------------------------------------------
 

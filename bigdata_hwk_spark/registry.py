@@ -28,6 +28,7 @@ from .plans import relational as R
 from .sources.tables import (
     POINTS_SQL_BODY,
     STREAM_SQL_BODY,
+    load_table,
     points_from_lineitem,
     stream_from_events,
 )
@@ -1018,6 +1019,14 @@ WHERE EXISTS (SELECT 1 FROM customer
 """
 
 register("bloom_pruned_revenue", _bloom_pruned_revenue, BLOOM_PRUNED_REVENUE_SQL)
+
+# SCD2 history: per-user maximal runs of an attribute as half-open
+# validity intervals (the warehouse type-2 dimension shape)
+register(
+    "user_type_scd2",
+    lambda spark, sf: R.scd2_from_events(load_table(spark, sf, "events")),
+    R.SCD2_SQL,
+)
 
 # skew-hardened salted join: hot fact keys split across salt partitions,
 # result provably identical to the plain join (the oracle IS the plain join)

@@ -418,3 +418,50 @@ def test_native_session_window_exact_gap_boundary(spark):
     )
     twin_map = {r.user_id: r.n_sessions for r in twin}
     assert twin_map == {"a": 1, "b": 2}
+
+
+def test_scd2_invariants_and_known_values(spark):
+    """SCD2 history invariants on the fixture log: per key, intervals
+    chain exactly (valid_to == next valid_from), exactly one open
+    (is_current) row, run event counts conserve the log, and consecutive
+    states actually differ (maximal runs). Plus a hand-checked log."""
+    from datetime import datetime
+
+    from bigdata_hwk_spark.plans.relational import scd2_from_events
+    from bigdata_hwk_spark.sources.tables import load_table
+
+    hist = scd2_from_events(load_table(spark, SF_SMOKE, "events")).collect()
+    by_key = {}
+    for r in hist:
+        by_key.setdefault(r.user_id, []).append(r)
+    n_events_log = load_table(spark, SF_SMOKE, "events").count()
+    assert sum(r.n_events for r in hist) == n_events_log
+    for rows in by_key.values():
+        rows.sort(key=lambda r: r.valid_from)
+        assert sum(1 for r in rows if r.is_current) == 1
+        assert rows[-1].is_current and rows[-1].valid_to is None
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to == b.valid_from  # intervals chain half-open
+            assert a.state != b.state  # runs are maximal
+
+    t = lambda m: datetime(2024, 1, 1, 10, m)
+    log = spark.createDataFrame(
+        [
+            (1, "view", t(0), 100),
+            (1, "view", t(1), 101),
+            (1, "click", t(2), 102),
+            (1, "view", t(3), 103),
+            (2, "buy", t(0), 200),
+        ],
+        "user_id bigint, event_type string, ts timestamp, event_id bigint",
+    )
+    got = {
+        (r.user_id, r.state, r.valid_from, r.valid_to, r.is_current, r.n_events)
+        for r in scd2_from_events(log).collect()
+    }
+    assert got == {
+        (1, "view", t(0), t(2), False, 2),
+        (1, "click", t(2), t(3), False, 1),
+        (1, "view", t(3), None, True, 1),
+        (2, "buy", t(0), None, True, 1),
+    }
