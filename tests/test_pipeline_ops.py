@@ -663,3 +663,54 @@ def test_compaction_is_partition_selective(spark, tmp_path):
 
     # idempotent: a second pass finds nothing to do
     assert compact_partitioned(spark, d, ["lang"], 1000) == 0
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-order clustering must (1) preserve content exactly, and (2)
+    concentrate BOTH dimensions' range predicates into a small file
+    subset — where a single-column sort layout prunes only its own
+    column and leaves the other's predicate touching every file. Files
+    'touched' = files contributing matching rows (input_file_name), the
+    clustering property parquet row-group stats then exploit."""
+    from bigdata_hwk_spark.sinks.parquet import write_zordered
+
+    n, n_files = 64_000, 16
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 253).cast("double").alias("x"),
+        ((F.col("id") * 2654435761) % 251).cast("double").alias("y"),
+    )
+    zdir = str(tmp_path / "zord")
+    ldir = str(tmp_path / "linear")
+    write_zordered(df, zdir, "x", "y", n_files=n_files)
+    (
+        df.repartitionByRange(n_files, "x")
+        .sortWithinPartitions("x")
+        .write.parquet(ldir)
+    )
+
+    zread, lread = spark.read.parquet(zdir), spark.read.parquet(ldir)
+    assert sorted(r.id for r in zread.collect()) == list(range(n))
+
+    def files_touched(read_df, pred):
+        return (
+            read_df.filter(pred)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    total_z = zread.select(F.input_file_name()).distinct().count()
+    assert total_z == n_files
+    # a ~1/8 range on EITHER dimension touches a strict subset of z files
+    zx = files_touched(zread, "x < 32")
+    zy = files_touched(zread, "y < 32")
+    assert zx <= total_z // 2, zx
+    assert zy <= total_z // 2, zy
+    # the single-column layout prunes x but y touches every file
+    lx = files_touched(lread, "x < 32")
+    ly = files_touched(lread, "y < 32")
+    assert lx <= total_z // 4
+    assert ly == n_files
+    # and the z layout beats the linear layout on the unsorted dimension
+    assert zy < ly
