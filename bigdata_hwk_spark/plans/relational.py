@@ -364,6 +364,171 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def order_status_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form rollup/cube specialize:
+    totals per status, per priority, and a grand total in ONE pass (one
+    shuffle; Spark expands the listed sets map-side, never the 2^k cube).
+    At 100 TB a dashboard wants exactly its sets, not the cube's blowup.
+    Spelled in SQL because the DataFrame API has no grouping-sets
+    method; same Catalyst plan either way."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("t_ogs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM t_ogs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+ORDER_STATUS_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, event_id, ts, event_type, value) — each user's most
+    recent event: the QUALIFY row_number() = 1 idiom, THE most common
+    warehouse dedup ("latest record per key"). One window on the single
+    per-key exchange; ties broken by event_id desc so both engines pick
+    the same row. At scale this beats a groupBy(max) + self-join (one
+    shuffle, no re-join) and is the pattern CDC snapshot reads use."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+LATEST_EVENT_PER_USER_SQL = """
+SELECT user_id, event_id, ts, event_type, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join (bin-bucketed theta→equi rewrite)
+# ---------------------------------------------------------------------------
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_lo: str,
+    a_hi: str,
+    b_lo: str,
+    b_hi: str,
+    bin_width: float,
+) -> DataFrame:
+    """All (a, b) row pairs whose closed intervals [a_lo, a_hi] and
+    [b_lo, b_hi] overlap — the 1-D generalization of the reference's
+    grid trick (J1, SURVEY.md §2.3): a raw ``a_lo <= b_hi AND b_lo <=
+    a_hi`` theta-join plans as a nested loop; binning both sides to
+    ``bin_width`` buckets and equi-joining on the bin makes it a hash
+    join whose candidates are only bin-cohabitants.
+
+    Exactly-once emission WITHOUT a distinct: two overlapping intervals
+    share every bin their intersection touches, so each pair is kept
+    only at the FIRST shared bin (``bin == max(⌊a_lo/W⌋, ⌊b_lo/W⌋)``) —
+    a codegen residual, no dedup shuffle. Pick ``bin_width`` near the
+    typical interval length: candidates per pair ≈ interval/bin ratio,
+    and the bin explode multiplies rows by ≈ (len/W + 1).
+
+    Column names must be disjoint across ``a`` and ``b`` (pre-alias).
+    Output: all columns of both sides for every overlapping pair.
+    """
+    def binned(df, lo, hi):
+        b0 = F.floor(df[lo] / bin_width).cast("bigint")
+        b1 = F.floor(df[hi] / bin_width).cast("bigint")
+        return df.withColumn("__bin", F.explode(F.sequence(b0, b1)))
+
+    A = binned(a, a_lo, a_hi)
+    B = binned(b, b_lo, b_hi)
+    first_shared = F.greatest(
+        F.floor(F.col(a_lo) / bin_width), F.floor(F.col(b_lo) / bin_width)
+    ).cast("bigint")
+    return (
+        A.join(B, "__bin")
+        .filter(
+            (F.col(a_lo) <= F.col(b_hi))
+            & (F.col(b_lo) <= F.col(a_hi))
+            & (F.col("__bin") == first_shared)
+        )
+        .drop("__bin")
+    )
+
+
+OVERLAP_DAY = "2024-01-02"  # one fixture day bounds the pair volume
+VIEW_WIN_MIN = 30
+PURCHASE_WIN_MIN = 10
+
+
+def concurrent_view_purchase_windows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(view_id, purchase_id, overlap_sec) — every (view, purchase) pair
+    on one fixture day whose activity windows ([ts, ts+30min] for views,
+    [ts, ts+10min] for purchases) overlap in wall-clock time, regardless
+    of user: the concurrency-analysis shape (capacity planning, ad
+    co-visibility) where NO equi-key exists and the bin rewrite is what
+    keeps the join hash-based. Overlap length emitted for downstream
+    weighting; pair order pinned by ids."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.to_date("ts") == F.lit(OVERLAP_DAY)
+    )
+    us = lambda c: F.unix_micros(F.col(c))
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        us("ts").alias("v_lo"),
+        (us("ts") + VIEW_WIN_MIN * 60_000_000).alias("v_hi"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        us("ts").alias("p_lo"),
+        (us("ts") + PURCHASE_WIN_MIN * 60_000_000).alias("p_hi"),
+    )
+    pairs = interval_overlap_join(
+        views, buys, "v_lo", "v_hi", "p_lo", "p_hi",
+        bin_width=VIEW_WIN_MIN * 60_000_000,
+    )
+    overlap = (
+        F.least(F.col("v_hi"), F.col("p_hi"))
+        - F.greatest(F.col("v_lo"), F.col("p_lo"))
+    ) / 1_000_000
+    return pairs.select(
+        "view_id", "purchase_id", F.round(overlap, 6).alias("overlap_sec")
+    )
+
+
+CONCURRENT_WINDOWS_SQL = f"""
+WITH day AS (
+  SELECT event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events WHERE CAST(ts AS DATE) = DATE '{OVERLAP_DAY}'),
+v AS (SELECT event_id AS view_id, us AS v_lo,
+             us + {VIEW_WIN_MIN} * 60000000 AS v_hi
+      FROM day WHERE event_type = 'view'),
+p AS (SELECT event_id AS purchase_id, us AS p_lo,
+             us + {PURCHASE_WIN_MIN} * 60000000 AS p_hi
+      FROM day WHERE event_type = 'purchase')
+SELECT view_id, purchase_id,
+       round((least(v_hi, p_hi) - greatest(v_lo, p_lo)) / 1000000.0, 6)
+         AS overlap_sec
+FROM v JOIN p ON v_lo <= p_hi AND p_lo <= v_hi
+"""
+
+
 # ---------------------------------------------------------------------------
 # SQL-text interface (spark.sql over registered views) — same engine, the
 # other front door; Catalyst plans text and DataFrame calls identically

@@ -1020,6 +1020,25 @@ WHERE EXISTS (SELECT 1 FROM customer
 
 register("bloom_pruned_revenue", _bloom_pruned_revenue, BLOOM_PRUNED_REVENUE_SQL)
 
+# interval-overlap join via the bin-bucketed theta→equi rewrite (the
+# grid trick in 1-D; hash join + codegen first-shared-bin dedup)
+register(
+    "concurrent_view_purchase_windows",
+    R.concurrent_view_purchase_windows,
+    R.CONCURRENT_WINDOWS_SQL,
+)
+
+# explicit grouping sets (the general form rollup/cube specialize) and
+# the QUALIFY latest-row-per-key dedup idiom
+register(
+    "order_status_grouping_sets",
+    R.order_status_grouping_sets,
+    R.ORDER_STATUS_GROUPING_SETS_SQL,
+)
+register(
+    "latest_event_per_user", R.latest_event_per_user, R.LATEST_EVENT_PER_USER_SQL
+)
+
 # SCD2 history: per-user maximal runs of an attribute as half-open
 # validity intervals (the warehouse type-2 dimension shape)
 register(

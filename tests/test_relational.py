@@ -465,3 +465,47 @@ def test_scd2_invariants_and_known_values(spark):
         (1, "view", t(3), None, True, 1),
         (2, "buy", t(0), None, True, 1),
     }
+
+
+def test_interval_overlap_join_exact_and_hash_planned(spark):
+    """The bin-bucketed interval join must (1) emit exactly the brute-force
+    overlap pair set, each pair ONCE (first-shared-bin dedup, no
+    distinct), including intervals spanning many bins and bin-boundary
+    touches, and (2) plan as a hash join on the bin — never a nested
+    loop. The registry query must return a non-trivial pair set."""
+    from bigdata_hwk_spark.plans.relational import interval_overlap_join
+
+    a = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 5.0, 6.0), (3, 40.0, 90.0), (4, 100.0, 100.0)],
+        "a_id bigint, a_lo double, a_hi double",
+    )
+    b = spark.createDataFrame(
+        [(10, 9.0, 12.0), (11, 0.0, 200.0), (12, 91.0, 99.0), (13, 100.0, 150.0)],
+        "b_id bigint, b_lo double, b_hi double",
+    )
+    got = sorted(
+        (r.a_id, r.b_id)
+        for r in interval_overlap_join(
+            a, b, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=7.0
+        ).collect()
+    )
+    brute = sorted(
+        (ra.a_id, rb.b_id)
+        for ra in a.collect()
+        for rb in b.collect()
+        if ra.a_lo <= rb.b_hi and rb.b_lo <= ra.a_hi
+    )
+    assert got == brute  # exactly once, incl. the (4,13) point-touch pair
+    assert (4, 13) in got and (1, 10) in got and (3, 11) in got
+
+    plan = (
+        registry.QUERIES["concurrent_view_purchase_windows"](spark, SF_CORRECT)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    n = registry.QUERIES["concurrent_view_purchase_windows"](
+        spark, SF_CORRECT
+    ).count()
+    assert n > 50, n
