@@ -107,6 +107,10 @@ QUADRATIC_BY_DESIGN = {
     "embedding_incremental_ingest": "replication grows batch AND corpus "
     "together (flops ∝ batch×corpus ∝ N²); a deployment ingest holds "
     "batch size constant — linear in the corpus",
+    "concurrent_view_purchase_windows": "overlap-join OUTPUT grows with "
+    "density² × span when replication raises per-day event density "
+    "(user-shifted replicas share the timeline); a deployment's density "
+    "is fixed per day and growth is horizontal (more days → linear)",
 }
 # queries whose 1×→N× window provably crosses a planner strategy
 # boundary: each regime is near-linear, the transition is Spark picking
