@@ -714,3 +714,16 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     assert ly == n_files
     # and the z layout beats the linear layout on the unsorted dimension
     assert zy < ly
+
+
+def test_zorder_degenerate_ranges(spark, tmp_path):
+    """Constant columns (zero range) must not divide by zero or lose rows;
+    the key collapses and the write still round-trips exactly."""
+    from bigdata_hwk_spark.sinks.parquet import write_zordered
+
+    df = spark.range(1000).select(
+        "id", F.lit(5.0).alias("x"), (F.col("id") % 7).cast("double").alias("y")
+    )
+    d = str(tmp_path / "zdeg")
+    write_zordered(df, d, "x", "y", n_files=4)
+    assert sorted(r.id for r in spark.read.parquet(d).collect()) == list(range(1000))

@@ -509,3 +509,71 @@ def test_interval_overlap_join_exact_and_hash_planned(spark):
         spark, SF_CORRECT
     ).count()
     assert n > 50, n
+
+
+def test_interval_overlap_join_invariant_to_bin_width(spark):
+    """The bin width is a performance knob, never a semantics knob: any
+    width must yield the identical pair set (incl. widths far larger and
+    far smaller than the intervals)."""
+    import random
+
+    from bigdata_hwk_spark.plans.relational import interval_overlap_join
+
+    rng = random.Random(11)
+    mk = lambda n, pre: [
+        (i, (lo := rng.uniform(0, 500)), lo + rng.uniform(0, 60))
+        for i in range(n)
+    ]
+    a = spark.createDataFrame(mk(40, "a"), "a_id bigint, a_lo double, a_hi double")
+    b = spark.createDataFrame(mk(40, "b"), "b_id bigint, b_lo double, b_hi double")
+    results = {
+        w: sorted(
+            (r.a_id, r.b_id)
+            for r in interval_overlap_join(
+                a, b, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=w
+            ).collect()
+        )
+        for w in (3.0, 37.0, 1000.0)
+    }
+    assert results[3.0] == results[37.0] == results[1000.0]
+    assert results[3.0]  # non-vacuous
+
+
+def test_scd2_matches_python_model_random_logs(spark):
+    """Randomized logs vs a sequential python run-length model."""
+    import random
+    from datetime import datetime, timedelta
+
+    from bigdata_hwk_spark.plans.relational import scd2_from_events
+
+    rng = random.Random(23)
+    rows = []
+    eid = 0
+    for u in range(12):
+        t = datetime(2024, 1, 1)
+        for _ in range(rng.randrange(1, 25)):
+            t += timedelta(minutes=rng.randrange(1, 300))
+            rows.append((u, rng.choice("abc"), t, eid))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts timestamp, event_id bigint"
+    )
+    got = sorted(
+        (r.user_id, r.state, r.valid_from, r.valid_to, r.is_current, r.n_events)
+        for r in scd2_from_events(ev).collect()
+    )
+    model = []
+    by_user = {}
+    for u, st, t, _ in sorted(rows, key=lambda r: (r[0], r[2], r[3])):
+        by_user.setdefault(u, []).append((st, t))
+    for u, seq in by_user.items():
+        runs = []
+        for st, t in seq:
+            if runs and runs[-1][0] == st:
+                runs[-1][2] += 1
+            else:
+                runs.append([st, t, 1])
+        for i, (st, t0, n) in enumerate(runs):
+            nxt = runs[i + 1][1] if i + 1 < len(runs) else None
+            model.append((u, st, t0, nxt, nxt is None, n))
+    assert got == sorted(model)
