@@ -230,12 +230,13 @@ def build_scaled_dir(
         union_all(table_parts[t]).write.parquet(f"{out_dir}/{t}.parquet")
 
 
-def run_point(spark: SparkSession, sf_dir: str, scaled_bits: int) -> dict:
+CANARY_QUERY = "tpch_q1"  # cheap, stable, scan-bound — a box-health probe
+
+
+def _builder(spark: SparkSession, sf_dir: str, scaled_bits: int):
     from bigdata_hwk_spark import registry
     from bigdata_hwk_spark.operators import similarity as SIM
     from bigdata_hwk_spark.sources.tables import fan_out
-
-    names = list(registry.QUERIES) + ["ann_lsh_pairs_bits_scaled"]
 
     def build(name: str) -> DataFrame:
         if name == "ann_lsh_pairs_bits_scaled":
@@ -243,22 +244,60 @@ def run_point(spark: SparkSession, sf_dir: str, scaled_bits: int) -> dict:
             return SIM.ann_lsh_pairs(embs, bits=scaled_bits)
         return registry.QUERIES[name](spark, sf_dir)
 
+    return build
+
+
+def _timed(build, name: str) -> tuple[float, int]:
+    # construction INSIDE the timing: eager queries (mrfft_radius,
+    # hw2_pipeline, the stream replays, bloom's dim job) do their real
+    # work before the noop write
+    t0 = time.perf_counter()
+    obs = Observation()
+    out = build(name).observe(obs, F.count(F.lit(1)).alias("n"))
+    out.write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3), int(obs.get["n"])
+
+
+def run_interleaved(
+    spark: SparkSession, dir1: str, dirn: str, scaled_bits: int
+) -> tuple[dict, dict, dict]:
+    """Warm everything, then time each query's 1× and N× points
+    BACK-TO-BACK. A per-query interleave means monotonic box drift (page
+    cache loss, thermal throttling, a neighbor stealing cores — observed
+    once corrupting an x8-last sweep by >10×) lands on BOTH points of a
+    ratio instead of only tN. A canary query timed at the start and end
+    of the sweep additionally measures any residual drift and is
+    recorded in the artifact so a polluted run is detectable, not
+    silently wrong."""
+    from bigdata_hwk_spark import registry
+
+    names = list(registry.QUERIES) + ["ann_lsh_pairs_bits_scaled"]
+    b1 = _builder(spark, dir1, scaled_bits)
+    bn = _builder(spark, dirn, scaled_bits)
     for name in names:  # warm: JIT, page cache, shared persisted indexes
-        build(name).write.format("noop").mode("overwrite").save()
-    result = {}
+        b1(name).write.format("noop").mode("overwrite").save()
+        bn(name).write.format("noop").mode("overwrite").save()
+
+    canary_start, _ = _timed(b1, CANARY_QUERY)
+    r1, rn = {}, {}
     for name in names:
-        # construction INSIDE the timing: eager queries (mrfft_radius,
-        # hw2_pipeline, the stream replays, bloom's dim job) do their real
-        # work before the noop write
-        t0 = time.perf_counter()
-        obs = Observation()
-        out = build(name).observe(obs, F.count(F.lit(1)).alias("n"))
-        out.write.format("noop").mode("overwrite").save()
-        secs = round(time.perf_counter() - t0, 3)
-        result[name] = {"sec": secs, "rows": int(obs.get["n"])}
-        print(f"# {sf_dir} {name}: {secs:.3f}s rows={result[name]['rows']}",
-              file=sys.stderr)
-    return result
+        s1, rows1 = _timed(b1, name)
+        sn, rowsn = _timed(bn, name)
+        r1[name] = {"sec": s1, "rows": rows1}
+        rn[name] = {"sec": sn, "rows": rowsn}
+        print(
+            f"# {name}: t1={s1:.3f}s rows={rows1} | tN={sn:.3f}s rows={rowsn}",
+            file=sys.stderr,
+        )
+    canary_end, _ = _timed(b1, CANARY_QUERY)
+    canary = {
+        "query": CANARY_QUERY,
+        "start_sec": canary_start,
+        "end_sec": canary_end,
+        "drift_ratio": round(canary_end / max(canary_start, 1e-3), 2),
+    }
+    print(f"# canary: {canary}", file=sys.stderr)
+    return r1, rn, canary
 
 
 def main() -> None:
@@ -285,8 +324,7 @@ def main() -> None:
     build_scaled_dir(spark, src, dir1, 1)
     build_scaled_dir(spark, src, dirn, n)
 
-    r1 = run_point(spark, dir1, scaled_bits)
-    rn = run_point(spark, dirn, scaled_bits)
+    r1, rn, canary = run_interleaved(spark, dir1, dirn, scaled_bits)
 
     queries = {}
     worst = ("", 0.0)
@@ -333,6 +371,7 @@ def main() -> None:
         "linear_budget": LINEAR_BUDGET,
         "ann_bits_scaled_to": scaled_bits,
         "n_queries": len(queries),
+        "canary": canary,
         "queries": queries,
         "worst_scaled_query": worst[0],
         "worst_ratio_over_n": round(worst[1] / n, 2),
