@@ -1298,3 +1298,33 @@ def test_sessionization_checkpoint_restart_exact(spark, tmp_path):
     finally:
         q.stop()
     assert rows_of(out_b) == want
+
+def test_sticky_admission_rate_bound_monte_carlo():
+    """Validate the re-derived merged-map bound empirically, not just the
+    implementation: with p = sticky_admission_rate(...)/n, the merged
+    undercount of an everywhere-present item is dominated by a sum of L
+    geometrics, and the failure event (undercount ≥ εn) must occur with
+    probability ≤ δφ. 20k Monte-Carlo trials at params chosen so p < 1
+    (real sampling) — the observed failure rate must stay below δφ plus
+    3 binomial sigmas."""
+    import math
+    import random
+
+    n, phi, eps, delta, L = 60_000, 0.05, 0.02, 0.2, 6
+    p = FI.sticky_admission_rate(n, phi, eps, delta, L) / n
+    assert 0 < p < 1, p
+    t = math.ceil(eps * n)
+    bound = delta * phi
+    rng = random.Random(99)
+    trials, failures = 20_000, 0
+    for _ in range(trials):
+        # sum of L geometric(p) failure counts (undercount upper bound)
+        u = sum(
+            int(math.log(1.0 - rng.random()) / math.log(1.0 - p))
+            for _ in range(L)
+        )
+        if u >= t:
+            failures += 1
+    observed = failures / trials
+    sigma = math.sqrt(bound * (1 - bound) / trials)
+    assert observed <= bound + 3 * sigma, (observed, bound)
