@@ -11,6 +11,7 @@ reach for when auditing what a query does and how it executes.
     python scripts/analyze.py tpch_q1
     python scripts/analyze.py conversion_funnel --sf-dir /root/testdata/sf0.1
     python scripts/analyze.py dedup_minhash_lsh --explain
+    python scripts/analyze.py user_type_scd2 --oracle
 """
 
 from __future__ import annotations
@@ -34,6 +35,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--explain", action="store_true", help="print the formatted plan, no rows"
     )
+    ap.add_argument(
+        "--oracle",
+        action="store_true",
+        help="run the DuckDB oracle side-by-side and compare (rows, schema, "
+        "value hash) — the driver-shaped check, one query at a time",
+    )
     args = ap.parse_args(argv)
 
     from bigdata_hwk_spark import registry
@@ -46,6 +53,15 @@ def main(argv: list[str] | None = None) -> int:
     if args.query not in registry.QUERIES:
         print(f"unknown query: {args.query} (see --list)", file=sys.stderr)
         return 2
+
+    if args.oracle:
+        # delegate to the driver-mimicking harness (same comparison the
+        # correctness gate applies), scoped to this one query
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import selfcheck
+
+        sys.argv = ["selfcheck", args.sf_dir, args.query]
+        return selfcheck.main()
 
     from bigdata_hwk_spark.session import get_spark
 
