@@ -1185,13 +1185,21 @@ def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOTE: the conditional counts are CAST to BIGINT on the oracle side.
+# DuckDB types sum(CASE ... 1 ELSE 0 END) as HUGEINT, and its pandas
+# fetch path (fetchdf) renders HUGEINT as float64 — so a driver that
+# compares via pandas hashes 4.0 against Spark's 4 and reds the row
+# even though every tuple is identical.  count(*) FILTER would also
+# work (BIGINT natively); the explicit CAST keeps the CASE shape that
+# mirrors the Spark pivot plan.  tests/test_oracle_types.py lints every
+# registered oracle for this class of portability bug.
 USER_EVENT_PIVOT_SQL = """
 SELECT user_id,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
 FROM events GROUP BY user_id
 """
 

@@ -435,13 +435,19 @@ def _stream_sticky_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sticky_dist_sql(sf_dir: str = CORRECTNESS_GATE_SF_DIR) -> str:
-    """Oracle, valid in the saturated regime (asserted at registration for
-    the gate SF): the merged tracked counts equal exact counts, so the
-    estimate is exactly the items at threshold (φ−ε)n over the first-n
-    prefix."""
+    """Oracle, valid in the saturated regime (asserted for the SF the SQL
+    is generated FOR, not just the gate SF — round-8 ADVICE fix): the
+    merged tracked counts equal exact counts, so the estimate is exactly
+    the items at threshold (φ−ε)n over the first-n prefix.
+
+    ``oracles_for`` below checks saturation for the runtime sf_dir and
+    drops this oracle (→ rows-only) at any SF where the regime doesn't
+    hold, so a harness can never compare the sampler against an oracle
+    whose equivalence premise is false.
+    """
     n, phi, eps = stream_params(sf_dir)
     assert _sticky_dist_saturated(sf_dir), (
-        "sticky oracle registered outside the saturated regime"
+        f"sticky oracle requested outside the saturated regime ({sf_dir})"
     )
     return f"""
 WITH stream AS ({STREAM_SQL_BODY})
@@ -1181,10 +1187,13 @@ register(
 #   with shift = (N−1)·13 mod |pool|. 13 is co-prime with the pool size
 #   by inspection each round (and with any size not divisible by 13), so
 #   successive rounds walk the whole pool.
-# * the round number is max(CORRECTNESS_r*.json)+1 at the repo root —
-#   the artifact the driver writes AFTER gating, so the rotation the
-#   gate sees is stable within a round. Without artifacts (fresh clone,
-#   CI) it degenerates to round 1: a fixed, valid gate.
+# * the round number comes from the COMMITTED ``ROUND`` file at the repo
+#   root (bumped once per round, versioned — round-8 ADVICE fix: two
+#   checkouts of the same commit now always gate the same window, and a
+#   stale artifact in the working tree can't shift it). Fallback, for a
+#   checkout that somehow lacks the file: max(CORRECTNESS_r*.json)+1 —
+#   the artifact the driver writes AFTER gating — degenerating to a
+#   fixed, valid round-1 gate when neither source exists.
 #
 # Pure reorder of the insertion-ordered dict; no query is added, removed,
 # or renamed, and the first 50 entries are oracle-backed in every
@@ -1207,6 +1216,13 @@ def _gate_round_number() -> int:
     import re as _re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # Primary: the committed, versioned ROUND file (one integer).
+    try:
+        with open(os.path.join(root, "ROUND"), encoding="utf-8") as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        pass
+    # Fallback for file-less checkouts: latest driver artifact + 1.
     try:
         rounds = [
             int(m.group(1))
@@ -1233,4 +1249,26 @@ def _rotated_gate_overflow(round_no: int | None = None) -> list[str]:
 _GATE_OVERFLOW = _rotated_gate_overflow()
 for _name in _GATE_OVERFLOW + [k for k in list(QUERIES) if k not in ORACLES]:
     QUERIES[_name] = QUERIES.pop(_name)
+
+
+def oracles_for(sf_dir: str) -> dict[str, str]:
+    """The oracle dict, re-parameterized for ``sf_dir``.
+
+    ``ORACLES`` (what the driver's ``oracle_sql()`` exports) is pinned at
+    the gate SF, which is the only SF the driver runs. A few stream
+    oracles bake (n, φ, ε) from ``stream_params`` into the SQL, so a
+    harness comparing at a DIFFERENT SF (selfcheck, analyze --oracle)
+    must regenerate them for the SF it actually reads — otherwise the
+    Spark side (runtime-derived params) and the oracle (gate params)
+    silently disagree above sf0.01. ``stream_sticky_distributed`` is
+    additionally dropped (→ rows-only) at any SF where the saturated
+    regime its oracle equivalence relies on doesn't hold.
+    """
+    out = dict(ORACLES)
+    out["stream_true_frequent"] = stream_true_freq_sql(sf_dir)
+    if _sticky_dist_saturated(sf_dir):
+        out["stream_sticky_distributed"] = _sticky_dist_sql(sf_dir)
+    else:  # pragma: no cover - no fixture SF is non-saturated today
+        out.pop("stream_sticky_distributed", None)
+    return out
 del _name

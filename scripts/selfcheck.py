@@ -34,6 +34,14 @@ def _norm(v):
         return f"{v:.6f}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm(x) for x in v) + "]"
+    # numpy arrays arrive from the pandas fetch path for LIST columns;
+    # .tolist() also unboxes numpy scalars so elements normalize like
+    # their Python twins.
+    if hasattr(v, "tolist") and not isinstance(v, (str, bytes)):
+        unboxed = v.tolist()
+        if isinstance(unboxed, (list, tuple)):
+            return "[" + ",".join(_norm(x) for x in unboxed) + "]"
+        return _norm(unboxed)
     return str(v)
 
 
@@ -102,7 +110,12 @@ def main() -> int:
         return 1
 
     qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # Per-SF oracle view: identical to entrymod.oracle_sql() at the gate
+    # SF, but re-parameterizes the stream oracles whose SQL bakes in
+    # (n, φ, ε) so off-gate runs compare against the right thresholds.
+    from bigdata_hwk_spark import registry as _registry
+
+    oracles = _registry.oracles_for(sf_dir)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -111,7 +124,13 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            # Collect the Spark side through pandas as well — the driver
+            # compares pandas-to-pandas, so nulls must normalize the same
+            # way on both sides (a null timestamp is NaT via toPandas AND
+            # via fetchdf; collect() would yield None against the
+            # oracle's NaT and red a correct answer).
+            spdf = sdf.toPandas()
+            srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
@@ -121,9 +140,17 @@ def main() -> int:
             print(f"ok*   {name}: rows={len(srows)} ({dt:.1f}s, rows-only)")
             continue
         try:
+            # Fetch through the PANDAS path — the same route the external
+            # driver takes. fetchall() returns Python ints for every DuckDB
+            # integer type, which HID a real portability bug in round 7:
+            # HUGEINT (the type of sum(CASE…)) renders as float64 under
+            # fetchdf(), so the driver hashed 4.0 against Spark's 4 while
+            # this script saw 4 == 4. Fetching via fetchdf() makes this
+            # harness fail exactly when the driver would.
             res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            odf = res.fetchdf()
+            ocols = list(odf.columns)
+            orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error: {e}")
             failures.append(name)
