@@ -706,9 +706,12 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    from ..session import persist_once
+    # Scoped cache (round-8 ADVICE): release() is a no-op when an outer
+    # consumer already cached this exact plan, so we can't yank a shared
+    # CacheManager entry out from under it mid-use.
+    from ..session import persist_scoped
 
-    edges = persist_once(edges, StorageLevel.MEMORY_AND_DISK)
+    edges, release_edges = persist_scoped(edges, StorageLevel.MEMORY_AND_DISK)
     n_edges = edges.count()  # also materializes the persist
     spark = pairs.sparkSession
     if n_edges <= driver_max_edges:
@@ -728,7 +731,7 @@ def connected_components(
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         rows = [(n, find(n)) for n in parent]
-        edges.unpersist()
+        release_edges()
         if not rows:
             return spark.createDataFrame([], "node bigint, cluster_id bigint")
         return spark.createDataFrame(rows, "node bigint, cluster_id bigint")
@@ -749,7 +752,7 @@ def connected_components(
             converged = True
             break
         prev_sig = sig
-    edges.unpersist()
+    release_edges()
     if not converged:
         # Partial pointers are WRONG labels: a downstream leakage-safe
         # split would place near-dup docs in different train/test splits

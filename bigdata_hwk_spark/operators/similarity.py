@@ -156,12 +156,31 @@ def similar_pairs_threshold(
     whose per-element object overhead was the real driver-heap cost at
     the gate boundary (~10× the matrix bytes).
     """
+    # One gate/validation job: size caps AND shape invariants. min(size)
+    # and the null count guard the Arrow flat-buffer reshape below —
+    # ListArray.flatten() silently DROPS null entries, and a ragged
+    # column can reshape "successfully" whenever the total element count
+    # happens to divide num_rows, pairing vec_ids with the wrong vectors
+    # (round-8 ADVICE, medium). Fail loudly instead.
+    stats = embeddings.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.size("embedding")).alias("dim"),
+        F.min(F.size("embedding")).alias("dim_min"),
+        F.count(F.when(F.col("embedding").isNull(), 1)).alias("nulls"),
+    ).collect()[0]
+    n, dim = stats.n, stats.dim or 0
+    if stats.nulls:
+        raise ValueError(
+            f"similar_pairs_threshold: {stats.nulls} null embeddings — "
+            "drop or impute them before pairing (the flat-buffer reshape "
+            "would silently misalign vec_ids)"
+        )
+    if n and stats.dim_min != dim:
+        raise ValueError(
+            f"similar_pairs_threshold: ragged embedding lengths "
+            f"[{stats.dim_min}, {dim}] — a fixed dim is required"
+        )
     if exact_max_rows is not None:
-        stats = embeddings.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.max(F.size("embedding")).alias("dim"),
-        ).collect()[0]
-        n, dim = stats.n, stats.dim or 0
         matrix_bytes = n * dim * 8
         if n > exact_max_rows or matrix_bytes > SIMILAR_PAIRS_MATRIX_MAX_BYTES:
             # loud degrade (round-2 ADVICE): recall becomes approximate
@@ -188,7 +207,13 @@ def similar_pairs_threshold(
         )
     ids = arrow.column("vec_id").to_numpy().astype(np.int64)
     flat = arrow.column("embedding").combine_chunks().flatten()
-    mat = flat.to_numpy(zero_copy_only=False).reshape(arrow.num_rows, -1)
+    if len(flat) != arrow.num_rows * dim:
+        raise ValueError(
+            f"similar_pairs_threshold: flat buffer has {len(flat)} elements "
+            f"for {arrow.num_rows} rows × dim {dim} — null/ragged embeddings "
+            "slipped past the gate agg; refusing to reshape"
+        )
+    mat = flat.to_numpy(zero_copy_only=False).reshape(arrow.num_rows, dim)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     bc = embeddings.sparkSession.sparkContext.broadcast((ids, mat))
 

@@ -117,3 +117,21 @@ def persist_once(df, storage_level=None):
     if sl.useMemory or sl.useDisk or sl.useOffHeap:
         return df
     return df.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
+
+
+def persist_scoped(df, storage_level=None):
+    """``persist_once`` with OWNERSHIP: returns ``(df, release)`` where
+    ``release()`` unpersists only if THIS call created the cache entry.
+
+    The pairing ``persist_once(df)`` … ``df.unpersist()`` is subtly wrong
+    (round-8 ADVICE): when an outer consumer already cached the identical
+    plan — the exact case persist_once exists for — the unconditional
+    unpersist drops the SHARED CacheManager entry out from under that
+    consumer, forcing recomputation mid-use. Scoped callers (cache for the
+    duration of one algorithm, then release) should use this instead.
+    """
+    sl = df.storageLevel
+    if sl.useMemory or sl.useDisk or sl.useOffHeap:
+        return df, (lambda: None)
+    persisted = persist_once(df, storage_level)
+    return persisted, (lambda: persisted.unpersist())

@@ -167,15 +167,22 @@ def compact_partitioned(
     the Hadoop ``FileSystem`` API (delete old + rename new), so
     untouched partitions' files are never replaced.
 
-    Crash window, documented honestly: the per-partition delete→rename
-    pair is not one atomic operation. On HDFS/local both steps are
-    metadata-only and the window is microseconds; on object stores
-    "rename" is copy+delete, so a crash mid-swap can leave ONE partition
-    missing or duplicated — re-running compaction (or restoring from the
-    surviving temp dir, which is only removed after all swaps succeed)
-    repairs it. That is strictly narrower than the previous dynamic
-    partition-overwrite commit, whose clear-then-move window spanned
-    every rewritten partition at once.
+    Crash window, documented honestly: the per-partition swap is not one
+    atomic operation, but it is ordered rename-old-ASIDE → rename-new-IN
+    → delete-aside (round-8 ADVICE): the live partition is never deleted
+    before its replacement is ready to rename in, so the missing-window
+    is two metadata renames, not an O(files) delete. A crash mid-swap
+    leaves the old data intact under ``<partition>__compact_old`` (and
+    the full rewrite under the temp sibling, removed only after ALL
+    swaps succeed) — re-running compaction, or renaming the aside dir
+    back, repairs it. On object stores "rename" is copy+delete, so the
+    window widens with partition size there; that is still strictly
+    narrower than the previous dynamic partition-overwrite commit, whose
+    clear-then-move window spanned every rewritten partition at once.
+
+    Uses the JVM Hadoop ``FileSystem`` gateway, which Spark Connect does
+    not expose — the call fails fast with a clear error there rather
+    than an opaque AttributeError.
     """
     from functools import reduce
 
@@ -205,8 +212,16 @@ def compact_partitioned(
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
 
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
+    jvm = getattr(spark, "_jvm", None)
+    jsc = getattr(spark, "_jsc", None)
+    if jvm is None or jsc is None:
+        raise NotImplementedError(
+            "compact_partitions needs the JVM Hadoop FileSystem gateway "
+            "(spark._jvm), which Spark Connect sessions do not expose — "
+            "run it from a classic driver, or rewrite the fragmented "
+            "partitions with a dynamic-partition-overwrite write instead"
+        )
+    hconf = jsc.hadoopConfiguration()
     HPath = jvm.org.apache.hadoop.fs.Path
     root = HPath(path)
     fs = root.getFileSystem(hconf)
@@ -237,9 +252,21 @@ def compact_partitioned(
     for leaf in leaves(tmp, len(partition_cols)):
         rel = fs.makeQualified(leaf).toString()[len(tmp_str) :].lstrip("/")
         target = HPath(qualified_root, rel)
-        fs.delete(target, True)
+        # rename-old-aside → rename-new-in → delete-aside: the live
+        # partition is never deleted before its replacement is in place,
+        # and a crash leaves the old data recoverable under __compact_old
+        aside = HPath(qualified_root, rel + "__compact_old")
+        fs.delete(aside, True)
+        had_old = fs.exists(target)
+        if had_old and not fs.rename(target, aside):
+            raise IOError(f"compaction aside-rename failed for {rel}")
         if not fs.rename(leaf, target):
+            # restore the original before failing — no missing partition
+            if had_old:
+                fs.rename(aside, target)
             raise IOError(f"compaction swap failed for partition {rel}")
+        if had_old:
+            fs.delete(aside, True)
     fs.delete(tmp, True)
     return len(plan_rows)
 

@@ -99,6 +99,56 @@ def test_similarity_family_empty_corpus(frames):
     assert SIM.similar_pairs_threshold(frames["embs1"]).count() == 0
 
 
+def test_persist_scoped_respects_outer_cache_ownership(spark):
+    """release() must be a no-op when an outer consumer already cached the
+    identical plan, and a real unpersist when this call created the entry
+    (round-8 ADVICE on connected_components' edges cache)."""
+    from bigdata_hwk_spark.session import persist_scoped
+
+    outer = spark.range(64).selectExpr("id", "id * 2 AS y").persist()
+    outer.count()
+    inner, release = persist_scoped(outer)
+    release()
+    assert outer.storageLevel.useMemory, (
+        "scoped release dropped a cache entry it did not create"
+    )
+    outer.unpersist()
+
+    fresh = spark.range(64).selectExpr("id", "id * 3 AS z")
+    cached, release2 = persist_scoped(fresh)
+    cached.count()
+    assert cached.storageLevel.useMemory
+    release2()
+    assert not cached.storageLevel.useMemory
+
+
+def test_similar_pairs_rejects_null_and_ragged_embeddings(spark):
+    """The Arrow flat-buffer reshape must refuse corrupt input rather than
+    silently misalign: ListArray.flatten() drops null rows, and a ragged
+    column can still reshape whenever the element total divides num_rows
+    (round-8 ADVICE, medium)."""
+    import pytest as _pytest
+
+    with_null = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="null embeddings"):
+        SIM.similar_pairs_threshold(with_null)
+
+    # 3 rows, lengths 1+2+3 = 6 elements — divisible by 3, so the old
+    # reshape(num_rows, -1) would have SUCCEEDED with garbage pairing
+    ragged = spark.createDataFrame(
+        [(1, [1.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="ragged"):
+        SIM.similar_pairs_threshold(ragged)
+    # forced-exact path (gate bypassed) hits the same guards
+    with _pytest.raises(ValueError, match="ragged"):
+        SIM.similar_pairs_threshold(ragged, exact_max_rows=None)
+
+
 def test_round3_ops_empty_and_single_doc(frames, spark):
     docs0 = frames["docs0"]
     docs1 = spark.createDataFrame(
