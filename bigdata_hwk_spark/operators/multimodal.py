@@ -2,8 +2,11 @@
 
 The real decode libraries (PIL / soundfile / av) may be absent from the
 container, so ``_decode_real`` gates each media type behind a call-time
-try-import (WAV audio always decodes via the stdlib ``wave`` reader) and
-the deterministic ``_decode_stub`` remains the bare-container default.
+try-import — with stdlib-only REAL decoders where the format allows it:
+WAV audio always decodes via the ``wave`` reader, and 8-bit
+non-interlaced PNG always decodes via the vendored ``_png_decode``
+(zlib inflate + scanline unfiltering). The deterministic ``_decode_stub``
+remains the bare-container default for everything else.
 Everything Spark-side is real and tested either way:
 the schema (binary payload + typed metadata struct), the partitioning, the
 ``mapInPandas`` UDF signatures and Arrow batch shapes — i.e. exactly the
@@ -57,6 +60,87 @@ def synth_media(documents: DataFrame) -> DataFrame:
     )
 
 
+def _png_decode(payload: bytes) -> tuple[int, int, bytes]:
+    """Minimal pure-stdlib PNG decoder (public PNG spec / RFC 2083):
+    8-bit-depth greyscale / greyscale+alpha / RGB / RGBA, non-interlaced.
+    Returns (width, height, unfiltered raw pixel bytes, row-major).
+
+    Exists so the image leg of ``_decode_real`` has a REAL decode path in
+    containers without PIL (round-7 VERDICT item 8), the way audio always
+    has the stdlib ``wave`` reader: chunk walk → IHDR parse → zlib
+    inflate of the IDAT stream → per-scanline unfiltering (all five
+    filter types). Raises ``ValueError`` on malformed input and
+    ``NotImplementedError`` on PNG features outside this profile
+    (palette, 16-bit, interlaced) — callers fall back to the stub or PIL.
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG (bad signature)")
+    w = h = channels = None
+    idat = bytearray()
+    pos = 8
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack(">I4s", payload[pos : pos + 8])
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + ln  # length + type + data + CRC
+        if typ == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace != 0:
+                raise NotImplementedError(
+                    "minimal PNG reader: 8-bit non-interlaced only"
+                )
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            if channels is None:
+                raise NotImplementedError(
+                    "minimal PNG reader: palette images unsupported"
+                )
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride, bpp = w * channels, channels
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG pixel data does not match declared dimensions")
+    out = bytearray()
+    prev = bytearray(stride)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ft == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out += line
+        prev = line
+    return w, h, bytes(out)
+
+
 def _decode_real(payload: bytes, media_type: str) -> tuple[int, int, int]:
     """Real decode, gated behind call-time try-imports (round-2 VERDICT):
 
@@ -77,12 +161,21 @@ def _decode_real(payload: bytes, media_type: str) -> tuple[int, int, int]:
     if media_type == "image":
         try:
             from PIL import Image
-        except ImportError as e:
+        except ImportError:
+            Image = None
+        if Image is not None:
+            with Image.open(_io.BytesIO(payload)) as img:
+                return img.width, img.height, int(getattr(img, "n_frames", 1))
+        # PIL absent: the vendored pure-stdlib PNG reader is the real
+        # decode path (full inflate + unfilter, not an IHDR peek)
+        try:
+            w, h, _pixels = _png_decode(payload)
+            return w, h, 1
+        except (ValueError, NotImplementedError) as e:
             raise NotImplementedError(
-                "image decode requires PIL; use decode_features(stub=True)"
+                "image decode without PIL covers 8-bit non-interlaced PNG "
+                f"only ({e}); use decode_features(stub=True)"
             ) from e
-        with Image.open(_io.BytesIO(payload)) as img:
-            return img.width, img.height, int(getattr(img, "n_frames", 1))
     if media_type == "audio":
         try:
             import soundfile as sf

@@ -580,6 +580,112 @@ def distributed_sticky_sampling(
     return counts.filter(F.col("cnt") >= (phi - eps) * n).select("item")
 
 
+def run_distributed_sticky_stream(
+    spark: SparkSession,
+    source_dir: str,
+    n: int,
+    phi: float,
+    eps: float,
+    delta: float,
+    num_partitions: int | None = None,
+    seed: int = 42,
+    max_files_per_trigger: int = 1,
+) -> list[int]:
+    """Streaming deployment form of the distributed sticky sampler
+    (round-7 VERDICT item 7): file-replay source → ``foreachBatch``, with
+    ALL sketch state kept in a Spark DataFrame updated by a cogrouped
+    ``applyInPandas`` — the driver holds a DataFrame handle and a boolean,
+    never the tracked-item map (the sequential wrapper
+    ``run_structured_stream`` collects each batch to driver state, which
+    is exactly what a 100 TB stream cannot do).
+
+    Replays the SAME per-group computation as ``distributed_sticky_counts``
+    (group = ``seq % L``, per-group RNG seeded ``seed + 1_000_003·p``,
+    seq-ordered admission) incrementally: each micro-batch cogroups the
+    persisted state (tracked counts per group + the group RNG's pickled
+    Mersenne state in a sentinel row) with the batch's rows, advances
+    every group independently, and checkpoints the new state to truncate
+    lineage. Because each group consumes its items in the same order with
+    the same RNG stream, the final merged counts are BIT-EQUAL to the
+    batch twin's — pinned by
+    ``test_distributed_sticky_stream_equals_batch_twin``.
+
+    Returns the estimate (items at merged threshold (φ−ε)·n), sorted.
+    """
+    import pickle
+
+    import pandas as pd
+
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    L = num_partitions or spark.sparkContext.defaultParallelism
+    p_admit = min(1.0, sticky_admission_rate(n, phi, eps, delta, L) / n)
+    state_schema = "p int, item bigint, cnt bigint, rng binary"
+    state = {
+        "df": spark.createDataFrame([], state_schema),
+        "done": False,
+    }
+
+    def advance(key, st_pdf: "pd.DataFrame", b_pdf: "pd.DataFrame") -> "pd.DataFrame":
+        p = int(key[0])
+        counts: dict[int, int] = {}
+        rng = random.Random(seed + 1_000_003 * p)
+        for item, cnt, blob in zip(st_pdf["item"], st_pdf["cnt"], st_pdf["rng"]):
+            if blob is not None:
+                rng.setstate(pickle.loads(bytes(blob)))
+            if item >= 0:
+                counts[int(item)] = int(cnt)
+        for it in b_pdf.sort_values("seq")["item"].to_numpy():
+            it = int(it)
+            cur = counts.get(it)
+            if cur is not None:
+                counts[it] = cur + 1
+            elif rng.random() < p_admit:  # strict < — reference :28
+                counts[it] = 1
+        rows = [(p, it, c, None) for it, c in counts.items()]
+        rows.append((p, -1, 0, pickle.dumps(rng.getstate())))
+        return pd.DataFrame(rows, columns=["p", "item", "cnt", "rng"])
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if state["done"]:
+            return
+        bounded = batch_df.filter(F.col("seq") < n)
+        b = bounded.select(
+            (F.col("seq") % L).cast("int").alias("p"), "seq", "item"
+        )
+        new = (
+            state["df"]
+            .groupBy("p")
+            .cogroup(b.groupBy("p"))
+            .applyInPandas(advance, state_schema)
+            .localCheckpoint()  # materialize + truncate per-batch lineage
+        )
+        state["df"] = new
+        mx = batch_df.agg(F.max("seq")).first()[0]
+        if mx is not None and mx >= n - 1:
+            state["done"] = True  # first-n cutoff (reference A10)
+
+    stream = (
+        spark.readStream.schema("seq bigint, item bigint")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    query = stream.writeStream.foreachBatch(process_batch).start()
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    merged = (
+        state["df"]
+        .filter(F.col("item") >= 0)
+        .groupBy("item")
+        .agg(F.sum("cnt").alias("cnt"))
+        .filter(F.col("cnt") >= (phi - eps) * n)
+    )
+    return sorted(r.item for r in merged.collect())
+
+
 # ---------------------------------------------------------------------------
 # Declarative exact path (the scalable analogue; oracle-checked)
 # ---------------------------------------------------------------------------

@@ -194,54 +194,105 @@ def test_multimodal_real_decode_gated_by_optional_deps(spark):
     row = MM.decode_features(media, stub=False).collect()[0]
     assert (row.width, row.height, row.n_frames) == (2, 8000, 5)
 
-    try:
-        import PIL  # noqa: F401
-
-        has_pil = True
-    except ImportError:
-        has_pil = False
-    if has_pil:
-        from PIL import Image
-
-        img_buf = io.BytesIO()
-        Image.new("RGB", (7, 3)).save(img_buf, format="PNG")
-        assert MM._decode_real(img_buf.getvalue(), "image")[:2] == (7, 3)
-    else:
-        with pytest.raises(NotImplementedError):
-            MM._decode_real(b"xx", "image")
+    # image decode is REAL with or without PIL (vendored PNG reader);
+    # garbage bytes still refuse loudly
+    with pytest.raises(NotImplementedError):
+        MM._decode_real(b"xx", "image")
     with pytest.raises(NotImplementedError):
         MM._decode_real(b"xx", "unknown-type")
 
 
-def _has_pil() -> bool:
-    try:
-        import PIL  # noqa: F401
+def _encode_png(width: int, height: int, pixels: bytes, color_type: int = 2) -> bytes:
+    """Tiny test-side PNG ENCODER (stdlib only): 8-bit non-interlaced,
+    one IDAT. Each row y is written with filter type y % 5 — so decoding
+    it exercises every unfilter branch (None/Sub/Up/Average/Paeth)."""
+    import struct
+    import zlib
 
-        return True
-    except ImportError:
-        return False
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    stride, bpp = width * channels, channels
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        line = bytearray(pixels[y * stride : (y + 1) * stride])
+        ft = y % 5
+        filt = bytearray(line)
+        if ft == 1:
+            for i in range(stride - 1, bpp - 1, -1):
+                filt[i] = (line[i] - line[i - bpp]) & 0xFF
+        elif ft == 2:
+            for i in range(stride):
+                filt[i] = (line[i] - prev[i]) & 0xFF
+        elif ft == 3:
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                filt[i] = (line[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                filt[i] = (line[i] - pr) & 0xFF
+        raw += bytes([ft]) + bytes(filt)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
 
 
-@pytest.mark.skipif(
-    not _has_pil(), reason="PIL not installed; stub oracle covers the gate"
-)
 def test_multimodal_real_png_decode_full_path(spark):
     """Real-decode matrix, image leg (audio's WAV leg runs above
-    unconditionally): a generated PNG through the full mapInPandas path
-    with stub=False must yield its true dimensions. Skipif-gated so the
-    suite is green without PIL while the stub twin stays oracle-checked."""
-    import io
+    unconditionally): a PNG generated by the stdlib test encoder — one
+    row per filter type — through the vendored ``_png_decode`` and the
+    full mapInPandas path with stub=False must yield exact pixels and
+    dimensions. Runs in every environment (round-7 VERDICT item 8
+    replaced the PIL-skipped variant)."""
+    import hashlib as _hashlib
 
-    from PIL import Image
+    w, h = 9, 5  # 5 rows → filters 0,1,2,3,4 all exercised
+    pixels = bytes(
+        _hashlib.sha256(bytes([i])).digest()[0] for i in range(w * h * 3)
+    )
+    png = _encode_png(w, h, pixels, color_type=2)
 
-    img_buf = io.BytesIO()
-    Image.new("RGB", (9, 4)).save(img_buf, format="PNG")
+    dw, dh, dpix = MM._png_decode(png)
+    assert (dw, dh) == (w, h)
+    assert dpix == pixels, "unfiltering did not round-trip the pixel bytes"
+    # greyscale + RGBA profiles too
+    grey = bytes(range(7 * 5))
+    assert MM._png_decode(_encode_png(7, 5, grey, color_type=0))[2] == grey
+    rgba = bytes((i * 37) & 0xFF for i in range(6 * 5 * 4))
+    assert MM._png_decode(_encode_png(6, 5, rgba, color_type=6))[2] == rgba
+    # pixel data not matching declared dims refuses rather than
+    # misreporting: bump the IHDR height field (offset 20) by one
+    import struct as _struct
+
+    bad = png[:20] + _struct.pack(">I", h + 1) + png[24:]
+    with pytest.raises(ValueError):
+        MM._png_decode(bad)
+
     media = spark.createDataFrame(
-        [(1, "image", bytearray(img_buf.getvalue()), None)],
+        [(1, "image", bytearray(png), None)],
         MM.MEDIA_SCHEMA,
     )
     row = MM.decode_features(media, stub=False).collect()[0]
-    assert (row.width, row.height, row.n_frames) == (9, 4, 1)
+    assert (row.width, row.height, row.n_frames) == (w, h, 1)
     assert row.media_type == "image"
 
 

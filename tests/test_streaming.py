@@ -120,6 +120,49 @@ def test_structured_stream_equals_batch_replay(spark, tmp_path):
     assert got == want
 
 
+def test_distributed_sticky_stream_equals_batch_twin(spark, tmp_path):
+    """The foreachBatch deployment of the distributed sticky sampler —
+    state lives in a cogrouped-applyInPandas DataFrame, never the driver —
+    must produce the exact item set of the batch mapInPandas twin: each
+    group consumes the same seq-ordered items with the same seeded RNG,
+    so admissions are bit-equal regardless of micro-batch boundaries."""
+    import os
+    import shutil
+    import time
+
+    from bigdata_hwk_spark.sources.tables import stream_from_events
+
+    stream = stream_from_events(spark, SF_SMOKE)
+    n, phi, eps, delta, L = 900, 0.02, 0.01, 0.1, 4
+    rows = stream.orderBy("seq").limit(1200).collect()
+    flat = tmp_path / "sticky_flat"
+    flat.mkdir()
+    base = time.time() - 3600
+    for idx, i in enumerate(range(0, 1200, 150)):
+        chunk = spark.createDataFrame(
+            [(r.seq, r.item) for r in rows[i : i + 150]], "seq bigint, item bigint"
+        )
+        d = tmp_path / f"chunk_{i:05d}"
+        chunk.coalesce(1).write.mode("overwrite").parquet(str(d))
+        part = next(p for p in d.iterdir() if p.name.endswith(".parquet"))
+        dst = flat / f"chunk_{i:05d}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (base + idx, base + idx))
+
+    got = FI.run_distributed_sticky_stream(
+        spark, str(flat), n=n, phi=phi, eps=eps, delta=delta,
+        num_partitions=L, seed=5,
+    )
+    want = sorted(
+        r.item
+        for r in FI.distributed_sticky_sampling(
+            stream, n=n, phi=phi, eps=eps, delta=delta,
+            num_partitions=L, seed=5,
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_report_lines_shape(spark):
     rep = FI.replay_frequent_items(
         stream_from_events(spark, SF_SMOKE), n=300, phi=0.05, eps=0.02, delta=0.1
