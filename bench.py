@@ -110,14 +110,19 @@ def main() -> None:
         json.dump(detail, f, indent=1, sort_keys=True)
     # round-keyed copy for the repo history (BENCH_DETAIL.json is
     # gitignored, so per-query tables were lost each round — VERDICT r6
-    # item 5). The round is inferred from the driver's BENCH_r{N}.json
-    # artifacts: this run feeds the NEXT one the driver will write.
-    rounds = [
-        int(m.group(1))
-        for f_ in os.listdir(repo_dir)
-        if (m := re.match(r"BENCH_r(\d+)\.json$", f_))
-    ]
-    round_no = (max(rounds) + 1) if rounds else 1
+    # item 5). Round source: the committed ROUND file (same versioned
+    # source the registry's gate rotation uses); fallback to inferring
+    # from the driver's BENCH_r{N}.json artifacts.
+    try:
+        with open(os.path.join(repo_dir, "ROUND"), encoding="utf-8") as fh:
+            round_no = int(fh.read().strip())
+    except (OSError, ValueError):
+        rounds = [
+            int(m.group(1))
+            for f_ in os.listdir(repo_dir)
+            if (m := re.match(r"BENCH_r(\d+)\.json$", f_))
+        ]
+        round_no = (max(rounds) + 1) if rounds else 1
     with open(os.path.join(repo_dir, f"BENCH_DETAIL_r{round_no:02d}.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     line = json.dumps(

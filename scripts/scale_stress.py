@@ -232,6 +232,132 @@ def build_scaled_dir(
 
 CANARY_QUERY = "tpch_q1"  # cheap, stable, scan-bound — a box-health probe
 
+# The five most expensive registry queries (round-7 bench tail) — the
+# second-decade sweep re-measures exactly these at a deeper N so a knee
+# hiding between 8× and 64× becomes visible (two-point exponents can't
+# distinguish n·log n from n, or a constant term from a slope).
+HEAVY_QUERIES = [
+    "decontamination_check",
+    "bloom_pruned_revenue",
+    "dedup_incremental_ingest",
+    "ann_lsh_pairs_bits_scaled",
+    "hw2_pipeline",
+]
+
+# The grid-operator family for the domain-growth regime (round-7 VERDICT
+# item 4): N× cells at constant density, vs the main sweep's N× density
+# in a fixed domain.
+GRID_QUERIES = [
+    "mr_approx_cell_stats",
+    "mr_approx_outliers_summary",
+    "mr_approx_smallest_cells",
+    "exact_outliers",
+    "exact_outliers_topk",
+    "hw2_pipeline",
+]
+# x-shift per replica: the point cloud spans x ∈ ~[1, 51), so 60 units
+# tile replicas into disjoint spatial bands (no cross-replica neighbors)
+DOMAIN_X_SHIFT = 60.0
+
+
+def build_domain_growth_dir(
+    spark: SparkSession, src_dir: str, out_dir: str, n_replicas: int
+) -> None:
+    """lineitem-only replication with SHIFTED x coordinates: replica r's
+    points land ``r*DOMAIN_X_SHIFT`` to the right (x = l_quantity +
+    l_discount, so the shift rides on l_quantity — exact in doubles), so
+    the grid gains N× CELLS at constant per-cell density — the
+    reference's own growth regime (BASELINE.md TEST 1,
+    Artificial100M_9_100.csv: fixed cluster structure, growing N).
+
+    Unlike the main sweep, key ids are NOT shifted: the exact-outlier
+    size-guard subset (l_orderkey % 101 = 0, < 15000) admits EVERY
+    replica, so the exact path's input grows N× here instead of being
+    pruned — both grid pipelines are measured on growing input.
+    point_id collisions across replicas are harmless (tie-break only).
+    """
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+    li = spark.read.parquet(f"{src_dir}/lineitem.parquet")
+    parts = [
+        li.withColumn(
+            "l_quantity", F.col("l_quantity") + F.lit(r * DOMAIN_X_SHIFT)
+        )
+        for r in range(n_replicas)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.parquet(f"{out_dir}/lineitem.parquet")
+
+
+def _merge_into_artifact(section: str, payload: dict) -> str:
+    """Read-modify-write SCALE_STRESS.json: the main full-registry sweep
+    stays intact; deeper sweeps land as named sections."""
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_STRESS.json",
+    )
+    data = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            data = json.load(f)
+    data[section] = payload
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+    return path
+
+
+def run_pair_sweep(
+    spark: SparkSession,
+    names: list[str],
+    dir1: str,
+    dirn: str,
+    n: int,
+    scaled_bits: int,
+) -> dict:
+    """Interleaved 1×/N× timing of ``names`` (same methodology as the
+    full sweep: warm both dirs, per-query back-to-back pairs, canary)."""
+    b1 = _builder(spark, dir1, scaled_bits)
+    bn = _builder(spark, dirn, scaled_bits)
+    for name in names:
+        b1(name).write.format("noop").mode("overwrite").save()
+        bn(name).write.format("noop").mode("overwrite").save()
+    if CANARY_QUERY not in names:  # warm the canary too, else its first
+        b1(CANARY_QUERY).write.format("noop").mode("overwrite").save()
+        # timing measures warm-up, not drift
+    canary_start, _ = _timed(b1, CANARY_QUERY) if CANARY_QUERY not in names else (None, 0)
+    entries = {}
+    for name in names:
+        s1, rows1 = _timed(b1, name)
+        sn, rowsn = _timed(bn, name)
+        ratio = round(sn / max(s1, 1e-3), 2)
+        entries[name] = {
+            "t1_sec": s1,
+            "tN_sec": sn,
+            "ratio": ratio,
+            "exponent": round(math.log(max(ratio, 1e-9)) / math.log(n), 3),
+            "rows_1": rows1,
+            "rows_N": rowsn,
+            "within_linear_budget": ratio <= LINEAR_BUDGET * n,
+        }
+        print(
+            f"# {name}: t1={s1:.3f}s rows={rows1} | t{n}={sn:.3f}s rows={rowsn} "
+            f"ratio={ratio} exp={entries[name]['exponent']}",
+            file=sys.stderr,
+        )
+    canary_end, _ = _timed(b1, CANARY_QUERY) if CANARY_QUERY not in names else (None, 0)
+    out = {"n_replicas": n, "queries": entries}
+    if canary_start is not None:
+        out["canary"] = {
+            "query": CANARY_QUERY,
+            "start_sec": canary_start,
+            "end_sec": canary_end,
+            "drift_ratio": round(canary_end / max(canary_start, 1e-3), 2),
+        }
+    return out
+
 
 def _builder(spark: SparkSession, sf_dir: str, scaled_bits: int):
     from bigdata_hwk_spark import registry
@@ -304,9 +430,11 @@ def main() -> None:
     from bigdata_hwk_spark.operators.similarity import ANN_BITS
     from bigdata_hwk_spark.session import get_spark
 
+    mode = sys.argv[1] if len(sys.argv) > 1 else "full"
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n = int(os.environ.get("SCALE_STRESS_N", "8"))
+    default_n = {"heavy": "64", "domain": "8"}.get(mode, "8")
+    n = int(os.environ.get("SCALE_STRESS_N", default_n))
     work = os.environ.get("SCALE_STRESS_WORKDIR", "/tmp/scale_stress")
     scaled_bits = ANN_BITS + max(1, math.ceil(math.log2(n)))
 
@@ -319,6 +447,59 @@ def main() -> None:
         shuffle_partitions=cpus,
         extra_conf={"spark.driver.memory": mem},
     )
+
+    if mode == "heavy":
+        # Second-decade sweep (round-7 VERDICT item 3): the five heaviest
+        # queries at 1× vs 64× — a second octave-decade past the full
+        # sweep's 8×, exposing any knee the two-point fit hides.
+        dir1 = os.path.join(work, "x1")
+        dirn = os.path.join(work, f"x{n}")
+        build_scaled_dir(spark, src, dir1, 1)
+        build_scaled_dir(spark, src, dirn, n)
+        payload = run_pair_sweep(
+            spark, HEAVY_QUERIES, dir1, dirn, n, scaled_bits
+        )
+        payload["base_sf_dir"] = src
+        payload["ann_bits_scaled_to"] = scaled_bits
+        payload["notes"] = (
+            "Second-decade check of the five heaviest queries: exponents "
+            "fitted on 1x->{n}x to compare against the full sweep's "
+            "1x->8x fit — agreement means no knee between the decades. "
+            "Same replication transform and interleaved-timing "
+            "methodology as the full sweep."
+        ).replace("{n}", str(n))
+        path = _merge_into_artifact("second_decade", payload)
+        spark.stop()
+        print(json.dumps({"mode": mode, "n": n, "written": path,
+                          "queries": {q: e["exponent"] for q, e in payload["queries"].items()}}))
+        return
+
+    if mode == "domain":
+        # Domain-growth regime for the grid family (round-7 VERDICT item
+        # 4): N× cells at constant density via x-shifted replicas.
+        dir1 = os.path.join(work, "domain_x1")
+        dirn = os.path.join(work, f"domain_x{n}")
+        build_domain_growth_dir(spark, src, dir1, 1)
+        build_domain_growth_dir(spark, src, dirn, n)
+        payload = run_pair_sweep(
+            spark, GRID_QUERIES, dir1, dirn, n, scaled_bits
+        )
+        payload["base_sf_dir"] = src
+        payload["notes"] = (
+            "Grid operators in the DOMAIN-GROWTH regime: replicas are "
+            "x-shifted into disjoint spatial bands (N× cells, constant "
+            "per-cell density — the reference's Artificial100M growth "
+            "shape), complementing the main sweep's vertical regime "
+            "(identical coordinates, N× density). Ids are unshifted, so "
+            "the exact-outlier size-guard subset grows N× here too "
+            "instead of being pruned."
+        )
+        path = _merge_into_artifact("domain_growth", payload)
+        spark.stop()
+        print(json.dumps({"mode": mode, "n": n, "written": path,
+                          "queries": {q: e["exponent"] for q, e in payload["queries"].items()}}))
+        return
+
     dir1 = os.path.join(work, "x1")
     dirn = os.path.join(work, f"x{n}")
     build_scaled_dir(spark, src, dir1, 1)
@@ -398,6 +579,13 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALE_STRESS.json",
     )
+    # preserve the deeper-sweep sections a full re-run doesn't refresh
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        for section in ("second_decade", "domain_growth"):
+            if section in prev:
+                out[section] = prev[section]
     with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     spark.stop()
