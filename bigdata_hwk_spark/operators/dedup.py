@@ -54,9 +54,13 @@ SIMHASH_CHUNKS = SIMHASH_K + 1  # pigeonhole: k diffs can't hit all k+1 chunks
 # Shingling (shared by Jaccard + MinHash)
 # ---------------------------------------------------------------------------
 
-def doc_shingles(documents: DataFrame, w: int = SHINGLE_W) -> DataFrame:
-    """(doc_id, sh) — exploded distinct word-``w``-gram shingles; docs
-    shorter than one shingle drop out (same in the oracle).
+def doc_shingles(
+    documents: DataFrame, w: int = SHINGLE_W, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, sh) — exploded word-``w``-gram shingles; docs shorter
+    than one shingle drop out (same in the oracle). ``distinct=True``
+    (the Jaccard family) dedups per doc; ``distinct=False`` keeps the
+    multiset for frequency-weighted consumers (TF-IDF cosine).
 
     The split word array is materialized into its own projection before the
     shingle transform: referencing the raw ``split(text)`` expression from
@@ -75,14 +79,13 @@ def doc_shingles(documents: DataFrame, w: int = SHINGLE_W) -> DataFrame:
     ws_df = documents.select(
         "doc_id", F.split(F.col("text"), " ").alias("ws")
     ).filter(F.size("ws") >= w)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - (w - 1)),
+        lambda i: F.array_join(F.slice(F.col("ws"), i, w), " "),
+    )
     shingles = F.when(
         F.size("ws") >= w,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size("ws") - (w - 1)),
-                lambda i: F.array_join(F.slice(F.col("ws"), i, w), " "),
-            )
-        ),
+        F.array_distinct(grams) if distinct else grams,
     ).otherwise(F.array().cast("array<string>"))
     return ws_df.select("doc_id", shingles.alias("shs")).select(
         "doc_id", F.explode("shs").alias("sh")
@@ -112,14 +115,16 @@ def shingle_df_cut(ex: DataFrame, cut: int = SHINGLE_DF_CUT) -> DataFrame:
     )
 
 
-def shingles_sql(w: int = SHINGLE_W, table: str = "documents") -> str:
+def shingles_sql(
+    w: int = SHINGLE_W, table: str = "documents", distinct: bool = True
+) -> str:
     """DuckDB CTE body producing the identical (doc_id, sh) rows."""
     concat = " || ' ' || ".join(
         f"string_split(text, ' ')[i+{k}]" if k else "string_split(text, ' ')[i]"
         for k in range(w)
     )
     return f"""
-SELECT DISTINCT doc_id, sh FROM (
+SELECT {"DISTINCT " if distinct else ""}doc_id, sh FROM (
   SELECT doc_id,
          unnest(list_transform(
            generate_series(1, len(string_split(text, ' ')) - {w - 1}),
@@ -318,6 +323,105 @@ jac AS (
   FROM common
   JOIN sizes sa ON sa.doc_id = doc_a
   JOIN sizes sb ON sb.doc_id = doc_b)
+"""
+
+
+# TF-IDF shingle cosine: the weighted lexical near-dup scorer. Jaccard
+# treats every shared shingle equally; TF-IDF cosine discounts common
+# boilerplate and rewards rare shared content — the standard soft
+# complement (pairwise document similarity via inverted-index sparse
+# dot products, e.g. Elsayed et al. 2008, public). tau sits in the
+# measured bimodal gap of the fixtures (near-dups ≥ 0.93, background
+# < 0.21 at sf0.01 — margin ≥ 0.33 on either side of 0.5).
+TFIDF_COS_TAU = 0.5
+
+
+def tfidf_doc_similarity(
+    documents: DataFrame,
+    tau: float = TFIDF_COS_TAU,
+    w: int = SHINGLE_W,
+    cut: int = SHINGLE_DF_CUT,
+) -> DataFrame:
+    """(doc_a, doc_b, cosine) for pairs with TF-IDF shingle cosine ≥ tau.
+
+    Representation: word-``w``-gram shingle MULTISET per doc, weighted
+    ``tf · ln(N/df)``, restricted to shingles with ``df·2 ≤ N`` (the
+    median-df cap — integer comparison, so both engines prune the exact
+    same vocabulary) and ``df ≤ cut`` (the hot-shingle guard; a no-op at
+    fixture scale so the DuckDB oracle, which carries only the median
+    cap, stays exact — same contract as SHINGLE_DF_CUT). The cap is
+    semantic, not just protective: idf of a shingle in most documents is
+    ~0, so dropping the hot half of the vocabulary changes scores only
+    at the 3rd decimal while bounding every posting list.
+
+    Plan: explode → tf groupBy (map-side combine) → vocabulary-sized df
+    groupBy → weight join (AQE broadcasts the pruned vocabulary) → the
+    inverted-index pair join on ``sh`` (per-shingle fan-out ≤
+    min(N/2, cut)² — the DISCO-style sparse matmul) → pair groupBy-sum →
+    two norm joins (doc-count-sized, AQE-broadcast). Every join is an
+    equi-join; no distinct shuffle (pair dedup falls out of the groupBy).
+
+    Determinism: doc ids and the 4-decimal-rounded cosine only; the tau
+    comparison is on raw doubles but the fixture gap is ~10¹¹ ulps wide.
+    """
+    n_docs = documents.count()  # one column-pruned count job (tfidf_top_terms)
+    grams = doc_shingles(documents, w, distinct=False)
+    tf = grams.groupBy("doc_id", "sh").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    kept = df.filter((F.col("df") * 2 <= F.lit(n_docs)) & (F.col("df") <= cut))
+    wt = tf.join(kept, "sh").select(
+        "doc_id",
+        "sh",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("wt"),
+    )
+    from ..session import persist_once
+
+    # Three consumers (norms + both sides of the pair join) — one
+    # materialization instead of three explode→agg→join replays.
+    wt = persist_once(wt, StorageLevel.MEMORY_AND_DISK)
+    nrm = wt.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    a = wt.select(F.col("doc_id").alias("doc_a"), "sh", F.col("wt").alias("wa"))
+    b = wt.select(F.col("doc_id").alias("doc_b"), "sh", F.col("wt").alias("wb"))
+    dots = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("cos_raw", F.col("dot") / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos_raw") >= tau)
+        .select("doc_a", "doc_b", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
+def tfidf_doc_similarity_sql(
+    tau: float = TFIDF_COS_TAU, w: int = SHINGLE_W
+) -> str:
+    return f"""
+WITH grams AS ({shingles_sql(w, distinct=False)}),
+tf AS (SELECT doc_id, sh, count(*) AS tf FROM grams GROUP BY doc_id, sh),
+df AS (SELECT sh, count(*) AS df FROM tf GROUP BY sh),
+ncnt AS (SELECT count(*) AS cnt FROM documents),
+kept AS (SELECT sh, df FROM df WHERE df * 2 <= (SELECT cnt FROM ncnt)),
+w AS (SELECT tf.doc_id, tf.sh,
+             tf.tf * ln((SELECT cnt FROM ncnt)::DOUBLE / kept.df) AS wt
+      FROM tf JOIN kept USING (sh)),
+nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM w GROUP BY doc_id),
+dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.wt * b.wt) AS dot
+         FROM w a JOIN w b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 4) AS cosine
+FROM dots
+JOIN nrm na ON dots.doc_a = na.doc_id
+JOIN nrm nb ON dots.doc_b = nb.doc_id
+WHERE dot / (na.nrm * nb.nrm) >= {tau!r}
 """
 
 

@@ -573,6 +573,11 @@ register(
     ),
     D.ngram_jaccard_pairs_sql(),
 )
+register(
+    "tfidf_doc_similarity",
+    lambda spark, sf: D.tfidf_doc_similarity(_docs(spark, sf)),
+    D.tfidf_doc_similarity_sql(),
+)
 # --- shared LSH pipeline -------------------------------------------------
 # dedup_minhash_lsh, dedup_clusters and doc_leakage_safe_split_counts all
 # need the same shingle→MinHash→LSH→verify pair table (and the latter two

@@ -16,7 +16,7 @@ duplicates:
 
 * documents: doc_id shifted by a stride divisible by every registry
   filter modulus (so each replica reproduces the original eval/batch
-  splits); text passed through a per-replica caesar rotation — token
+  splits); text passed through a per-replica alphabet permutation — token
   lengths, shingle counts, and duplicate structure are preserved WITHIN
   a replica, while shingles never collide ACROSS replicas (an exact N-way
   text copy would quadratically inflate every inverted-index bucket and
@@ -123,9 +123,39 @@ PLAN_TRANSITION = {
 }
 
 
-def _rotate(s: str, r: int) -> str:
-    r %= 26
-    return s[r:] + s[:r]
+def _mix64(x: int) -> int:
+    """splitmix64 finalizer — full-avalanche 64-bit mix (public domain,
+    Steele et al. / xorshift family). The replication transforms need
+    REAL hash quality: the first cut used bit 7 of a linear mix for the
+    Rademacher signs, and replicas 14 apart agreed in ~63/64 positions
+    (55·14 ≡ 2 mod 256) — invisible at 8 replicas, a cross-replica
+    near-dup factory at 64 (measured: 692k pairs where ~55k are real)."""
+    x &= 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 31
+    return x
+
+
+def _permute(s: str, r: int) -> str:
+    """Per-replica alphabet PERMUTATION (seeded Fisher–Yates over _mix64).
+
+    A caesar rotation repeats every 26 replicas, so at 64 replicas r and
+    r+26 produced byte-identical text — exact cross-replica duplicates
+    (measured: dedup_incremental emitted 14583 pairs at 64× where linear
+    replication predicts 89·64 = 5696). Distinct random permutations per
+    replica share no structure and cannot collide in 64 draws (64²/26!).
+    Replica 0 stays the identity so the 1× dir is the original corpus.
+    """
+    if r == 0:
+        return s
+    chars = list(s)
+    for i in range(len(chars) - 1, 0, -1):
+        j = _mix64(r * 0x9E3779B97F4A7C15 + i) % (i + 1)
+        chars[i], chars[j] = chars[j], chars[i]
+    return "".join(chars)
 
 
 def _shift(df: DataFrame, cols: set[str], r: int) -> DataFrame:
@@ -147,7 +177,26 @@ def build_scaled_dir(
     """Write ALL fixture tables replicated ``n_replicas`` times (replica 0
     is the identity transform, so n_replicas=1 re-writes the original
     through the same path — both measurement points read parquet of
-    identical layout/compression). region/nation copy through unchanged."""
+    identical layout/compression). region/nation copy through unchanged.
+
+    A marker file records (src_dir, n_replicas); when SCALE_STRESS_REUSE
+    is set and the marker matches, the existing dir is reused — the 64×
+    build is minutes of pure write amplification on a re-measure."""
+    marker = os.path.join(out_dir, "_BUILT.json")
+    # transform_version invalidates reuse when the replication transform
+    # itself changes (v2: permutation text + splitmix64 signs)
+    spec = {
+        "src_dir": os.path.abspath(src_dir),
+        "n_replicas": n_replicas,
+        "transform_version": 2,
+    }
+    if os.environ.get("SCALE_STRESS_REUSE") and os.path.isfile(marker):
+        try:
+            with open(marker) as f:
+                if json.load(f) == spec:
+                    return
+        except (OSError, ValueError):
+            pass
     if os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir)
@@ -184,7 +233,7 @@ def build_scaled_dir(
             docs.select(
                 (F.col("doc_id") + r * ID_STRIDE).alias("doc_id"),
                 F.translate(
-                    F.col("text"), LOWER + UPPER, _rotate(LOWER, r) + _rotate(UPPER, r)
+                    F.col("text"), LOWER + UPPER, _permute(LOWER, r) + _permute(UPPER, r)
                 ).alias("text"),
                 "lang",
                 "source",
@@ -198,10 +247,12 @@ def build_scaled_dir(
                 F.slice("embedding", rot + 1, 64 - rot), F.slice("embedding", 1, rot)
             )
         if r:
-            # deterministic per-replica Rademacher signs (splitmix-ish mix)
+            # deterministic per-replica Rademacher signs via the full
+            # splitmix64 avalanche — iid-quality bits, so the expected
+            # cross-replica sign agreement is 32/64 for EVERY pair of
+            # replicas, not just the ones the old linear mix got right
             signs = [
-                1.0 if (((k * 2654435761 + r * 40503) >> 7) & 1) else -1.0
-                for k in range(64)
+                1.0 if _mix64((r << 16) | k) & 1 else -1.0 for k in range(64)
             ]
             emb = F.zip_with(
                 emb,
@@ -228,6 +279,8 @@ def build_scaled_dir(
     union_all(emb_parts).write.parquet(f"{out_dir}/embeddings.parquet")
     for t in shifted_tables:
         union_all(table_parts[t]).write.parquet(f"{out_dir}/{t}.parquet")
+    with open(marker, "w") as f:
+        json.dump(spec, f)
 
 
 CANARY_QUERY = "tpch_q1"  # cheap, stable, scan-bound — a box-health probe
@@ -241,8 +294,32 @@ HEAVY_QUERIES = [
     "bloom_pruned_revenue",
     "dedup_incremental_ingest",
     "ann_lsh_pairs_bits_scaled",
+    "ann_lsh_pairs_bits_scaled_tau07",
     "hw2_pipeline",
 ]
+
+# Inline justifications for the second-decade entries whose exponents
+# need interpretation (same discipline as the full sweep's annotations).
+SECOND_DECADE_ANNOTATIONS = {
+    "ann_lsh_pairs_bits_scaled": (
+        "output-volume regime, not an engine knee: in 64-dim space "
+        "P(cos≥0.4) ≈ 5e-4 for UNRELATED vectors (measured on the fixture "
+        "corpus with ideal iid sign decorrelation), so at 512k vectors ANY "
+        "corpus has ~n²·5e-4 pairs above tau=0.4 and the operator's OUTPUT "
+        "is inherently superlinear — 810× the rows for 64× the input here. "
+        "Wall is SUBLINEAR in emitted volume (272× wall / 810× rows). "
+        "Real deployments embed in ≥768 dims where the random tail is "
+        "~1e-27 and output is the linear true-duplicate signal — measured "
+        "as the tau07 twin below, which removes the 64-dim tail while "
+        "keeping the identical plan."
+    ),
+    "ann_lsh_pairs_bits_scaled_tau07": (
+        "engine-scaling measure: tau=0.7 pushes the 64-dim random-pair "
+        "tail to ~1e-9 (≈10² of 10¹¹ cross pairs), so output volume is "
+        "the true-duplicate signal and the exponent isolates the LSH "
+        "plan's scaling at constant bucket occupancy (per-side bits)."
+    ),
+}
 
 # The grid-operator family for the domain-growth regime (round-7 VERDICT
 # item 4): N× cells at constant density, vs the main sweep's N× density
@@ -317,20 +394,42 @@ def run_pair_sweep(
     n: int,
     scaled_bits: int,
 ) -> dict:
-    """Interleaved 1×/N× timing of ``names`` (same methodology as the
-    full sweep: warm both dirs, per-query back-to-back pairs, canary)."""
-    b1 = _builder(spark, dir1, scaled_bits)
+    """Per-query-isolated 1×/N× timing of ``names``.
+
+    Unlike the full sweep (which warms EVERY query on both dirs up
+    front), the pair sweep clears the cache and re-warms per query:
+    at 64× the bulk warm-up leaves the heap full of every heavy query's
+    persisted N× state, and the r8 first cut measured a 4.3× inflated
+    t1 for dedup_incremental_ingest (9.16s vs the full sweep's 2.11s on
+    identical data) purely from that cross-query cache pressure — which
+    flatters ratios. Isolation keeps both sides of each pair honest:
+    warm 1× → time 1× → warm N× → time N×, nothing else resident.
+    """
+    from bigdata_hwk_spark.operators.similarity import ANN_BITS
+
+    # Per-SIDE bits for the bits-scaled ANN twin: the deployment knob
+    # grows with the corpus, so constant occupancy means BASE bits at 1×
+    # and base + log2(N) at N× (8000/2^4 = 512000/2^10 = 500 vectors per
+    # bucket). Running both sides at the scaled bits — the r8 first cut —
+    # over-partitions the 1× side (occupancy 8), making t1 artificially
+    # cheap and the fitted exponent superlinear by construction (measured
+    # 1.414 on a comparison whose two ends were different configs).
+    b1 = _builder(spark, dir1, ANN_BITS)
     bn = _builder(spark, dirn, scaled_bits)
-    for name in names:
-        b1(name).write.format("noop").mode("overwrite").save()
-        bn(name).write.format("noop").mode("overwrite").save()
     if CANARY_QUERY not in names:  # warm the canary too, else its first
         b1(CANARY_QUERY).write.format("noop").mode("overwrite").save()
         # timing measures warm-up, not drift
-    canary_start, _ = _timed(b1, CANARY_QUERY) if CANARY_QUERY not in names else (None, 0)
+    canary_start = (
+        _canary_timed(spark, b1, clear_cache=False)
+        if CANARY_QUERY not in names
+        else None
+    )
     entries = {}
     for name in names:
+        spark.catalog.clearCache()
+        b1(name).write.format("noop").mode("overwrite").save()
         s1, rows1 = _timed(b1, name)
+        bn(name).write.format("noop").mode("overwrite").save()
         sn, rowsn = _timed(bn, name)
         ratio = round(sn / max(s1, 1e-3), 2)
         entries[name] = {
@@ -347,16 +446,38 @@ def run_pair_sweep(
             f"ratio={ratio} exp={entries[name]['exponent']}",
             file=sys.stderr,
         )
-    canary_end, _ = _timed(b1, CANARY_QUERY) if CANARY_QUERY not in names else (None, 0)
+    canary_end = _canary_timed(spark, b1) if CANARY_QUERY not in names else None
     out = {"n_replicas": n, "queries": entries}
     if canary_start is not None:
         out["canary"] = {
             "query": CANARY_QUERY,
+            "runs": 3,
             "start_sec": canary_start,
             "end_sec": canary_end,
             "drift_ratio": round(canary_end / max(canary_start, 1e-3), 2),
         }
     return out
+
+
+def _canary_timed(spark: SparkSession, build, clear_cache: bool = True) -> float:
+    """Min-of-3 canary timing, optionally after a cache clear.
+
+    The canary certifies HOST health (thermal/co-tenant drift), so it
+    must be insulated from transient JVM state the sweep itself creates:
+    right after a multi-minute N× query the executor heap is full of
+    persisted shingle/signature blocks and a single run can eat a GC
+    pause or a cache eviction storm (measured: 0.28s → 3.24s on the same
+    plan after the 64× LSH query in the r8 second-decade sweep). For the
+    END canary, clearCache drops sweep-owned persisted data first — the
+    canary query itself caches nothing, and nothing runs after it — and
+    min-of-3 discards one-off pauses, which is the right estimator for
+    "what can this box do now". The START canary must NOT clear: the
+    warm-pass caches it would drop are part of the timed methodology
+    (warm pass then timed pass), so it gets min-of-3 only.
+    """
+    if clear_cache:
+        spark.catalog.clearCache()
+    return min(_timed(build, CANARY_QUERY)[0] for _ in range(3))
 
 
 def _builder(spark: SparkSession, sf_dir: str, scaled_bits: int):
@@ -368,6 +489,9 @@ def _builder(spark: SparkSession, sf_dir: str, scaled_bits: int):
         if name == "ann_lsh_pairs_bits_scaled":
             embs = fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
             return SIM.ann_lsh_pairs(embs, bits=scaled_bits)
+        if name == "ann_lsh_pairs_bits_scaled_tau07":
+            embs = fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+            return SIM.ann_lsh_pairs(embs, bits=scaled_bits, tau=0.7)
         return registry.QUERIES[name](spark, sf_dir)
 
     return build
@@ -397,8 +521,12 @@ def run_interleaved(
     silently wrong."""
     from bigdata_hwk_spark import registry
 
+    from bigdata_hwk_spark.operators.similarity import ANN_BITS
+
     names = list(registry.QUERIES) + ["ann_lsh_pairs_bits_scaled"]
-    b1 = _builder(spark, dir1, scaled_bits)
+    # Per-side bits for the bits-scaled twin (see run_pair_sweep): base
+    # bits at 1×, base + log2(N) at N× — equal occupancy at both ends.
+    b1 = _builder(spark, dir1, ANN_BITS)
     bn = _builder(spark, dirn, scaled_bits)
     for name in names:  # warm: JIT, page cache, shared persisted indexes
         b1(name).write.format("noop").mode("overwrite").save()
@@ -461,12 +589,32 @@ def main() -> None:
         )
         payload["base_sf_dir"] = src
         payload["ann_bits_scaled_to"] = scaled_bits
+        # Embed the full sweep's 1x->8x exponent next to each 1x->Nx fit
+        # so the no-knee comparison is one field away, not a cross-file
+        # join. Exponents DRIFTING TOWARD 1.0 at the larger N is the
+        # expected shape (fixed costs amortize; linear is perfect
+        # scaling for per-row work) — a knee would show as >1.
+        artifact_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "SCALE_STRESS.json",
+        )
+        if os.path.exists(artifact_path):
+            with open(artifact_path) as f:
+                full = json.load(f).get("queries", {})
+            for q, entry in payload["queries"].items():
+                base = q.removesuffix("_tau07")
+                if base in full:
+                    entry["octave_exponent_1x_8x"] = full[base].get("exponent")
+        for q, note in SECOND_DECADE_ANNOTATIONS.items():
+            if q in payload["queries"]:
+                payload["queries"][q]["annotation"] = note
         payload["notes"] = (
             "Second-decade check of the five heaviest queries: exponents "
             "fitted on 1x->{n}x to compare against the full sweep's "
-            "1x->8x fit — agreement means no knee between the decades. "
-            "Same replication transform and interleaved-timing "
-            "methodology as the full sweep."
+            "1x->8x fit (octave_exponent_1x_8x per query) — agreement "
+            "means no knee between the decades. Same replication "
+            "transform; per-query cache-isolated warm/time pairs (see "
+            "run_pair_sweep)."
         ).replace("{n}", str(n))
         path = _merge_into_artifact("second_decade", payload)
         spark.stop()
