@@ -1,0 +1,108 @@
+"""Order-independent table checksums — 100 TB reconciliation.
+
+Not in the reference (SURVEY.md §2.11 north-star extensions): validating
+that two copies of a table are identical — after a migration, a replica
+sync, an engine swap, or a compaction/Z-order re-layout — without sorting
+or co-shuffling either side. The tool is a *commutative* content hash:
+
+* canonicalize each row to one string (integer-quantized doubles, epoch-
+  micros timestamps, null sentinel, field separator — so the form is
+  engine-portable by construction, the whole point of a reconciliation
+  checksum);
+* hash it twice with independent salts (md5-derived 60-bit values, see
+  ``functions/hashing.py``);
+* fold each with ``bit_xor`` — associative + commutative, so the
+  aggregation is one map-side-combined pass with NO order sensitivity,
+  no overflow (unlike integer sums, which also turn HUGEINT in DuckDB),
+  and a byte-identical result under any partitioning, AQE re-plan, or
+  row order. Two independent salts + the row count make pair-cancellation
+  collisions (the classic xor weakness: two rows duplicated an even
+  number of times) need to cancel in BOTH 60-bit spaces at once.
+
+The per-table result is one tiny row — compare it across sides to verify
+a petabyte copy with a single scan each and O(1) network. The registry
+query checksums ``lineitem`` (the driver's DuckDB run recomputing the
+identical value IS a live cross-engine reconciliation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_hash64, md5_hash64_sql
+
+# Independent checksum salts; versioned with the canonical form.
+CK_SALT_A = "ck-a-v1:"
+CK_SALT_B = "ck-b-v1:"
+_NULL = "\\N"   # canonical null sentinel (never collides with a value)
+_SEP = "|"
+
+# (column, kind) canonicalization spec for lineitem. Doubles are exact
+# 2-decimal business values; quantizing to integer cents makes the form
+# identical across engines (both Spark and DuckDB round() ties away from
+# zero for positives, and the *100 product is within an ulp of the
+# integer, so both land on the same BIGINT).
+LINEITEM_CANON = [
+    ("l_orderkey", "int"),
+    ("l_partkey", "int"),
+    ("l_suppkey", "int"),
+    ("l_linenumber", "int"),
+    ("l_quantity", "cents"),
+    ("l_extendedprice", "cents"),
+    ("l_discount", "cents"),
+    ("l_tax", "cents"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+]
+
+
+def _canon_col(name: str, kind: str) -> Column:
+    c = F.col(name)
+    if kind == "cents":
+        c = F.round(c * 100, 0).cast("bigint")
+    elif kind == "ts":
+        c = F.unix_micros(c)
+    return F.coalesce(c.cast("string"), F.lit(_NULL))
+
+
+def _canon_sql(name: str, kind: str) -> str:
+    if kind == "cents":
+        e = f"CAST(round({name} * 100, 0) AS BIGINT)"
+    elif kind == "ts":
+        e = f"epoch_us({name})"
+    else:
+        e = name
+    return f"coalesce(CAST({e} AS VARCHAR), '{_NULL}')"
+
+
+def table_checksum(
+    df: DataFrame, canon: list[tuple[str, str]]
+) -> DataFrame:
+    """One row: (n_rows, ck_a, ck_b) — the order-independent content
+    checksum of ``df`` under the given canonicalization spec."""
+    row = F.concat_ws(_SEP, *[_canon_col(n, k) for n, k in canon])
+    return df.select(
+        md5_hash64(F.concat(F.lit(CK_SALT_A), row)).alias("__ha"),
+        md5_hash64(F.concat(F.lit(CK_SALT_B), row)).alias("__hb"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(__ha)").alias("ck_a"),
+        F.expr("bit_xor(__hb)").alias("ck_b"),
+    )
+
+
+def table_checksum_sql(table: str, canon: list[tuple[str, str]]) -> str:
+    """DuckDB oracle: the identical canonical form, salts, and xor fold."""
+    row = "concat_ws('{sep}', {cols})".format(
+        sep=_SEP, cols=", ".join(_canon_sql(n, k) for n, k in canon)
+    )
+    ha = md5_hash64_sql(f"'{CK_SALT_A}' || {row}")
+    hb = md5_hash64_sql(f"'{CK_SALT_B}' || {row}")
+    return f"""
+SELECT count(*) AS n_rows,
+       bit_xor({ha}) AS ck_a,
+       bit_xor({hb}) AS ck_b
+FROM {table}
+"""

@@ -19,10 +19,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .functions import text as TX
+from .operators import cdc as CDC
 from .operators import dedup as D
 from .operators import kcenter as KC
 from .operators import multimodal as MM
 from .operators import outliers as O
+from .operators import reconcile as RC
 from .operators import similarity as SIM
 from .plans import relational as R
 from .sources.tables import (
@@ -1170,6 +1172,30 @@ register(
     "embedding_incremental_ingest",
     _incr_embedding,
     SIM.incremental_embedding_pairs_sql(_EMB_BATCH_PRED),
+)
+
+
+# CDC MERGE / upsert: snapshot(log < T) full-outer a key-reduced
+# changelog(log ≥ T) with tombstone deletes — the oracle recomputes both
+# MERGE inputs independently, so a green row pins the compaction algebra
+# (merge of halves ≡ compaction of the whole log), not just the plan.
+register(
+    "cdc_merged_state",
+    lambda spark, sf: CDC.cdc_merged_state(load_table(spark, sf, "events")),
+    CDC.cdc_merged_state_sql(),
+)
+
+
+# Order-independent table checksum: commutative bit_xor fold of a
+# canonicalized double-salted row hash — one tiny row per side verifies a
+# petabyte copy. The driver's DuckDB recompute IS a live cross-engine
+# reconciliation of lineitem.
+register(
+    "lineitem_checksum",
+    lambda spark, sf: RC.table_checksum(
+        load_table(spark, sf, "lineitem"), RC.LINEITEM_CANON
+    ),
+    RC.table_checksum_sql("lineitem", RC.LINEITEM_CANON),
 )
 
 

@@ -524,6 +524,16 @@ def run_interleaved(
     from bigdata_hwk_spark.operators.similarity import ANN_BITS
 
     names = list(registry.QUERIES) + ["ann_lsh_pairs_bits_scaled"]
+    # SCALE_STRESS_QUERIES=a,b,c restricts the sweep — newly registered
+    # queries get measured into the committed artifact without re-timing
+    # the other ~90 (the merge path in main() keeps their entries).
+    only = os.environ.get("SCALE_STRESS_QUERIES")
+    if only:
+        want = [q.strip() for q in only.split(",") if q.strip()]
+        unknown = sorted(set(want) - set(names))
+        if unknown:
+            raise SystemExit(f"unknown SCALE_STRESS_QUERIES: {unknown}")
+        names = want
     # Per-side bits for the bits-scaled twin (see run_pair_sweep): base
     # bits at 1×, base + log2(N) at N× — equal occupancy at both ends.
     b1 = _builder(spark, dir1, ANN_BITS)
@@ -693,6 +703,42 @@ def main() -> None:
                 worst = (name, ratio)
             if not entry["within_linear_budget"]:
                 budget_breaks.append(name)
+
+    artifact = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_STRESS.json",
+    )
+    if os.environ.get("SCALE_STRESS_QUERIES") and os.path.exists(artifact):
+        # Subset run: merge the new entries into the committed sweep and
+        # recompute the cross-query summary fields over the union. The
+        # canary field reflects the latest (subset) run; per-entry
+        # timings keep whichever run produced them.
+        with open(artifact) as f:
+            prev = json.load(f)
+        prev["queries"].update(queries)
+        prev["n_queries"] = len(prev["queries"])
+        prev["canary"] = canary
+        worst = ("", 0.0)
+        budget_breaks = []
+        for name, entry in prev["queries"].items():
+            if name == "ann_lsh_pairs" or "annotation" in entry:
+                continue
+            if entry["ratio"] > worst[1]:
+                worst = (name, entry["ratio"])
+            if not entry["within_linear_budget"]:
+                budget_breaks.append(name)
+        prev["worst_scaled_query"] = worst[0]
+        prev["worst_ratio_over_n"] = round(worst[1] / n, 2)
+        prev["budget_breaks"] = budget_breaks
+        with open(artifact, "w") as f:
+            json.dump(prev, f, indent=1, sort_keys=True)
+        spark.stop()
+        print(json.dumps({
+            "mode": "full-subset", "n": n, "written": artifact,
+            "queries": {q: e["ratio"] for q, e in queries.items()},
+        }))
+        return
+
     out = {
         "n_replicas": n,
         "base_sf_dir": src,

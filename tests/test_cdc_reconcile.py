@@ -1,0 +1,149 @@
+"""CDC MERGE/upsert + reconciliation-checksum semantics.
+
+The registry oracle rows (swept in test_outliers / test_extensions) pin
+cross-engine equality; these tests pin the operators' OWN contracts: the
+MERGE branch semantics and compaction algebra, and the checksum's
+order-independence / sensitivity trade-offs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from bigdata_hwk_spark.operators import cdc as CDC
+from bigdata_hwk_spark.operators import reconcile as RC
+from bigdata_hwk_spark.sources.tables import load_table
+
+from .conftest import SF_CORRECT, assert_matches_oracle
+
+EVENT_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double"
+)
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, f"2024-01-{d:02d} 00:00:00", u, t, v)
+            for i, (d, u, t, v) in enumerate(rows)
+        ],
+        "event_id bigint, ts string, user_id bigint, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_merge_branches_all_fire(spark):
+    """One key per MERGE branch: kept / updated / inserted / deleted /
+    insert-suppressed-by-tombstone / base-deletion-then-reinsert."""
+    # day < 16 → snapshot half; day >= 16 → batch half
+    log = _log(
+        spark,
+        [
+            (2, 1, "view", 1.0),                     # kept
+            (3, 2, "view", 2.0), (20, 2, "click", 2.5),   # updated
+            (21, 3, "signup", 3.0),                  # inserted
+            (4, 4, "view", 4.0), (22, 4, "error", 0.0),   # deleted
+            (23, 5, "error", 0.0),                   # batch-only tombstone
+            (5, 6, "error", 0.0), (24, 6, "signup", 6.0),  # dead base, reinsert
+        ],
+    )
+    out = {r.user_id: r for r in CDC.cdc_merged_state(log).collect()}
+    assert set(out) == {1, 2, 3, 6}
+    assert out[1].action == "kept" and out[1].state_value == 1.0
+    assert out[2].action == "updated" and out[2].state_type == "click"
+    assert out[3].action == "inserted"
+    # key 6's base state was tombstoned, so the batch signup INSERTS
+    assert out[6].action == "inserted" and out[6].state_value == 6.0
+
+
+def test_merge_last_writer_wins_within_batch(spark):
+    """A batch touching one key many times collapses to its LAST event
+    (ts, then event_id tiebreak) before the merge ever sees it."""
+    log = _log(
+        spark,
+        [(2, 1, "view", 1.0),
+         (20, 1, "click", 10.0), (20, 1, "view", 20.0), (25, 1, "click", 30.0)],
+    )
+    reduced = CDC.reduce_changelog(
+        log.filter("ts >= timestamp '2024-01-16 00:00:00'")
+    ).collect()
+    assert len(reduced) == 1  # key-unique by contract
+    (r,) = CDC.merge_upsert(
+        CDC.log_state(log.filter("ts < timestamp '2024-01-16 00:00:00'")),
+        CDC.reduce_changelog(
+            log.filter("ts >= timestamp '2024-01-16 00:00:00'")
+        ),
+    ).collect()
+    assert r.state_value == 30.0 and r.action == "updated"
+
+
+@pytest.mark.parametrize("split", ["2024-01-08 00:00:00", "2024-01-23 12:00:00"])
+def test_merge_compaction_algebra_on_fixture(spark, split):
+    """merge(state(log<T), reduce(log≥T)) ≡ state(whole log) for ANY split
+    point T — the algebra that makes incremental MERGE maintenance sound.
+    (The registry oracle checks one T; this pins two more.)"""
+    events = load_table(spark, SF_CORRECT, "events")
+    merged = CDC.cdc_merged_state(events, split_ts=split)
+    direct = CDC.log_state(events)
+    cols = ["user_id", "state_type", "state_value", "updated_at"]
+    assert merged.select(*cols).exceptAll(direct.select(*cols)).count() == 0
+    assert direct.select(*cols).exceptAll(merged.select(*cols)).count() == 0
+
+
+def test_checksum_is_order_and_layout_independent(spark):
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    base = RC.table_checksum(li, RC.LINEITEM_CANON).collect()[0]
+    relaid = RC.table_checksum(
+        li.repartition(7, "l_partkey").sortWithinPartitions("l_quantity"),
+        RC.LINEITEM_CANON,
+    ).collect()[0]
+    assert (base.n_rows, base.ck_a, base.ck_b) == (
+        relaid.n_rows,
+        relaid.ck_a,
+        relaid.ck_b,
+    )
+
+
+def test_checksum_detects_single_cell_drift(spark):
+    """A one-row, one-cent perturbation moves BOTH salted checksums while
+    the row count stays put — the failure a sort-free reconciliation must
+    catch."""
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    base = RC.table_checksum(li, RC.LINEITEM_CANON).collect()[0]
+    drifted = li.withColumn(
+        "l_tax",
+        F.when(
+            (F.col("l_orderkey") == li.select("l_orderkey").head()[0])
+            & (F.col("l_linenumber") == 1),
+            F.col("l_tax") + 0.01,
+        ).otherwise(F.col("l_tax")),
+    )
+    got = RC.table_checksum(drifted, RC.LINEITEM_CANON).collect()[0]
+    assert got.n_rows == base.n_rows
+    assert got.ck_a != base.ck_a and got.ck_b != base.ck_b
+
+
+def test_checksum_count_guards_xor_cancellation(spark):
+    """xor's known blind spot — a row duplicated an even number of times
+    cancels out — is exactly why n_rows is part of the checksum tuple."""
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    one = li.limit(1)
+    doubled = li.unionAll(one).unionAll(one)
+    base = RC.table_checksum(li, RC.LINEITEM_CANON).collect()[0]
+    got = RC.table_checksum(doubled, RC.LINEITEM_CANON).collect()[0]
+    assert (got.ck_a, got.ck_b) == (base.ck_a, base.ck_b)  # xor cancels…
+    assert got.n_rows == base.n_rows + 2  # …the count does not
+
+
+def test_new_queries_match_oracle_at_gate_sf(spark):
+    """Driver-scale (sf0.01) oracle equality for both new registry rows —
+    the smoke sweep covers sf0.001; this is the gate SF."""
+    from bigdata_hwk_spark import registry
+
+    for name in ("cdc_merged_state", "lineitem_checksum"):
+        assert_matches_oracle(
+            registry.QUERIES[name](spark, SF_CORRECT),
+            registry.ORACLES[name],
+            SF_CORRECT,
+        )
