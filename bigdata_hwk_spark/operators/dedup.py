@@ -347,9 +347,9 @@ def tfidf_doc_similarity(
     Representation: word-``w``-gram shingle MULTISET per doc, weighted
     ``tf · ln(N/df)``, restricted to shingles with ``df·2 ≤ N`` (the
     median-df cap — integer comparison, so both engines prune the exact
-    same vocabulary) and ``df ≤ cut`` (the hot-shingle guard; a no-op at
-    fixture scale so the DuckDB oracle, which carries only the median
-    cap, stays exact — same contract as SHINGLE_DF_CUT). The cap is
+    same vocabulary) and ``df ≤ cut`` (the hot-shingle guard, mirrored
+    verbatim in the DuckDB oracle so both predicates are definitionally
+    identical — same contract as SHINGLE_DF_CUT). The cap is
     semantic, not just protective: idf of a shingle in most documents is
     ~0, so dropping the hot half of the vocabulary changes scores only
     at the 3rd decimal while bounding every posting list.
@@ -402,14 +402,21 @@ def tfidf_doc_similarity(
 
 
 def tfidf_doc_similarity_sql(
-    tau: float = TFIDF_COS_TAU, w: int = SHINGLE_W
+    tau: float = TFIDF_COS_TAU,
+    w: int = SHINGLE_W,
+    cut: int = SHINGLE_DF_CUT,
 ) -> str:
+    # The kept CTE mirrors BOTH Spark-side prunes — the median-df cap AND
+    # the hot-shingle cut — as the same exact integer predicates, so the
+    # oracle is definitionally identical rather than coincidentally so at
+    # fixture scale (round-8 ADVICE).
     return f"""
 WITH grams AS ({shingles_sql(w, distinct=False)}),
 tf AS (SELECT doc_id, sh, count(*) AS tf FROM grams GROUP BY doc_id, sh),
 df AS (SELECT sh, count(*) AS df FROM tf GROUP BY sh),
 ncnt AS (SELECT count(*) AS cnt FROM documents),
-kept AS (SELECT sh, df FROM df WHERE df * 2 <= (SELECT cnt FROM ncnt)),
+kept AS (SELECT sh, df FROM df
+         WHERE df * 2 <= (SELECT cnt FROM ncnt) AND df <= {cut}),
 w AS (SELECT tf.doc_id, tf.sh,
              tf.tf * ln((SELECT cnt FROM ncnt)::DOUBLE / kept.df) AS wt
       FROM tf JOIN kept USING (sh)),

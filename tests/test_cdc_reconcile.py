@@ -108,16 +108,37 @@ def test_checksum_is_order_and_layout_independent(spark):
 def test_checksum_detects_single_cell_drift(spark):
     """A one-row, one-cent perturbation moves BOTH salted checksums while
     the row count stays put — the failure a sort-free reconciliation must
-    catch."""
+    catch.
+
+    The perturbed row is picked FROM THE DATA and the predicate pins all
+    of (orderkey, linenumber, tax), then the test asserts the perturbation
+    actually touched ≥1 row before comparing checksums: the round-8
+    version of this test assumed TPC-H-shaped linenumbers (1..k) that the
+    synthetic fixture doesn't have, matched zero rows, and failed
+    vacuously (round-8 VERDICT "What's wrong" #1).
+    """
     li = load_table(spark, SF_CORRECT, "lineitem")
     base = RC.table_checksum(li, RC.LINEITEM_CANON).collect()[0]
+    canon_cols = [c for c, _ in RC.LINEITEM_CANON]
+    # Perturb a canonical-row group with ODD multiplicity so the xor fold
+    # cannot pair-cancel the identically-modified duplicates.
+    target = (
+        li.groupBy(*canon_cols)
+        .count()
+        .filter(F.col("count") % 2 == 1)
+        .head()
+    )
+    assert target is not None, (
+        "fixture-validity guard: need at least one odd-multiplicity row"
+    )
+    hit = None
+    for c in canon_cols:
+        p = F.col(c).eqNullSafe(F.lit(target[c]))
+        hit = p if hit is None else (hit & p)
+    n_hit = li.filter(hit).count()
+    assert n_hit == target["count"] and n_hit % 2 == 1
     drifted = li.withColumn(
-        "l_tax",
-        F.when(
-            (F.col("l_orderkey") == li.select("l_orderkey").head()[0])
-            & (F.col("l_linenumber") == 1),
-            F.col("l_tax") + 0.01,
-        ).otherwise(F.col("l_tax")),
+        "l_tax", F.when(hit, F.col("l_tax") + 0.01).otherwise(F.col("l_tax"))
     )
     got = RC.table_checksum(drifted, RC.LINEITEM_CANON).collect()[0]
     assert got.n_rows == base.n_rows
@@ -126,14 +147,50 @@ def test_checksum_detects_single_cell_drift(spark):
 
 def test_checksum_count_guards_xor_cancellation(spark):
     """xor's known blind spot — a row duplicated an even number of times
-    cancels out — is exactly why n_rows is part of the checksum tuple."""
+    cancels out — is exactly why n_rows is part of the checksum tuple,
+    and why ck_m folds over (row, multiplicity) pairs."""
     li = load_table(spark, SF_CORRECT, "lineitem")
     one = li.limit(1)
     doubled = li.unionAll(one).unionAll(one)
     base = RC.table_checksum(li, RC.LINEITEM_CANON).collect()[0]
     got = RC.table_checksum(doubled, RC.LINEITEM_CANON).collect()[0]
     assert (got.ck_a, got.ck_b) == (base.ck_a, base.ck_b)  # xor cancels…
-    assert got.n_rows == base.n_rows + 2  # …the count does not
+    assert got.n_rows == base.n_rows + 2  # …the count does not…
+    assert got.ck_m != base.ck_m  # …and neither does the multiplicity fold
+
+
+def test_checksum_multiplicity_closes_even_modification_blind_spot(spark):
+    """An EVEN number of canonically-identical rows all receiving the SAME
+    modification cancels in both salted xor spaces while n_rows stays put
+    (round-8 VERDICT missing #2) — ck_m must still move, because the
+    (row_hash, multiplicity) pair itself changed."""
+    one = load_table(spark, SF_CORRECT, "lineitem").limit(1)
+    base_t = one.unionAll(one)
+    mod = one.withColumn("l_tax", F.col("l_tax") + 0.01)
+    drift_t = mod.unionAll(mod)
+    base = RC.table_checksum(base_t, RC.LINEITEM_CANON).collect()[0]
+    got = RC.table_checksum(drift_t, RC.LINEITEM_CANON).collect()[0]
+    assert got.n_rows == base.n_rows == 2
+    # the documented xor blind spot: both salted folds cancel to equality
+    assert (got.ck_a, got.ck_b) == (base.ck_a, base.ck_b)
+    # …but the multiplicity-aware fold catches the drift
+    assert got.ck_m != base.ck_m
+
+
+def test_checksum_grouped_form_matches_plain_fold(spark):
+    """ck_a/ck_b are DEFINITIONALLY identical between the grouped
+    (multiplicity=True) plan and the original zero-shuffle fold: xor of a
+    value repeated c times is the value iff c is odd."""
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    grouped = RC.table_checksum(li, RC.LINEITEM_CANON).collect()[0]
+    plain = RC.table_checksum(
+        li, RC.LINEITEM_CANON, multiplicity=False
+    ).collect()[0]
+    assert (grouped.n_rows, grouped.ck_a, grouped.ck_b) == (
+        plain.n_rows,
+        plain.ck_a,
+        plain.ck_b,
+    )
 
 
 def test_new_queries_match_oracle_at_gate_sf(spark):

@@ -40,6 +40,7 @@ EXTENSION_ORACLE_QUERIES = [
     "doc_chunks",
     "documents_profile",
     "embedding_norm_by_lang",
+    "tfidf_doc_similarity",
 ]
 
 
