@@ -497,7 +497,8 @@ def doctor_pii(documents: DataFrame) -> DataFrame:
     """Deterministically embed synthetic PII into the fixture text (the
     corpus itself is PII-free, which would make the scrub a no-op): every
     3rd doc gains an email, every 5th a URL, every 7th a phone number.
-    The DuckDB twin is ``DOCTOR_PII_SQL_EXPR``."""
+    The DuckDB twin is ``DOCTOR_PII_SQL_EXPR``. Non-text columns pass
+    through so downstream audits can group by them."""
     did = F.col("doc_id")
     text = F.concat(
         F.col("text"),
@@ -514,7 +515,8 @@ def doctor_pii(documents: DataFrame) -> DataFrame:
             F.concat(F.lit(" call +1555"), F.lpad(did.cast("string"), 7, "0")),
         ).otherwise(F.lit("")),
     )
-    return documents.select("doc_id", text.alias("text"))
+    rest = [c for c in documents.columns if c not in ("doc_id", "text")]
+    return documents.select("doc_id", text.alias("text"), *rest)
 
 
 DOCTOR_PII_SQL_EXPR = (
@@ -526,6 +528,70 @@ DOCTOR_PII_SQL_EXPR = (
     " || CASE WHEN doc_id % 7 = 0"
     " THEN ' call +1555' || lpad(doc_id::VARCHAR, 7, '0') ELSE '' END"
 )
+
+
+def pii_release_audit(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(source, n_docs, n_docs_with_pii, n_masks, scrubbed_fingerprint) —
+    the O(sources) release gate a petabyte scrub reports.
+
+    ``pii_scrub`` emits one row per document (O(rows) driver transfer if
+    collected); a 100 TB release wants one row per SOURCE: how many docs
+    were touched, how many masks were applied, and an order-independent
+    ``bit_xor`` fold of the scrubbed texts' salted 60-bit hashes — the
+    same commutative-fingerprint construction as the reconciliation
+    checksums (operators/reconcile.py), so a bit-identical fingerprint
+    between two runs (or two engines — the DuckDB oracle recomputes it)
+    certifies a bit-identical released corpus with O(1) network. Same
+    patterns, same scrub order as ``pii_scrub``; pure codegen projection
+    then one map-side-combined aggregation."""
+    from ..functions.hashing import md5_hash64
+
+    cur = F.col(text_col)
+    n_masks = F.lit(0)
+    for _alias, pat, token in _PII_ORDER:
+        n_masks = n_masks + F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, token)
+    per_doc = documents.select(
+        "source",
+        n_masks.cast("bigint").alias("__m"),
+        md5_hash64(cur).alias("__h"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("__m") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_with_pii"),
+        F.sum("__m").alias("n_masks"),
+        F.expr("bit_xor(__h)").alias("scrubbed_fingerprint"),
+    )
+
+
+def pii_release_audit_sql(text_expr: str = "text") -> str:
+    from ..functions.hashing import md5_hash64_sql
+
+    cur = text_expr
+    counts = []
+    for _alias, pat, token in _PII_ORDER:
+        counts.append(f"len(regexp_extract_all({cur}, '{pat}'))")
+        cur = f"regexp_replace({cur}, '{pat}', '{token}', 'g')"
+    n_masks = " + ".join(counts)
+    h = md5_hash64_sql(cur)
+    return f"""
+WITH per_doc AS (
+  SELECT source,
+         CAST({n_masks} AS BIGINT) AS m,
+         {h} AS h
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_with_pii,
+       CAST(sum(m) AS BIGINT) AS n_masks,
+       bit_xor(h) AS scrubbed_fingerprint
+FROM per_doc
+GROUP BY source
+"""
 
 
 def token_length_histogram(documents: DataFrame) -> DataFrame:

@@ -151,6 +151,185 @@ def table_checksum(
     )
 
 
+def partition_checksums(
+    df: DataFrame,
+    canon: list[tuple[str, str]],
+    part: Column,
+    part_name: str = "part",
+) -> DataFrame:
+    """Per-partition reconciliation checksums — drift LOCALIZATION.
+
+    ``table_checksum`` says whether two sides differ; this says WHERE:
+    one (part, n_rows, ck_a, ck_b, ck_m) row per value of ``part`` (e.g.
+    a date-derived partition key), so a mismatch narrows to one
+    partition and a 100 TB reconciliation becomes a per-partition binary
+    search instead of a full re-copy. Same canonical form, salts, and
+    folds as the table checksum (grouped parity rewrite — one scan, one
+    shuffle keyed by (part, row-hash) with map-side combine, then the
+    tiny per-partition fold).
+    """
+    row = F.concat_ws(_SEP, *[_canon_col(n, k) for n, k in canon])
+    h = df.select(
+        part.alias(part_name),
+        md5_hash64(F.concat(F.lit(CK_SALT_A), row)).alias("__ha"),
+        md5_hash64(F.concat(F.lit(CK_SALT_B), row)).alias("__hb"),
+    )
+    hm = md5_hash64(
+        F.concat(
+            F.lit(CK_SALT_M),
+            F.col("__ha").cast("string"),
+            F.lit(":"),
+            F.col("__hb").cast("string"),
+            F.lit(":"),
+            F.col("__c").cast("string"),
+        )
+    )
+    return (
+        h.groupBy(part_name, "__ha", "__hb")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .select(part_name, "__ha", "__hb", "__c", hm.alias("__hm"))
+        .groupBy(part_name)
+        .agg(
+            F.sum("__c").cast("bigint").alias("n_rows"),
+            F.expr(
+                "bit_xor(CASE WHEN __c % 2 = 1 THEN __ha ELSE 0 END)"
+            ).alias("ck_a"),
+            F.expr(
+                "bit_xor(CASE WHEN __c % 2 = 1 THEN __hb ELSE 0 END)"
+            ).alias("ck_b"),
+            F.expr("bit_xor(__hm)").alias("ck_m"),
+        )
+    )
+
+
+def partition_checksums_sql(
+    table: str,
+    canon: list[tuple[str, str]],
+    part_expr: str,
+    part_name: str = "part",
+) -> str:
+    """DuckDB oracle for :func:`partition_checksums`."""
+    row = "concat_ws('{sep}', {cols})".format(
+        sep=_SEP, cols=", ".join(_canon_sql(n, k) for n, k in canon)
+    )
+    ha = md5_hash64_sql(f"'{CK_SALT_A}' || {row}")
+    hb = md5_hash64_sql(f"'{CK_SALT_B}' || {row}")
+    hm = md5_hash64_sql(
+        f"'{CK_SALT_M}' || CAST(ha AS VARCHAR) || ':' || "
+        "CAST(hb AS VARCHAR) || ':' || CAST(c AS VARCHAR)"
+    )
+    return f"""
+WITH h AS (SELECT {part_expr} AS {part_name}, {ha} AS ha, {hb} AS hb
+           FROM {table}),
+g AS (SELECT {part_name}, ha, hb, count(*) AS c FROM h
+      GROUP BY {part_name}, ha, hb)
+SELECT {part_name},
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       bit_xor(CASE WHEN c % 2 = 1 THEN ha ELSE 0 END) AS ck_a,
+       bit_xor(CASE WHEN c % 2 = 1 THEN hb ELSE 0 END) AS ck_b,
+       bit_xor({hm}) AS ck_m
+FROM g
+GROUP BY {part_name}
+"""
+
+
+def canon_row(canon: list[tuple[str, str]]) -> Column:
+    """The canonical row string as a Spark column (shared by the diff)."""
+    return F.concat_ws(_SEP, *[_canon_col(n, k) for n, k in canon])
+
+
+def canon_row_sql(canon: list[tuple[str, str]]) -> str:
+    """The identical canonical row string in DuckDB SQL."""
+    return "concat_ws('{sep}', {cols})".format(
+        sep=_SEP, cols=", ".join(_canon_sql(n, k) for n, k in canon)
+    )
+
+
+def table_diff(
+    left: DataFrame, right: DataFrame, canon: list[tuple[str, str]]
+) -> DataFrame:
+    """Row-level reconciliation: (row_canon, n_left, n_right) for every
+    canonical row whose multiplicity differs between the two sides.
+
+    The checksum family answers "do the sides differ / in which
+    partition"; this answers WHICH rows — modified rows surface as two
+    output rows (the old form with n_right = 0, the new form with
+    n_left = 0), insert/delete as one-sided rows, and duplicate-count
+    drift as differing positive counts. Multiset semantics throughout
+    (EXCEPT ALL in both directions, as one pass).
+
+    Plan: per-side groupBy on the canonical string (map-side combined —
+    the shuffle carries distinct rows, the unavoidable lower bound for a
+    row-level diff), one full-outer equi-join on the string, filter on
+    count inequality. At 100 TB this runs AFTER partition_checksums has
+    narrowed the scan to the drifted partitions, so the distinct-row
+    shuffle is per-partition-sized, not corpus-sized.
+    """
+    row = canon_row(canon)
+    lg = left.select(row.alias("row_canon")).groupBy("row_canon").agg(
+        F.count(F.lit(1)).alias("n_left")
+    )
+    rg = right.select(row.alias("row_canon")).groupBy("row_canon").agg(
+        F.count(F.lit(1)).alias("n_right")
+    )
+    return (
+        lg.join(rg, "row_canon", "full_outer")
+        .select(
+            "row_canon",
+            F.coalesce("n_left", F.lit(0)).cast("bigint").alias("n_left"),
+            F.coalesce("n_right", F.lit(0)).cast("bigint").alias("n_right"),
+        )
+        .filter(F.col("n_left") != F.col("n_right"))
+    )
+
+
+def table_diff_sql(
+    left_sql: str, right_sql: str, canon: list[tuple[str, str]]
+) -> str:
+    """DuckDB oracle for :func:`table_diff` over two table expressions
+    (each a full SELECT producing the table's columns)."""
+    row = canon_row_sql(canon)
+    return f"""
+WITH lg AS (SELECT {row} AS row_canon, count(*) AS n_left
+            FROM ({left_sql}) GROUP BY 1),
+rg AS (SELECT {row} AS row_canon, count(*) AS n_right
+       FROM ({right_sql}) GROUP BY 1)
+SELECT row_canon,
+       CAST(coalesce(n_left, 0) AS BIGINT) AS n_left,
+       CAST(coalesce(n_right, 0) AS BIGINT) AS n_right
+FROM lg FULL OUTER JOIN rg USING (row_canon)
+WHERE coalesce(n_left, 0) <> coalesce(n_right, 0)
+"""
+
+
+def drifted_replica(df: DataFrame) -> DataFrame:
+    """A deterministically-drifted "replica" of lineitem (fixture glue
+    for the diff registry query): one-cent l_tax drift on orderkeys
+    divisible by 997, deletions on 499, duplications on 503 — one of
+    each drift class the diff must classify. The same expression runs in
+    DuckDB (:func:`drifted_replica_sql`)."""
+    ok = F.col("l_orderkey")
+    modified = df.withColumn(
+        "l_tax",
+        F.when(ok % 997 == 0, F.col("l_tax") + 0.01).otherwise(
+            F.col("l_tax")
+        ),
+    ).filter(ok % 499 != 0)
+    return modified.unionAll(modified.filter(ok % 503 == 0))
+
+
+def drifted_replica_sql(table: str = "lineitem") -> str:
+    cols = ", ".join(
+        "CASE WHEN l_orderkey % 997 = 0 THEN l_tax + 0.01 ELSE l_tax END"
+        " AS l_tax"
+        if n == "l_tax"
+        else n
+        for n, _ in LINEITEM_CANON
+    )
+    base = f"SELECT {cols} FROM {table} WHERE l_orderkey % 499 <> 0"
+    return f"{base} UNION ALL SELECT * FROM ({base}) WHERE l_orderkey % 503 = 0"
+
+
 def table_checksum_sql(
     table: str,
     canon: list[tuple[str, str]],

@@ -1199,6 +1199,67 @@ register(
 )
 
 
+# --- round-9 reconciliation suite: localization + row-level diff ---
+# partition_checksums narrows "the sides differ" to a ship-month;
+# table_diff then names the drifted rows (run per-partition at scale).
+def _month_checksums(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return RC.partition_checksums(
+        load_table(spark, sf, "lineitem"),
+        RC.LINEITEM_CANON,
+        F.date_format("l_shipdate", "yyyy-MM"),
+        "ship_month",
+    )
+
+
+register(
+    "lineitem_month_checksums",
+    _month_checksums,
+    RC.partition_checksums_sql(
+        "lineitem",
+        RC.LINEITEM_CANON,
+        "strftime(l_shipdate, '%Y-%m')",
+        "ship_month",
+    ),
+)
+
+register(
+    "lineitem_replica_diff",
+    lambda spark, sf: RC.table_diff(
+        load_table(spark, sf, "lineitem"),
+        RC.drifted_replica(load_table(spark, sf, "lineitem")),
+        RC.LINEITEM_CANON,
+    ),
+    RC.table_diff_sql(
+        "SELECT * FROM lineitem", RC.drifted_replica_sql(), RC.LINEITEM_CANON
+    ),
+)
+
+
+# --- sequence packing + PII release audit (LLM-pipeline release steps) ---
+from .operators import packing as PK  # noqa: E402
+
+register(
+    "doc_pack_sequences",
+    lambda spark, sf: PK.pack_sequences(_docs(spark, sf)),
+    PK.pack_sequences_sql(),
+)
+register(
+    "doc_packing_stats",
+    lambda spark, sf: PK.packing_stats(_docs(spark, sf)),
+    PK.packing_stats_sql(),
+)
+# Per-source O(1) release gate over the existing pii_scrub patterns: the
+# xor fingerprint is the reconciliation-checksum construction applied to
+# the scrubbed corpus (two engines recomputing it IS the release check).
+register(
+    "pii_release_audit",
+    lambda spark, sf: TX.pii_release_audit(TX.doctor_pii(_docs(spark, sf))),
+    TX.pii_release_audit_sql(f"({TX.DOCTOR_PII_SQL_EXPR})"),
+)
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering (rotating — round-6 VERDICT item 8)
 # ---------------------------------------------------------------------------

@@ -13,33 +13,34 @@ the per-round discipline:
   (max(VARIANCE_ABS_SEC, VARIANCE_REL * previous wall)) in either
   direction,
 * writes ``BENCH_REGRESSION_NOTES_r{N}.json`` with the full diff table,
-  the flagged set, and a ``watchlist`` section that tracks the queries
-  the previous round's verdict called out explicitly.
+  the flagged set, and a ``watchlist`` section that tracks whether the
+  queries the PREVIOUS round's notes flagged as regressions have
+  reverted to their pre-regression walls. The watchlist is sourced from
+  the previous round's committed notes file — not a hard-coded constant
+  — so it can never go stale (round-8 ADVICE).
 
 The variance band is taken from the measured run-to-run spread in
 ``BENCH_REGRESSION_NOTES_r07.json`` (same-session A/B repeats showed
 ~±0.2-0.25s swings on 1.5-3s queries, i.e. ~10-15%): a delta inside the
 band is noise by measurement, not by assertion.
 
-Usage: python scripts/bench_diff.py [prev.json cur.json]
+Usage: python scripts/bench_diff.py [prev.json cur.json] [--round N]
+
+With explicit file paths the round number is parsed from the current
+file's ``r(\\d+).json`` suffix; if it doesn't match, ``--round N`` is
+REQUIRED — the script errors out rather than silently writing
+``BENCH_REGRESSION_NOTES_r00.json`` (round-8 ADVICE).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import re
-import sys
 
 VARIANCE_ABS_SEC = 0.25
 VARIANCE_REL = 0.15
-
-# Queries the round-7 verdict explicitly asked round 8 to confirm
-# revert (r6 walls are the revert targets).
-WATCHLIST = {
-    "ann_ivf_topk": {"r6_wall_sec": 1.52, "r7_wall_sec": 1.762},
-    "decontamination_check": {"r6_wall_sec": 2.96, "r7_wall_sec": 3.156},
-}
 
 
 def _repo_dir() -> str:
@@ -62,18 +63,54 @@ def _load(path: str) -> dict[str, float]:
     return {k: float(v) for k, v in qs.items() if isinstance(v, (int, float))}
 
 
+def _prev_watchlist(round_no: int) -> dict[str, dict]:
+    """Regressions flagged in the previous round's committed notes file:
+    each maps to its pre-regression wall (that note's prev_sec) as the
+    revert target. Empty if no notes file exists for round_no - 1."""
+    path = os.path.join(
+        _repo_dir(), f"BENCH_REGRESSION_NOTES_r{round_no - 1:02d}.json"
+    )
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        notes = json.load(f)
+    out = {}
+    for q, e in notes.get("flagged_outside_band", {}).items():
+        if e.get("delta_sec", 0) > 0:  # regressions only, not improvements
+            out[q] = {
+                "source": os.path.basename(path),
+                "pre_regression_sec": e["prev_sec"],
+                "regressed_to_sec": e["cur_sec"],
+            }
+    return out
+
+
 def main() -> None:
-    if len(sys.argv) == 3:
-        prev_path, cur_path = sys.argv[1], sys.argv[2]
-        round_no = 0
-        m = re.search(r"r(\d+)\.json$", cur_path)
-        if m:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("files", nargs="*", help="explicit prev.json cur.json pair")
+    ap.add_argument("--round", type=int, default=None, dest="round_no")
+    args = ap.parse_args()
+
+    if args.files and len(args.files) != 2:
+        ap.error("give both prev.json and cur.json, or neither")
+    if args.files:
+        prev_path, cur_path = args.files
+        round_no = args.round_no
+        if round_no is None:
+            m = re.search(r"r(\d+)\.json$", cur_path)
+            if not m:
+                ap.error(
+                    f"cannot parse round number from {cur_path!r}; "
+                    "pass --round N explicitly"
+                )
             round_no = int(m.group(1))
     else:
         files = _detail_files()
         if len(files) < 2:
-            sys.exit("need two BENCH_DETAIL_r*.json files to diff")
+            ap.error("need two BENCH_DETAIL_r*.json files to diff")
         (_, prev_path), (round_no, cur_path) = files[-2], files[-1]
+        if args.round_no is not None:
+            round_no = args.round_no
 
     prev, cur = _load(prev_path), _load(cur_path)
     shared = sorted(set(prev) & set(cur))
@@ -94,13 +131,15 @@ def main() -> None:
             flagged[q] = entry
 
     watch = {}
-    for q, targets in WATCHLIST.items():
+    for q, targets in _prev_watchlist(round_no).items():
         if q in cur:
-            reverted = cur[q] <= targets["r6_wall_sec"] + VARIANCE_ABS_SEC
+            reverted = (
+                cur[q] <= targets["pre_regression_sec"] + VARIANCE_ABS_SEC
+            )
             watch[q] = {
                 **targets,
                 "cur_wall_sec": cur[q],
-                "reverted_to_r6_level": reverted,
+                "reverted_to_pre_regression_level": reverted,
             }
 
     payload = {
@@ -130,7 +169,8 @@ def main() -> None:
                 "shared": len(shared),
                 "flagged": sorted(flagged),
                 "watchlist": {
-                    q: w["reverted_to_r6_level"] for q, w in watch.items()
+                    q: w["reverted_to_pre_regression_level"]
+                    for q, w in watch.items()
                 },
             }
         )

@@ -41,6 +41,12 @@ EXTENSION_ORACLE_QUERIES = [
     "documents_profile",
     "embedding_norm_by_lang",
     "tfidf_doc_similarity",
+    # round-9 additions: reconciliation suite + as-of + packing + PII
+    "lineitem_month_checksums",
+    "lineitem_replica_diff",
+    "doc_pack_sequences",
+    "doc_packing_stats",
+    "pii_release_audit",
 ]
 
 

@@ -1,0 +1,173 @@
+"""Round-9 operator contracts: as-of join, sequence packing, PII
+scan/redact, partition checksums, and row-level table diff.
+
+The registry oracle rows pin cross-engine equality at three SFs; these
+tests pin the operators' OWN semantics on hand-computable inputs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from bigdata_hwk_spark.functions import text as TX
+from bigdata_hwk_spark.operators import reconcile as RC
+from bigdata_hwk_spark.operators.packing import PACK_BUDGET, pack_sequences
+from bigdata_hwk_spark.sources.tables import load_table
+
+from .conftest import SF_CORRECT
+
+
+# -------------------------------------------------------------- packing
+def test_pack_sequences_invariants(spark):
+    """Packing coordinates are a consistent stream layout per shard:
+    offsets live in [0, budget); a doc spans a boundary iff its tokens
+    run past the budget; per-shard (seq_id, seq_offset) follow the
+    running token sum exactly."""
+    docs = load_table(spark, SF_CORRECT, "documents")
+    packed = pack_sequences(docs).collect()
+    by_shard: dict[int, list] = {}
+    for r in packed:
+        assert 0 <= r.seq_offset < PACK_BUDGET
+        assert r.spans_boundary == (r.seq_offset + r.n_tokens > PACK_BUDGET)
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) > 1  # sharding actually spreads the corpus
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rows:
+            assert r.seq_id == cum // PACK_BUDGET
+            assert r.seq_offset == cum % PACK_BUDGET
+            cum += r.n_tokens
+
+
+def test_pack_sequences_deterministic_under_repartition(spark):
+    """Layout is a pure function of (doc_id, text) — repartitioning the
+    input must not move a single document."""
+    docs = load_table(spark, SF_CORRECT, "documents")
+    a = {r.doc_id: (r.shard, r.seq_id, r.seq_offset)
+         for r in pack_sequences(docs).collect()}
+    b = {r.doc_id: (r.shard, r.seq_id, r.seq_offset)
+         for r in pack_sequences(docs.repartition(17)).collect()}
+    assert a == b
+
+
+# -------------------------------------------------- PII release audit
+def test_pii_release_audit_consistent_with_scrub(spark):
+    """The per-source audit must agree with the per-doc scrub it
+    summarizes: doc counts, mask totals, and the docs-touched count."""
+    docs = TX.doctor_pii(load_table(spark, SF_CORRECT, "documents"))
+    audit = {r.source: r for r in TX.pii_release_audit(docs).collect()}
+    scrub = TX.pii_scrub(docs)
+    src = docs.select("doc_id", "source")
+    per_src = (
+        scrub.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.col("n_urls") + F.col("n_emails") + F.col("n_phones")
+            ).alias("n_masks"),
+            F.sum(
+                F.when(
+                    F.col("n_urls") + F.col("n_emails") + F.col("n_phones")
+                    > 0,
+                    1,
+                ).otherwise(0)
+            ).alias("touched"),
+        )
+        .collect()
+    )
+    assert len(per_src) == len(audit)
+    for r in per_src:
+        a = audit[r.source]
+        assert (a.n_docs, a.n_masks, a.n_docs_with_pii) == (
+            r.n_docs,
+            r.n_masks,
+            r.touched,
+        )
+
+
+def test_pii_release_audit_fingerprint_detects_missed_mask(spark):
+    """The xor fingerprint is the release gate: an unscrubbed corpus (or
+    one doc slipping through) must change the per-source fingerprint."""
+    docs = TX.doctor_pii(load_table(spark, SF_CORRECT, "documents"))
+    clean = {r.source: r.scrubbed_fingerprint
+             for r in TX.pii_release_audit(docs).collect()}
+    unscrubbed = {r.source: r.scrubbed_fingerprint
+                  for r in TX.pii_release_audit(
+                      load_table(spark, SF_CORRECT, "documents")
+                  ).collect()}
+    # every source contains doctored docs, so every fingerprint moves
+    assert all(clean[s] != unscrubbed[s] for s in clean)
+
+
+# ------------------------------------------- partition checksums / diff
+def test_partition_checksums_sum_to_table_checksum(spark):
+    """Per-partition n_rows sum to the table total, and xor-folding the
+    per-partition ck_a/ck_b reproduces the table-level fold (xor is
+    associative across any partitioning — the property that lets a
+    petabyte reconciliation be computed per-partition and combined)."""
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    parts = RC.partition_checksums(
+        li, RC.LINEITEM_CANON, F.date_format("l_shipdate", "yyyy-MM"), "m"
+    ).collect()
+    total = RC.table_checksum(li, RC.LINEITEM_CANON).collect()[0]
+    assert sum(p.n_rows for p in parts) == total.n_rows
+    xa = xb = 0
+    for p in parts:
+        xa ^= p.ck_a
+        xb ^= p.ck_b
+    assert (xa, xb) == (total.ck_a, total.ck_b)
+
+
+def test_partition_checksums_localize_drift(spark):
+    """A one-cell drift moves ONLY its own partition's checksums."""
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    month = F.date_format("l_shipdate", "yyyy-MM")
+    target = li.select(month.alias("m"), "l_orderkey", "l_linenumber").head()
+    drifted = li.withColumn(
+        "l_tax",
+        F.when(
+            (F.col("l_orderkey") == target.l_orderkey)
+            & (F.col("l_linenumber") == target.l_linenumber)
+            & (month == target.m),
+            F.col("l_tax") + 0.01,
+        ).otherwise(F.col("l_tax")),
+    )
+    base = {
+        r.m: (r.ck_a, r.ck_b, r.ck_m)
+        for r in RC.partition_checksums(
+            li, RC.LINEITEM_CANON, month, "m"
+        ).collect()
+    }
+    got = {
+        r.m: (r.ck_a, r.ck_b, r.ck_m)
+        for r in RC.partition_checksums(
+            drifted, RC.LINEITEM_CANON, month, "m"
+        ).collect()
+    }
+    changed = [m for m in base if base[m] != got[m]]
+    assert changed == [target.m]
+
+
+def test_table_diff_classifies_drift(spark):
+    """Modified rows surface as a (1,0)+(0,1) pair, deletions as (n,0),
+    duplications as (n,2n); identical tables diff to empty."""
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    assert RC.table_diff(li, li, RC.LINEITEM_CANON).count() == 0
+    diff = RC.table_diff(
+        li, RC.drifted_replica(li), RC.LINEITEM_CANON
+    ).collect()
+    assert diff  # fixture-validity: the drift moduli hit real orderkeys
+    for r in diff:
+        ok = int(r.row_canon.split("|")[0])
+        if ok % 499 == 0:
+            assert r.n_right == 0  # deleted from the replica
+        elif ok % 997 == 0:
+            # modification: old form only on the left, new form only on
+            # the right (possibly duplicated by the 503 rule)
+            assert (r.n_left == 0) != (r.n_right == 0)
+        elif ok % 503 == 0:
+            assert r.n_right == 2 * r.n_left  # duplicated
+        else:  # pragma: no cover - would mean a spurious diff row
+            raise AssertionError(f"unexpected diff row {r}")
