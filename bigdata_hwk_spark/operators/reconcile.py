@@ -9,15 +9,22 @@ or co-shuffling either side. The tool is a *commutative* content hash:
   micros timestamps, null sentinel, field separator — so the form is
   engine-portable by construction, the whole point of a reconciliation
   checksum);
-* hash it twice with independent salts (md5-derived 60-bit values, see
-  ``functions/hashing.py``);
-* fold each with ``bit_xor`` — associative + commutative, so the
+* hash it ONCE with a salted md5 and split the digest into two disjoint
+  60-bit halves (``ck-v2``; v1 computed two independent salted md5s —
+  at 100 TB the per-row hashing IS the dominant CPU cost, and a false
+  row-pair match needs both 60-bit spaces to collide simultaneously in
+  either scheme, i.e. a ~120-bit event, so one digest buys the same
+  protection at half the hash work);
+* fold each half with ``bit_xor`` — associative + commutative, so the
   aggregation is one map-side-combined pass with NO order sensitivity,
   no overflow (unlike integer sums, which also turn HUGEINT in DuckDB),
   and a byte-identical result under any partitioning, AQE re-plan, or
-  row order. Two independent salts + the row count make pair-cancellation
+  row order. Two 60-bit spaces + the row count make pair-cancellation
   collisions (the classic xor weakness: two rows duplicated an even
-  number of times) need to cancel in BOTH 60-bit spaces at once.
+  number of times) need to cancel in BOTH spaces at once — and for the
+  duplicate-row cancellations that actually occur, the two values are
+  identical under ANY hashing scheme (identical rows hash identically),
+  so splitting one digest gives up nothing there either.
 
 xor's residual blind spot — an EVEN number of canonically-identical rows
 all receiving the SAME modification cancels in every salted xor space at
@@ -46,9 +53,9 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_hash64, md5_hash64_sql
 
-# Independent checksum salts; versioned with the canonical form.
-CK_SALT_A = "ck-a-v1:"
-CK_SALT_B = "ck-b-v1:"
+# Checksum salts; versioned with the canonical form. v2: ck_a/ck_b are
+# the two 60-bit halves of ONE salted digest (see module docstring).
+CK_SALT = "ck-v2:"
 CK_SALT_M = "ck-m-v1:"   # multiplicity-aware fold (see module docstring)
 _NULL = "\\N"   # canonical null sentinel (never collides with a value)
 _SEP = "|"
@@ -92,6 +99,26 @@ def _canon_sql(name: str, kind: str) -> str:
     return f"coalesce(CAST({e} AS VARCHAR), '{_NULL}')"
 
 
+def _hash_pair_cols(row: Column) -> list[Column]:
+    """(__ha, __hb): the two disjoint 60-bit halves of one salted md5 —
+    one digest per row, split (Catalyst's subexpression elimination
+    computes the md5 once for both projections)."""
+    m = F.md5(F.concat(F.lit(CK_SALT), row))
+    return [
+        F.conv(F.substring(m, 1, 15), 16, 10).cast("bigint").alias("__ha"),
+        F.conv(F.substring(m, 17, 15), 16, 10).cast("bigint").alias("__hb"),
+    ]
+
+
+def _hash_pair_sql(row: str) -> tuple[str, str]:
+    """DuckDB CTE fragments: (inner select producing m, ha/hb exprs)."""
+    return (
+        f"md5('{CK_SALT}' || {row})",
+        "('0x' || substr(m, 1, 15))::BIGINT",
+        "('0x' || substr(m, 17, 15))::BIGINT",
+    )
+
+
 def table_checksum(
     df: DataFrame,
     canon: list[tuple[str, str]],
@@ -114,10 +141,7 @@ def table_checksum(
     blind spot in exchange for no shuffle at all.
     """
     row = F.concat_ws(_SEP, *[_canon_col(n, k) for n, k in canon])
-    h = df.select(
-        md5_hash64(F.concat(F.lit(CK_SALT_A), row)).alias("__ha"),
-        md5_hash64(F.concat(F.lit(CK_SALT_B), row)).alias("__hb"),
-    )
+    h = df.select(*_hash_pair_cols(row))
     if not multiplicity:
         return h.agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -169,11 +193,7 @@ def partition_checksums(
     tiny per-partition fold).
     """
     row = F.concat_ws(_SEP, *[_canon_col(n, k) for n, k in canon])
-    h = df.select(
-        part.alias(part_name),
-        md5_hash64(F.concat(F.lit(CK_SALT_A), row)).alias("__ha"),
-        md5_hash64(F.concat(F.lit(CK_SALT_B), row)).alias("__hb"),
-    )
+    h = df.select(part.alias(part_name), *_hash_pair_cols(row))
     hm = md5_hash64(
         F.concat(
             F.lit(CK_SALT_M),
@@ -212,15 +232,14 @@ def partition_checksums_sql(
     row = "concat_ws('{sep}', {cols})".format(
         sep=_SEP, cols=", ".join(_canon_sql(n, k) for n, k in canon)
     )
-    ha = md5_hash64_sql(f"'{CK_SALT_A}' || {row}")
-    hb = md5_hash64_sql(f"'{CK_SALT_B}' || {row}")
+    m, ha, hb = _hash_pair_sql(row)
     hm = md5_hash64_sql(
         f"'{CK_SALT_M}' || CAST(ha AS VARCHAR) || ':' || "
         "CAST(hb AS VARCHAR) || ':' || CAST(c AS VARCHAR)"
     )
     return f"""
-WITH h AS (SELECT {part_expr} AS {part_name}, {ha} AS ha, {hb} AS hb
-           FROM {table}),
+WITH h0 AS (SELECT {part_expr} AS {part_name}, {m} AS m FROM {table}),
+h AS (SELECT {part_name}, {ha} AS ha, {hb} AS hb FROM h0),
 g AS (SELECT {part_name}, ha, hb, count(*) AS c FROM h
       GROUP BY {part_name}, ha, hb)
 SELECT {part_name},
@@ -340,21 +359,22 @@ def table_checksum_sql(
     row = "concat_ws('{sep}', {cols})".format(
         sep=_SEP, cols=", ".join(_canon_sql(n, k) for n, k in canon)
     )
-    ha = md5_hash64_sql(f"'{CK_SALT_A}' || {row}")
-    hb = md5_hash64_sql(f"'{CK_SALT_B}' || {row}")
+    m, ha, hb = _hash_pair_sql(row)
     if not multiplicity:
         return f"""
+WITH h0 AS (SELECT {m} AS m FROM {table})
 SELECT count(*) AS n_rows,
        bit_xor({ha}) AS ck_a,
        bit_xor({hb}) AS ck_b
-FROM {table}
+FROM h0
 """
     hm = md5_hash64_sql(
         f"'{CK_SALT_M}' || CAST(ha AS VARCHAR) || ':' || "
         "CAST(hb AS VARCHAR) || ':' || CAST(c AS VARCHAR)"
     )
     return f"""
-WITH h AS (SELECT {ha} AS ha, {hb} AS hb FROM {table}),
+WITH h0 AS (SELECT {m} AS m FROM {table}),
+h AS (SELECT {ha} AS ha, {hb} AS hb FROM h0),
 g AS (SELECT ha, hb, count(*) AS c FROM h GROUP BY ha, hb)
 SELECT CAST(sum(c) AS BIGINT) AS n_rows,
        bit_xor(CASE WHEN c % 2 = 1 THEN ha ELSE 0 END) AS ck_a,
