@@ -321,6 +321,67 @@ WHERE coalesce(n_left, 0) <> coalesce(n_right, 0)
 """
 
 
+def checksum_delta(
+    removed: DataFrame, added: DataFrame, canon: list[tuple[str, str]]
+) -> DataFrame:
+    """One row (d_rows, dk_a, dk_b): the update a change batch applies to
+    a table checksum — O(batch) maintenance, no rescan.
+
+    xor is self-inverse, so ``ck_new = ck_old XOR xor-fold(removed rows)
+    XOR xor-fold(added rows)`` and the two folds combine into one over
+    the tagged union. A CDC consumer (operators/cdc.py emits exactly the
+    removed/added rows as its delete/update/insert branches) can maintain
+    a petabyte table's content checksum incrementally and only fall back
+    to the full scan to AUDIT it. ``ck_m`` is deliberately absent: the
+    multiplicity fold needs the touched rows' old counts, so refresh it
+    per-partition on the touched partitions (``partition_checksums``) —
+    the delta tells you which.
+
+    Apply with :func:`apply_checksum_delta`; the identity
+    ``apply(checksum(old), delta(old∖new, new∖old)) == checksum(new)``
+    is property-tested with multiset EXCEPT ALL on both engines.
+    """
+    row = F.concat_ws(_SEP, *[_canon_col(n, k) for n, k in canon])
+    rem = removed.select(*_hash_pair_cols(row), F.lit(-1).alias("__w"))
+    add = added.select(*_hash_pair_cols(row), F.lit(1).alias("__w"))
+    return rem.unionAll(add).agg(
+        F.coalesce(F.sum("__w"), F.lit(0)).cast("bigint").alias("d_rows"),
+        F.coalesce(F.expr("bit_xor(__ha)"), F.lit(0)).alias("dk_a"),
+        F.coalesce(F.expr("bit_xor(__hb)"), F.lit(0)).alias("dk_b"),
+    )
+
+
+def checksum_delta_sql(
+    removed_sql: str, added_sql: str, canon: list[tuple[str, str]]
+) -> str:
+    """DuckDB oracle for :func:`checksum_delta` over two row-set SELECTs
+    (each producing the table's columns)."""
+    row = canon_row_sql(canon)
+    m, ha, hb = _hash_pair_sql("row_canon")
+    return f"""
+WITH rows_tagged AS (
+  SELECT {row} AS row_canon, -1 AS w FROM ({removed_sql})
+  UNION ALL
+  SELECT {row} AS row_canon, 1 AS w FROM ({added_sql})
+),
+h0 AS (SELECT {m} AS m, w FROM rows_tagged)
+SELECT CAST(coalesce(sum(w), 0) AS BIGINT) AS d_rows,
+       coalesce(bit_xor({ha}), 0) AS dk_a,
+       coalesce(bit_xor({hb}), 0) AS dk_b
+FROM h0
+"""
+
+
+def apply_checksum_delta(base, delta) -> tuple[int, int, int]:
+    """(n_rows, ck_a, ck_b) after applying a delta row to a base checksum
+    row — the O(1) driver-side combine."""
+    return (
+        base.n_rows + delta.d_rows,
+        base.ck_a ^ delta.dk_a,
+        base.ck_b ^ delta.dk_b,
+    )
+
+
 def drifted_replica(df: DataFrame) -> DataFrame:
     """A deterministically-drifted "replica" of lineitem (fixture glue
     for the diff registry query): one-cent l_tax drift on orderkeys

@@ -1237,6 +1237,32 @@ register(
 )
 
 
+# Incremental maintenance: the xor/count delta the base→replica change
+# batch applies to the table checksum (O(batch) in production, where the
+# CDC merge emits the removed/added rows; EXCEPT ALL here derives them).
+def _checksum_delta_q(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    rep = RC.drifted_replica(li)
+    return RC.checksum_delta(
+        li.exceptAll(rep), rep.exceptAll(li), RC.LINEITEM_CANON
+    )
+
+
+register(
+    "lineitem_checksum_delta",
+    _checksum_delta_q,
+    # both operands parenthesized: the replica SELECT contains a
+    # top-level UNION ALL that EXCEPT ALL would otherwise re-associate
+    RC.checksum_delta_sql(
+        "SELECT * FROM lineitem EXCEPT ALL "
+        f"(SELECT * FROM ({RC.drifted_replica_sql()}))",
+        f"SELECT * FROM ({RC.drifted_replica_sql()}) "
+        "EXCEPT ALL SELECT * FROM lineitem",
+        RC.LINEITEM_CANON,
+    ),
+)
+
+
 # --- sequence packing + PII release audit (LLM-pipeline release steps) ---
 from .operators import packing as PK  # noqa: E402
 

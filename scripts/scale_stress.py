@@ -323,10 +323,20 @@ SECOND_DECADE_ANNOTATIONS = {
         "keeping the identical plan."
     ),
     "ann_lsh_pairs_bits_scaled_tau07": (
-        "engine-scaling measure: tau=0.7 pushes the 64-dim random-pair "
-        "tail to ~1e-9 (≈10² of 10¹¹ cross pairs), so output volume is "
-        "the true-duplicate signal and the exponent isolates the LSH "
-        "plan's scaling at constant bucket occupancy (per-side bits)."
+        "tau=0.7 removes the 64-dim random-pair output tail (output 0 "
+        "rows at both scales), so the wall is pure candidate-generation "
+        "+ re-scoring. Candidate volume is LINEAR by construction at "
+        "constant occupancy (500/bucket x tables x probes = ~6000 "
+        "re-scored candidates per vector, every scale), but at 64x that "
+        "is ~3.1e9 candidate rows (~150 GB of 20-byte join/distinct "
+        "traffic) on one 32-thread box — the measured ~3x-over-linear "
+        "wall (ratio ~195 at 64x) is shuffle-spill saturation of the "
+        "HOST, not a plan knee; per-executor candidate load at 1000 "
+        "executors is ~3M rows. NOTE: round-8's committed exponent "
+        "0.898 for this entry was an artifact of a 4.5x-inflated t1 "
+        "(cross-query cache pressure); the symmetric per-query "
+        "isolation added in round 9 exposed it — the honest single-box "
+        "number is superlinear and annotated as such."
     ),
 }
 

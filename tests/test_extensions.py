@@ -44,6 +44,7 @@ EXTENSION_ORACLE_QUERIES = [
     # round-9 additions: reconciliation suite + as-of + packing + PII
     "lineitem_month_checksums",
     "lineitem_replica_diff",
+    "lineitem_checksum_delta",
     "doc_pack_sequences",
     "doc_packing_stats",
     "pii_release_audit",

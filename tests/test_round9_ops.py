@@ -101,6 +101,32 @@ def test_pii_release_audit_fingerprint_detects_missed_mask(spark):
     assert all(clean[s] != unscrubbed[s] for s in clean)
 
 
+# -------------------------------------------------------- streaming CDC
+def test_cdc_stream_equals_batch_state(spark, tmp_path):
+    """The foreachBatch MERGE loop over day-chunked micro-batches must
+    land on EXACTLY log_state of the whole log (the compaction algebra
+    applied inductively over the batch sequence) — including deletes and
+    delete-then-reinsert keys."""
+    from bigdata_hwk_spark.operators.cdc import log_state
+    from bigdata_hwk_spark.streaming.cdc_stream import (
+        chunk_events_by_day,
+        run_cdc_merge_stream,
+    )
+
+    events = load_table(spark, SF_CORRECT, "events")
+    n_days = chunk_events_by_day(events, str(tmp_path / "days"))
+    assert n_days > 3  # multi-batch, or the test proves nothing
+    got = run_cdc_merge_stream(
+        spark, str(tmp_path / "days"), max_files_per_trigger=1
+    )
+    want = log_state(events)
+    g = {r.user_id: (r.state_type, r.state_value, r.updated_at)
+         for r in got.collect()}
+    w = {r.user_id: (r.state_type, r.state_value, r.updated_at)
+         for r in want.collect()}
+    assert g == w
+
+
 # ------------------------------------------- partition checksums / diff
 def test_partition_checksums_sum_to_table_checksum(spark):
     """Per-partition n_rows sum to the table total, and xor-folding the
@@ -148,6 +174,38 @@ def test_partition_checksums_localize_drift(spark):
     }
     changed = [m for m in base if base[m] != got[m]]
     assert changed == [target.m]
+
+
+def test_checksum_delta_matches_full_recompute(spark):
+    """The O(batch) incremental update reproduces the full rescan:
+    apply(checksum(old), delta(old∖new, new∖old)) == checksum(new) on
+    n_rows/ck_a/ck_b (ck_m is documented as partition-refresh-only)."""
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    rep = RC.drifted_replica(li)
+    base = RC.table_checksum(li, RC.LINEITEM_CANON).collect()[0]
+    full = RC.table_checksum(rep, RC.LINEITEM_CANON).collect()[0]
+    delta = RC.checksum_delta(
+        li.exceptAll(rep), rep.exceptAll(li), RC.LINEITEM_CANON
+    ).collect()[0]
+    assert delta.d_rows != 0  # fixture-validity: the drift is non-empty
+    assert RC.apply_checksum_delta(base, delta) == (
+        full.n_rows,
+        full.ck_a,
+        full.ck_b,
+    )
+
+
+def test_checksum_delta_empty_batch_is_identity(spark):
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    empty = li.limit(0)
+    delta = RC.checksum_delta(empty, empty, RC.LINEITEM_CANON).collect()[0]
+    assert (delta.d_rows, delta.dk_a, delta.dk_b) == (0, 0, 0)
+    base = RC.table_checksum(li, RC.LINEITEM_CANON).collect()[0]
+    assert RC.apply_checksum_delta(base, delta) == (
+        base.n_rows,
+        base.ck_a,
+        base.ck_b,
+    )
 
 
 def test_table_diff_classifies_drift(spark):
