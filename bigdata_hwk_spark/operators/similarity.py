@@ -507,38 +507,21 @@ def ann_ivf_topk(
     )
 
 
-def ann_lsh_pairs(
+def _lsh_signature_table(
     embeddings: DataFrame,
-    tau: float = 0.4,
-    bits: int = ANN_BITS,
-    tables: int = ANN_TABLES,
-    probes: int = ANN_PROBES,
-    seed: int = ANN_SEED,
-    dim: int = 64,
+    bits: int,
+    tables: int,
+    probes: int,
+    seed: int,
+    dim: int,
 ) -> DataFrame:
-    """Approximate near-dup pairs: candidates share an LSH bucket in ≥1 of
-    ``tables`` random-hyperplane tables, under multi-probe (each vector
-    also probes the ``probes-1`` buckets reached by flipping its
-    lowest-|margin| hyperplane bits — the bits most likely to differ for
-    a true neighbor). Candidates are exactly re-scored and thresholded,
-    so precision is 1.0 and only recall is approximate.
-
-    Multi-probe is the 100 TB lever: halving ``tables`` halves the
-    persisted signature table and the per-bucket join fan-in, while the
-    extra probes recover the lost recall — probe rows multiply only the
-    probe SIDE of the join, not the indexed side (probe rows join base
-    rows, so a pair one flipped bit apart still meets). Recall at
-    (tables=4, probes=3) ≥ recall at (tables=8, probes=1) is pinned by
-    the recall test.
-
-    Plan shape (the one that survives scale-up): signatures AND probe
-    buckets for all tables come from a single NumPy matmul per Arrow
-    batch (``mapInPandas``, no shuffle); the candidate join carries ONLY
-    (table, bucket, vec_id) — 20 bytes/row — never the vectors; vectors
-    re-attach to the deduped candidate pairs via two equi-joins; exact
-    re-scoring is a vectorized pandas UDF. Shuffle volume is therefore
-    O(candidates), not O(candidates × dim).
-    """
+    """(vec_id, t, bk, fl): the multi-probe LSH signature table — base
+    bucket per (vector, table) plus the ``probes-1`` flipped-bit probe
+    buckets (fl=1). Signatures AND probes come from a single NumPy
+    matmul per Arrow batch (``mapInPandas``, no shuffle); persisted
+    (MEMORY_AND_DISK) because it feeds both sides of the candidate
+    self-join. Shared by ``ann_lsh_pairs`` and the capacity diagnostic
+    ``ann_candidate_counts``."""
     planes = _hyperplanes(dim, bits, tables, seed)
     flat = planes.reshape(tables * bits, dim)  # (T*B, dim)
     weights = 1 << np.arange(bits, dtype=np.int64)
@@ -588,12 +571,84 @@ def ann_lsh_pairs(
     # already cached plan draws a CacheManager WARN (session.persist_once)
     from ..session import persist_once
 
-    long = persist_once(
+    return persist_once(
         emb.mapInPandas(
             bucketize, schema="vec_id bigint, t int, bk bigint, fl tinyint"
         ),
         StorageLevel.MEMORY_AND_DISK,
     )
+
+
+def ann_candidate_counts(
+    embeddings: DataFrame,
+    bits: int = ANN_BITS,
+    tables: int = ANN_TABLES,
+    probes: int = ANN_PROBES,
+    seed: int = ANN_SEED,
+    dim: int = 64,
+) -> DataFrame:
+    """One row (n_vectors, n_signature_rows, n_candidates): the
+    capacity-planning diagnostic for an LSH config — ``n_candidates`` is
+    the pre-dedup candidate-join volume, the engine-scaling quantity the
+    pair query's wall follows (~linear per candidate on a cluster;
+    occupancy × tables × probes per vector by construction). Counting is
+    one map-side-combined aggregate over the join — no distinct, no
+    re-scoring — so the diagnostic is far cheaper than the pair query it
+    predicts and can be run before committing to a (bits, tables,
+    probes) choice at scale."""
+    long = _lsh_signature_table(embeddings, bits, tables, probes, seed, dim)
+    a = long.alias("a")
+    b = long.filter(F.col("fl") == 0).alias("b")
+    n_cand = (
+        a.join(b, ["t", "bk"])
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .count()
+    )
+    n_sig = long.count()
+    n_vec = embeddings.count()
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(n_vec, n_sig, n_cand)],
+        "n_vectors bigint, n_signature_rows bigint, n_candidates bigint",
+    )
+
+
+def ann_lsh_pairs(
+    embeddings: DataFrame,
+    tau: float = 0.4,
+    bits: int = ANN_BITS,
+    tables: int = ANN_TABLES,
+    probes: int = ANN_PROBES,
+    seed: int = ANN_SEED,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate near-dup pairs: candidates share an LSH bucket in ≥1 of
+    ``tables`` random-hyperplane tables, under multi-probe (each vector
+    also probes the ``probes-1`` buckets reached by flipping its
+    lowest-|margin| hyperplane bits — the bits most likely to differ for
+    a true neighbor). Candidates are exactly re-scored and thresholded,
+    so precision is 1.0 and only recall is approximate.
+
+    Multi-probe is the 100 TB lever: halving ``tables`` halves the
+    persisted signature table and the per-bucket join fan-in, while the
+    extra probes recover the lost recall — probe rows multiply only the
+    probe SIDE of the join, not the indexed side (probe rows join base
+    rows, so a pair one flipped bit apart still meets). Recall at
+    (tables=4, probes=3) ≥ recall at (tables=8, probes=1) is pinned by
+    the recall test.
+
+    Plan shape (the one that survives scale-up): signatures AND probe
+    buckets for all tables come from a single NumPy matmul per Arrow
+    batch (``mapInPandas``, no shuffle); the candidate join carries ONLY
+    (table, bucket, vec_id) — 20 bytes/row — never the vectors; vectors
+    re-attach to the deduped candidate pairs via two equi-joins; exact
+    re-scoring is a vectorized pandas UDF. Shuffle volume is therefore
+    O(candidates), not O(candidates × dim).
+    """
+    from ..sources.tables import fan_out
+
+    emb = fan_out(embeddings.select("vec_id", "embedding"))
+    long = _lsh_signature_table(embeddings, bits, tables, probes, seed, dim)
     a = long.alias("a")  # probe side: base + flipped buckets
     b = long.filter(F.col("fl") == 0).alias("b")  # indexed side: base only
     cand = (

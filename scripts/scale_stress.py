@@ -325,18 +325,21 @@ SECOND_DECADE_ANNOTATIONS = {
     "ann_lsh_pairs_bits_scaled_tau07": (
         "tau=0.7 removes the 64-dim random-pair output tail (output 0 "
         "rows at both scales), so the wall is pure candidate-generation "
-        "+ re-scoring. Candidate volume is LINEAR by construction at "
-        "constant occupancy (500/bucket x tables x probes = ~6000 "
-        "re-scored candidates per vector, every scale), but at 64x that "
-        "is ~3.1e9 candidate rows (~150 GB of 20-byte join/distinct "
-        "traffic) on one 32-thread box — the measured ~3x-over-linear "
-        "wall (ratio ~195 at 64x) is shuffle-spill saturation of the "
-        "HOST, not a plan knee; per-executor candidate load at 1000 "
-        "executors is ~3M rows. NOTE: round-8's committed exponent "
-        "0.898 for this entry was an artifact of a 4.5x-inflated t1 "
-        "(cross-query cache pressure); the symmetric per-query "
-        "isolation added in round 9 exposed it — the honest single-box "
-        "number is superlinear and annotated as such."
+        "+ re-scoring. The engine-scaling quantity — candidate-join "
+        "volume — is MEASURED near-linear at constant occupancy "
+        "(similarity.ann_candidate_counts on the same dirs/configs: "
+        "3.08M candidates at 1x -> 253.5M at 64x = 82.3x for 64x "
+        "input, exponent 1.06; ~1540 -> ~1980 candidates/vector). The "
+        "wall ratio ~195 therefore decomposes as 82x candidate volume "
+        "x ~2.4x wall-per-candidate — the latter is dedup/re-score "
+        "spill pressure of 253M pairs on ONE 32-thread box, not a plan "
+        "knee; at 1000 executors that is ~250k candidates/executor. "
+        "NOTE: round-8's committed exponent 0.898 for this entry was "
+        "an artifact of a 4.5x-inflated t1 (cross-query cache "
+        "pressure); the symmetric per-query isolation added in round 9 "
+        "exposed it — the honest single-box wall is superlinear and "
+        "annotated as such, with the candidate measurement isolating "
+        "engine scaling from host saturation."
     ),
 }
 
