@@ -30,6 +30,7 @@ from .plans import relational as R
 from .sources.tables import (
     POINTS_SQL_BODY,
     STREAM_SQL_BODY,
+    fan_out,
     load_table,
     points_from_lineitem,
     stream_from_events,
@@ -1187,14 +1188,19 @@ register(
 
 
 # Order-independent table checksum: commutative bit_xor fold of a
-# canonicalized double-salted row hash — one tiny row per side verifies a
+# canonicalized salted row hash — one tiny row per side verifies a
 # petabyte copy. The driver's DuckDB recompute IS a live cross-engine
-# reconciliation of lineitem.
+# reconciliation of lineitem. fan_out: the sf-fixture lineitem scans 3
+# partitions, which would serialize the hash-bound projection onto 3
+# cores (measured 2.6s -> 1.6s at sf0.1); checksums are layout-invariant
+# by construction (tested), so widening the scan is free.
+def _li(spark: SparkSession, sf: str) -> DataFrame:
+    return fan_out(load_table(spark, sf, "lineitem"))
+
+
 register(
     "lineitem_checksum",
-    lambda spark, sf: RC.table_checksum(
-        load_table(spark, sf, "lineitem"), RC.LINEITEM_CANON
-    ),
+    lambda spark, sf: RC.table_checksum(_li(spark, sf), RC.LINEITEM_CANON),
     RC.table_checksum_sql("lineitem", RC.LINEITEM_CANON),
 )
 
@@ -1206,7 +1212,7 @@ def _month_checksums(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     return RC.partition_checksums(
-        load_table(spark, sf, "lineitem"),
+        _li(spark, sf),
         RC.LINEITEM_CANON,
         F.date_format("l_shipdate", "yyyy-MM"),
         "ship_month",
@@ -1227,8 +1233,8 @@ register(
 register(
     "lineitem_replica_diff",
     lambda spark, sf: RC.table_diff(
-        load_table(spark, sf, "lineitem"),
-        RC.drifted_replica(load_table(spark, sf, "lineitem")),
+        _li(spark, sf),
+        RC.drifted_replica(_li(spark, sf)),
         RC.LINEITEM_CANON,
     ),
     RC.table_diff_sql(
@@ -1241,7 +1247,7 @@ register(
 # batch applies to the table checksum (O(batch) in production, where the
 # CDC merge emits the removed/added rows; EXCEPT ALL here derives them).
 def _checksum_delta_q(spark: SparkSession, sf: str) -> DataFrame:
-    li = load_table(spark, sf, "lineitem")
+    li = _li(spark, sf)
     rep = RC.drifted_replica(li)
     return RC.checksum_delta(
         li.exceptAll(rep), rep.exceptAll(li), RC.LINEITEM_CANON
