@@ -114,17 +114,31 @@ def main() -> None:
 
     prev, cur = _load(prev_path), _load(cur_path)
     shared = sorted(set(prev) & set(cur))
+    # Host-drift indicator: the median cur/prev ratio over the shared
+    # non-trivial queries. A real regression moves ONE query; thermal or
+    # co-tenant drift moves ALL of them — flags should be read against
+    # the median, and each entry also carries its drift-normalized delta
+    # (cur/median vs prev) so a uniform 1.2x run doesn't read as twenty
+    # regressions.
+    import statistics
+
+    ratios = [cur[q] / prev[q] for q in shared if prev[q] >= 0.5]
+    median_shift = round(statistics.median(ratios), 3) if ratios else 1.0
     diff = {}
     flagged = {}
     for q in shared:
         delta = round(cur[q] - prev[q], 3)
         band = max(VARIANCE_ABS_SEC, VARIANCE_REL * prev[q])
+        norm_cur = cur[q] / median_shift
+        norm_delta = round(norm_cur - prev[q], 3)
         entry = {
             "prev_sec": prev[q],
             "cur_sec": cur[q],
             "delta_sec": delta,
             "band_sec": round(band, 3),
             "within_band": abs(delta) <= band,
+            "drift_normalized_delta_sec": norm_delta,
+            "within_band_drift_normalized": abs(norm_delta) <= band,
         }
         diff[q] = entry
         if not entry["within_band"]:
@@ -145,6 +159,8 @@ def main() -> None:
     payload = {
         "prev_file": os.path.basename(prev_path),
         "cur_file": os.path.basename(cur_path),
+        "median_shift": median_shift,
+        "host_drift_suspected": abs(median_shift - 1.0) > VARIANCE_REL,
         "n_shared": len(shared),
         "n_prev_only": len(set(prev) - set(cur)),
         "n_cur_only": len(set(cur) - set(prev)),
