@@ -80,6 +80,19 @@ LINEITEM_CANON = [
 ]
 
 
+# Canonicalization spec for the events stream (streaming windowed
+# checksum + its batch twin). ``value`` is quantized to integer cents
+# like the lineitem business values; ``props`` rides as a raw string.
+EVENTS_CANON = [
+    ("event_id", "int"),
+    ("ts", "ts"),
+    ("user_id", "int"),
+    ("event_type", "str"),
+    ("value", "cents"),
+    ("props", "str"),
+]
+
+
 def _canon_col(name: str, kind: str) -> Column:
     c = F.col(name)
     if kind == "cents":

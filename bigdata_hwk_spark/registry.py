@@ -1286,6 +1286,26 @@ register(
 )
 
 
+# Streaming member of the reconciliation family: per-event-time-window
+# checksum (same canon + split-digest folds), batch twin oracle-checked;
+# the streaming deployment is pinned streaming ≡ batch in tests.
+def _windowed_checksums(spark: SparkSession, sf: str) -> DataFrame:
+    from .streaming.windowed import windowed_checksum
+
+    return windowed_checksum(load_table(spark, sf, "events"))
+
+
+def _windowed_checksum_sql() -> str:
+    from .streaming.windowed import windowed_checksum_sql
+
+    return windowed_checksum_sql()
+
+
+register(
+    "windowed_event_checksums", _windowed_checksums, _windowed_checksum_sql()
+)
+
+
 # --- sequence packing + PII release audit (LLM-pipeline release steps) ---
 from .operators import packing as PK  # noqa: E402
 

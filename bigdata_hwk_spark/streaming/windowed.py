@@ -365,3 +365,60 @@ def stream_stream_attribution(
         "click_id",
         "click_ts",
     )
+
+
+def windowed_checksum(
+    events: DataFrame,
+    window: str = EVENT_WINDOW,
+    watermark: str = EVENT_WATERMARK,
+) -> DataFrame:
+    """Per-event-time-window reconciliation checksum of the events
+    stream: (win_start, n_rows, ck_a, ck_b) with the same canonical form
+    and split-digest xor folds as ``operators/reconcile.py``.
+
+    The streaming member of the reconciliation family: a stream sink can
+    be audited window-by-window against a batch recompute (or the other
+    side of a replication) — each closed window emits one tiny row, and
+    because xor is associative the per-window folds combine to the
+    whole-table checksum by plain xor (tested), so any window range can
+    be verified at any granularity from this output alone. The
+    multiplicity fold ``ck_m`` is deliberately absent: it needs a
+    two-level aggregation, which append-mode streaming cannot express —
+    it remains the batch audit's refinement.
+
+    State: O(open windows) rows of (count, two 60-bit accumulators),
+    bounded by the watermark — the cheapest windowed state in this
+    module.
+    """
+    from ..operators.reconcile import EVENTS_CANON, canon_row, _hash_pair_cols
+
+    h = events.withWatermark("ts", watermark).select(
+        "ts", *_hash_pair_cols(canon_row(EVENTS_CANON))
+    )
+    return (
+        h.groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(__ha)").alias("ck_a"),
+            F.expr("bit_xor(__hb)").alias("ck_b"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n_rows", "ck_a", "ck_b")
+    )
+
+
+def windowed_checksum_sql() -> str:
+    """DuckDB batch twin: identical canon, digest halves, and folds per
+    epoch-aligned hour bucket."""
+    from ..operators.reconcile import EVENTS_CANON, _hash_pair_sql, canon_row_sql
+
+    m, ha, hb = _hash_pair_sql(canon_row_sql(EVENTS_CANON))
+    return f"""
+WITH h0 AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, {m} AS m
+            FROM events)
+SELECT win_start,
+       count(*) AS n_rows,
+       bit_xor({ha}) AS ck_a,
+       bit_xor({hb}) AS ck_b
+FROM h0
+GROUP BY win_start
+"""

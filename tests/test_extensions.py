@@ -45,6 +45,7 @@ EXTENSION_ORACLE_QUERIES = [
     "lineitem_month_checksums",
     "lineitem_replica_diff",
     "lineitem_checksum_delta",
+    "windowed_event_checksums",
     "doc_pack_sequences",
     "doc_packing_stats",
     "pii_release_audit",

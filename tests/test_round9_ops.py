@@ -101,6 +101,107 @@ def test_pii_release_audit_fingerprint_detects_missed_mask(spark):
     assert all(clean[s] != unscrubbed[s] for s in clean)
 
 
+# ---------------------------------------------- streaming checksum
+def test_windowed_checksum_streaming_equals_batch(spark, tmp_path):
+    """Streaming per-window checksums (append + watermark, file replay)
+    must equal the batch twin for closed windows, and xor-combining ALL
+    batch windows must reproduce the whole-table fold (xor associativity
+    across any window partitioning — audit at any granularity)."""
+    from bigdata_hwk_spark.streaming.windowed import windowed_checksum
+
+    events = load_table(spark, SF_CORRECT, "events")
+    src = tmp_path / "ck_src"
+    src.mkdir()
+    ordered = events.orderBy("ts").collect()
+    mid = len(ordered) // 2
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    for name, chunk in (("a", ordered[:mid]), ("b", ordered[mid:])):
+        spark.createDataFrame(
+            [tuple(r) for r in chunk], schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        windowed_checksum(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_ck_win")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.win_start: (r.n_rows, r.ck_a, r.ck_b)
+            for r in spark.table("t_ck_win").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        r.win_start: (r.n_rows, r.ck_a, r.ck_b)
+        for r in windowed_checksum(events).collect()
+    }
+    assert got and set(got) <= set(want)
+    for k, v in got.items():
+        assert v == want[k]
+
+    # rollup: per-window folds combine to the whole-table checksum
+    n = sum(v[0] for v in want.values())
+    xa = xb = 0
+    for v in want.values():
+        xa ^= v[1]
+        xb ^= v[2]
+    total = RC.table_checksum(
+        events, RC.EVENTS_CANON, multiplicity=False
+    ).collect()[0]
+    assert (n, xa, xb) == (total.n_rows, total.ck_a, total.ck_b)
+
+
+# --------------------------------------- checksum-verified maintenance
+def test_compaction_verified_by_checksum(spark, tmp_path):
+    """The reconciliation checksum as the content gate for a re-layout:
+    compacting a fragmented partitioned copy of lineitem must leave
+    (n_rows, ck_a, ck_b, ck_m) bit-identical — the O(1)-compare,
+    no-collect form of 'the rewrite lost nothing' that actually works at
+    100 TB (the pipeline test's sorted-collect equality cannot). Also
+    checks the per-partition folds, so a drifted partition would be
+    NAMED, not just detected."""
+    from bigdata_hwk_spark.sinks.parquet import compact_partitioned
+
+    d = str(tmp_path / "li")
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    # fragment one partition: 'N' appended as 8 small files
+    li.filter("l_returnflag != 'N'").coalesce(1).write.partitionBy(
+        "l_returnflag"
+    ).parquet(d)
+    li.filter("l_returnflag = 'N'").repartition(8).write.mode(
+        "append"
+    ).partitionBy("l_returnflag").parquet(d)
+
+    def snap():
+        df = spark.read.parquet(d)
+        total = RC.table_checksum(df, RC.LINEITEM_CANON).collect()[0]
+        parts = {
+            r.part: (r.n_rows, r.ck_a, r.ck_b, r.ck_m)
+            for r in RC.partition_checksums(
+                df, RC.LINEITEM_CANON, F.col("l_returnflag"), "part"
+            ).collect()
+        }
+        return tuple(total), parts
+
+    before_total, before_parts = snap()
+    assert compact_partitioned(spark, d, ["l_returnflag"], 10**6) >= 1
+    after_total, after_parts = snap()
+    assert after_total == before_total
+    assert after_parts == before_parts
+
+
 # ------------------------------------------------- LSH capacity probe
 def test_ann_candidate_counts_diagnostic(spark):
     """The capacity diagnostic's signature-row count follows the config
