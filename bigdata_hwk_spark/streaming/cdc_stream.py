@@ -72,6 +72,46 @@ def run_cdc_merge_stream(
     return state["df"]
 
 
+def run_running_checksum_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    canon: list[tuple[str, str]],
+    max_files_per_trigger: int = 1,
+) -> tuple[int, int, int]:
+    """Maintain a table content checksum AT INGEST TIME: each micro-batch
+    folds into a running (n_rows, ck_a, ck_b) via ``checksum_delta`` —
+    the append-only special case of the incremental maintenance loop
+    (removed side empty). Driver state is literally three integers (the
+    one legal driver-side accumulation at any scale); the per-batch
+    collect is a single delta row. When the stream quiesces, the tuple
+    equals ``table_checksum(everything ingested, multiplicity=False)``
+    exactly — so a sink's content can be certified against the ingest
+    path with O(1) comparison and no rescan of either side.
+    """
+    from ..operators.reconcile import checksum_delta
+
+    state = {"n": 0, "a": 0, "b": 0}
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        d = checksum_delta(batch_df.limit(0), batch_df, canon).collect()[0]
+        state["n"] += d.d_rows
+        state["a"] ^= d.dk_a
+        state["b"] ^= d.dk_b
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    query = stream.writeStream.foreachBatch(process_batch).start()
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return state["n"], state["a"], state["b"]
+
+
 def chunk_events_by_day(events: DataFrame, out_dir: str) -> int:
     """Test/replay helper: write ``events`` as one FLAT parquet file per
     calendar day with ascending mtimes (the file source orders

@@ -163,7 +163,47 @@ def test_windowed_checksum_streaming_equals_batch(spark, tmp_path):
     assert (n, xa, xb) == (total.n_rows, total.ck_a, total.ck_b)
 
 
+def test_running_checksum_stream_equals_batch(spark, tmp_path):
+    """The ingest-time running checksum (three driver integers, folded
+    per micro-batch via checksum_delta) must land exactly on the batch
+    table_checksum of everything ingested."""
+    from bigdata_hwk_spark.streaming.cdc_stream import (
+        EVENTS_STREAM_SCHEMA,
+        chunk_events_by_day,
+        run_running_checksum_stream,
+    )
+
+    events = load_table(spark, SF_CORRECT, "events")
+    n_days = chunk_events_by_day(events, str(tmp_path / "days"))
+    assert n_days > 3
+    got = run_running_checksum_stream(
+        spark, str(tmp_path / "days"), EVENTS_STREAM_SCHEMA, RC.EVENTS_CANON
+    )
+    want = RC.table_checksum(
+        events, RC.EVENTS_CANON, multiplicity=False
+    ).collect()[0]
+    assert got == (want.n_rows, want.ck_a, want.ck_b)
+
+
 # --------------------------------------- checksum-verified maintenance
+def test_zorder_relayout_verified_by_checksum(spark, tmp_path):
+    """Z-order re-clustering is the other re-layout the checksum family
+    gates: writing lineitem Z-ordered on (l_extendedprice, l_quantity)
+    must leave the content checksum bit-identical."""
+    from bigdata_hwk_spark.sinks.parquet import write_zordered
+
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    before = tuple(RC.table_checksum(li, RC.LINEITEM_CANON).collect()[0])
+    d = str(tmp_path / "zli")
+    write_zordered(li, d, "l_extendedprice", "l_quantity", n_files=8)
+    after = tuple(
+        RC.table_checksum(
+            spark.read.parquet(d), RC.LINEITEM_CANON
+        ).collect()[0]
+    )
+    assert after == before
+
+
 def test_compaction_verified_by_checksum(spark, tmp_path):
     """The reconciliation checksum as the content gate for a re-layout:
     compacting a fragmented partitioned copy of lineitem must leave
