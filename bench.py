@@ -72,9 +72,25 @@ def main() -> None:
         shuffle_partitions=int(cpus),
     )
 
+    def canary() -> float:
+        # min-of-3 warm tpch_q1: a scan-bound box-health probe bracketing
+        # the timed pass, so cross-round diffs (scripts/bench_diff.py) can
+        # tell a real regression from thermal/co-tenant host drift — the
+        # same discipline the scale-stress sweeps use.
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            registry.QUERIES["tpch_q1"](spark, sf_dir).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
     if warm:
         run_suite(spark, sf_dir, "warmup")
+    canary_start = canary()
     timings, rows = run_suite(spark, sf_dir, "timed")
+    canary_end = canary()
 
     # per-round MRFFT wall-clock, comparable to BASELINE.md's per-round
     # table (the reference prints R1/R2/R3 ms — HWK_2/G029HW2.py:83-105)
@@ -103,6 +119,13 @@ def main() -> None:
         "mrfft_r1_ms": mr["r1_ms"],
         "mrfft_r2_ms": mr["r2_ms"],
         "mrfft_r3_ms": mr["r3_ms"],
+        "canary": {
+            "query": "tpch_q1",
+            "runs": 3,
+            "start_sec": canary_start,
+            "end_sec": canary_end,
+            "drift_ratio": round(canary_end / max(canary_start, 1e-3), 2),
+        },
     }
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     detail_path = os.path.join(repo_dir, "BENCH_DETAIL.json")
@@ -123,8 +146,13 @@ def main() -> None:
             if (m := re.match(r"BENCH_r(\d+)\.json$", f_))
         ]
         round_no = (max(rounds) + 1) if rounds else 1
-    with open(os.path.join(repo_dir, f"BENCH_DETAIL_r{round_no:02d}.json"), "w") as f:
-        json.dump(detail, f, indent=1, sort_keys=True)
+    # Only round-stamp runs at the driver's SF (0.1): a local smoke at
+    # another SF must not clobber the committed per-round history (it
+    # did, twice, in round 9 — each needed a git checkout to repair).
+    round_detail = os.path.join(repo_dir, f"BENCH_DETAIL_r{round_no:02d}.json")
+    if sf == 0.1 or not os.path.exists(round_detail):
+        with open(round_detail, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
     line = json.dumps(
         {
             "metric": "headline_queries_total_wall",
@@ -136,6 +164,7 @@ def main() -> None:
             "mrfft_r1_ms": mr["r1_ms"],
             "mrfft_r2_ms": mr["r2_ms"],
             "mrfft_r3_ms": mr["r3_ms"],
+            "canary_drift": round(canary_end / max(canary_start, 1e-3), 2),
         }
     )
 

@@ -156,9 +156,14 @@ def main() -> None:
                 "reverted_to_pre_regression_level": reverted,
             }
 
+    def _canary(path):
+        with open(path) as f:
+            return json.load(f).get("canary")
+
     payload = {
         "prev_file": os.path.basename(prev_path),
         "cur_file": os.path.basename(cur_path),
+        "canaries": {"prev": _canary(prev_path), "cur": _canary(cur_path)},
         "median_shift": median_shift,
         "host_drift_suspected": abs(median_shift - 1.0) > VARIANCE_REL,
         "n_shared": len(shared),
