@@ -358,6 +358,11 @@ GRID_QUERIES = [
 # tile replicas into disjoint spatial bands (no cross-replica neighbors)
 DOMAIN_X_SHIFT = 60.0
 
+# Same regime for the real-CSV scan path (round-8 VERDICT item 8): the
+# uber-shaped fixture spans x ∈ [40.53, 40.96) with D = 0.02, so a 1.0
+# shift tiles replicas into disjoint bands (gap ≥ 0.57 ≫ D).
+CSV_DOMAIN_X_SHIFT = 1.0
+
 
 def build_domain_growth_dir(
     spark: SparkSession, src_dir: str, out_dir: str, n_replicas: int
@@ -389,6 +394,21 @@ def build_domain_growth_dir(
     for p in parts[1:]:
         out = out.unionByName(p)
     out.write.parquet(f"{out_dir}/lineitem.parquet")
+    # CSV leg: the SAME growth shape through the real schema-first CSV
+    # scan (csv_exact_outliers' source), so the text-scan path gets the
+    # constant-density evidence too, not just the parquet path.
+    from bigdata_hwk_spark.registry import CSV_POINTS_PATH
+    from bigdata_hwk_spark.sources.points_csv import POINTS_SCHEMA
+
+    pts = spark.read.schema(POINTS_SCHEMA).csv(CSV_POINTS_PATH)
+    csv_parts = [
+        pts.withColumn("x", F.col("x") + F.lit(r * CSV_DOMAIN_X_SHIFT))
+        for r in range(n_replicas)
+    ]
+    csv_out = csv_parts[0]
+    for p in csv_parts[1:]:
+        csv_out = csv_out.unionByName(p)
+    csv_out.write.option("header", "false").csv(f"{out_dir}/points.csv")
 
 
 def _merge_into_artifact(section: str, payload: dict) -> str:
@@ -540,6 +560,17 @@ def _builder(spark: SparkSession, sf_dir: str, scaled_bits: int):
         if name == "ann_lsh_pairs_bits_scaled_tau07":
             embs = fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
             return SIM.ann_lsh_pairs(embs, bits=scaled_bits, tau=0.7)
+        if name == "csv_exact_outliers_scaled":
+            # the registry query reads a FIXED fixture path; this twin
+            # reads the domain-growth dir's replicated CSV through the
+            # same schema-first source + ExactOutliers pipeline
+            from bigdata_hwk_spark.operators import outliers as O
+            from bigdata_hwk_spark.registry import CSV_D, CSV_M
+            from bigdata_hwk_spark.sources.points_csv import read_points_csv
+
+            return O.exact_outliers(
+                read_points_csv(spark, f"{sf_dir}/points.csv"), CSV_D, CSV_M
+            )
         return registry.QUERIES[name](spark, sf_dir)
 
     return build
@@ -718,7 +749,12 @@ def main() -> None:
         build_domain_growth_dir(spark, src, dir1, 1)
         build_domain_growth_dir(spark, src, dirn, n)
         payload = run_pair_sweep(
-            spark, GRID_QUERIES, dir1, dirn, n, scaled_bits
+            spark,
+            GRID_QUERIES + ["csv_exact_outliers_scaled"],
+            dir1,
+            dirn,
+            n,
+            scaled_bits,
         )
         payload["base_sf_dir"] = src
         payload["notes"] = (
@@ -728,7 +764,11 @@ def main() -> None:
             "shape), complementing the main sweep's vertical regime "
             "(identical coordinates, N× density). Ids are unshifted, so "
             "the exact-outlier size-guard subset grows N× here too "
-            "instead of being pruned."
+            "instead of being pruned. csv_exact_outliers_scaled runs the "
+            "SAME pipeline through the real schema-first CSV scan on a "
+            "replicated copy of the uber-shaped fixture (x-shifted 1.0 "
+            "per replica), so the text-scan source has its own "
+            "constant-density growth evidence."
         )
         path = _merge_into_artifact("domain_growth", payload)
         spark.stop()

@@ -60,3 +60,29 @@ def assert_matches_oracle(spark_df, sql: str, sf_dir: str, float_round: int | No
                 g[c] = g[c].round(float_round)
                 w[c] = w[c].round(float_round)
     pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=float_round is None)
+
+
+def pick_existing_row(df, cols: list[str]):
+    """(row, predicate) for a row that PROVABLY exists in ``df``.
+
+    Drift-proof row picking (round-8 VERDICT "What's missing" #1): a test
+    that perturbs a hand-assumed fixture row can silently match zero rows
+    when the synthetic fixture's shape differs from the test author's
+    mental model (TPC-H linenumbers 1..k vs the fixture's duplicates),
+    turning the assertion vacuous. This helper takes the row FROM the
+    data (`head()` of the requested columns) and returns an eqNullSafe
+    conjunction over all of them, then asserts the predicate matches at
+    least one row — so a fixture regeneration can never de-fang a test
+    built on it.
+    """
+    from pyspark.sql import functions as F
+
+    row = df.select(*cols).head()
+    assert row is not None, "fixture-validity guard: table is empty"
+    pred = None
+    for c in cols:
+        p = F.col(c).eqNullSafe(F.lit(row[c]))
+        pred = p if pred is None else (pred & p)
+    n = df.filter(pred).count()
+    assert n >= 1, f"fixture-validity guard: picked row matches {n} rows"
+    return row, pred

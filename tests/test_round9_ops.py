@@ -14,7 +14,7 @@ from bigdata_hwk_spark.operators import reconcile as RC
 from bigdata_hwk_spark.operators.packing import PACK_BUDGET, pack_sequences
 from bigdata_hwk_spark.sources.tables import load_table
 
-from .conftest import SF_CORRECT
+from .conftest import SF_CORRECT, pick_existing_row
 
 
 # -------------------------------------------------------------- packing
@@ -309,7 +309,9 @@ def test_partition_checksums_localize_drift(spark):
     """A one-cell drift moves ONLY its own partition's checksums."""
     li = load_table(spark, SF_CORRECT, "lineitem")
     month = F.date_format("l_shipdate", "yyyy-MM")
-    target = li.select(month.alias("m"), "l_orderkey", "l_linenumber").head()
+    target, _ = pick_existing_row(
+        li.withColumn("m", month), ["m", "l_orderkey", "l_linenumber"]
+    )
     drifted = li.withColumn(
         "l_tax",
         F.when(
