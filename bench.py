@@ -73,6 +73,22 @@ def _tee_stderr(log_path: str):
     return proc
 
 
+def scan_cache_warnings(log_path: str) -> list[str]:
+    """Cache-health scan over a captured stderr log: the WARN lines that
+    indicate a persist regression (double-persist → CacheManager,
+    eviction churn → MemoryStore). Benign startup warnings
+    (NativeCodeLoader, incubator modules) don't match."""
+    try:
+        with open(log_path, errors="replace") as fh:
+            return [
+                ln.rstrip()
+                for ln in fh
+                if "WARN CacheManager" in ln or "WARN MemoryStore" in ln
+            ]
+    except OSError:
+        return []
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -133,16 +149,7 @@ def main() -> None:
     # artifact. sys.stderr.flush() + a tiny sleep lets tee drain.
     sys.stderr.flush()
     time.sleep(0.2)
-    bad: list[str] = []
-    try:
-        with open(stderr_log, errors="replace") as fh:
-            bad = [
-                ln.rstrip()
-                for ln in fh
-                if "WARN CacheManager" in ln or "WARN MemoryStore" in ln
-            ]
-    except OSError:
-        pass
+    bad = scan_cache_warnings(stderr_log)
     if bad:
         print(
             f"# CACHE-HEALTH GATE FAILED: {len(bad)} cache warnings — "
