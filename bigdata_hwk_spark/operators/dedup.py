@@ -1108,3 +1108,177 @@ SELECT c.doc_id,
 FROM c JOIN e USING (sh)
 GROUP BY c.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level repeated-span removal (C4-style boilerplate dedup)
+# ---------------------------------------------------------------------------
+
+SPAN_W = 4          # words per span (C4 used three-sentence spans;
+                    # the fixture's texts are single-line word streams,
+                    # so the span unit is a word w-gram)
+SPAN_MIN_COUNT = 2  # C4's rule: a span "occurring more than once"
+
+
+def _span_occurrences(documents: DataFrame, w: int = SPAN_W) -> DataFrame:
+    """(doc_id, pos, gh): every word-``w``-gram occurrence with its
+    0-based start position and engine-portable 60-bit hash. Docs shorter
+    than ``w`` words contribute nothing (guarded — F.sequence would
+    otherwise count DOWN for a negative stop)."""
+    arr = F.split(F.col("text"), " ")
+    gram_arr = F.when(
+        F.size(arr) >= w,
+        F.transform(
+            F.sequence(F.lit(0), F.size(arr) - w),
+            lambda i: F.concat_ws(" ", F.slice(arr, i + F.lit(1), F.lit(w))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return documents.select(
+        "doc_id", F.posexplode(gram_arr).alias("pos", "g")
+    ).select("doc_id", "pos", md5_hash64(F.col("g")).alias("gh"))
+
+
+def repeated_span_removal(
+    documents: DataFrame, w: int = SPAN_W, min_count: int = SPAN_MIN_COUNT
+) -> DataFrame:
+    """(doc_id, clean_text, n_words, n_dropped): the corpus with every
+    repeated word-``w``-gram span removed EXCEPT its first occurrence.
+
+    C4's boilerplate rule (Raffel et al., "Exploring the Limits of
+    Transfer Learning with a Unified Text-to-Text Transformer", JMLR
+    2020, §2.2: "we discarded all but one of any three-sentence span
+    occurring more than once in the data set"; RefinedWeb and CCNet
+    apply the same idea at line granularity). Semantics here, stated
+    exactly: a word position is dropped iff it is covered by a
+    NON-KEEPER occurrence of some span whose corpus-wide occurrence
+    count is ≥ ``min_count``; the keeper is the occurrence with the
+    smallest (doc_id, pos) — deterministic, so both engines agree.
+
+    100 TB shape — the text column never shuffles:
+
+    * span occurrences are a projection (split + slide) shuffled ONCE as
+      8-byte md5 hashes for the count/keeper aggregation (map-side
+      combined: hot spans collapse to one partial row per partition —
+      the hotter the boilerplate, the cheaper its shuffle);
+    * the hot-span table (count ≥ min_count) is the BOILERPLATE — a
+      vanishing fraction of distinct spans at corpus scale, so the
+      occurrence→hot join broadcasts under AQE;
+    * dropped positions aggregate per doc (`collect_set`, bounded by
+      w × hot occurrences) and broadcast-join back to the corpus, where
+      a codegen'd indexed `filter` + `array_join` rebuilds each text in
+      place — no per-word explode of the corpus, no re-sort, no second
+      full-data shuffle.
+    """
+    occ = _span_occurrences(documents, w)
+    hot = (
+        occ.groupBy("gh")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(F.struct("doc_id", "pos")).alias("keeper"),
+        )
+        .filter(F.col("c") >= min_count)
+    )
+    drop_pos = (
+        occ.join(hot, "gh")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("keeper.doc_id"))
+                & (F.col("pos") == F.col("keeper.pos"))
+            )
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(w - 1))
+            ).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("drop_pos"))
+    )
+    arr = F.split(F.col("text"), " ")
+    dp = F.coalesce(
+        F.col("drop_pos"), F.array().cast("array<int>")
+    )
+    return (
+        documents.join(drop_pos, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.array_join(
+                F.filter(arr, lambda x, i: ~F.array_contains(dp, i)),
+                " ",
+            ).alias("clean_text"),
+            F.size(arr).cast("bigint").alias("n_words"),
+            F.size(dp).cast("bigint").alias("n_dropped"),
+        )
+    )
+
+
+def repeated_span_removal_sql(
+    w: int = SPAN_W, min_count: int = SPAN_MIN_COUNT
+) -> str:
+    """DuckDB oracle: identical span unit, hash, keeper rule, and
+    reassembly (string_agg over surviving 0-based positions)."""
+    gh = md5_hash64_sql(f"array_to_string(w[i:i+{w - 1}], ' ')")
+    offsets = ", ".join(str(u) for u in range(w))
+    return f"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+gi AS (SELECT doc_id, w,
+              unnest(range(1, greatest(len(w) - {w - 1}, 0) + 1)) AS i
+       FROM ws),
+occ AS (SELECT doc_id, i - 1 AS pos, {gh} AS gh FROM gi),
+cnt AS (SELECT doc_id, pos, gh,
+               count(*) OVER (PARTITION BY gh) AS c,
+               row_number() OVER (PARTITION BY gh
+                                  ORDER BY doc_id, pos) AS rn
+        FROM occ),
+cover AS (SELECT DISTINCT doc_id, pos + u AS pos
+          FROM cnt CROSS JOIN (SELECT unnest([{offsets}]) AS u) t
+          WHERE c >= {min_count} AND rn > 1),
+wi AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM ws),
+words AS (SELECT doc_id, i - 1 AS pos, w[i] AS word FROM wi),
+kept AS (SELECT a.doc_id, a.pos, a.word FROM words a
+         WHERE NOT EXISTS (SELECT 1 FROM cover c
+                           WHERE c.doc_id = a.doc_id AND c.pos = a.pos)),
+agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id),
+dc AS (SELECT doc_id, count(*) AS n_drop FROM cover GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+       CAST(coalesce(dc.n_drop, 0) AS BIGINT) AS n_dropped
+FROM documents d
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN dc USING (doc_id)
+"""
+
+
+def repeated_span_profile(
+    documents: DataFrame, w: int = SPAN_W, min_count: int = SPAN_MIN_COUNT
+) -> DataFrame:
+    """One row: corpus-level boilerplate accounting for the removal —
+    how much of the corpus the repeated-span rule would drop. Same
+    pipeline, final fold only (the per-doc output never materializes
+    driver-side)."""
+    out = repeated_span_removal(documents, w, min_count)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum("n_dropped").cast("bigint").alias("dropped_words"),
+        F.round(F.sum("n_dropped") / F.sum("n_words"), 6).alias(
+            "drop_share"
+        ),
+    )
+
+
+def repeated_span_profile_sql(
+    w: int = SPAN_W, min_count: int = SPAN_MIN_COUNT
+) -> str:
+    return f"""
+WITH per_doc AS ({repeated_span_removal_sql(w, min_count)})
+SELECT count(*) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       CAST(sum(n_dropped) AS BIGINT) AS dropped_words,
+       round(sum(n_dropped)::DOUBLE / sum(n_words), 6) AS drop_share
+FROM per_doc
+"""

@@ -581,6 +581,20 @@ register(
     lambda spark, sf: D.tfidf_doc_similarity(_docs(spark, sf)),
     D.tfidf_doc_similarity_sql(),
 )
+# C4-style corpus-level boilerplate removal: drop every word-4-gram span
+# occurring >= 2 times corpus-wide except its first occurrence. The text
+# column never shuffles — span hashes aggregate, the small hot/drop-pos
+# tables broadcast back, and an indexed filter rebuilds each doc in place.
+register(
+    "repeated_span_clean_docs",
+    lambda spark, sf: D.repeated_span_removal(_docs(spark, sf)),
+    D.repeated_span_removal_sql(),
+)
+register(
+    "repeated_span_profile",
+    lambda spark, sf: D.repeated_span_profile(_docs(spark, sf)),
+    D.repeated_span_profile_sql(),
+)
 # --- shared LSH pipeline -------------------------------------------------
 # dedup_minhash_lsh, dedup_clusters and doc_leakage_safe_split_counts all
 # need the same shingle→MinHash→LSH→verify pair table (and the latter two

@@ -49,6 +49,8 @@ EXTENSION_ORACLE_QUERIES = [
     "doc_pack_sequences",
     "doc_packing_stats",
     "pii_release_audit",
+    "repeated_span_clean_docs",
+    "repeated_span_profile",
 ]
 
 
