@@ -863,3 +863,84 @@ FROM documents"""
         for c in PROFILE_COLS
     ]
     return "\nUNION ALL\n".join(selects)
+
+
+# ---------------------------------------------------------------------------
+# Data-dependent quality gate (order-statistic threshold, no global sort)
+# ---------------------------------------------------------------------------
+
+QUALITY_GATE_Q = 0.25  # drop (at most) the bottom quartile
+
+
+def quality_percentile_gate(
+    documents: DataFrame, q: float = QUALITY_GATE_Q
+) -> DataFrame:
+    """(doc_id, quality_score, threshold, kept): gate each document on a
+    DATA-DEPENDENT quality threshold — the k-th smallest corpus score,
+    k = floor(q·N) — instead of a fixed cutoff (fixed cutoffs go stale as
+    the corpus mix shifts; production filters are usually specified as
+    "drop the bottom q", e.g. the quality-classifier percentile filters
+    in CCNet/LLaMA data work).
+
+    The contract is EXACT integer/value semantics, no interpolated
+    percentile (two engines interpolating doubles can disagree in the
+    last ulp exactly at the gate boundary): threshold t = the smallest
+    score whose cumulative count reaches max(k, 1), and a doc is kept iff
+    its (6-decimal-rounded) score ≥ t. k = 0 degenerates to t = min score
+    — everything kept.
+
+    100 TB shape — no global sort of the corpus: scores collapse to a
+    (score, count) histogram (map-side combined; ≤ 10⁶+1 rows by the
+    6-decimal domain), the running-count scan + threshold pick run on
+    that tiny table (single-task window, bounded by the score domain, not
+    the corpus), and the one-row threshold broadcast-joins back. The
+    corpus itself is touched by exactly one aggregation and one
+    broadcast-joined projection.
+    """
+    scores = quality_scores(documents).select("doc_id", "quality_score")
+    hist = scores.groupBy("quality_score").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = hist.agg(F.sum("c").alias("n"))
+    cum = (
+        hist.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cum",
+            F.sum("c").over(
+                Window.orderBy("quality_score").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+        .withColumn(
+            "k", F.greatest(F.floor(F.lit(q) * F.col("n")), F.lit(1))
+        )
+    )
+    thr = cum.filter(F.col("cum") >= F.col("k")).agg(
+        F.min("quality_score").alias("threshold")
+    )
+    return scores.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "quality_score",
+        "threshold",
+        (F.col("quality_score") >= F.col("threshold")).alias("kept"),
+    )
+
+
+def quality_percentile_gate_sql(q: float = QUALITY_GATE_Q) -> str:
+    """Oracle: identical histogram → running count → threshold → gate."""
+    return f"""
+WITH scores AS (
+  SELECT doc_id, quality_score FROM ({QUALITY_SCORES_SQL})),
+hist AS (SELECT quality_score, count(*) AS c FROM scores
+         GROUP BY quality_score),
+cum AS (SELECT quality_score,
+               sum(c) OVER (ORDER BY quality_score) AS cum,
+               greatest(CAST(floor({q!r} * (SELECT sum(c) FROM hist))
+                             AS BIGINT), 1) AS k
+        FROM hist),
+thr AS (SELECT min(quality_score) AS threshold FROM cum WHERE cum >= k)
+SELECT s.doc_id, s.quality_score, t.threshold,
+       s.quality_score >= t.threshold AS kept
+FROM scores s CROSS JOIN thr t
+"""

@@ -1282,3 +1282,48 @@ SELECT count(*) AS n_docs,
        round(sum(n_dropped)::DOUBLE / sum(n_words), 6) AS drop_share
 FROM per_doc
 """
+
+
+# ---------------------------------------------------------------------------
+# Soft dedup: duplication-aware loss weights
+# ---------------------------------------------------------------------------
+
+def soft_dedup_weights(
+    documents: DataFrame,
+    tau: float = JACCARD_TAU,
+    comp: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, cluster_size, weight): down-weight near-duplicates instead
+    of dropping them — weight = 1/|cluster| so each near-dup cluster
+    contributes one document's worth of gradient in total (the "soft
+    deduplication" alternative to hard removal, e.g. SoftDedup, He et al.
+    2024; sum(weight) is the corpus's effective size).
+
+    Scale shape: the clustered-docs table (only docs in ≥1 LSH pair — the
+    near-dup share of the corpus, a small fraction at scale) LEFT-joins
+    onto the corpus by doc_id and broadcasts under AQE; everything else
+    defaults to weight 1 without shuffling. Reuses the shared LSH
+    pair/component pipeline via ``comp`` like the other cluster consumers.
+    """
+    clusters = dedup_clusters(documents, tau=tau, comp=comp).select(
+        "doc_id", "cluster_size"
+    )
+    return documents.select("doc_id").join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_size", F.lit(1)).cast("bigint").alias(
+            "cluster_size"
+        ),
+        F.round(
+            F.lit(1.0) / F.coalesce("cluster_size", F.lit(1)), 6
+        ).alias("weight"),
+    )
+
+
+def soft_dedup_weights_sql(tau: float = JACCARD_TAU) -> str:
+    return f"""
+WITH clusters AS ({dedup_clusters_sql(tau)})
+SELECT d.doc_id,
+       CAST(coalesce(c.cluster_size, 1) AS BIGINT) AS cluster_size,
+       round(1.0 / coalesce(c.cluster_size, 1), 6) AS weight
+FROM documents d LEFT JOIN clusters c USING (doc_id)
+"""

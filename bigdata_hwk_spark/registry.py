@@ -696,6 +696,15 @@ register(
     ),
     D.dedup_clusters_sql(),
 )
+# duplication-aware loss weights (1/|near-dup cluster| per doc); fourth
+# consumer of the shared LSH pair/component pipeline
+register(
+    "soft_dedup_weights",
+    lambda spark, sf: D.soft_dedup_weights(
+        _docs(spark, sf), comp=_lsh_shared(spark, sf)[1]
+    ),
+    D.soft_dedup_weights_sql(),
+)
 
 # deterministic splits (salted hash; leakage-safe variant keys on the
 # near-dup cluster so no pair straddles train/test)
@@ -757,6 +766,14 @@ register(
     "text_quality_scores",
     lambda spark, sf: TX.quality_scores(_docs(spark, sf)),
     TX.QUALITY_SCORES_SQL,
+)
+# data-dependent quality gate: drop (at most) the bottom quartile by an
+# exact order-statistic threshold — histogram + tiny running-count scan,
+# no global sort, no interpolated percentile at the gate boundary
+register(
+    "quality_gated_docs",
+    lambda spark, sf: TX.quality_percentile_gate(_docs(spark, sf)),
+    TX.quality_percentile_gate_sql(),
 )
 register(
     "text_lang_id",

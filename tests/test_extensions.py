@@ -51,6 +51,8 @@ EXTENSION_ORACLE_QUERIES = [
     "pii_release_audit",
     "repeated_span_clean_docs",
     "repeated_span_profile",
+    "soft_dedup_weights",
+    "quality_gated_docs",
 ]
 
 
