@@ -897,6 +897,10 @@ def quality_percentile_gate(
     corpus itself is touched by exactly one aggregation and one
     broadcast-joined projection.
     """
+    # the two one-row sides (total count, threshold) attach via broadcast
+    # cross joins — the scalar-subquery shape; Catalyst constant-folds
+    # any synthetic equi-key away, so this IS the canonical plan, and the
+    # plan lint allowlists it with the other tiny-generated-side queries
     scores = quality_scores(documents).select("doc_id", "quality_score")
     hist = scores.groupBy("quality_score").agg(
         F.count(F.lit(1)).alias("c")

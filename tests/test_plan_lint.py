@@ -26,6 +26,11 @@ BNLJ_ALLOWED = {
     "windowed_counts_gapfilled": "generated hour spine × 5-row type "
                                  "dictionary — two tiny generated sides, "
                                  "no fact data in the cross join",
+    "quality_gated_docs": "two ONE-ROW scalar sides (corpus count, "
+                          "order-statistic threshold) broadcast against "
+                          "the histogram/corpus — the scalar-subquery "
+                          "shape; build side is a single row by "
+                          "construction",
 }
 
 
