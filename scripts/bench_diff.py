@@ -181,8 +181,19 @@ def main() -> None:
     out_path = os.path.join(
         _repo_dir(), f"BENCH_REGRESSION_NOTES_r{round_no:02d}.json"
     )
+    # merge-write: other tools (scripts/drift_ab.py) add their own
+    # sections to the same notes file — refreshing the diff must not
+    # clobber them
+    existing = {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                existing = json.load(f)
+        except (OSError, ValueError):
+            existing = {}
+    existing.update(payload)
     with open(out_path, "w") as f:
-        json.dump(payload, f, indent=1, sort_keys=True)
+        json.dump(existing, f, indent=1, sort_keys=True)
     print(
         json.dumps(
             {

@@ -72,6 +72,10 @@ def main() -> None:
         shuffle_partitions=int(cpus),
     )
 
+    names = sys.argv[1:] or ["tfidf_doc_similarity", "dedup_incremental_ingest"]
+    unknown = sorted(set(names) - set(registry.QUERIES))
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
     out: dict = {
         "sf_dir": sf_dir,
         "runs": 3,
@@ -83,7 +87,7 @@ def main() -> None:
         ),
         "queries": {},
     }
-    for name in ("tfidf_doc_similarity", "dedup_incremental_ingest"):
+    for name in names:
         out["queries"][name] = isolated(
             spark, lambda n=name: registry.QUERIES[n](spark, sf_dir)
         )
@@ -107,9 +111,10 @@ def main() -> None:
             li(), RC.LINEITEM_CANON, month_str, "ship_month"
         ),
     }
-    decomp = {k: isolated(spark, b) for k, b in stages.items()}
-    out["lineitem_month_checksums_stages"] = decomp
-    print(f"# month_checksums stages: {decomp}", file=sys.stderr)
+    if not sys.argv[1:]:  # stage decomposition only on the default run
+        decomp = {k: isolated(spark, b) for k, b in stages.items()}
+        out["lineitem_month_checksums_stages"] = decomp
+        print(f"# month_checksums stages: {decomp}", file=sys.stderr)
 
     with open(os.path.join(REPO, "ROUND"), encoding="utf-8") as fh:
         round_no = int(fh.read().strip())
@@ -120,11 +125,16 @@ def main() -> None:
     if os.path.exists(notes_path):
         with open(notes_path) as fh:
             notes = json.load(fh)
-    notes["isolated_ab"] = out
+    # merge: argv-subset runs add/refresh entries without clobbering the
+    # rest of the section (conclusions, stage decompositions)
+    prev_ab = notes.get("isolated_ab", {})
+    prev_ab.setdefault("queries", {}).update(out.pop("queries"))
+    prev_ab.update(out)
+    notes["isolated_ab"] = prev_ab
     with open(notes_path, "w") as fh:
         json.dump(notes, fh, indent=1, sort_keys=True)
     spark.stop()
-    print(json.dumps({"written": notes_path, "isolated_ab": out}))
+    print(json.dumps({"written": notes_path, "isolated_ab": prev_ab}))
 
 
 if __name__ == "__main__":
