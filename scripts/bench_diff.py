@@ -144,6 +144,22 @@ def main() -> None:
         if not entry["within_band"]:
             flagged[q] = entry
 
+    # isolated floors (scripts/drift_ab.py) from THIS round's notes: a
+    # watchlist query whose cache-isolated floor is at or below its
+    # revert target has reverted even when the suite's single-sample
+    # wall — which carries neighbors' cache pressure — still reads high.
+    floors = {}
+    this_notes = os.path.join(
+        _repo_dir(), f"BENCH_REGRESSION_NOTES_r{round_no:02d}.json"
+    )
+    if os.path.exists(this_notes):
+        try:
+            with open(this_notes) as f:
+                ab = json.load(f).get("isolated_ab", {}).get("queries", {})
+            floors = {q: e.get("min_sec") for q, e in ab.items()}
+        except (OSError, ValueError):
+            pass
+
     watch = {}
     for q, targets in _prev_watchlist(round_no).items():
         if q in cur:
@@ -155,6 +171,12 @@ def main() -> None:
                 "cur_wall_sec": cur[q],
                 "reverted_to_pre_regression_level": reverted,
             }
+            if floors.get(q) is not None:
+                watch[q]["isolated_floor_sec"] = floors[q]
+                watch[q]["reverted_via_isolated_floor"] = (
+                    floors[q]
+                    <= targets["pre_regression_sec"] + VARIANCE_ABS_SEC
+                )
 
     def _canary(path):
         with open(path) as f:
