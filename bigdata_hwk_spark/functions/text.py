@@ -948,3 +948,70 @@ SELECT s.doc_id, s.quality_score, t.threshold,
        s.quality_score >= t.threshold AS kept
 FROM scores s CROSS JOIN thr t
 """
+
+
+# ---------------------------------------------------------------------------
+# Unigram surprise (corpus-self cross-entropy quality signal)
+# ---------------------------------------------------------------------------
+
+def unigram_surprise_scores(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, avg_neg_logprob): per-document cross-entropy
+    under the corpus's OWN unigram distribution — the CCNet-style
+    LM-perplexity quality signal with the external LM replaced by the
+    corpus unigram model (CCNet, Wenzek et al. 2020, scores documents by
+    LM perplexity and filters on its distribution; the unigram self-model
+    is the zeroth-order version with no external artifact). Boilerplate
+    made of globally-common words scores LOW; rare-token noise scores
+    HIGH; both tails are filter candidates.
+
+    Cross-engine determinism: avg(-ln(count/total)) is computed as
+    ln(total) − avg(ln(count)) in BOTH engines — identical operations on
+    identical integers, with the one scalar (total) attached at the END
+    on the small per-doc aggregate. Word strings never shuffle: token
+    occurrences travel as 8-byte portable hashes, the frequency join is
+    keyed on the hash, and the final one-row total rides a broadcast
+    (the scalar-subquery shape the plan lint allowlists).
+    """
+    from ..functions.hashing import md5_hash64
+
+    h = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).select("doc_id", md5_hash64(F.col("word")).alias("wh"))
+    freq = h.groupBy("wh").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").alias("n"))
+    per = (
+        h.join(freq, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(F.log("c")).alias("__avg_ln_c"),
+        )
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.log("n") - F.col("__avg_ln_c"), 6).alias(
+            "avg_neg_logprob"
+        ),
+    )
+
+
+def unigram_surprise_scores_sql() -> str:
+    """Oracle: identical hash domain, identical ln(total) − avg(ln(c))
+    arithmetic."""
+    from ..functions.hashing import md5_hash64_sql
+
+    wh = md5_hash64_sql("word")
+    return f"""
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+h AS (SELECT doc_id, {wh} AS wh FROM w),
+freq AS (SELECT wh, count(*) AS c FROM h GROUP BY wh),
+tot AS (SELECT sum(c) AS n FROM freq),
+per AS (SELECT doc_id, count(*) AS n_tokens, avg(ln(c)) AS avg_ln_c
+        FROM h JOIN freq USING (wh) GROUP BY doc_id)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(ln((SELECT n FROM tot)) - avg_ln_c, 6) AS avg_neg_logprob
+FROM per
+"""

@@ -775,6 +775,13 @@ register(
     lambda spark, sf: TX.quality_percentile_gate(_docs(spark, sf)),
     TX.quality_percentile_gate_sql(),
 )
+# corpus-self cross-entropy (CCNet-style perplexity signal, unigram
+# self-model): word hashes → frequency join → per-doc ln(total)−avg(ln c)
+register(
+    "unigram_surprise_scores",
+    lambda spark, sf: TX.unigram_surprise_scores(_docs(spark, sf)),
+    TX.unigram_surprise_scores_sql(),
+)
 register(
     "text_lang_id",
     lambda spark, sf: TX.lang_id(_docs(spark, sf)),

@@ -53,6 +53,7 @@ EXTENSION_ORACLE_QUERIES = [
     "repeated_span_profile",
     "soft_dedup_weights",
     "quality_gated_docs",
+    "unigram_surprise_scores",
 ]
 
 

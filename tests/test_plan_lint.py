@@ -31,6 +31,9 @@ BNLJ_ALLOWED = {
                           "the histogram/corpus — the scalar-subquery "
                           "shape; build side is a single row by "
                           "construction",
+    "unigram_surprise_scores": "ONE-ROW corpus-total side broadcast "
+                               "against the per-doc aggregate — the "
+                               "same scalar-subquery shape",
 }
 
 

@@ -69,3 +69,36 @@ def test_quality_gate_q_zero_keeps_all(spark):
     docs = load_table(spark, SF_CORRECT, "documents")
     out = quality_percentile_gate(docs, q=0.0)
     assert out.filter(~F.col("kept")).count() == 0
+
+
+def test_unigram_surprise_hand_case(spark):
+    """Exact hand computation: corpus 'a a' + 'a b' has counts a=3, b=1,
+    total=4 — doc 0 averages -ln(3/4), doc 1 averages the mean of
+    -ln(3/4) and -ln(1/4); common-word docs score LOWER."""
+    from bigdata_hwk_spark.functions.text import unigram_surprise_scores
+
+    docs = spark.createDataFrame(
+        [(0, "a a"), (1, "a b")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.avg_neg_logprob)
+        for r in unigram_surprise_scores(docs).collect()
+    }
+    ln = math.log
+    assert got[0] == (2, round(ln(4) - ln(3), 6))
+    assert got[1] == (2, round(ln(4) - (ln(3) + ln(1)) / 2, 6))
+    assert got[0][1] < got[1][1]
+
+
+def test_unigram_surprise_fixture_shape(spark):
+    from bigdata_hwk_spark.functions.text import unigram_surprise_scores
+    from bigdata_hwk_spark.functions.text import token_stats
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    out = unigram_surprise_scores(docs)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert all(r.avg_neg_logprob > 0 for r in rows)
+    # token accounting agrees with the whitespace tokenizer
+    ts = {r.doc_id: r.n_tokens for r in token_stats(docs).collect()}
+    assert all(ts[r.doc_id] == r.n_tokens for r in rows)
