@@ -1327,3 +1327,69 @@ SELECT d.doc_id,
        round(1.0 / coalesce(c.cluster_size, 1), 6) AS weight
 FROM documents d LEFT JOIN clusters c USING (doc_id)
 """
+
+
+def source_overlap_matrix(
+    documents: DataFrame,
+    pairs: DataFrame | None = None,
+    tau: float = JACCARD_TAU,
+) -> DataFrame:
+    """(source_a, source_b, n_pairs) — cross-source near-duplicate
+    containment: how many verified MinHash-LSH pairs land on each
+    unordered source pair. The provenance diagnostic a corpus curator
+    reads before mixing sources — a hot off-diagonal cell means source B
+    is largely a re-crawl/mirror of source A, so keeping both at full
+    ``source_mix_weights`` weight double-counts that content.
+
+    Composition, not new machinery: the verified pair table (shared,
+    persisted — same candidates every registry consumer sees) joined
+    twice to the O(corpus) (doc_id, source) projection, then normalized
+    with least/greatest so (A,B) and (B,A) count as one cell and
+    intra-source duplication shows on the diagonal.
+
+    Scale: both joins are equi-joins on the doc key; the pair table is
+    orders of magnitude smaller than the corpus (near-dup pairs, not all
+    pairs), so AQE picks a broadcast of the pair side when it fits and a
+    keyed shuffle otherwise; the final agg is map-side combined over
+    O(sources²) cells.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(documents, tau=tau)
+    lab = documents.select("doc_id", "source")
+    j = (
+        pairs.select("doc_a", "doc_b")
+        .join(
+            lab.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            lab.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ),
+            "doc_b",
+        )
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def source_overlap_matrix_sql(tau: float = JACCARD_TAU) -> str:
+    """DuckDB oracle: the LSH pair query labelled and folded identically."""
+    return f"""
+WITH pairs AS ({minhash_lsh_pairs_sql(tau)})
+SELECT least(la.source, lb.source) AS source_a,
+       greatest(la.source, lb.source) AS source_b,
+       count(*) AS n_pairs
+FROM pairs p
+JOIN documents la ON la.doc_id = p.doc_a
+JOIN documents lb ON lb.doc_id = p.doc_b
+GROUP BY 1, 2
+"""

@@ -337,3 +337,108 @@ SELECT CAST((cum - n_tokens) // {token_budget} AS BIGINT) AS shard_id,
        CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
 FROM c GROUP BY 1
 """
+
+
+MIX_RESAMPLE_SALT = "mix-v1"   # version the resample; bump to redraw
+_PPM = 1_000_000               # keep-rate resolution (parts per million)
+
+
+def mixture_resample_counts(documents: DataFrame) -> DataFrame:
+    """(source, n_docs, r_ppm, n_kept, kept_tokens) — MATERIALIZE the
+    temperature-smoothed source mixture that ``source_mix_weights`` only
+    plans: deterministically downsample every source so realized token
+    shares match the α=0.5 target, relative to the rarest source (which
+    keeps everything).
+
+    Target share ∝ p_i^0.5 ⇒ per-row keep rate ∝ p_i^-0.5, normalized so
+    max rate = 1 ⇒ r_i = sqrt(t_min / t_i) where t_i is source i's token
+    count. The keep decision is a salted-hash Bernoulli in integer ppm —
+    a pure per-row projection like ``hash_split``: reproducible across
+    runs, re-layouts and engines, appends don't redraw existing docs, and
+    the DuckDB oracle recomputes the identical decision per row.
+
+    Exactness discipline (same as ``source_mix_weights``): t_min/t_i is
+    one exact BIGINT/BIGINT double division, sqrt is correctly rounded,
+    and the rate is quantized to an integer ppm with the same
+    round-half-up rule in both engines BEFORE any row is judged — the
+    keep predicate compares two BIGINTs, so no float ever crosses an
+    engine boundary.
+
+    Scale: one map-side-combined agg to O(sources) rows; the single-
+    partition window runs over that tiny aggregate; the rate table
+    broadcasts back onto the corpus (equi-join on source, build side
+    O(sources)); the keep predicate and final per-source agg are
+    projection + map-side combine. The 3-column token projection is
+    persisted once for its two consumers instead of re-splitting the
+    text column.
+    """
+    from ..session import persist_once
+
+    tok = persist_once(
+        documents.select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("toks"),
+        )
+    )
+    per = tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("toks").alias("t")
+    )
+    # Same non-foldable empty partition key as source_mix_weights: the
+    # window input is the O(sources) aggregate, not the corpus.
+    wall = Window.partitionBy(F.substring(F.col("source"), 1, 0))
+    rate = per.select(
+        "source",
+        "n_docs",
+        F.round(
+            F.lit(_PPM)
+            * F.sqrt(F.min("t").over(wall).cast("double") / F.col("t")),
+            0,
+        )
+        .cast("bigint")
+        .alias("r_ppm"),
+    )
+    keep = (
+        md5_hash64(
+            F.concat(
+                F.lit(MIX_RESAMPLE_SALT + ":"), F.col("doc_id").cast("string")
+            )
+        )
+        % _PPM
+    ) < F.col("r_ppm")
+    return (
+        tok.join(F.broadcast(rate), "source")
+        .groupBy("source", "n_docs", "r_ppm")
+        .agg(
+            F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(keep, F.col("toks")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+    )
+
+
+def mixture_resample_counts_sql() -> str:
+    """DuckDB oracle: identical integer-ppm rate and per-row decision."""
+    hk = md5_hash64_sql(f"'{MIX_RESAMPLE_SALT}:' || doc_id::VARCHAR")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+  FROM documents),
+per AS (
+  SELECT source, count(*) AS n_docs, sum(toks) AS t
+  FROM tok GROUP BY source),
+rate AS (
+  SELECT source, n_docs,
+         CAST(round({_PPM} * sqrt(CAST(min(t) OVER () AS DOUBLE) / t), 0)
+              AS BIGINT) AS r_ppm
+  FROM per)
+SELECT r.source, r.n_docs, r.r_ppm,
+       CAST(sum(CASE WHEN ({hk} % {_PPM}) < r.r_ppm THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN ({hk} % {_PPM}) < r.r_ppm THEN toks ELSE 0 END)
+            AS BIGINT) AS kept_tokens
+FROM tok t JOIN rate r USING (source)
+GROUP BY 1, 2, 3
+"""

@@ -922,6 +922,24 @@ register(
     SP.source_mix_weights_sql(),
 )
 
+# materialized mixture: deterministic per-row ppm downsampling so realized
+# token shares hit the α=0.5 target relative to the rarest source
+register(
+    "mixture_resample_counts",
+    lambda spark, sf: SP.mixture_resample_counts(_docs(spark, sf)),
+    SP.mixture_resample_counts_sql(),
+)
+
+# cross-source near-dup containment (which sources mirror each other),
+# reusing the session-shared verified LSH pair table
+register(
+    "source_overlap_matrix",
+    lambda spark, sf: D.source_overlap_matrix(
+        _docs(spark, sf), pairs=_lsh_shared(spark, sf)[0]
+    ),
+    D.source_overlap_matrix_sql(),
+)
+
 # windowed attribution: range join on (user, time) — the interval twin of
 # the as-of join
 register(

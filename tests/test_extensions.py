@@ -54,6 +54,9 @@ EXTENSION_ORACLE_QUERIES = [
     "soft_dedup_weights",
     "quality_gated_docs",
     "unigram_surprise_scores",
+    # round-9 additions: mixture materialization + provenance overlap
+    "mixture_resample_counts",
+    "source_overlap_matrix",
 ]
 
 
@@ -848,3 +851,60 @@ def test_chunking_udtf_twin_equals_codegen(spark):
     assert by_doc[1] == [(0, 64), (1, 64), (2, 2)]
     assert by_doc[2] == [(0, 64)]
     assert by_doc[3] == [(0, 2)]
+
+
+def test_mixture_resample_rate_math_hand_case(spark):
+    """Two sources with token totals 100 and 400: the rare source keeps
+    everything (r_ppm = 1e6 exactly, so EVERY row passes the ppm
+    Bernoulli), the common one gets sqrt(100/400) = 0.5 → 500000 ppm."""
+    from bigdata_hwk_spark.operators.splits import mixture_resample_counts
+
+    rows = [(i, " ".join(["w"] * 10), "rare") for i in range(10)]
+    rows += [(100 + i, " ".join(["w"] * 10), "common") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = {r["source"]: r for r in mixture_resample_counts(docs).collect()}
+    assert out["rare"]["r_ppm"] == 1_000_000
+    assert out["common"]["r_ppm"] == 500_000
+    # rarest source keeps every doc and every token, deterministically
+    assert out["rare"]["n_kept"] == out["rare"]["n_docs"] == 10
+    assert out["rare"]["kept_tokens"] == 100
+    # downsampled source keeps a strict subset
+    assert 0 < out["common"]["n_kept"] < 40
+    assert out["common"]["kept_tokens"] == out["common"]["n_kept"] * 10
+
+
+def test_mixture_resample_is_append_stable(spark):
+    """Appending docs to one source must not redraw another source's kept
+    set when the rate table is unchanged: the keep decision is a pure
+    per-row hash, so a doc's fate depends only on (salt, doc_id, r_ppm)."""
+    from bigdata_hwk_spark.operators.splits import mixture_resample_counts
+
+    base = [(i, " ".join(["w"] * 10), "a") for i in range(20)]
+    base += [(100 + i, " ".join(["w"] * 10), "b") for i in range(80)]
+    # append 60 more docs to b — a's tokens (and t_min) are unchanged, and
+    # b's rate only DROPS, so every b-doc kept after must have been kept
+    # before; a's kept set is bit-identical
+    more = base + [(300 + i, " ".join(["w"] * 10), "b") for i in range(60)]
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string"
+    )
+    before = {r["source"]: r for r in mixture_resample_counts(mk(base)).collect()}
+    after = {r["source"]: r for r in mixture_resample_counts(mk(more)).collect()}
+    assert after["a"]["n_kept"] == before["a"]["n_kept"]
+    assert after["a"]["kept_tokens"] == before["a"]["kept_tokens"]
+    assert after["b"]["r_ppm"] < before["b"]["r_ppm"]
+
+
+def test_source_overlap_matrix_hand_case(spark):
+    """A planted cross-source near-dup pair lands in exactly one unordered
+    cell; the unrelated doc contributes nothing."""
+    from bigdata_hwk_spark.operators.dedup import source_overlap_matrix
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    other = "one two three four five six seven eight nine ten eleven twelve"
+    docs = spark.createDataFrame(
+        [(1, dup, "src_b"), (2, dup, "src_a"), (3, other, "src_a")],
+        "doc_id bigint, text string, source string",
+    )
+    got = [tuple(r) for r in source_overlap_matrix(docs).collect()]
+    assert got == [("src_a", "src_b", 1)]
