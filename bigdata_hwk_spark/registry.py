@@ -576,6 +576,16 @@ register(
     ),
     D.ngram_jaccard_pairs_sql(),
 )
+# PPJoin-style exact similarity join: df-ordered prefix pruning bounds the
+# candidate fan-out without LSH's recall trade; the oracle is the full
+# inverted-index formulation, so equality here proves the pruning lossless
+register(
+    "dedup_prefix_filter",
+    lambda spark, sf: D.prefix_filter_pairs(
+        _docs(spark, sf), index=_shingle_shared(spark, sf)
+    ),
+    D.ngram_jaccard_pairs_sql(),
+)
 register(
     "tfidf_doc_similarity",
     lambda spark, sf: D.tfidf_doc_similarity(_docs(spark, sf)),

@@ -57,6 +57,9 @@ EXTENSION_ORACLE_QUERIES = [
     # round-9 additions: mixture materialization + provenance overlap
     "mixture_resample_counts",
     "source_overlap_matrix",
+    # round-9: PPJoin-style exact prefix-filter join (oracle = the full
+    # inverted-index SQL, so the check proves the pruning lossless)
+    "dedup_prefix_filter",
 ]
 
 
@@ -908,3 +911,30 @@ def test_source_overlap_matrix_hand_case(spark):
     )
     got = [tuple(r) for r in source_overlap_matrix(docs).collect()]
     assert got == [("src_a", "src_b", 1)]
+
+
+def test_prefix_filter_equals_full_inverted_index(spark):
+    """The prefix-filter lemma's whole claim: pruning loses NOTHING. The
+    pair set (jaccard values included) must equal the full inverted-index
+    join's, on the fixture (which plants near-dups) and at a lower tau
+    where mid-similarity pairs stress the length filter."""
+    docs = load_table(spark, SF_CORRECT, "documents")
+    for tau in (0.5, 0.3):
+        full = {tuple(r) for r in D.ngram_jaccard_pairs(docs, tau=tau).collect()}
+        pref = {tuple(r) for r in D.prefix_filter_pairs(docs, tau=tau).collect()}
+        assert full, f"fixture should contain pairs at tau={tau}"
+        assert pref == full
+
+
+def test_prefix_filter_short_and_hot_docs(spark):
+    """Sub-shingle docs drop out (no crash), and identical docs built
+    ENTIRELY of one hot boilerplate shingle set are still found — the
+    prefix runs on the full table, so the hot-shingle cut can't cost
+    exactness."""
+    hot = "the same boilerplate phrase again and again forever"
+    docs = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, hot), (4, hot)],
+        "doc_id bigint, text string",
+    )
+    got = [tuple(r) for r in D.prefix_filter_pairs(docs).collect()]
+    assert got == [(3, 4, 1.0)]
