@@ -442,3 +442,108 @@ SELECT r.source, r.n_docs, r.r_ppm,
 FROM tok t JOIN rate r USING (source)
 GROUP BY 1, 2, 3
 """
+
+
+UPSAMPLE_SALT = "mix-up-v1"    # independent of the downsampler's draw
+
+
+def mixture_upsample(documents: DataFrame) -> DataFrame:
+    """(doc_id, source, toks, copy) — the UPSAMPLING materialization of
+    the α=0.5 mixture: instead of dropping rows from common sources
+    (``mixture_resample_counts``), repeat rows of rare sources so one
+    training epoch sees source i sqrt(t_max/t_i) times on average — the
+    standard low-resource upsampling when epoch size may grow. The
+    commonest source keeps exactly one copy.
+
+    Deterministic fractional repeats: with r_i = sqrt(t_max/t_i)
+    quantized to integer ppm, every doc gets ⌊r_ppm/1e6⌋ copies plus one
+    more iff its salted hash bucket < r_ppm mod 1e6 — so per-doc copy
+    counts are reproducible across runs/re-layouts/engines and the
+    realized expectation is exactly r_i. The expansion is a codegen'd
+    ``explode(sequence(1, rep))`` — no shuffle: rate broadcast + per-row
+    projection, rows multiply in place in the scan stage.
+
+    Scale: identical shape to the downsampler (one O(sources) agg, one
+    broadcast back) plus the explode, whose output is bounded by
+    r_max·|rarest source| — upsampling a tiny source is cheap by
+    construction; a LARGE source never has r > 1.
+    """
+    from ..session import persist_once
+
+    tok = persist_once(
+        documents.select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("toks"),
+        )
+    )
+    per = tok.groupBy("source").agg(F.sum("toks").alias("t"))
+    wall = Window.partitionBy(F.substring(F.col("source"), 1, 0))
+    rate = per.select(
+        "source",
+        F.round(
+            F.lit(_PPM)
+            * F.sqrt(F.max("t").over(wall).cast("double") / F.col("t")),
+            0,
+        )
+        .cast("bigint")
+        .alias("r_ppm"),
+    )
+    bucket = md5_hash64(
+        F.concat(F.lit(UPSAMPLE_SALT + ":"), F.col("doc_id").cast("string"))
+    ) % _PPM
+    rep = (F.col("r_ppm") / _PPM).cast("bigint") + F.when(
+        bucket < F.col("r_ppm") % _PPM, 1
+    ).otherwise(0)
+    return (
+        tok.join(F.broadcast(rate), "source")
+        .withColumn("__rep", rep)
+        .filter(F.col("__rep") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "toks",
+            F.explode(F.sequence(F.lit(1), F.col("__rep"))).alias("copy"),
+        )
+    )
+
+
+def mixture_upsample_counts(documents: DataFrame) -> DataFrame:
+    """(source, n_docs, sum_repeats, upsampled_tokens) — the O(sources)
+    summary of ``mixture_upsample``: docs seen, total copies emitted, and
+    the epoch's realized token count per source."""
+    return mixture_upsample(documents).groupBy("source").agg(
+        F.count_distinct(F.col("doc_id")).alias("n_docs"),
+        F.count(F.lit(1)).alias("sum_repeats"),
+        F.sum("toks").alias("upsampled_tokens"),
+    )
+
+
+def mixture_upsample_counts_sql() -> str:
+    """DuckDB oracle: per-row repeat counts computed arithmetically (no
+    explode), so the hash match proves the Spark explode emits exactly
+    ⌊r/1e6⌋ + [bucket < r mod 1e6] copies per doc."""
+    hk = md5_hash64_sql(f"'{UPSAMPLE_SALT}:' || doc_id::VARCHAR")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+  FROM documents),
+per AS (SELECT source, sum(toks) AS t FROM tok GROUP BY source),
+rate AS (
+  SELECT source,
+         CAST(round({_PPM} * sqrt(CAST(max(t) OVER () AS DOUBLE) / t), 0)
+              AS BIGINT) AS r_ppm
+  FROM per),
+reps AS (
+  SELECT t.source, t.doc_id, t.toks,
+         (r.r_ppm // {_PPM})
+         + CASE WHEN ({hk} % {_PPM}) < (r.r_ppm % {_PPM}) THEN 1 ELSE 0 END
+           AS rep
+  FROM tok t JOIN rate r USING (source))
+SELECT source,
+       count(DISTINCT CASE WHEN rep > 0 THEN doc_id END) AS n_docs,
+       CAST(sum(rep) AS BIGINT) AS sum_repeats,
+       CAST(sum(toks * rep) AS BIGINT) AS upsampled_tokens
+FROM reps GROUP BY source
+"""

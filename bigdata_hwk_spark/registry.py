@@ -940,6 +940,14 @@ register(
     SP.mixture_resample_counts_sql(),
 )
 
+# upsampling twin: rare sources repeated sqrt(t_max/t_i) times per epoch,
+# fractional repeats resolved per row by salted hash
+register(
+    "mixture_upsample_counts",
+    lambda spark, sf: SP.mixture_upsample_counts(_docs(spark, sf)),
+    SP.mixture_upsample_counts_sql(),
+)
+
 # cross-source near-dup containment (which sources mirror each other),
 # reusing the session-shared verified LSH pair table
 register(

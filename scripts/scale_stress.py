@@ -305,6 +305,11 @@ HEAVY_QUERIES = [
     # pair-producing LLM-pipeline op added in round 8 — the heaviest op
     # not yet re-measured at 64× (round-8 VERDICT missing #3)
     "tfidf_doc_similarity",
+    # exact prefix-filter similarity join (round 9): pair-producing like
+    # tfidf, and its df-ascending prefix is the fan-out claim to test —
+    # at 64× the hot-shingle posting lists are 64× longer, but prefixes
+    # should keep probing only the rare end
+    "dedup_prefix_filter",
 ]
 
 # Inline justifications for the second-decade entries whose exponents

@@ -56,6 +56,7 @@ EXTENSION_ORACLE_QUERIES = [
     "unigram_surprise_scores",
     # round-9 additions: mixture materialization + provenance overlap
     "mixture_resample_counts",
+    "mixture_upsample_counts",
     "source_overlap_matrix",
     # round-9: PPJoin-style exact prefix-filter join (oracle = the full
     # inverted-index SQL, so the check proves the pruning lossless)
@@ -938,3 +939,33 @@ def test_prefix_filter_short_and_hot_docs(spark):
     )
     got = [tuple(r) for r in D.prefix_filter_pairs(docs).collect()]
     assert got == [(3, 4, 1.0)]
+
+
+def test_mixture_upsample_hand_case(spark):
+    """Sources with token totals 400 (common) and 100 (rare): common keeps
+    exactly one copy per doc (r = 1.0 exactly); rare gets r = 2.0 exactly,
+    so EVERY rare doc appears exactly twice — no fractional draw at all.
+    A 200-token middle source gets r = sqrt(2): base 1 plus a hash-decided
+    extra, so sum_repeats lands strictly between n_docs and 2*n_docs."""
+    from bigdata_hwk_spark.operators.splits import (
+        mixture_upsample,
+        mixture_upsample_counts,
+    )
+
+    rows = [(i, " ".join(["w"] * 10), "common") for i in range(40)]
+    rows += [(100 + i, " ".join(["w"] * 10), "rare") for i in range(10)]
+    rows += [(200 + i, " ".join(["w"] * 10), "mid") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = {r["source"]: r for r in mixture_upsample_counts(docs).collect()}
+    assert out["common"]["sum_repeats"] == 40
+    assert out["common"]["upsampled_tokens"] == 400
+    assert out["rare"]["sum_repeats"] == 20
+    assert out["rare"]["upsampled_tokens"] == 200
+    assert 20 < out["mid"]["sum_repeats"] < 40
+    # the materialized expansion agrees with the counts: copy indices are
+    # dense 1..rep per doc
+    exp = mixture_upsample(docs)
+    per_doc = {
+        (r["doc_id"], r["copy"]) for r in exp.filter("source = 'rare'").collect()
+    }
+    assert per_doc == {(100 + i, c) for i in range(10) for c in (1, 2)}
