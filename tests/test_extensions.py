@@ -969,3 +969,45 @@ def test_mixture_upsample_hand_case(spark):
         (r["doc_id"], r["copy"]) for r in exp.filter("source = 'rare'").collect()
     }
     assert per_doc == {(100 + i, c) for i in range(10) for c in (1, 2)}
+
+
+def test_mixture_realized_shares_hit_the_target(spark):
+    """The SEMANTIC claim of both mixture materializations: after
+    down/upsampling, each source's realized token share approximates the
+    α=0.5 target w_i ∝ sqrt(p_i) — not just "the rate math is right" but
+    "the corpus that comes out is the corpus source_mix_weights planned".
+    Tolerance is loose (hash Bernoulli on finite fixtures) but tight
+    enough to catch an inverted ratio, a wrong exponent, or rates applied
+    to the wrong source."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bigdata_hwk_spark.operators.splits import (
+        mixture_resample_counts,
+        mixture_upsample_counts,
+    )
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    base = {
+        r["source"]: r["t"]
+        for r in docs.selectExpr(
+            "source", "size(split(text, ' ')) as n"
+        ).groupBy("source").agg(F.sum("n").alias("t")).collect()
+    }
+    total = sum(base.values())
+    target = {s: math.sqrt(t / total) for s, t in base.items()}
+    tsum = sum(target.values())
+    target = {s: w / tsum for s, w in target.items()}
+
+    for counts, col in (
+        (mixture_resample_counts(docs), "kept_tokens"),
+        (mixture_upsample_counts(docs), "upsampled_tokens"),
+    ):
+        got = {r["source"]: r[col] for r in counts.collect()}
+        gsum = sum(got.values())
+        for s in base:
+            realized = got[s] / gsum
+            assert abs(realized - target[s]) < 0.25 * target[s], (
+                s, realized, target[s], col
+            )
