@@ -1015,3 +1015,95 @@ SELECT doc_id,
        round(ln((SELECT n FROM tot)) - avg_ln_c, 6) AS avg_neg_logprob
 FROM per
 """
+
+
+# ---------------------------------------------------------------------------
+# Curriculum tiers (multi-quantile quality binning)
+# ---------------------------------------------------------------------------
+
+CURRICULUM_QS = (0.25, 0.5, 0.75)
+
+
+def curriculum_tiers(
+    documents: DataFrame, qs: tuple[float, ...] = CURRICULUM_QS
+) -> DataFrame:
+    """(doc_id, quality_score, tier) — bin every document into quality
+    QUARTILE tiers (0 = bottom .. len(qs) = top) by EXACT corpus order
+    statistics: tier = how many of the q-quantile thresholds the doc's
+    score meets. The data-scheduling primitive behind quality-ordered
+    curricula (feed tier-3 late in training, mix tiers by schedule) —
+    the multi-cut generalization of ``quality_percentile_gate``, with
+    the same no-interpolation contract so two engines can't disagree in
+    the last ulp at any cut.
+
+    One histogram pass serves ALL cuts: the (score, count) table gets a
+    single running-count scan, and every threshold is a conditional-min
+    over that one tiny table (min score whose cumulative count reaches
+    k_i = max(⌊q_i·N⌋, 1)) folded into ONE row, which broadcasts back.
+    The corpus is touched by exactly one aggregation and one projection
+    — adding cuts costs nothing but another column on the one-row side.
+    """
+    scores = quality_scores(documents).select("doc_id", "quality_score")
+    hist = scores.groupBy("quality_score").agg(F.count(F.lit(1)).alias("c"))
+    tot = hist.agg(F.sum("c").alias("n"))
+    cum = (
+        hist.crossJoin(F.broadcast(tot)).withColumn(
+            "cum",
+            F.sum("c").over(
+                Window.orderBy("quality_score").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+    )
+    thr = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.greatest(
+                        F.floor(F.lit(q) * F.col("n")), F.lit(1)
+                    ),
+                    F.col("quality_score"),
+                )
+            ).alias(f"t{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    tier = None
+    for i in range(len(qs)):
+        leg = (F.col("quality_score") >= F.col(f"t{i}")).cast("int")
+        tier = leg if tier is None else tier + leg
+    return scores.crossJoin(F.broadcast(thr)).select(
+        "doc_id", "quality_score", tier.cast("int").alias("tier")
+    )
+
+
+def curriculum_tiers_sql(qs: tuple[float, ...] = CURRICULUM_QS) -> str:
+    """Oracle: identical histogram → running count → conditional-min
+    thresholds → per-doc tier sum."""
+    thr_cols = ",\n  ".join(
+        f"min(CASE WHEN cum >= greatest(CAST(floor({q!r} * n) AS BIGINT), 1)"
+        f" THEN quality_score END) AS t{i}"
+        for i, q in enumerate(qs)
+    )
+    tier_sum = " + ".join(
+        f"(CASE WHEN s.quality_score >= t.t{i} THEN 1 ELSE 0 END)"
+        for i in range(len(qs))
+    )
+    return f"""
+WITH scores AS (
+  SELECT doc_id, quality_score FROM ({QUALITY_SCORES_SQL})),
+hist AS (SELECT quality_score, count(*) AS c FROM scores
+         GROUP BY quality_score),
+cum AS (SELECT quality_score,
+               sum(c) OVER (ORDER BY quality_score) AS cum,
+               (SELECT sum(c) FROM hist) AS n
+        FROM hist),
+thr AS (SELECT
+  {thr_cols}
+ FROM cum)
+SELECT s.doc_id, s.quality_score,
+       CAST({tier_sum} AS INTEGER) AS tier
+FROM scores s CROSS JOIN thr t
+"""

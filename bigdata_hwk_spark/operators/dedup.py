@@ -1465,3 +1465,102 @@ def prefix_filter_pairs(
         _verify_candidates(ex, cand, tau)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def chunk_dedup_docs(documents: DataFrame, w: int = 64) -> DataFrame:
+    """(doc_id, n_chunks, n_dropped, clean_text) — corpus-wide CHUNK
+    dedup: split every document into consecutive ``w``-token chunks, keep
+    only the FIRST occurrence (smallest (doc_id, chunk_id)) of each
+    distinct chunk corpus-wide, and rebuild each document from its
+    surviving chunks in order. The chunk-granularity sibling of
+    ``repeated_span_removal`` (which keys on sliding word-4-grams):
+    coarser and cheaper — one key per w tokens instead of one per token —
+    the trade production pipelines take when deduplicating partially-
+    copied documents that whole-doc dedup misses (MassiveText, Rae et al.
+    2021 §A.2, dedups exact n-gram chunks; RefinedWeb, Penedo et al.
+    2023, drops duplicated spans).
+
+    The text column never shuffles: chunk occurrences travel as 8-byte
+    md5 keys; the keeper per key is a map-side-combinable min(struct)
+    aggregate (no window over a possibly-enormous hot-chunk group); only
+    DUPLICATED keys (typically a small share of the corpus) join back to
+    the occurrence list, collapse to a per-doc drop-position array, and
+    equi-join onto the corpus on the doc key — docs with nothing to drop
+    take the left-join fast path. Rebuilding is a codegen'd positional
+    ``filter`` + ``array_join`` over the re-derived chunk array, in
+    place, in the scan stage. A 2^-60 chunk-hash collision can only
+    over-drop; the oracle hashes identically so both engines agree.
+    """
+    from ..functions.hashing import md5_hash64
+    from ..functions.text import chunk_documents
+
+    ch = chunk_documents(documents, w).select(
+        "doc_id", "chunk_id", md5_hash64(F.col("chunk_text")).alias("h")
+    )
+    dup = (
+        ch.groupBy("h")
+        .agg(
+            F.min(F.struct("doc_id", "chunk_id")).alias("keep"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .filter(F.col("c") > 1)
+        .select("h", "keep")
+    )
+    drops = (
+        ch.join(dup, "h")
+        .filter(
+            (F.col("doc_id") != F.col("keep.doc_id"))
+            | (F.col("chunk_id") != F.col("keep.chunk_id"))
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list("chunk_id").alias("__drop"))
+    )
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n_chunks = F.ceil(F.size(ws) / F.lit(w)).cast("bigint")
+    chunks = F.when(n_chunks > 0, F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.array_join(F.slice(ws, i * w + 1, w), " "),
+    )).otherwise(F.array().cast("array<string>"))
+    no_drop = F.array().cast("array<int>")
+    kept = F.filter(
+        chunks,
+        lambda c, i: ~F.array_contains(
+            F.coalesce(F.col("__drop"), no_drop), i.cast("int")
+        ),
+    )
+    return documents.join(drops, "doc_id", "left").select(
+        "doc_id",
+        n_chunks.alias("n_chunks"),
+        F.coalesce(F.size("__drop"), F.lit(0)).cast("bigint").alias("n_dropped"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
+def chunk_dedup_docs_sql(w: int = 64) -> str:
+    """DuckDB oracle: identical chunking/hash/keeper; rebuilds by
+    string-aggregating kept occurrences in chunk order."""
+    from ..functions.hashing import md5_hash64_sql
+    from ..functions.text import chunk_documents_sql
+
+    h = md5_hash64_sql("chunk_text")
+    return f"""
+WITH ch AS (
+  SELECT doc_id, chunk_id, chunk_text, {h} AS h
+  FROM ({chunk_documents_sql(w)})),
+ranked AS (
+  SELECT doc_id, chunk_id, chunk_text,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_id) AS rk
+  FROM ch),
+per AS (
+  SELECT doc_id,
+         count(*) AS n_chunks,
+         CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         coalesce(string_agg(CASE WHEN rk = 1 THEN chunk_text END,
+                             ' ' ORDER BY chunk_id), '') AS clean_text
+  FROM ranked GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+       coalesce(p.n_dropped, 0) AS n_dropped,
+       coalesce(p.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""

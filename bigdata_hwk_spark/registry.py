@@ -792,6 +792,20 @@ register(
     lambda spark, sf: TX.unigram_surprise_scores(_docs(spark, sf)),
     TX.unigram_surprise_scores_sql(),
 )
+# multi-quantile curriculum binning: one histogram pass serves all cuts,
+# every threshold an exact order statistic (no interpolation)
+register(
+    "curriculum_tiers",
+    lambda spark, sf: TX.curriculum_tiers(_docs(spark, sf)),
+    TX.curriculum_tiers_sql(),
+)
+# chunk-granularity corpus dedup: keep the first occurrence of every
+# distinct w-token chunk, rebuild docs from surviving chunks
+register(
+    "chunk_dedup_docs",
+    lambda spark, sf: D.chunk_dedup_docs(_docs(spark, sf)),
+    D.chunk_dedup_docs_sql(),
+)
 register(
     "text_lang_id",
     lambda spark, sf: TX.lang_id(_docs(spark, sf)),

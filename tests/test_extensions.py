@@ -61,6 +61,9 @@ EXTENSION_ORACLE_QUERIES = [
     # round-9: PPJoin-style exact prefix-filter join (oracle = the full
     # inverted-index SQL, so the check proves the pruning lossless)
     "dedup_prefix_filter",
+    # round-9: curriculum binning + chunk-granularity dedup
+    "curriculum_tiers",
+    "chunk_dedup_docs",
 ]
 
 
@@ -1011,3 +1014,54 @@ def test_mixture_realized_shares_hit_the_target(spark):
             assert abs(realized - target[s]) < 0.25 * target[s], (
                 s, realized, target[s], col
             )
+
+
+def test_curriculum_tiers_quartiles_hand_case(spark):
+    """Tier boundaries are exact order statistics: with the default
+    quartile cuts every tier gets ~N/4 docs on the fixture, boundaries
+    are inclusive (score == threshold -> higher tier), and tier is
+    monotone in score."""
+    from bigdata_hwk_spark.functions.text import curriculum_tiers
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    rows = curriculum_tiers(docs).collect()
+    n = len(rows)
+    by_tier = {}
+    for r in rows:
+        by_tier.setdefault(r["tier"], []).append(r["quality_score"])
+    assert set(by_tier) == {0, 1, 2, 3}
+    for t in (0, 1, 2):  # monotone: every tier-t score < every tier-t+1 min
+        assert max(by_tier[t]) <= min(by_tier[t + 1])
+    # quartile-ish sizes (ties can shift boundaries, not by much)
+    for t, scores in by_tier.items():
+        assert 0.15 * n < len(scores) < 0.35 * n, (t, len(scores), n)
+
+
+def test_chunk_dedup_keeps_first_occurrence_and_rebuilds(spark):
+    """Cross-doc duplicate chunks drop in the later doc, intra-doc
+    repeats keep only the first, clean docs pass through verbatim, and
+    empty docs survive with empty clean_text."""
+    from bigdata_hwk_spark.operators.dedup import chunk_dedup_docs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c x y z"),
+            (3, "p q r p q r"),
+            (4, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in chunk_dedup_docs(docs, w=3).collect()}
+    assert (got[1]["n_chunks"], got[1]["n_dropped"], got[1]["clean_text"]) == (
+        2, 0, "a b c d e f"
+    )
+    assert (got[2]["n_chunks"], got[2]["n_dropped"], got[2]["clean_text"]) == (
+        2, 1, "x y z"
+    )
+    assert (got[3]["n_chunks"], got[3]["n_dropped"], got[3]["clean_text"]) == (
+        2, 1, "p q r"
+    )
+    assert (got[4]["n_chunks"], got[4]["n_dropped"], got[4]["clean_text"]) == (
+        0, 0, ""
+    )

@@ -34,6 +34,10 @@ BNLJ_ALLOWED = {
     "unigram_surprise_scores": "ONE-ROW corpus-total side broadcast "
                                "against the per-doc aggregate — the "
                                "same scalar-subquery shape",
+    "curriculum_tiers": "two ONE-ROW scalar sides (corpus count, the "
+                        "folded quantile-threshold row) broadcast "
+                        "against the histogram/corpus — the same "
+                        "scalar-subquery shape as quality_gated_docs",
 }
 
 
