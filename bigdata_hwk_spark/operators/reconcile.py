@@ -456,3 +456,4 @@ SELECT CAST(sum(c) AS BIGINT) AS n_rows,
        bit_xor({hm}) AS ck_m
 FROM g
 """
+

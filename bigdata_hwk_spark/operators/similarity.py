@@ -857,3 +857,78 @@ SELECT lang, count(*) AS n_docs,
 FROM documents JOIN norms USING (doc_id)
 GROUP BY lang
 """
+
+
+def embedding_coverage_audit(
+    documents: DataFrame, embeddings: DataFrame
+) -> DataFrame:
+    """One-row referential-integrity audit of the documents↔embeddings
+    pairing — the check a pipeline runs BEFORE any embedding-keyed stage
+    (dedup, ANN, leakage-safe splits silently degrade when coverage is
+    partial): (n_docs, n_vecs, docs_without_vec, vecs_without_doc,
+    min_dim, max_dim, nan_vecs, zero_norm_vecs). min_dim != max_dim
+    flags a mixed-dimension corpus; NaN and zero-norm vectors poison
+    cosine math (0/0) and are counted per VECTOR, not per element.
+
+    Exactness without float parity concerns: the zero-norm predicate is
+    sum(x²) = 0, which holds iff every element is ±0.0 regardless of
+    accumulation order or precision (squares are non-negative — no
+    cancellation), so Spark's double fold and DuckDB's list_sum agree by
+    construction; NaN detection is elementwise ``exists``.
+
+    Scale: ONE full-outer equi-join on the id and one map-side-combined
+    aggregation to a single row — the join is the audit; there is
+    nothing else to shuffle.
+    """
+    d = documents.select("doc_id")
+    e = embeddings.select("vec_id", "embedding")
+    j = d.join(e, d["doc_id"] == e["vec_id"], "full_outer")
+    sq = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    has_vec = F.col("vec_id").isNotNull()
+    return j.agg(
+        F.count("doc_id").alias("n_docs"),
+        F.count("vec_id").alias("n_vecs"),
+        F.sum(
+            (F.col("doc_id").isNotNull() & ~has_vec).cast("bigint")
+        ).alias("docs_without_vec"),
+        F.sum(
+            (has_vec & F.col("doc_id").isNull()).cast("bigint")
+        ).alias("vecs_without_doc"),
+        F.min(F.size("embedding")).cast("bigint").alias("min_dim"),
+        F.max(F.size("embedding")).cast("bigint").alias("max_dim"),
+        F.sum(
+            F.exists("embedding", lambda x: F.isnan(x.cast("double"))).cast(
+                "bigint"
+            )
+        ).alias("nan_vecs"),
+        F.sum((has_vec & (sq == 0.0)).cast("bigint")).alias("zero_norm_vecs"),
+    )
+
+
+EMBEDDING_COVERAGE_AUDIT_SQL = """
+WITH j AS (
+  SELECT d.doc_id, e.vec_id, e.embedding
+  FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id)
+SELECT count(doc_id) AS n_docs,
+       count(vec_id) AS n_vecs,
+       CAST(sum(CASE WHEN doc_id IS NOT NULL AND vec_id IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS docs_without_vec,
+       CAST(sum(CASE WHEN vec_id IS NOT NULL AND doc_id IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS vecs_without_doc,
+       CAST(min(len(embedding)) AS BIGINT) AS min_dim,
+       CAST(max(len(embedding)) AS BIGINT) AS max_dim,
+       CAST(sum(CASE WHEN list_bool_or(list_transform(embedding,
+                          x -> isnan(CAST(x AS DOUBLE))))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS nan_vecs,
+       -- coalesce: DuckDB list_sum([]) is NULL while the Spark fold's
+       -- init value makes an empty vector sum 0.0 — align on 0
+       CAST(sum(CASE WHEN vec_id IS NOT NULL AND coalesce(list_sum(
+                          list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0) = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_norm_vecs
+FROM j
+"""

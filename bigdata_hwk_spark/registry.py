@@ -997,6 +997,16 @@ register(
     TX.chunk_documents_sql(),
 )
 
+# referential-integrity + vector-health audit of the documents↔embeddings
+# pairing: one full-outer equi-join folded to a single row
+register(
+    "embedding_coverage_audit",
+    lambda spark, sf: SIM.embedding_coverage_audit(
+        _docs(spark, sf), _embs(spark, sf)
+    ),
+    SIM.EMBEDDING_COVERAGE_AUDIT_SQL,
+)
+
 # text⋈embedding fusion: per-language L2-norm distribution (the
 # cross-modality drift audit); id-keyed equi-join, bucketable
 register(

@@ -61,9 +61,10 @@ EXTENSION_ORACLE_QUERIES = [
     # round-9: PPJoin-style exact prefix-filter join (oracle = the full
     # inverted-index SQL, so the check proves the pruning lossless)
     "dedup_prefix_filter",
-    # round-9: curriculum binning + chunk-granularity dedup
+    # round-9: curriculum binning + chunk-granularity dedup + coverage audit
     "curriculum_tiers",
     "chunk_dedup_docs",
+    "embedding_coverage_audit",
 ]
 
 
@@ -1065,3 +1066,40 @@ def test_chunk_dedup_keeps_first_occurrence_and_rebuilds(spark):
     assert (got[4]["n_chunks"], got[4]["n_dropped"], got[4]["clean_text"]) == (
         0, 0, ""
     )
+
+
+def test_embedding_coverage_audit_flags_planted_defects(spark):
+    """Orphans on both sides, a NaN vector, a zero vector and a short
+    vector each land in exactly the right counter."""
+    from bigdata_hwk_spark.operators.similarity import embedding_coverage_audit
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id bigint, text string"
+    )
+    embs = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0]),
+            (2, [float("nan"), 1.0]),
+            (3, [0.0, 0.0]),
+            (9, [1.0]),  # orphan AND off-dim
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    r = embedding_coverage_audit(docs, embs).collect()[0]
+    assert (r["n_docs"], r["n_vecs"]) == (3, 4)
+    assert (r["docs_without_vec"], r["vecs_without_doc"]) == (0, 1)
+    assert (r["min_dim"], r["max_dim"]) == (1, 2)
+    assert (r["nan_vecs"], r["zero_norm_vecs"]) == (1, 1)
+
+
+def test_embedding_coverage_audit_clean_fixture(spark):
+    """The driver fixture pairs every doc with one healthy 64-dim vector."""
+    from bigdata_hwk_spark.operators.similarity import embedding_coverage_audit
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    embs = load_table(spark, SF_CORRECT, "embeddings")
+    r = embedding_coverage_audit(docs, embs).collect()[0]
+    assert r["n_docs"] == r["n_vecs"] == 500
+    assert r["docs_without_vec"] == r["vecs_without_doc"] == 0
+    assert r["min_dim"] == r["max_dim"] == 64
+    assert r["nan_vecs"] == r["zero_norm_vecs"] == 0
