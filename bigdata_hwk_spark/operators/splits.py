@@ -343,6 +343,59 @@ MIX_RESAMPLE_SALT = "mix-v1"   # version the resample; bump to redraw
 _PPM = 1_000_000               # keep-rate resolution (parts per million)
 
 
+def _token_projection(documents: DataFrame) -> DataFrame:
+    """(doc_id, source, toks) — the 3-column projection every mixture
+    operator works from."""
+    return documents.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("toks"),
+    )
+
+
+def mixture_rates(
+    documents: DataFrame, tok: DataFrame | None = None
+) -> DataFrame:
+    """(source, n_docs, r_ppm) — the α=0.5 downsampling rate table
+    (sqrt(t_min/t_i) in integer ppm; see ``mixture_resample_counts`` for
+    the exactness discipline). Exposed separately so a deployment can
+    FREEZE rates from a reference corpus window and apply them to later
+    batches/streams — rates that drift batch-to-batch would make the
+    realized mixture depend on chunking."""
+    tok = tok if tok is not None else _token_projection(documents)
+    per = tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("toks").alias("t")
+    )
+    # Same non-foldable empty partition key as source_mix_weights: the
+    # window input is the O(sources) aggregate, not the corpus.
+    wall = Window.partitionBy(F.substring(F.col("source"), 1, 0))
+    return per.select(
+        "source",
+        "n_docs",
+        F.round(
+            F.lit(_PPM)
+            * F.sqrt(F.min("t").over(wall).cast("double") / F.col("t")),
+            0,
+        )
+        .cast("bigint")
+        .alias("r_ppm"),
+    )
+
+
+def mixture_keep() -> Column:
+    """The pure per-row keep predicate: salted hash bucket < r_ppm.
+    Depends only on (salt, doc_id, r_ppm) — no RNG state, no partition
+    order — so batch and streaming deployments decide identically."""
+    return (
+        md5_hash64(
+            F.concat(
+                F.lit(MIX_RESAMPLE_SALT + ":"), F.col("doc_id").cast("string")
+            )
+        )
+        % _PPM
+    ) < F.col("r_ppm")
+
+
 def mixture_resample_counts(documents: DataFrame) -> DataFrame:
     """(source, n_docs, r_ppm, n_kept, kept_tokens) — MATERIALIZE the
     temperature-smoothed source mixture that ``source_mix_weights`` only
@@ -374,38 +427,9 @@ def mixture_resample_counts(documents: DataFrame) -> DataFrame:
     """
     from ..session import persist_once
 
-    tok = persist_once(
-        documents.select(
-            "doc_id",
-            "source",
-            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("toks"),
-        )
-    )
-    per = tok.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("toks").alias("t")
-    )
-    # Same non-foldable empty partition key as source_mix_weights: the
-    # window input is the O(sources) aggregate, not the corpus.
-    wall = Window.partitionBy(F.substring(F.col("source"), 1, 0))
-    rate = per.select(
-        "source",
-        "n_docs",
-        F.round(
-            F.lit(_PPM)
-            * F.sqrt(F.min("t").over(wall).cast("double") / F.col("t")),
-            0,
-        )
-        .cast("bigint")
-        .alias("r_ppm"),
-    )
-    keep = (
-        md5_hash64(
-            F.concat(
-                F.lit(MIX_RESAMPLE_SALT + ":"), F.col("doc_id").cast("string")
-            )
-        )
-        % _PPM
-    ) < F.col("r_ppm")
+    tok = persist_once(_token_projection(documents))
+    rate = mixture_rates(documents, tok=tok)
+    keep = mixture_keep()
     return (
         tok.join(F.broadcast(rate), "source")
         .groupBy("source", "n_docs", "r_ppm")

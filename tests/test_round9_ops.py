@@ -390,3 +390,62 @@ def test_table_diff_classifies_drift(spark):
             assert r.n_right == 2 * r.n_left  # duplicated
         else:  # pragma: no cover - would mean a spurious diff row
             raise AssertionError(f"unexpected diff row {r}")
+
+
+# ------------------------------------------- streaming mixture resample
+def test_mixture_stream_equals_batch_with_frozen_rates(spark, tmp_path):
+    """The frozen-rate streaming resampler over file-chunked micro-batches
+    must land on EXACTLY the batch tally computed with the same rates —
+    the keep decision is a pure function of (salt, doc_id, r_ppm), so
+    chunking cannot move it. Also pins the freeze semantics: a source
+    absent from the rate table is dropped entirely."""
+    from pyspark.sql import functions as F
+
+    from bigdata_hwk_spark.operators.splits import (
+        _token_projection,
+        mixture_keep,
+        mixture_rates,
+    )
+    from bigdata_hwk_spark.streaming.mixture_stream import (
+        chunk_documents_into_files,
+        run_mixture_resample_stream,
+    )
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    rates = mixture_rates(docs)
+    n = chunk_documents_into_files(docs, str(tmp_path / "chunks"), n_chunks=4)
+    assert n == 4
+    got = run_mixture_resample_stream(
+        spark, str(tmp_path / "chunks"), rates, max_files_per_trigger=1
+    )
+    keep = mixture_keep()
+    want = (
+        _token_projection(docs)
+        .join(F.broadcast(rates.select("source", "r_ppm")), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(keep, F.col("toks")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+    )
+    g = {r["source"]: (r["n_docs"], r["n_kept"], r["kept_tokens"])
+         for r in got.collect()}
+    w = {r["source"]: (r["n_docs"], r["n_kept"], r["kept_tokens"])
+         for r in want.collect()}
+    assert g == w
+    assert sum(v[1] for v in g.values()) > 0
+
+    # freeze semantics: drop one source from the rate table -> its docs
+    # vanish from the tally, everyone else's numbers are untouched
+    some = sorted(g)[0]
+    pruned = rates.filter(F.col("source") != some)
+    got2 = run_mixture_resample_stream(
+        spark, str(tmp_path / "chunks"), pruned, max_files_per_trigger=2
+    )
+    g2 = {r["source"]: (r["n_docs"], r["n_kept"], r["kept_tokens"])
+          for r in got2.collect()}
+    assert some not in g2
+    assert g2 == {s: v for s, v in g.items() if s != some}
