@@ -1107,3 +1107,222 @@ SELECT s.doc_id, s.quality_score,
        CAST({tier_sum} AS INTEGER) AS tier
 FROM scores s CROSS JOIN thr t
 """
+
+
+# ---------------------------------------------------------------------------
+# Bigram surprise (first-order Markov cross-entropy quality signal)
+# ---------------------------------------------------------------------------
+
+def bigram_surprise_scores(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, avg_neg_logprob): per-document cross-entropy
+    under the corpus's OWN first-order Markov (bigram) model — the next
+    rung of the ``unigram_surprise_scores`` ladder toward CCNet's
+    LM-perplexity signal (Wenzek et al. 2020). The conditional
+    probability p(w2|w1) = c(w1 w2) / c(w1 ·) uses the count of bigram
+    POSITIONS starting with w1 as the denominator, so the model is
+    properly normalized (Σ_w2 p(w2|w1) = 1) and −ln p is never
+    negative. Unigram surprise flags docs of globally-rare tokens;
+    bigram surprise additionally flags WORD-SALAD docs whose individual
+    tokens are common but whose transitions never occur elsewhere —
+    the shuffled/garbled text a unigram model scores as perfectly
+    ordinary.
+
+    Same determinism contract as the unigram twin: word strings never
+    shuffle (occurrences travel as 60-bit portable hashes), counts are
+    exact integers, −ln p folds as avg(ln(cp) − ln(cb)) of identical
+    per-row doubles in both engines, rounded to 6 decimals. Docs with
+    fewer than two tokens have no bigrams and drop from the output in
+    both engines (inner aggregation over an empty pair set).
+
+    Scale shape: one explode (pairs built from the token array in
+    codegen — the array is materialized once per doc, not per bigram),
+    two map-side-combined hash aggregations for the count tables, two
+    equi-joins keyed on the 8-byte hash, one per-doc aggregate. The
+    bigram count table is the corpus's distinct-transition set — the
+    same cardinality class as the shingle tables every dedup operator
+    already shuffles.
+    """
+    from ..functions.hashing import md5_hash64
+
+    d = documents.select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    ).filter(F.size("ws") >= 2)
+    pairs = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1), i -> "
+                "struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    h = pairs.select(
+        "doc_id",
+        md5_hash64(F.concat_ws(" ", "w1", "w2")).alias("bh"),
+        md5_hash64(F.col("w1")).alias("ph"),
+    )
+    fb = h.groupBy("bh").agg(F.count(F.lit(1)).alias("cb"))
+    fp = h.groupBy("ph").agg(F.count(F.lit(1)).alias("cp"))
+    per = (
+        h.join(fb, "bh")
+        .join(fp, "ph")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(F.log("cp") - F.log("cb")).alias("__s"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.round("__s", 6).alias("avg_neg_logprob"),
+    )
+
+
+def bigram_surprise_scores_sql() -> str:
+    """Oracle: identical pair construction (1-indexed token array),
+    identical hash domain, identical avg(ln(cp) − ln(cb)) arithmetic."""
+    from ..functions.hashing import md5_hash64_sql
+
+    bh = md5_hash64_sql("w1 || ' ' || w2")
+    ph = md5_hash64_sql("w1")
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+ix AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i FROM d),
+pr AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2 FROM ix),
+h AS (SELECT doc_id, {bh} AS bh, {ph} AS ph FROM pr),
+fb AS (SELECT bh, count(*) AS cb FROM h GROUP BY bh),
+fp AS (SELECT ph, count(*) AS cp FROM h GROUP BY ph),
+per AS (SELECT doc_id, count(*) AS n_bigrams,
+               avg(ln(cp) - ln(cb)) AS s
+        FROM h JOIN fb USING (bh) JOIN fp USING (ph) GROUP BY doc_id)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       round(s, 6) AS avg_neg_logprob
+FROM per
+"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (hashed n-gram domain-matching score)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 4096
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_importance_weights(
+    documents: DataFrame,
+    target_lang: str = DSIR_TARGET_LANG,
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """(doc_id, n_feats, dsir_logratio): per-document importance score
+    for Data Selection via Importance Resampling (DSIR — Xie et al.,
+    NeurIPS 2023): hashed unigram+bigram features, two smoothed
+    feature distributions (target domain vs raw corpus), and the
+    average per-occurrence log-likelihood ratio
+    avg ln(p_target(f) / p_raw(f)). Positive = more target-like;
+    resampling keeps the top slice (compose with the exact
+    order-statistic machinery of ``quality_percentile_gate`` — no
+    interpolated percentile needed). Here the target domain is the
+    corpus's own ``lang = target_lang`` slice, the stand-in for "a
+    trusted high-quality corpus" on the synthetic fixtures; any
+    predicate or second table slots in the same shape.
+
+    Add-1 smoothing over the hashed-feature domain:
+    p(f) = (c_f + 1) / (N + buckets). The per-doc fold keeps the
+    scalars OUT of the inner avg — score = avg(ln(ct+1) − ln(cr+1))
+    + ln(Nr + B) − ln(Nt + B) — so the only doubles averaged are
+    ln's of identical integers in both engines (then one identical
+    scalar correction, rounded at 6 decimals).
+
+    Scale shape: features explode once per occurrence but the
+    distribution table is capped at ``buckets`` rows (that is the
+    POINT of hashed DSIR — the n-gram LM collapses to a fixed-width
+    histogram), so both count aggregations are map-side-combined into
+    ≤ buckets cells, the per-occurrence join is a BROADCAST of the
+    bucket table, and the one-row scalar side rides a broadcast cross
+    join. One real exchange total (the per-doc aggregate).
+    """
+    from ..functions.hashing import md5_hash64
+
+    d = documents.select(
+        "doc_id", "lang", F.split(F.col("text"), " ").alias("ws")
+    )
+    uni = d.select("doc_id", "lang", F.explode("ws").alias("g"))
+    bi = d.filter(F.size("ws") >= 2).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1), i -> "
+                "concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"
+            )
+        ).alias("g"),
+    )
+    feats = uni.unionByName(bi).select(
+        "doc_id",
+        "lang",
+        (md5_hash64(F.col("g")) % F.lit(buckets)).alias("b"),
+    )
+    raw = feats.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        feats.filter(F.col("lang") == target_lang)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    dist = raw.join(tgt, "b", "left").select(
+        "b", "cr", F.coalesce(F.col("ct"), F.lit(0)).alias("ct")
+    )
+    scal = dist.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    per = (
+        feats.join(F.broadcast(dist), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.avg(
+                F.log(F.col("ct") + F.lit(1)) - F.log(F.col("cr") + F.lit(1))
+            ).alias("__s"),
+        )
+    )
+    return per.crossJoin(F.broadcast(scal)).select(
+        "doc_id",
+        F.col("n_feats").cast("bigint").alias("n_feats"),
+        F.round(
+            F.col("__s")
+            + F.log(F.col("nr") + F.lit(buckets))
+            - F.log(F.col("nt") + F.lit(buckets)),
+            6,
+        ).alias("dsir_logratio"),
+    )
+
+
+def dsir_importance_weights_sql(
+    target_lang: str = DSIR_TARGET_LANG, buckets: int = DSIR_BUCKETS
+) -> str:
+    """Oracle: identical feature construction, hash-bucket domain,
+    smoothing arithmetic, and scalar-outside-the-avg fold."""
+    from ..functions.hashing import md5_hash64_sql
+
+    gh = md5_hash64_sql("g")
+    return f"""
+WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+uni AS (SELECT doc_id, lang, unnest(l) AS g FROM d),
+ix AS (SELECT doc_id, lang, l, unnest(generate_series(1, len(l) - 1)) AS i
+       FROM d WHERE len(l) >= 2),
+bi AS (SELECT doc_id, lang, l[i] || ' ' || l[i + 1] AS g FROM ix),
+f AS (SELECT doc_id, lang, ({gh}) % {buckets} AS b
+      FROM (SELECT doc_id, lang, g FROM uni
+            UNION ALL SELECT doc_id, lang, g FROM bi)),
+raw AS (SELECT b, count(*) AS cr FROM f GROUP BY b),
+tgt AS (SELECT b, count(*) AS ct FROM f WHERE lang = '{target_lang}'
+        GROUP BY b),
+dist AS (SELECT b, cr, coalesce(ct, 0) AS ct FROM raw LEFT JOIN tgt USING (b)),
+scal AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM dist),
+per AS (SELECT doc_id, count(*) AS n_feats,
+               avg(ln(ct + 1) - ln(cr + 1)) AS s
+        FROM f JOIN dist USING (b) GROUP BY doc_id)
+SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+       round(s + ln(nr + {buckets}) - ln(nt + {buckets}), 6) AS dsir_logratio
+FROM per CROSS JOIN scal
+"""

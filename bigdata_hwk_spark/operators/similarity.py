@@ -932,3 +932,238 @@ SELECT count(doc_id) AS n_docs,
                      THEN 1 ELSE 0 END) AS BIGINT) AS zero_norm_vecs
 FROM j
 """
+
+
+# ---------------------------------------------------------------------------
+# Distributed spherical k-means + SemDeDup semantic pruning
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 16
+KMEANS_ITERS = 4
+# integer micro-units for the centroid partial sums: quantizing each
+# normalized component to rint(x · 2^20) makes every per-partition sum an
+# INTEGER sum — associative and commutative — so the folded centroids are
+# bit-identical under any partitioning/AQE re-plan (float partial sums are
+# not: addition order varies with layout). 2^20 keeps ~6 significant
+# digits per component; the argmax assignment is insensitive far beyond
+# that, and determinism is what the downstream prune needs.
+KMEANS_QUANT = 1 << 20
+SEMDEDUP_TAU = 0.4  # aligned with the corpus near-dup threshold used by
+                    # embedding_similar_pairs / embedding_dedup_clusters
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    sample_cap: int = 2048,
+    inertia_out: list | None = None,
+) -> np.ndarray:
+    """Distributed spherical k-means (Lloyd) over the embedding column →
+    (k, dim) unit-norm float64 centroids.
+
+    The genuinely-distributed twin of the driver-sample refinement inside
+    ``ann_ivf_topk``: initialization is the same deterministic FFT
+    k-center seeding (reference SequentialFFT, HWK_2/G029HW2.py:50-79) on
+    a ≤ ``sample_cap``-row driver sample, but every Lloyd iteration runs
+    over the WHOLE corpus — one broadcast-centroid ``mapInPandas`` pass
+    per iteration emitting ≤ k tiny partial rows per partition (cluster,
+    count, integer component sums), folded on the driver with exact
+    integer arithmetic. Per-iteration cost: one corpus scan, zero
+    shuffles, L·k·dim bytes to the driver — the canonical scalable
+    k-means shape (combine per partition, reduce the combiner outputs).
+
+    Bit-deterministic under any layout: partial sums are integer
+    (see KMEANS_QUANT), the driver fold is order-independent, argmax
+    ties resolve to the lowest cluster id, and empty clusters keep their
+    previous centroid. ``inertia_out``, if given, receives the mean
+    max-cosine after each assignment pass (non-decreasing — the spherical
+    k-means objective — up to quantization jitter); it is a float
+    diagnostic only and never feeds back into the centroids.
+    """
+    from .kcenter import sequential_fft
+    from ..sources.tables import fan_out
+
+    # sorted on the driver: collect order follows partition layout, and
+    # the FFT seed starts from row 0 — sorting pins the init (and so the
+    # whole fit) to the DATA, not the layout
+    sample = sorted(
+        embeddings.select("vec_id", "embedding")
+        .filter(F.col("vec_id") < sample_cap)
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    if not sample:
+        return np.zeros((0, 0))
+    smat = np.array([r.embedding for r in sample], dtype=np.float64)
+    smat /= np.linalg.norm(smat, axis=1, keepdims=True)
+    dim = smat.shape[1]
+    centers = sequential_fft(smat, k)
+    k = len(centers)  # clamped when the corpus is smaller than k
+    centers = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+
+    emb = fan_out(embeddings.select("embedding"))
+    for _ in range(iters):
+        C = centers  # closure snapshot for this iteration
+
+        def partials(batches):
+            cnt = np.zeros(k, dtype=np.int64)
+            acc = np.zeros((k, dim), dtype=np.int64)
+            cos_sum = 0.0
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                block = np.array(list(pdf["embedding"]), dtype=np.float64)
+                block /= np.linalg.norm(block, axis=1, keepdims=True)
+                sims = block @ C.T
+                a = np.argmax(sims, axis=1)  # ties -> lowest cid
+                cos_sum += float(sims[np.arange(len(a)), a].sum())
+                q = np.rint(block * KMEANS_QUANT).astype(np.int64)
+                cnt += np.bincount(a, minlength=k)
+                for c in np.unique(a):
+                    acc[c] += q[a == c].sum(axis=0)
+            rows = [
+                (int(c), int(cnt[c]), [int(x) for x in acc[c]], cos_sum)
+                for c in range(k)
+                if cnt[c] > 0
+            ]
+            # cos_sum rides on the first emitted row only (once per
+            # partition) so the driver can form the exact corpus mean
+            if rows:
+                rows = [rows[0]] + [(c, n, s, 0.0) for c, n, s, _ in rows[1:]]
+                yield pd.DataFrame(
+                    rows, columns=["cid", "n", "s", "cos_sum"]
+                )
+
+        part = emb.mapInPandas(
+            partials,
+            schema="cid int, n bigint, s array<bigint>, cos_sum double",
+        ).collect()
+        tot_n = 0
+        n_by = [0] * k
+        s_by = [[0] * dim for _ in range(k)]
+        cos_total = 0.0
+        for r in part:
+            n_by[r.cid] += r.n
+            tot_n += r.n
+            cs = s_by[r.cid]
+            for i, x in enumerate(r.s):  # exact Python-int fold
+                cs[i] += x
+            cos_total += r.cos_sum
+        if inertia_out is not None and tot_n:
+            inertia_out.append(cos_total / tot_n)
+        for c in range(k):
+            if n_by[c]:
+                centers[c] = np.array(s_by[c], dtype=np.float64) / (
+                    n_by[c] * KMEANS_QUANT
+                )
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    return centers
+
+
+def semdedup_prune(
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    tau: float = SEMDEDUP_TAU,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with k-means, then within each
+    cluster greedily drop every vector whose cosine to an already-kept
+    vector reaches ``tau`` — near-duplicate MEANING, not near-duplicate
+    bytes, which is exactly what MinHash/SimHash cannot see (a paraphrase
+    shares no shingles). Output: (vec_id, cluster, kept, nn_cos) where
+    ``nn_cos`` is the max cosine to the kept vectors that preceded the
+    row in its cluster (−1.0 for the first row of a cluster).
+
+    Deterministic keeper rule: within a cluster, candidates are visited
+    in ascending ``vec_id`` (the paper keeps a per-group representative;
+    lowest-id is the engine's standard re-layout-stable choice, same as
+    every dedup keeper here), so kept rows pairwise satisfy cos < tau and
+    every dropped row has a kept earlier neighbor with cos ≥ tau.
+
+    Scale shape: clustering cost is ``kmeans_fit`` (scans, no shuffle);
+    the prune is ONE shuffle keyed by cluster id, then per-cluster work
+    quadratic only WITHIN a cluster — the whole point of SemDeDup is
+    that k ~ √N keeps clusters at ~√N and the per-cluster O(c²) matmul
+    sits in cache on one executor (the paper runs 50k clusters for LAION;
+    a skewed giant cluster is split by raising k or sub-clustering —
+    cluster sizes are observable from this output before committing).
+    """
+    from ..sources.tables import fan_out
+
+    centers = kmeans_fit(embeddings, k=k, iters=iters)
+    if centers.size == 0:
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_id bigint, cluster int, kept boolean, nn_cos double"
+        )
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            block = np.array(list(pdf["embedding"]), dtype=np.float64)
+            block /= np.linalg.norm(block, axis=1, keepdims=True)
+            out = pdf[["vec_id", "embedding"]].copy()
+            out["cluster"] = np.argmax(block @ centers.T, axis=1).astype(
+                np.int32
+            )
+            yield out
+
+    assigned = fan_out(embeddings.select("vec_id", "embedding")).mapInPandas(
+        assign, schema="vec_id bigint, embedding array<float>, cluster int"
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        block = np.array(list(pdf["embedding"]), dtype=np.float64)
+        block /= np.linalg.norm(block, axis=1, keepdims=True)
+        kept_rows: list[int] = []
+        kept_flags = np.empty(len(pdf), dtype=bool)
+        nn = np.empty(len(pdf), dtype=np.float64)
+        for i in range(len(pdf)):
+            mx = (
+                float((block[kept_rows] @ block[i]).max())
+                if kept_rows
+                else -1.0
+            )
+            nn[i] = round(mx, 6)
+            keep = mx < tau
+            kept_flags[i] = keep
+            if keep:
+                kept_rows.append(i)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "cluster": pdf["cluster"],
+                "kept": kept_flags,
+                "nn_cos": nn,
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        prune, schema="vec_id bigint, cluster int, kept boolean, nn_cos double"
+    )
+
+
+def semdedup_kept_counts(
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    tau: float = SEMDEDUP_TAU,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """Per-cluster SemDeDup summary (cluster, n_vectors, n_kept): the
+    effective-corpus report a curation run reads before committing to
+    the prune — and the skew check (a cluster holding most of the corpus
+    means k is too small for the O(c²) per-cluster pass). Rows-only
+    registry surface: the kept decision depends on k-means iterations,
+    which SQL cannot express; its invariants are property-tested."""
+    return (
+        semdedup_prune(embeddings, k=k, tau=tau, iters=iters)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )

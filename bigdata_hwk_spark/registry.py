@@ -792,6 +792,22 @@ register(
     lambda spark, sf: TX.unigram_surprise_scores(_docs(spark, sf)),
     TX.unigram_surprise_scores_sql(),
 )
+# first-order Markov twin of the unigram signal: p(w2|w1) from exact
+# bigram/prefix position counts — flags word-salad docs whose tokens are
+# common but whose transitions are corpus-novel
+register(
+    "bigram_surprise_scores",
+    lambda spark, sf: TX.bigram_surprise_scores(_docs(spark, sf)),
+    TX.bigram_surprise_scores_sql(),
+)
+# DSIR (Xie et al. 2023): hashed unigram+bigram features, smoothed
+# target-vs-raw log-likelihood ratio per doc; the distribution table is
+# capped at DSIR_BUCKETS rows so the per-occurrence join broadcasts
+register(
+    "dsir_importance_weights",
+    lambda spark, sf: TX.dsir_importance_weights(_docs(spark, sf)),
+    TX.dsir_importance_weights_sql(),
+)
 # multi-quantile curriculum binning: one histogram pass serves all cuts,
 # every threshold an exact order statistic (no interpolation)
 register(
@@ -891,6 +907,14 @@ register("ann_lsh_pairs", lambda spark, sf: SIM.ann_lsh_pairs(_embs(spark, sf)))
 # IVF top-k: deterministic (FFT codebook on a sorted sample) but not
 # SQL-expressible → rows-only; recall vs brute force is property-tested.
 register("ann_ivf_topk", lambda spark, sf: SIM.ann_ivf_topk(_embs(spark, sf)))
+# SemDeDup (Abbas et al. 2023): distributed k-means (integer-quantized
+# partial sums → bit-deterministic centroids) + per-cluster greedy cosine
+# prune; iterative k-means is not SQL-expressible → rows-only, with the
+# keeper/coverage invariants property-tested in tests/test_semdedup.py.
+register(
+    "semdedup_kept_counts",
+    lambda spark, sf: SIM.semdedup_kept_counts(_embs(spark, sf)),
+)
 
 # count-min sketch: distributed mergeable frequency sketch over the event
 # item stream; estimates joined with true counts so the CM overestimate

@@ -54,6 +54,9 @@ EXTENSION_ORACLE_QUERIES = [
     "soft_dedup_weights",
     "quality_gated_docs",
     "unigram_surprise_scores",
+    # round-9 session-2: first-order Markov surprise + DSIR importance
+    "bigram_surprise_scores",
+    "dsir_importance_weights",
     # round-9 additions: mixture materialization + provenance overlap
     "mixture_resample_counts",
     "mixture_upsample_counts",

@@ -38,6 +38,10 @@ BNLJ_ALLOWED = {
                         "folded quantile-threshold row) broadcast "
                         "against the histogram/corpus — the same "
                         "scalar-subquery shape as quality_gated_docs",
+    "dsir_importance_weights": "ONE-ROW (Nr, Nt) scalar side broadcast "
+                               "against the per-doc aggregate — the "
+                               "same scalar-subquery shape as "
+                               "unigram_surprise_scores",
 }
 
 

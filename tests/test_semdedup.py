@@ -1,0 +1,128 @@
+"""SemDeDup (distributed k-means + per-cluster cosine prune) property
+tests — the rows-only coverage for ``semdedup_kept_counts``.
+
+The kept decision depends on iterated k-means, which SQL cannot express;
+what CAN be pinned is pinned here: an exact hand case with planted
+duplicate groups, the keeper/coverage invariants recomputed in NumPy on
+the real fixture, bit-determinism of the centroids and the prune under
+re-layout (the point of the integer-quantized partial sums), and the
+monotone spherical-k-means objective.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from bigdata_hwk_spark.operators.similarity import (
+    KMEANS_QUANT,
+    SEMDEDUP_TAU,
+    kmeans_fit,
+    semdedup_kept_counts,
+    semdedup_prune,
+)
+from bigdata_hwk_spark.sources.tables import load_table
+
+from .conftest import SF_CORRECT
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semdedup_hand_case_planted_duplicates(spark):
+    """Two planted duplicate groups + one distinct vector: exactly the
+    lowest vec_id of each duplicate group survives, the distinct vector
+    survives, and nn_cos reports ~1 for the dropped copies."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),
+        (2, [2.0, 0.0]),  # same direction, different norm — still cos 1
+        (10, [0.0, 1.0]),
+        (11, [0.0, 3.0]),
+        (20, [1.0, 1.0]),  # cos 0.707 to both groups — below tau=0.9
+    ]
+    out = semdedup_prune(_emb_df(spark, rows), k=2, tau=0.9).collect()
+    kept = {r.vec_id for r in out if r.kept}
+    assert kept == {0, 10, 20}
+    by_id = {r.vec_id: r for r in out}
+    for dropped in (1, 2, 11):
+        assert by_id[dropped].nn_cos >= 0.9
+    # each planted group landed in ONE cluster (duplicates can't straddle)
+    assert by_id[0].cluster == by_id[1].cluster == by_id[2].cluster
+    assert by_id[10].cluster == by_id[11].cluster
+
+
+def test_semdedup_invariants_on_fixture(spark):
+    """Recompute the greedy prune in NumPy from the same (cluster,
+    embedding) assignment and require the Spark kept flags to match
+    EXACTLY; spot-check the two structural guarantees (dropped rows have
+    a kept earlier neighbor at >= tau; kept rows entered below tau)."""
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    pruned = semdedup_prune(emb).collect()
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    assert len(pruned) == len(vecs)
+    by_cluster: dict[int, list] = {}
+    for r in pruned:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for rows in by_cluster.values():
+        rows.sort(key=lambda r: r.vec_id)
+        mat = np.array([vecs[r.vec_id] for r in rows])
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        kept_idx: list[int] = []
+        for i, r in enumerate(rows):
+            mx = float((mat[kept_idx] @ mat[i]).max()) if kept_idx else -1.0
+            expect_keep = mx < SEMDEDUP_TAU
+            assert r.kept == expect_keep, r
+            assert r.nn_cos == pytest.approx(round(mx, 6), abs=2e-6)
+            if expect_keep:
+                kept_idx.append(i)
+
+
+def test_semdedup_deterministic_under_repartition(spark):
+    """The whole pipeline (sampled init, integer-quantized Lloyd folds,
+    per-cluster greedy) must produce IDENTICAL rows regardless of input
+    layout — the property the KMEANS_QUANT design pays for."""
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    a = sorted(
+        semdedup_prune(emb.repartition(13)).collect(),
+        key=lambda r: r.vec_id,
+    )
+    b = sorted(
+        semdedup_prune(emb.repartition(3, "vec_id")).collect(),
+        key=lambda r: r.vec_id,
+    )
+    assert a == b
+
+
+def test_kmeans_centers_deterministic_and_unit_norm(spark):
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    c1 = kmeans_fit(emb.repartition(11))
+    c2 = kmeans_fit(emb.repartition(2, "vec_id"))
+    assert c1.shape == c2.shape
+    assert np.array_equal(c1, c2)  # bit-identical, not just close
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_kmeans_objective_non_decreasing(spark):
+    """Spherical k-means: mean max-cosine must not decrease across Lloyd
+    iterations (up to integer-quantization jitter ~2^-20)."""
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    trace: list[float] = []
+    kmeans_fit(emb, iters=4, inertia_out=trace)
+    assert len(trace) == 4
+    for prev, cur in zip(trace, trace[1:]):
+        assert cur >= prev - 2.0 / KMEANS_QUANT
+
+
+def test_semdedup_kept_counts_consistent(spark):
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    summary = semdedup_kept_counts(emb).collect()
+    n = emb.count()
+    assert sum(r.n_vectors for r in summary) == n
+    assert all(0 < r.n_kept <= r.n_vectors for r in summary)
+    # something actually pruned at the corpus tau (fixture has near-dups)
+    assert sum(r.n_kept for r in summary) < n

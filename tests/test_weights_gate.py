@@ -102,3 +102,139 @@ def test_unigram_surprise_fixture_shape(spark):
     # token accounting agrees with the whitespace tokenizer
     ts = {r.doc_id: r.n_tokens for r in token_stats(docs).collect()}
     assert all(ts[r.doc_id] == r.n_tokens for r in rows)
+
+
+def test_bigram_surprise_hand_case(spark):
+    """Exact hand computation. Corpus 'a b a b' + 'a b c' has bigram
+    counts (a,b)=3, (b,a)=1, (b,c)=1 and prefix-position counts a=3,
+    b=2, so the per-pair surprises are 0, ln 2, 0, 0, ln 2 — doc 0
+    averages ln(2)/3, doc 1 averages ln(2)/2. A single-token doc has no
+    bigrams and drops from the output."""
+    from bigdata_hwk_spark.functions.text import bigram_surprise_scores
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c"), (2, "x")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_neg_logprob)
+        for r in bigram_surprise_scores(docs).collect()
+    }
+    ln = math.log
+    assert set(got) == {0, 1}
+    assert got[0] == (3, round(ln(2) / 3, 6))
+    assert got[1] == (2, round(ln(2) / 2, 6))
+
+
+def test_bigram_surprise_flags_word_salad(spark):
+    """The signal bigram surprise adds over unigram: shuffling a doc's
+    tokens leaves its unigram score UNCHANGED (same token multiset) but
+    raises its bigram score when the shuffled transitions are
+    corpus-novel. Background docs pin the common transitions."""
+    from bigdata_hwk_spark.functions.text import (
+        bigram_surprise_scores,
+        unigram_surprise_scores,
+    )
+
+    rows = [(i, "the quick fox runs") for i in range(10)]
+    rows.append((100, "quick the runs fox"))  # same tokens, salad order
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uni = {
+        r.doc_id: r.avg_neg_logprob
+        for r in unigram_surprise_scores(docs).collect()
+    }
+    big = {
+        r.doc_id: r.avg_neg_logprob
+        for r in bigram_surprise_scores(docs).collect()
+    }
+    assert uni[100] == uni[0]  # unigram model can't see the shuffle
+    assert big[100] > big[0]  # bigram model flags it
+
+
+def test_bigram_surprise_fixture_shape(spark):
+    from bigdata_hwk_spark.functions.text import bigram_surprise_scores
+    from bigdata_hwk_spark.functions.text import token_stats
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    rows = bigram_surprise_scores(docs).collect()
+    ts = {r.doc_id: r.n_tokens for r in token_stats(docs).collect()}
+    # every multi-token doc present, with exactly n_tokens-1 bigrams
+    assert len(rows) == sum(1 for n in ts.values() if n >= 2)
+    assert all(r.n_bigrams == ts[r.doc_id] - 1 for r in rows)
+    assert all(r.avg_neg_logprob >= 0 for r in rows)
+
+
+def test_dsir_hand_case(spark):
+    """Exact mirror computation (same md5 bucketing in Python), and the
+    sign structure: the target-language doc's features all appear in
+    the target distribution, the other doc's novel feature does not, so
+    the target doc scores strictly higher."""
+    import hashlib
+
+    from bigdata_hwk_spark.functions.text import (
+        DSIR_BUCKETS,
+        dsir_importance_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b", "en"), (1, "a c", "fr")],
+        "doc_id long, text string, lang string",
+    )
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % DSIR_BUCKETS
+
+    feats = {
+        0: ["a", "b", "a b"],
+        1: ["a", "c", "a c"],
+    }
+    raw, tgt = {}, {}
+    for d, fs in feats.items():
+        for g in fs:
+            b = bucket(g)
+            raw[b] = raw.get(b, 0) + 1
+            if d == 0:
+                tgt[b] = tgt.get(b, 0) + 1
+    nr, nt = sum(raw.values()), sum(tgt.values())
+    ln = math.log
+    exp = {}
+    for d, fs in feats.items():
+        s = sum(
+            ln(tgt.get(bucket(g), 0) + 1) - ln(raw[bucket(g)] + 1) for g in fs
+        ) / len(fs)
+        exp[d] = round(s + ln(nr + DSIR_BUCKETS) - ln(nt + DSIR_BUCKETS), 6)
+    got = {
+        r.doc_id: (r.n_feats, r.dsir_logratio)
+        for r in dsir_importance_weights(docs).collect()
+    }
+    assert got == {0: (3, exp[0]), 1: (3, exp[1])}
+    assert got[0][1] > got[1][1]
+
+
+def test_dsir_fixture_separates_target_language(spark):
+    """On the real fixture the en slice IS the target distribution, so
+    en documents must average a higher importance score than every
+    other language — the domain-matching property DSIR exists for."""
+    from bigdata_hwk_spark.functions.text import (
+        dsir_importance_weights,
+        token_stats,
+    )
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    out = dsir_importance_weights(docs)
+    joined = out.join(docs.select("doc_id", "lang"), "doc_id")
+    means = {
+        r.lang: r.m
+        for r in joined.groupBy("lang")
+        .agg(F.avg("dsir_logratio").alias("m"))
+        .collect()
+    }
+    assert all(means["en"] > v for lang, v in means.items() if lang != "en")
+    # feature accounting: unigrams + bigrams = 2n-1 per multi-token doc
+    ts = {r.doc_id: r.n_tokens for r in token_stats(docs).collect()}
+    rows = out.collect()
+    assert len(rows) == len(ts)
+    assert all(
+        r.n_feats == (2 * ts[r.doc_id] - 1 if ts[r.doc_id] >= 2 else 1)
+        for r in rows
+    )
