@@ -1243,7 +1243,23 @@ def dsir_importance_weights(
     ≤ buckets cells, the per-occurrence join is a BROADCAST of the
     bucket table, and the one-row scalar side rides a broadcast cross
     join. One real exchange total (the per-doc aggregate).
+
+    Composition: ``dsir_feature_dist`` is the frozen-artifact half
+    (the ≤ buckets-row distribution table a deployment persists once)
+    and ``dsir_score_against_dist`` the apply half — this function is
+    their fit-and-score-the-same-corpus composition; the streaming
+    deployment (``streaming/dsir_stream.py``) scores micro-batches
+    against the frozen table.
     """
+    return dsir_score_against_dist(
+        documents,
+        dsir_feature_dist(documents, target_lang, buckets),
+        buckets,
+    )
+
+
+def _dsir_feats(documents: DataFrame, buckets: int) -> DataFrame:
+    """(doc_id, lang, b): one row per hashed unigram/bigram occurrence."""
     from ..functions.hashing import md5_hash64
 
     d = documents.select(
@@ -1260,23 +1276,54 @@ def dsir_importance_weights(
             )
         ).alias("g"),
     )
-    feats = uni.unionByName(bi).select(
+    return uni.unionByName(bi).select(
         "doc_id",
         "lang",
         (md5_hash64(F.col("g")) % F.lit(buckets)).alias("b"),
     )
+
+
+def dsir_feature_dist(
+    documents: DataFrame,
+    target_lang: str = DSIR_TARGET_LANG,
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """(b, cr, ct): the DSIR distribution artifact — per-bucket raw and
+    target feature-occurrence counts over a reference corpus. ≤ buckets
+    rows; a deployment computes it once per reference window, persists
+    it, and scores any stream of documents against it."""
+    feats = _dsir_feats(documents, buckets)
     raw = feats.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
     tgt = (
         feats.filter(F.col("lang") == target_lang)
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("ct"))
     )
-    dist = raw.join(tgt, "b", "left").select(
+    return raw.join(tgt, "b", "left").select(
         "b", "cr", F.coalesce(F.col("ct"), F.lit(0)).alias("ct")
     )
+
+
+def dsir_score_against_dist(
+    documents: DataFrame,
+    dist: DataFrame,
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Score documents against a (possibly frozen) DSIR distribution
+    table. A feature bucket absent from ``dist`` (possible only when
+    scoring NEW documents against a frozen reference window) contributes
+    ln(0+1) − ln(0+1) = 0 — the uninformative-feature neutral element —
+    via the left join's coalesce; on the fit corpus itself every bucket
+    is present and the coalesce never fires."""
+    feats = _dsir_feats(documents, buckets)
     scal = dist.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
     per = (
-        feats.join(F.broadcast(dist), "b")
+        feats.join(F.broadcast(dist), "b", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cr"), F.lit(0)).alias("cr"),
+            F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_feats"),

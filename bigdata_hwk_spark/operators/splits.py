@@ -571,3 +571,70 @@ SELECT source,
        CAST(sum(toks * rep) AS BIGINT) AS upsampled_tokens
 FROM reps GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Weighted sample without replacement (A-ES priority sampling)
+# ---------------------------------------------------------------------------
+
+WSAMPLE_SALT = "wsample-v1"  # version the draw; bump to redraw
+WSAMPLE_K = 100
+
+
+def weighted_doc_sample(documents: DataFrame, k: int = WSAMPLE_K) -> DataFrame:
+    """(doc_id, n_tokens) — a fixed-size weighted sample WITHOUT
+    replacement, weights = token counts: the A-ES priority scheme
+    (Efraimidis & Spirakis 2006) derandomized. Each doc gets
+    u = (h+1)/2^60 from its salted portable hash and priority
+    key = ln(u)/w (the log of u^(1/w)); the k LARGEST keys are the
+    sample, so inclusion probability rises with weight exactly as the
+    sequential weighted reservoir's would — but as a pure projection:
+    reproducible across runs, re-layouts, engines, and appends (a new
+    doc displaces at most one sampled doc). Token-mass-proportional
+    document samples are the standard way to build a calibration /
+    eval slice whose TOKEN budget, not doc count, mirrors the corpus.
+
+    Float discipline: u is a dyadic rational (the bigint→double convert
+    and the 2^60 division are both single IEEE operations), w is an
+    integer, and the key never reaches the output — only MEMBERSHIP
+    depends on it, which flips only if two docs' keys collide within an
+    engine-libm ulp (≈2^-52 relative; no observed case). ``doc_id``
+    breaks exact ties deterministically.
+
+    Scale: orderBy(...).limit(k) plans TakeOrderedAndProject —
+    per-partition top-k heaps + a k·P driver merge, no global sort, no
+    shuffle of the corpus. The weight column is any projection; swap
+    token counts for quality scores to sample by quality mass.
+    """
+    h = md5_hash64(
+        F.concat(F.lit(WSAMPLE_SALT + ":"), F.col("doc_id").cast("string"))
+    )
+    toks = F.size(F.split(F.col("text"), " "))
+    u = (h + F.lit(1)) / F.lit(float(1 << HASH_BITS))
+    key = F.log(u) / toks.cast("double")
+    return (
+        documents.select(
+            "doc_id",
+            toks.cast("bigint").alias("n_tokens"),
+            key.alias("__key"),
+        )
+        .orderBy(F.desc("__key"), "doc_id")
+        .limit(k)
+        .select("doc_id", "n_tokens")
+    )
+
+
+def weighted_doc_sample_sql(k: int = WSAMPLE_K) -> str:
+    """DuckDB oracle: identical hash, dyadic u, key arithmetic, and
+    (key DESC, doc_id) selection order."""
+    h = md5_hash64_sql(f"'{WSAMPLE_SALT}:' || doc_id::VARCHAR")
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         ln(({h} + 1) / {float(1 << HASH_BITS)!r})
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS key
+  FROM documents)
+SELECT doc_id, n_tokens
+FROM scored ORDER BY key DESC, doc_id LIMIT {k}
+"""

@@ -758,6 +758,13 @@ register(
     lambda spark, sf: SP.training_shard_manifest(_docs(spark, sf)),
     SP.training_shard_manifest_sql(),
 )
+# A-ES weighted sample without replacement (token-mass-proportional):
+# derandomized priority keys, TakeOrderedAndProject plan (no global sort)
+register(
+    "weighted_doc_sample",
+    lambda spark, sf: SP.weighted_doc_sample(_docs(spark, sf)),
+    SP.weighted_doc_sample_sql(),
+)
 register(
     "doc_leakage_safe_split_counts",
     lambda spark, sf: SP.split_counts(

@@ -55,8 +55,10 @@ EXTENSION_ORACLE_QUERIES = [
     "quality_gated_docs",
     "unigram_surprise_scores",
     # round-9 session-2: first-order Markov surprise + DSIR importance
+    # + A-ES weighted sampling
     "bigram_surprise_scores",
     "dsir_importance_weights",
+    "weighted_doc_sample",
     # round-9 additions: mixture materialization + provenance overlap
     "mixture_resample_counts",
     "mixture_upsample_counts",

@@ -750,3 +750,72 @@ def test_zorder_degenerate_ranges(spark, tmp_path):
     d = str(tmp_path / "zdeg")
     write_zordered(df, d, "x", "y", n_files=4)
     assert sorted(r.id for r in spark.read.parquet(d).collect()) == list(range(1000))
+
+
+# ---------------------------------------------------------------------------
+# A-ES weighted sample
+# ---------------------------------------------------------------------------
+
+def _aes_mirror(ids_weights, k, salt):
+    """Pure-Python mirror of the A-ES priority draw (same md5 domain)."""
+    import hashlib
+    import math
+
+    scored = []
+    for doc_id, w in ids_weights:
+        h = int(
+            hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()[:15], 16
+        )
+        u = (h + 1) / float(1 << 60)
+        scored.append((math.log(u) / w, -doc_id, doc_id))
+    scored.sort(reverse=True)
+    return {doc_id for _, _, doc_id in scored[:k]}
+
+
+def test_weighted_sample_inclusion_tracks_weight():
+    """Statistical property of the MATH (python mirror over many salt
+    versions — the Spark plan itself is pinned by the DuckDB oracle):
+    a doc with 10× the weight must be included substantially more often
+    than a unit-weight doc, and inclusion frequency must be monotone in
+    weight on average."""
+    pop = [(i, 1) for i in range(200)] + [(1000 + i, 10) for i in range(200)]
+    heavy_hits = light_hits = 0
+    trials = 150
+    for t in range(trials):
+        got = _aes_mirror(pop, k=40, salt=f"wsample-trial{t}")
+        heavy_hits += sum(1 for d in got if d >= 1000)
+        light_hits += sum(1 for d in got if d < 1000)
+    # heavy docs are 10x-weighted and half the population: they must take
+    # the overwhelming share of a 10%-of-population sample
+    assert heavy_hits > 4 * light_hits, (heavy_hits, light_hits)
+
+
+def test_weighted_sample_k_covers_all(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n = docs.count()
+    out = SP.weighted_doc_sample(docs, k=n + 50)
+    assert out.count() == n
+
+
+def test_weighted_sample_deterministic_and_sized(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = sorted(r.doc_id for r in SP.weighted_doc_sample(docs).collect())
+    b = sorted(
+        r.doc_id
+        for r in SP.weighted_doc_sample(docs.repartition(7)).collect()
+    )
+    assert a == b
+    assert len(a) == SP.WSAMPLE_K
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    """The selection must plan TakeOrderedAndProject (per-partition
+    top-k + driver merge), never a global Sort of the corpus."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = (
+        SP.weighted_doc_sample(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan

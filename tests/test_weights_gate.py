@@ -238,3 +238,63 @@ def test_dsir_fixture_separates_target_language(spark):
         r.n_feats == (2 * ts[r.doc_id] - 1 if ts[r.doc_id] >= 2 else 1)
         for r in rows
     )
+
+
+def test_dsir_stream_equals_batch_with_frozen_dist(spark, tmp_path):
+    """The deployment property: scoring the corpus in 4 micro-batches
+    against a FROZEN distribution table produces byte-identical per-doc
+    rows to scoring it in one batch — a document's score is a function
+    of (its features, the frozen table) alone, never of its chunking."""
+    from bigdata_hwk_spark.functions.text import (
+        dsir_feature_dist,
+        dsir_score_against_dist,
+    )
+    from bigdata_hwk_spark.streaming.dsir_stream import run_dsir_score_stream
+    from bigdata_hwk_spark.streaming.mixture_stream import (
+        chunk_documents_into_files,
+    )
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    dist = dsir_feature_dist(docs)
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    chunk_documents_into_files(docs, src, n_chunks=4)
+    streamed = run_dsir_score_stream(spark, src, dist, sink)
+    want = {
+        r.doc_id: (r.n_feats, r.dsir_logratio)
+        for r in dsir_score_against_dist(docs, dist).collect()
+    }
+    got = {
+        r.doc_id: (r.n_feats, r.dsir_logratio) for r in streamed.collect()
+    }
+    assert got == want
+
+
+def test_dsir_frozen_dist_neutral_on_unseen_features(spark):
+    """Freeze semantics: a NEW document whose features never occurred in
+    the reference window scores exactly the scalar correction (every
+    per-occurrence contribution is the ln(1)−ln(1)=0 neutral element) —
+    the conservative 'no evidence either way' score."""
+    import math
+
+    from bigdata_hwk_spark.functions.text import (
+        DSIR_BUCKETS,
+        dsir_feature_dist,
+        dsir_score_against_dist,
+    )
+
+    ref = spark.createDataFrame(
+        [(0, "alpha beta", "en"), (1, "alpha gamma", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    dist = dsir_feature_dist(ref)
+    new = spark.createDataFrame(
+        [(99, "zzznovel wordsalad", "de")], "doc_id long, text string, lang string"
+    )
+    [row] = dsir_score_against_dist(new, dist).collect()
+    nr, nt = 6, 3  # ref corpus: 3 features per doc, doc 0 is the target
+    expect = round(
+        math.log(nr + DSIR_BUCKETS) - math.log(nt + DSIR_BUCKETS), 6
+    )
+    assert row.n_feats == 3
+    assert row.dsir_logratio == expect
