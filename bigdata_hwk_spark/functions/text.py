@@ -1373,3 +1373,90 @@ SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
        round(s + ln(nr + {buckets}) - ln(nt + {buckets}), 6) AS dsir_logratio
 FROM per CROSS JOIN scal
 """
+
+
+DSIR_RESAMPLE_Q = 0.5
+
+
+def dsir_resample_counts(
+    documents: DataFrame,
+    q: float = DSIR_RESAMPLE_Q,
+    target_lang: str = DSIR_TARGET_LANG,
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """(lang, n_docs, n_kept) — the REALIZED importance resampling:
+    gate the corpus at the exact order-statistic threshold over
+    ``dsir_importance_weights`` scores (drop at most the bottom ``q``)
+    and report per-language survival — DSIR's selection step with the
+    paper's Gumbel draw replaced by the engine's deterministic
+    no-interpolation gate (same contract as ``quality_percentile_gate``:
+    threshold = k-th smallest score, k = max(⌊q·N⌋, 1), so two engines
+    cannot disagree in the last ulp at the boundary). The composition
+    DSIR → exact gate → per-source tally is the whole
+    "match my target domain" pipeline as one declarative plan.
+
+    Scale: scores collapse to a (score, count) histogram bounded by the
+    6-decimal score domain; the running-count scan and threshold pick
+    run on that tiny table and one row broadcasts back; the per-lang
+    fold is one map-side-combined aggregation to O(langs) rows.
+    """
+    scores = dsir_importance_weights(documents, target_lang, buckets)
+    hist = scores.groupBy("dsir_logratio").agg(F.count(F.lit(1)).alias("c"))
+    tot = hist.agg(F.sum("c").alias("n"))
+    cum = (
+        hist.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cum",
+            F.sum("c").over(
+                Window.orderBy("dsir_logratio").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+        .withColumn("k", F.greatest(F.floor(F.lit(q) * F.col("n")), F.lit(1)))
+    )
+    thr = cum.filter(F.col("cum") >= F.col("k")).agg(
+        F.min("dsir_logratio").alias("threshold")
+    )
+    gated = scores.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        (F.col("dsir_logratio") >= F.col("threshold")).alias("kept"),
+    )
+    return (
+        gated.join(documents.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+def dsir_resample_counts_sql(
+    q: float = DSIR_RESAMPLE_Q,
+    target_lang: str = DSIR_TARGET_LANG,
+    buckets: int = DSIR_BUCKETS,
+) -> str:
+    """Oracle: identical score → histogram → running count → threshold →
+    gate → per-lang fold."""
+    inner = dsir_importance_weights_sql(target_lang, buckets)
+    return f"""
+WITH scores AS (SELECT doc_id, dsir_logratio FROM ({inner}) s),
+hist AS (SELECT dsir_logratio, count(*) AS c FROM scores
+         GROUP BY dsir_logratio),
+cum AS (SELECT dsir_logratio,
+               sum(c) OVER (ORDER BY dsir_logratio) AS cum,
+               greatest(CAST(floor({q!r} * (SELECT sum(c) FROM hist))
+                             AS BIGINT), 1) AS k
+        FROM hist),
+thr AS (SELECT min(dsir_logratio) AS threshold FROM cum WHERE cum >= k),
+gated AS (
+  SELECT s.doc_id, s.dsir_logratio >= t.threshold AS kept
+  FROM scores s CROSS JOIN thr t)
+SELECT d.lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN g.kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM gated g JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+"""

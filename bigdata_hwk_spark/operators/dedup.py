@@ -966,6 +966,79 @@ FROM comp
 """
 
 
+def dedup_quality_keeper(
+    documents: DataFrame,
+    tau: float = JACCARD_TAU,
+    comp: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size, quality_score, is_keeper) —
+    near-dup collapse keeping the HIGHEST-QUALITY document per cluster
+    instead of the lowest id: the RefinedWeb/CCNet-style policy (when
+    near-duplicates differ — one clean extraction, one boilerplate-ridden
+    mirror — dropping by id throws away the better copy about half the
+    time). Keeper = max quality_score, doc_id as the deterministic
+    tiebreak; scores are the engine's rounded-to-6 quality metric, so
+    the ordering is engine-portable by the same contract every gate
+    query relies on.
+
+    Sixth consumer of the registry's shared pair/component pipeline
+    (``comp`` injection, same as ``dedup_clusters``/``soft_dedup_weights``).
+    Scale: the component table covers only clustered docs (orders of
+    magnitude smaller than the corpus), so its join against the score
+    projection broadcasts; the two windows share one cluster-keyed
+    exchange.
+    """
+    from ..functions.text import quality_scores
+
+    if comp is None:
+        comp = connected_components(minhash_lsh_pairs(documents, tau=tau))
+    q = quality_scores(documents).select("doc_id", "quality_score")
+    labeled = q.join(
+        F.broadcast(comp.select(F.col("node").alias("doc_id"), "cluster_id")),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id")
+    wr = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), "doc_id"
+    )
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        "quality_score",
+        (F.row_number().over(wr) == 1).alias("is_keeper"),
+    )
+
+
+def dedup_quality_keeper_sql(tau: float = JACCARD_TAU) -> str:
+    """Oracle: the dedup_clusters recursive-CTE closure joined to the
+    quality-score twin, identical (score DESC, doc_id) keeper window."""
+    from ..functions.text import QUALITY_SCORES_SQL
+
+    return f"""
+WITH RECURSIVE pairs AS ({minhash_lsh_pairs_sql(tau)}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b AS u, doc_a AS v FROM pairs),
+reach(u, v) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+comp AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+q AS ({QUALITY_SCORES_SQL}),
+labeled AS (
+  SELECT c.doc_id, c.cluster_id, q.quality_score
+  FROM comp c JOIN q USING (doc_id))
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       quality_score,
+       row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY quality_score DESC, doc_id) = 1
+         AS is_keeper
+FROM labeled
+"""
+
+
 # ---------------------------------------------------------------------------
 # Incremental ingest dedup (new batch vs existing corpus)
 # ---------------------------------------------------------------------------

@@ -715,6 +715,16 @@ register(
     ),
     D.soft_dedup_weights_sql(),
 )
+# RefinedWeb-style keeper policy: collapse each near-dup cluster onto its
+# highest-quality member (score DESC, doc_id tiebreak) — sixth consumer
+# of the shared pair/component pipeline
+register(
+    "dedup_quality_keeper",
+    lambda spark, sf: D.dedup_quality_keeper(
+        _docs(spark, sf), comp=_lsh_shared(spark, sf)[1]
+    ),
+    D.dedup_quality_keeper_sql(),
+)
 
 # deterministic splits (salted hash; leakage-safe variant keys on the
 # near-dup cluster so no pair straddles train/test)
@@ -814,6 +824,13 @@ register(
     "dsir_importance_weights",
     lambda spark, sf: TX.dsir_importance_weights(_docs(spark, sf)),
     TX.dsir_importance_weights_sql(),
+)
+# the realized resampling: DSIR scores -> exact order-statistic gate ->
+# per-language survival tally (one declarative plan end to end)
+register(
+    "dsir_resample_counts",
+    lambda spark, sf: TX.dsir_resample_counts(_docs(spark, sf)),
+    TX.dsir_resample_counts_sql(),
 )
 # multi-quantile curriculum binning: one histogram pass serves all cuts,
 # every threshold an exact order statistic (no interpolation)

@@ -59,6 +59,8 @@ EXTENSION_ORACLE_QUERIES = [
     "bigram_surprise_scores",
     "dsir_importance_weights",
     "weighted_doc_sample",
+    "dsir_resample_counts",
+    "dedup_quality_keeper",
     # round-9 additions: mixture materialization + provenance overlap
     "mixture_resample_counts",
     "mixture_upsample_counts",

@@ -42,6 +42,10 @@ BNLJ_ALLOWED = {
                                "against the per-doc aggregate — the "
                                "same scalar-subquery shape as "
                                "unigram_surprise_scores",
+    "dsir_resample_counts": "the DSIR scalar side plus the gate's "
+                            "ONE-ROW corpus-count/threshold sides — "
+                            "the quality_gated_docs scalar-subquery "
+                            "shape applied to DSIR scores",
 }
 
 

@@ -298,3 +298,79 @@ def test_dsir_frozen_dist_neutral_on_unseen_features(spark):
     )
     assert row.n_feats == 3
     assert row.dsir_logratio == expect
+
+
+def test_dsir_resample_counts_gate_bounds(spark):
+    """The realized resampling drops at most the bottom q of the corpus
+    (exact order-statistic contract) and conserves per-language totals;
+    the en slice — the target domain itself — survives at a higher rate
+    than the corpus average."""
+    from bigdata_hwk_spark.functions.text import (
+        DSIR_RESAMPLE_Q,
+        dsir_resample_counts,
+    )
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    rows = dsir_resample_counts(docs).collect()
+    n = docs.count()
+    by_lang = {r.lang: r for r in rows}
+    assert sum(r.n_docs for r in rows) == n
+    per_lang_truth = {
+        r.lang: r.c
+        for r in docs.groupBy("lang").agg(F.count("*").alias("c")).collect()
+    }
+    assert {k: v.n_docs for k, v in by_lang.items()} == per_lang_truth
+    kept = sum(r.n_kept for r in rows)
+    assert kept >= n - math.floor(DSIR_RESAMPLE_Q * n)
+    en_rate = by_lang["en"].n_kept / by_lang["en"].n_docs
+    assert en_rate > kept / n
+
+
+def test_dedup_quality_keeper_hand_case(spark):
+    """Three byte-identical copies with doctored quality signals: the
+    keeper must be the highest-quality member, NOT the lowest id (the
+    policy difference from dedup_clusters), with doc_id only breaking
+    exact score ties."""
+    from bigdata_hwk_spark.functions.text import quality_scores
+    from bigdata_hwk_spark.operators.dedup import dedup_quality_keeper
+
+    # near-dup cluster: same long text (identical shingles -> Jaccard 1);
+    # doc 2's copy carries extra stopwords, raising its quality score
+    base = " ".join(f"tok{i}" for i in range(40))
+    rich = "the of and is " + " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (0, base + " x", "en"),
+            (1, base + " x", "en"),
+            (2, rich + " x", "en"),
+            # far-away singleton: no pairs, must be absent from output
+            (9, "zz qq ww", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    q = {r.doc_id: r.quality_score for r in quality_scores(docs).collect()}
+    assert q[2] > q[0] == q[1]
+    out = dedup_quality_keeper(docs, tau=0.5).collect()
+    ids = {r.doc_id for r in out}
+    assert 9 not in ids and {0, 1, 2} <= ids
+    keepers = {r.doc_id for r in out if r.is_keeper}
+    cluster_of = {r.doc_id: r.cluster_id for r in out}
+    assert cluster_of[0] == cluster_of[1] == cluster_of[2]
+    assert 2 in keepers  # highest quality wins, despite the higher id
+    assert keepers.isdisjoint({0, 1})
+
+
+def test_dedup_quality_keeper_one_keeper_per_cluster(spark):
+    from bigdata_hwk_spark.operators.dedup import dedup_quality_keeper
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    out = dedup_quality_keeper(docs).collect()
+    per_cluster: dict[int, list] = {}
+    for r in out:
+        per_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, rows in per_cluster.items():
+        assert sum(1 for r in rows if r.is_keeper) == 1
+        best = max(rows, key=lambda r: (r.quality_score, -r.doc_id))
+        [keeper] = [r for r in rows if r.is_keeper]
+        assert keeper.quality_score == best.quality_score
+        assert len(rows) == rows[0].cluster_size
