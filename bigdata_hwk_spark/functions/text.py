@@ -1308,23 +1308,32 @@ def dsir_score_against_dist(
     documents: DataFrame,
     dist: DataFrame,
     buckets: int = DSIR_BUCKETS,
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """Score documents against a (possibly frozen) DSIR distribution
     table. A feature bucket absent from ``dist`` (possible only when
     scoring NEW documents against a frozen reference window) contributes
     ln(0+1) − ln(0+1) = 0 — the uninformative-feature neutral element —
     via the left join's coalesce; on the fit corpus itself every bucket
-    is present and the coalesce never fires."""
+    is present and the coalesce never fires.
+
+    ``carry_cols`` names document columns functionally dependent on
+    ``doc_id`` (e.g. ``("lang",)``) to thread through the per-doc
+    aggregate — consumers that need them then avoid a corpus-sized
+    join back against the source table (at fleet scale that join is a
+    full extra shuffle of the corpus; carrying the column is free
+    because the aggregate already shuffles one row per doc)."""
     feats = _dsir_feats(documents, buckets)
     scal = dist.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
     per = (
         feats.join(F.broadcast(dist), "b", "left")
         .select(
             "doc_id",
+            *carry_cols,
             F.coalesce(F.col("cr"), F.lit(0)).alias("cr"),
             F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
         )
-        .groupBy("doc_id")
+        .groupBy("doc_id", *carry_cols)
         .agg(
             F.count(F.lit(1)).alias("n_feats"),
             F.avg(
@@ -1334,6 +1343,7 @@ def dsir_score_against_dist(
     )
     return per.crossJoin(F.broadcast(scal)).select(
         "doc_id",
+        *carry_cols,
         F.col("n_feats").cast("bigint").alias("n_feats"),
         F.round(
             F.col("__s")
@@ -1398,9 +1408,23 @@ def dsir_resample_counts(
     Scale: scores collapse to a (score, count) histogram bounded by the
     6-decimal score domain; the running-count scan and threshold pick
     run on that tiny table and one row broadcasts back; the per-lang
-    fold is one map-side-combined aggregation to O(langs) rows.
+    fold is one map-side-combined aggregation to O(langs) rows. The
+    score table feeds BOTH the histogram and the gate, so it persists
+    once (``persist_once``); ``lang`` rides the scoring aggregate via
+    ``carry_cols`` so the gate never joins back against the corpus —
+    at fleet scale that join would be a second full shuffle of the
+    document table for a column the feature explode already carried.
     """
-    scores = dsir_importance_weights(documents, target_lang, buckets)
+    from ..session import persist_once
+
+    scores = persist_once(
+        dsir_score_against_dist(
+            documents,
+            dsir_feature_dist(documents, target_lang, buckets),
+            buckets,
+            carry_cols=("lang",),
+        )
+    )
     hist = scores.groupBy("dsir_logratio").agg(F.count(F.lit(1)).alias("c"))
     tot = hist.agg(F.sum("c").alias("n"))
     cum = (
@@ -1418,16 +1442,14 @@ def dsir_resample_counts(
     thr = cum.filter(F.col("cum") >= F.col("k")).agg(
         F.min("dsir_logratio").alias("threshold")
     )
-    gated = scores.crossJoin(F.broadcast(thr)).select(
-        "doc_id",
-        (F.col("dsir_logratio") >= F.col("threshold")).alias("kept"),
-    )
     return (
-        gated.join(documents.select("doc_id", "lang"), "doc_id")
+        scores.crossJoin(F.broadcast(thr))
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
+            F.sum(
+                (F.col("dsir_logratio") >= F.col("threshold")).cast("bigint")
+            ).alias("n_kept"),
         )
         .orderBy("lang")
     )
