@@ -1482,3 +1482,142 @@ SELECT d.lang,
 FROM gated g JOIN documents d USING (doc_id)
 GROUP BY d.lang ORDER BY d.lang
 """
+
+
+# Gopher rule thresholds (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", App. A — the
+# MassiveWeb quality heuristics). Every ratio test below is rewritten as
+# an EXACT integer inequality (10*symbols <= n_words instead of
+# symbols/n_words <= 0.1) so two engines cannot disagree in the last
+# ulp of a float division — the same portability contract as the
+# percentile gates.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_STOPS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_quality_flags(
+    documents: DataFrame, stops: tuple[str, ...] = GOPHER_STOPS
+) -> DataFrame:
+    """Per-document Gopher quality-filter flags (one boolean per
+    published rule) plus the conjunction ``pass_gopher`` — the
+    industry-standard pre-training quality gate, entirely in
+    whole-stage codegen. ``stops`` defaults to the paper's 8-word
+    list; on the synthetic fixture only 'the' occurs, so that rule is
+    honest-but-degenerate there (constant false) — the hand-case test
+    exercises both sides of every rule on constructed documents.
+
+    Rules (MassiveWeb, Rae et al. 2021 App. A):
+    word count in [50, 100k]; mean word length in [3, 10] chars;
+    symbol-to-word ratio ('#' or '…' as '...') <= 0.1; <= 10% of lines
+    start with a bullet; <= 30% of lines end with an ellipsis; >= 80%
+    of words contain an alphabetic character; at least 2 distinct hits
+    from the 8-word stop list.
+
+    Scale: one narrow projection over the corpus — no joins, no
+    shuffles, no Python; the flags are a map-only stage that fuses with
+    whatever filter or sink consumes them.
+    """
+    ws = _words()
+    lines = F.split(F.col("text"), "\n")
+    n_words = F.size(ws)
+    n_lines = F.size(lines)
+    sum_len = F.aggregate(
+        F.transform(ws, lambda w: F.length(w)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    ell_chars = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit("..."))
+    )
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda ln: ln.startswith("- ")
+            | ln.startswith("* ")
+            | ln.startswith("•"),
+        )
+    )
+    ell_lines = F.size(F.filter(lines, lambda ln: ln.endswith("...")))
+    alpha_words = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(ws), F.array(*[F.lit(s) for s in stops])
+        )
+    )
+    flags = {
+        "flag_word_count": (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS),
+        # 3 <= sum_len/n <= 10  ==  3n <= sum_len AND sum_len <= 10n
+        "flag_mean_word_len": (sum_len >= 3 * n_words)
+        & (sum_len <= 10 * n_words),
+        # (n_hash + ell_chars/3)/n <= 0.1, cleared of the division:
+        # 10*(3*n_hash + ell_chars) <= 3*n_words — all integers
+        "flag_symbol_ratio": 10 * (3 * n_hash + ell_chars) <= 3 * n_words,
+        "flag_bullet_lines": 10 * bullet_lines <= n_lines,
+        "flag_ellipsis_lines": 10 * ell_lines <= 3 * n_lines,
+        "flag_alpha_words": 5 * alpha_words >= 4 * n_words,
+        "flag_stopwords": stop_hits >= 2,
+    }
+    pass_all = None
+    for c in flags.values():
+        pass_all = c if pass_all is None else (pass_all & c)
+    return documents.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        *[c.alias(k) for k, c in flags.items()],
+        pass_all.alias("pass_gopher"),
+    )
+
+
+def _gopher_sql(stop_list: tuple[str, ...] = GOPHER_STOPS) -> str:
+    stops = ", ".join(f"'{s}'" for s in stop_list)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS ws,
+         string_split(text, chr(10)) AS lines,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         length(text) - length(replace(text, '...', '')) AS ell_chars,
+         text
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         len(lines) AS n_lines,
+         list_sum(list_transform(ws, w -> length(w))) AS sum_len,
+         n_hash, ell_chars,
+         len(list_filter(lines, ln -> ln LIKE '- %' OR ln LIKE '* %'
+                                      OR ln LIKE '•%')) AS bullet_lines,
+         len(list_filter(lines, ln -> ln LIKE '%...')) AS ell_lines,
+         len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+           AS alpha_words,
+         len(list_filter([{stops}], s -> list_contains(ws, s)))
+           AS stop_hits
+  FROM base)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+         AS flag_word_count,
+       sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+         AS flag_mean_word_len,
+       10 * (3 * n_hash + ell_chars) <= 3 * n_words AS flag_symbol_ratio,
+       10 * bullet_lines <= n_lines AS flag_bullet_lines,
+       10 * ell_lines <= 3 * n_lines AS flag_ellipsis_lines,
+       5 * alpha_words >= 4 * n_words AS flag_alpha_words,
+       stop_hits >= 2 AS flag_stopwords,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+         AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
+         AND (10 * (3 * n_hash + ell_chars) <= 3 * n_words)
+         AND (10 * bullet_lines <= n_lines)
+         AND (10 * ell_lines <= 3 * n_lines)
+         AND (5 * alpha_words >= 4 * n_words)
+         AND (stop_hits >= 2) AS pass_gopher
+FROM m
+"""
+
+
+GOPHER_QUALITY_FLAGS_SQL = _gopher_sql()

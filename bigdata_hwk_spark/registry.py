@@ -794,6 +794,15 @@ register(
     lambda spark, sf: TX.quality_scores(_docs(spark, sf)),
     TX.QUALITY_SCORES_SQL,
 )
+# the published Gopher/MassiveWeb rule battery (Rae et al. 2021 App. A),
+# every ratio cleared of its division into an exact integer inequality;
+# the stop-list rule is honest-but-degenerate on the synthetic fixture
+# (only 'the' occurs) — the hand-case test flips every rule both ways
+register(
+    "gopher_quality_flags",
+    lambda spark, sf: TX.gopher_quality_flags(_docs(spark, sf)),
+    TX.GOPHER_QUALITY_FLAGS_SQL,
+)
 # data-dependent quality gate: drop (at most) the bottom quartile by an
 # exact order-statistic threshold — histogram + tiny running-count scan,
 # no global sort, no interpolated percentile at the gate boundary

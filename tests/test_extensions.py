@@ -61,6 +61,7 @@ EXTENSION_ORACLE_QUERIES = [
     "weighted_doc_sample",
     "dsir_resample_counts",
     "dedup_quality_keeper",
+    "gopher_quality_flags",
     # round-9 additions: mixture materialization + provenance overlap
     "mixture_resample_counts",
     "mixture_upsample_counts",

@@ -374,3 +374,76 @@ def test_dedup_quality_keeper_one_keeper_per_cluster(spark):
         [keeper] = [r for r in rows if r.is_keeper]
         assert keeper.quality_score == best.quality_score
         assert len(rows) == rows[0].cluster_size
+
+
+def _gopher_docs():
+    """One doc per rule: index 0 passes everything; each subsequent doc
+    fails exactly one rule (word count, mean word length, symbol ratio,
+    bullet lines, ellipsis lines, alpha words, stopwords)."""
+    good = "the with " + " ".join(f"word{i:02d}" for i in range(58))
+    return [
+        (0, good),
+        (1, "the with " + " ".join(f"word{i:02d}" for i in range(8))),
+        (2, "the with " + " ".join("x" * 12 for _ in range(58))),
+        (3, "the with " + " ".join(f"word{i:02d}" for i in range(48))
+            + " " + " ".join("#" for _ in range(10))),
+        (4, good + "\n- item"),
+        (5, good + "\nword word..."),
+        (6, "the with " + " ".join(f"word{i:02d}" for i in range(44))
+            + " " + " ".join(str(i) for i in range(14))),
+        (7, "the " + " ".join(f"word{i:02d}" for i in range(59))),
+    ]
+
+
+def test_gopher_flags_flip_each_rule(spark):
+    from bigdata_hwk_spark.functions.text import gopher_quality_flags
+
+    docs = spark.createDataFrame(_gopher_docs(), "doc_id long, text string")
+    rows = {r.doc_id: r for r in gopher_quality_flags(docs).collect()}
+    fails = {
+        1: "flag_word_count",
+        2: "flag_mean_word_len",
+        3: "flag_symbol_ratio",
+        4: "flag_bullet_lines",
+        5: "flag_ellipsis_lines",
+        6: "flag_alpha_words",
+        7: "flag_stopwords",
+    }
+    flag_cols = list(fails.values())
+    assert rows[0].pass_gopher and all(
+        getattr(rows[0], c) for c in flag_cols
+    )
+    for doc_id, failing in fails.items():
+        r = rows[doc_id]
+        assert not r.pass_gopher
+        for c in flag_cols:
+            assert getattr(r, c) == (c != failing), (doc_id, c)
+
+
+def test_gopher_flags_cross_engine_on_discriminating_docs(spark):
+    """The fixture can't exercise the symbol/bullet/ellipsis/stopword
+    rules (its vocabulary has none of those shapes), so pin the DuckDB
+    twin against Spark on the constructed rule-flipping docs too."""
+    import duckdb
+
+    from bigdata_hwk_spark.functions.text import (
+        GOPHER_QUALITY_FLAGS_SQL,
+        gopher_quality_flags,
+    )
+
+    data = _gopher_docs()
+    docs = spark.createDataFrame(data, "doc_id long, text string")
+    got = {
+        r.doc_id: tuple(r)[1:]
+        for r in gopher_quality_flags(docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?)", data)
+    want = {
+        r[0]: tuple(r)[1:]
+        for r in con.execute(GOPHER_QUALITY_FLAGS_SQL).fetchall()
+    }
+    assert got == want
