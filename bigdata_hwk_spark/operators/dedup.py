@@ -1637,3 +1637,142 @@ SELECT d.doc_id,
        coalesce(p.clean_text, '') AS clean_text
 FROM documents d LEFT JOIN per p USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-document maximal shared spans (ExactSubstr-style)
+# ---------------------------------------------------------------------------
+
+SPAN_GRAM_K = 8
+SPAN_MIN_TOKENS = 12
+SPAN_GRAM_CUT = 100_000
+
+
+def crossdoc_shared_spans(
+    documents: DataFrame,
+    k: int = SPAN_GRAM_K,
+    min_span: int = SPAN_MIN_TOKENS,
+    cut: int = SPAN_GRAM_CUT,
+) -> DataFrame:
+    """(doc_a, doc_b, a_start, b_start, span_tokens) — every MAXIMAL
+    token span of >= ``min_span`` tokens shared verbatim between two
+    different documents: the ExactSubstr signal of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"), which
+    catches partial copies that whole-doc and chunk dedup both miss
+    (their suffix-array single-machine algorithm re-expressed as a
+    distributed inverted-index + diagonal-run merge).
+
+    Method: slide a width-``k`` token window over every document
+    (one codegen'd ``transform`` + ``posexplode``, 8-byte md5-prefix
+    keys — the text itself never shuffles); self-join the gram index on
+    the key with ``doc_a < doc_b``; merge matches into maximal runs per
+    (pair, diagonal) with the classic gap-and-island ``pos − row_number``
+    trick — ``r`` consecutive matching k-grams on one diagonal certify a
+    shared span of exactly ``r + k − 1`` tokens, and run-maximality IS
+    span-maximality because overlapping k-grams chain equality.
+
+    Scale: the pair explosion is bounded by the posting-list cut
+    (``count(*) <= cut`` per gram — boilerplate grams shared by half the
+    corpus never enter the join; mirrored exactly in the oracle); match
+    volume is then Σ postings², the same budget shape as
+    ``decontamination_check``. The run merge is one window per
+    (pair, diagonal) group over an exchange already keyed by the pair.
+    A 2^-60 gram-key collision can only merge unrelated grams; the
+    oracle hashes identically so both engines agree bit-for-bit.
+
+    The gram index persists once (``persist_once``): it feeds the
+    posting-count cut AND both sides of the pair join, and the md5
+    projection over every token position is the single most expensive
+    map stage here — recomputing it three times would triple it.
+    """
+    from ..functions.hashing import md5_hash64
+    from ..session import persist_once
+
+    ws = F.split(F.col("text"), " ")
+    grams = persist_once(
+        documents.filter(F.size(ws) >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - k + 1),
+                    lambda i: md5_hash64(
+                        F.array_join(F.slice(ws, i, k), " ")
+                    ),
+                )
+            ).alias("pos0", "gh"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
+    )
+    keep = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") <= cut)
+        .select("gh")
+    )
+    g = grams.join(keep, "gh")
+    a, b = g.alias("a"), g.alias("b")
+    m = (
+        a.join(b, "gh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.pos").alias("pa"),
+            F.col("b.pos").alias("pb"),
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = m.withColumn("diag", F.col("pa") - F.col("pb")).withColumn(
+        "rk", F.col("pa") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b", "diag", "rk")
+        .agg(
+            F.min("pa").alias("a_start"),
+            F.min("pb").alias("b_start"),
+            (F.count(F.lit(1)) + k - 1).alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_span)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("a_start").cast("bigint").alias("a_start"),
+            F.col("b_start").cast("bigint").alias("b_start"),
+            F.col("span_tokens").cast("bigint").alias("span_tokens"),
+        )
+    )
+
+
+def crossdoc_shared_spans_sql(
+    k: int = SPAN_GRAM_K,
+    min_span: int = SPAN_MIN_TOKENS,
+    cut: int = SPAN_GRAM_CUT,
+) -> str:
+    """Oracle: identical gram keys, posting cut, and diagonal-run merge."""
+    from ..functions.hashing import md5_hash64_sql
+
+    gh = md5_hash64_sql(f"array_to_string(w[i:i+{k}-1], ' ')")
+    return f"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, u.pos, u.gh FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(w) - {k} + 1),
+                  i -> struct_pack(pos := i, gh := {gh}))) AS u
+    FROM ws WHERE len(w) >= {k})),
+occ AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) <= {cut}),
+g AS (SELECT grams.* FROM grams JOIN occ USING (gh)),
+m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+      FROM g a JOIN g b USING (gh) WHERE a.doc_id < b.doc_id),
+runs AS (SELECT doc_a, doc_b, pa - pb AS diag, pa, pb,
+                pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                        ORDER BY pa) AS rk
+         FROM m)
+SELECT doc_a, doc_b,
+       CAST(min(pa) AS BIGINT) AS a_start,
+       CAST(min(pb) AS BIGINT) AS b_start,
+       CAST(count(*) + {k} - 1 AS BIGINT) AS span_tokens
+FROM runs GROUP BY doc_a, doc_b, diag, rk
+HAVING count(*) + {k} - 1 >= {min_span}
+"""

@@ -715,6 +715,14 @@ register(
     ),
     D.soft_dedup_weights_sql(),
 )
+# ExactSubstr-style cross-document maximal shared spans (Lee et al.
+# 2022): inverted gram index -> pair self-join -> diagonal-run merge;
+# posting-list cut bounds the pair explosion, mirrored in the oracle
+register(
+    "crossdoc_shared_spans",
+    lambda spark, sf: D.crossdoc_shared_spans(_docs(spark, sf)),
+    D.crossdoc_shared_spans_sql(),
+)
 # RefinedWeb-style keeper policy: collapse each near-dup cluster onto its
 # highest-quality member (score DESC, doc_id tiebreak) — sixth consumer
 # of the shared pair/component pipeline

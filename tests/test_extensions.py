@@ -62,6 +62,7 @@ EXTENSION_ORACLE_QUERIES = [
     "dsir_resample_counts",
     "dedup_quality_keeper",
     "gopher_quality_flags",
+    "crossdoc_shared_spans",
     # round-9 additions: mixture materialization + provenance overlap
     "mixture_resample_counts",
     "mixture_upsample_counts",

@@ -449,3 +449,47 @@ def test_mixture_stream_equals_batch_with_frozen_rates(spark, tmp_path):
           for r in got2.collect()}
     assert some not in g2
     assert g2 == {s: v for s, v in g.items() if s != some}
+
+
+# ------------------------------------------------- cross-doc shared spans
+def test_crossdoc_shared_spans_hand_case(spark):
+    """Two docs sharing one 15-token span and one 9-token span (k=8,
+    min_span=12): only the 15-token span survives, with exact start
+    positions on both sides; a doc pair with no >=k-gram overlap is
+    absent. Maximality: the 15-token run reports ONE span, not its
+    8 constituent k-gram matches."""
+    from bigdata_hwk_spark.operators.dedup import crossdoc_shared_spans
+
+    shared15 = " ".join(f"s{i}" for i in range(15))
+    shared9 = " ".join(f"t{i}" for i in range(9))
+    a = "a0 a1 " + shared15 + " a2 a3 " + shared9
+    b = "b0 " + shared15 + " b1 b2 b3 b4 " + shared9 + " b5"
+    c = " ".join(f"c{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    out = crossdoc_shared_spans(docs).collect()
+    assert len(out) == 1
+    [r] = out
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.span_tokens == 15
+    assert r.a_start == 3 and r.b_start == 2  # 1-based token positions
+
+
+def test_crossdoc_shared_spans_maximal_runs_split_on_gaps(spark):
+    """A mid-span single-token edit splits one long shared region into
+    two maximal spans, each reported separately with correct lengths."""
+    from bigdata_hwk_spark.operators.dedup import crossdoc_shared_spans
+
+    left = " ".join(f"u{i}" for i in range(14))
+    right = " ".join(f"v{i}" for i in range(13))
+    a = left + " SAME " + right
+    b = left + " DIFF " + right
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    spans = {
+        (r.a_start, r.span_tokens)
+        for r in crossdoc_shared_spans(docs).collect()
+    }
+    assert spans == {(1, 14), (16, 13)}
