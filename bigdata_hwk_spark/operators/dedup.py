@@ -1776,3 +1776,88 @@ SELECT doc_a, doc_b,
 FROM runs GROUP BY doc_a, doc_b, diag, rk
 HAVING count(*) + {k} - 1 >= {min_span}
 """
+
+
+def crossdoc_span_scrub(
+    documents: DataFrame,
+    k: int = SPAN_GRAM_K,
+    min_span: int = SPAN_MIN_TOKENS,
+    cut: int = SPAN_GRAM_CUT,
+) -> DataFrame:
+    """(doc_id, n_tokens, n_dropped_tokens, clean_text) — the APPLY side
+    of ExactSubstr dedup (Lee et al. 2022 drop one copy of every
+    duplicated substring): for each maximal shared span found by
+    ``crossdoc_shared_spans``, the LOWEST-id document keeps its copy and
+    every other occurrence is deleted from its host; documents touching
+    no span pass through verbatim. One-pass policy, as in the published
+    implementation — deletions are not re-mined for adjacencies they
+    create.
+
+    Scale: the span table covers only overlapping doc pairs (≪ corpus),
+    so its per-doc interval collapse is tiny and the interval arrays
+    equi-join back onto the corpus on the doc key — docs with nothing to
+    drop take the left-join fast path, and the rebuild is a codegen'd
+    positional ``filter`` + ``array_join`` in the scan stage; the text
+    column itself never shuffles.
+    """
+    spans = crossdoc_shared_spans(documents, k, min_span, cut)
+    iv = (
+        spans.select(
+            F.col("doc_b").alias("doc_id"),
+            F.struct(
+                F.col("b_start").alias("s"),
+                (F.col("b_start") + F.col("span_tokens") - 1).alias("e"),
+            ).alias("iv"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list("iv").alias("__iv"))
+    )
+    ws = F.split(F.col("text"), " ")
+    no_iv = F.array().cast("array<struct<s:bigint,e:bigint>>")
+    ivs = F.coalesce(F.col("__iv"), no_iv)
+    kept = F.filter(
+        ws,
+        lambda t, i: ~F.exists(
+            ivs, lambda s: (i + 1 >= s["s"]) & (i + 1 <= s["e"])
+        ),
+    )
+    return documents.join(iv, "doc_id", "left").select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("n_tokens"),
+        (F.size(ws) - F.size(kept)).cast("bigint").alias("n_dropped_tokens"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
+def crossdoc_span_scrub_sql(
+    k: int = SPAN_GRAM_K,
+    min_span: int = SPAN_MIN_TOKENS,
+    cut: int = SPAN_GRAM_CUT,
+) -> str:
+    """Oracle: the span CTE, per-token dropped mark via interval EXISTS,
+    ordered string_agg rebuild."""
+    return f"""
+WITH spans AS ({crossdoc_shared_spans_sql(k, min_span, cut)}),
+iv AS (SELECT doc_b AS doc_id, b_start AS s,
+              b_start + span_tokens - 1 AS e
+       FROM spans),
+toks AS (
+  SELECT doc_id, u.pos, u.tok FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(w)),
+                  i -> struct_pack(pos := i, tok := w[i]))) AS u
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+marked AS (
+  SELECT t.doc_id, t.pos, t.tok,
+         EXISTS(SELECT 1 FROM iv
+                WHERE iv.doc_id = t.doc_id
+                  AND t.pos BETWEEN iv.s AND iv.e) AS dropped
+  FROM toks t)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped_tokens,
+       coalesce(string_agg(CASE WHEN NOT dropped THEN tok END,
+                           ' ' ORDER BY pos), '') AS clean_text
+FROM marked GROUP BY doc_id
+"""

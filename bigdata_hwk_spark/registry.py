@@ -723,6 +723,13 @@ register(
     lambda spark, sf: D.crossdoc_shared_spans(_docs(spark, sf)),
     D.crossdoc_shared_spans_sql(),
 )
+# the apply side: delete every non-lowest-id occurrence of each shared
+# span from its host document (Lee et al. 2022 one-pass policy)
+register(
+    "crossdoc_span_scrub",
+    lambda spark, sf: D.crossdoc_span_scrub(_docs(spark, sf)),
+    D.crossdoc_span_scrub_sql(),
+)
 # RefinedWeb-style keeper policy: collapse each near-dup cluster onto its
 # highest-quality member (score DESC, doc_id tiebreak) — sixth consumer
 # of the shared pair/component pipeline

@@ -63,6 +63,7 @@ EXTENSION_ORACLE_QUERIES = [
     "dedup_quality_keeper",
     "gopher_quality_flags",
     "crossdoc_shared_spans",
+    "crossdoc_span_scrub",
     # round-9 additions: mixture materialization + provenance overlap
     "mixture_resample_counts",
     "mixture_upsample_counts",

@@ -493,3 +493,40 @@ def test_crossdoc_shared_spans_maximal_runs_split_on_gaps(spark):
         for r in crossdoc_shared_spans(docs).collect()
     }
     assert spans == {(1, 14), (16, 13)}
+
+
+def test_crossdoc_span_scrub_drops_only_higher_doc_copy(spark):
+    """The lowest-id host keeps its copy; the higher-id host loses
+    exactly the shared tokens; untouched docs pass through verbatim."""
+    from bigdata_hwk_spark.operators.dedup import crossdoc_span_scrub
+
+    shared = " ".join(f"s{i}" for i in range(15))
+    a = "a0 a1 " + shared + " a2"
+    b = "b0 " + shared + " b1 b2"
+    c = " ".join(f"c{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in crossdoc_span_scrub(docs).collect()}
+    assert out[1].clean_text == a and out[1].n_dropped_tokens == 0
+    assert out[2].clean_text == "b0 b1 b2"
+    assert out[2].n_dropped_tokens == 15 and out[2].n_tokens == 18
+    assert out[3].clean_text == c and out[3].n_dropped_tokens == 0
+
+
+def test_crossdoc_span_scrub_merges_overlapping_intervals(spark):
+    """A doc that is doc_b against TWO lower docs with overlapping
+    spans drops the union of the intervals, not double-counted."""
+    from bigdata_hwk_spark.operators.dedup import crossdoc_span_scrub
+
+    run = [f"s{i}" for i in range(20)]
+    a = " ".join(run[:15])                  # matches b's prefix region
+    b2 = " ".join(run[5:])                  # matches b's suffix region
+    big = " ".join(run) + " z0 z1"          # hosts both, overlapping
+    docs = spark.createDataFrame(
+        [(1, a), (2, b2), (5, big)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in crossdoc_span_scrub(docs).collect()}
+    assert out[5].n_dropped_tokens == 20    # union [1,15] ∪ [6,20]
+    assert out[5].clean_text == "z0 z1"
+    assert out[1].n_dropped_tokens == 0     # lowest id keeps
