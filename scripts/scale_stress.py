@@ -310,6 +310,11 @@ HEAVY_QUERIES = [
     # at 64× the hot-shingle posting lists are 64× longer, but prefixes
     # should keep probing only the rare end
     "dedup_prefix_filter",
+    # ExactSubstr shared spans (round 9): pair-producing via the gram
+    # self-join; the posting-count cut is the fan-out bound to test —
+    # per-replica alphabet permutations keep match volume ∝ replicas,
+    # so the engine-scaling exponent is the honest signal here
+    "crossdoc_shared_spans",
 ]
 
 # Inline justifications for the second-decade entries whose exponents
