@@ -906,6 +906,23 @@ register(
     TX.pii_scrub_sql(f"({TX.DOCTOR_PII_SQL_EXPR})"),
 )
 
+# BPE tokenizer training (Sennrich et al. 2016): pair stats (merge
+# round 0 over the Heaps-compressed word histogram) carry the DuckDB
+# oracle; the iterative greedy merge loop is rows-only by design and
+# pinned bit-for-bit against a pure-Python reference trainer in
+# tests/test_bpe.py.
+from .operators import bpe as BPE  # noqa: E402
+
+register(
+    "bpe_pair_stats",
+    lambda spark, sf: BPE.bpe_pair_stats(_docs(spark, sf)),
+    BPE.bpe_pair_stats_sql(),
+)
+register(
+    "bpe_merge_table",
+    lambda spark, sf: BPE.bpe_merge_table(_docs(spark, sf)),
+)
+
 # similarity search family
 register(
     "knn_cosine_topk",
@@ -1539,7 +1556,22 @@ _GATE_STABLE_CORE = [
     "stream_true_frequent",
     "windowed_event_counts",
 ]
-_ROTATION_STEP = 13
+_ROTATION_STEP_BASE = 13
+
+
+def _rotation_step(pool_len: int) -> int:
+    """Smallest step >= the base that is co-prime with the pool size, so
+    the round-by-round walk visits every pool slot before repeating. A
+    fixed step silently breaks when the pool grows to a multiple of it
+    (104 = 8*13 orbits only an eighth of the pool); deriving the step
+    from the pool size keeps full coverage an invariant, not a
+    coincidence of the current query count."""
+    import math
+
+    step = _ROTATION_STEP_BASE
+    while pool_len > 1 and math.gcd(step, pool_len) != 1:
+        step += 1
+    return step
 
 
 def _gate_round_number() -> int:
@@ -1572,7 +1604,7 @@ def _rotated_gate_overflow(round_no: int | None = None) -> list[str]:
     if not k_over:
         return []
     n = round_no if round_no is not None else _gate_round_number()
-    shift = ((n - 1) * _ROTATION_STEP) % len(pool)
+    shift = ((n - 1) * _rotation_step(len(pool))) % len(pool)
     circular = pool[shift:] + pool[:shift]
     return circular[:k_over]
 

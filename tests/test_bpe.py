@@ -1,0 +1,115 @@
+"""BPE tokenizer training: oracle parity for pair stats, bit-for-bit
+equality of the distributed merge loop vs a pure-Python reference
+trainer, and the separator-algebra edge cases (overlapping runs) that
+motivated the per-symbol-wrapped segmentation encoding."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_hwk_spark.operators import bpe
+from tests.conftest import SF_CORRECT, SF_SMOKE, assert_matches_oracle
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_pair_stats_matches_oracle_smoke(spark):
+    assert_matches_oracle(
+        bpe.bpe_pair_stats(_docs(spark, SF_SMOKE)),
+        bpe.bpe_pair_stats_sql(),
+        SF_SMOKE,
+    )
+
+
+def test_pair_stats_matches_oracle_gate_sf(spark):
+    assert_matches_oracle(
+        bpe.bpe_pair_stats(_docs(spark, SF_CORRECT)),
+        bpe.bpe_pair_stats_sql(),
+        SF_CORRECT,
+    )
+
+
+def _reference_from_docs(spark, sf_dir, **kw):
+    texts = [
+        r[0]
+        for r in _docs(spark, sf_dir).select("text").collect()
+    ]
+    freqs: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w and bpe.BPE_SEP not in w:
+                freqs[w] = freqs.get(w, 0) + 1
+    return bpe.bpe_train_reference(freqs, **kw)
+
+
+def test_merge_table_equals_python_reference(spark):
+    got = [
+        tuple(r)
+        for r in bpe.bpe_merge_table(_docs(spark, SF_SMOKE))
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    want = _reference_from_docs(spark, SF_SMOKE)
+    assert got == want
+    # the loop actually learned multi-char symbols, not just round-0 pairs
+    assert len(got) == bpe.BPE_MERGES
+    assert any(len(l) > 1 or len(r) > 1 for _, l, r, _, _ in got)
+
+
+def test_merge_table_invariants(spark):
+    rows = bpe.bpe_merge_table(
+        _docs(spark, SF_SMOKE), n_merges=6
+    ).orderBy("merge_rank").collect()
+    counts = [r["pair_count"] for r in rows]
+    # greedy argmax: the best pair's count never increases round-over-round
+    # (new pairs created by a merge are bounded by the merged pair's count)
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r["merged"] == r["left_sym"] + r["right_sym"]
+        assert r["pair_count"] >= bpe.BPE_MIN_PAIR_COUNT
+
+
+@pytest.mark.parametrize(
+    "word,freq,n",
+    [
+        ("aaaa", 3, 1),      # even run: ␟a␟␟a␟ must merge BOTH pairs
+        ("aaaaa", 2, 2),     # odd run
+        ("ababab", 2, 3),    # alternating l!=r run
+        ("xy", 5, 1),        # minimal pair
+    ],
+)
+def test_merge_application_matches_greedy_on_runs(spark, word, freq, n):
+    """The literal-replace merge application agrees with the Python
+    greedy pass exactly on the overlap-prone shapes (the single-joiner
+    encoding bug class this module's docstring documents)."""
+    docs = spark.createDataFrame(
+        [(0, " ".join([word] * freq))], "doc_id bigint, text string"
+    )
+    got = [
+        tuple(r)
+        for r in bpe.bpe_merge_table(docs, n_merges=n, min_count=1)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    freqs = {word: freq}
+    want = bpe.bpe_train_reference(freqs, n_merges=n, min_count=1)
+    assert got == want
+
+
+def test_merge_table_deterministic_across_runs(spark):
+    a = bpe.bpe_merge_table(_docs(spark, SF_SMOKE), n_merges=4).collect()
+    b = bpe.bpe_merge_table(
+        _docs(spark, SF_SMOKE).repartition(7), n_merges=4
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pair_stats_rank_is_dense_and_capped(spark):
+    df = bpe.bpe_pair_stats(_docs(spark, SF_SMOKE), k=16)
+    rows = df.orderBy("rank").collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) <= 16
+    assert all(r["pair_count"] > 0 for r in rows)

@@ -75,6 +75,9 @@ EXTENSION_ORACLE_QUERIES = [
     "curriculum_tiers",
     "chunk_dedup_docs",
     "embedding_coverage_audit",
+    # round-9 session-3: BPE merge round 0 (the merge loop itself is
+    # rows-only, pinned against a Python reference in test_bpe.py)
+    "bpe_pair_stats",
 ]
 
 
@@ -513,7 +516,11 @@ def test_registry_gate_rotation_covers_every_oracle_query():
     import math
 
     pool = [k for k in registry.ORACLES if k not in registry._GATE_STABLE_CORE]
-    assert math.gcd(registry._ROTATION_STEP, len(pool)) == 1
+    assert math.gcd(registry._rotation_step(len(pool)), len(pool)) == 1
+    # the derived step stays co-prime for EVERY plausible pool size, not
+    # just the current one (the fixed-13 step broke at pool=104=8*13)
+    for plen in range(1, 400):
+        assert math.gcd(registry._rotation_step(plen), plen) == 1
     ever_gated = set(registry._GATE_STABLE_CORE)
     for rnd in range(1, len(pool) + 1):
         over = registry._rotated_gate_overflow(rnd)
