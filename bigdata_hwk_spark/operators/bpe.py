@@ -198,34 +198,7 @@ def bpe_merge_table(
     spark = documents.sparkSession
     vocab, release = persist_scoped(_word_vocab(documents))
     try:
-        syms = _char_syms(F.col("word"))
-        merges = []
-        for rank in range(1, n_merges + 1):
-            best = (
-                _adjacent_pairs(vocab, syms)
-                .groupBy("left_sym", "right_sym")
-                .agg(F.sum("f").alias("pair_count"))
-                .orderBy(
-                    F.desc("pair_count"), "left_sym", "right_sym"
-                )
-                .limit(1)
-                .collect()
-            )
-            if not best or best[0]["pair_count"] < min_count:
-                break
-            l, r, c = (
-                best[0]["left_sym"],
-                best[0]["right_sym"],
-                int(best[0]["pair_count"]),
-            )
-            merges.append((rank, l, r, l + r, c))
-            syms = F.replace(
-                syms,
-                F.lit(
-                    BPE_SEP + l + BPE_SEP + BPE_SEP + r + BPE_SEP
-                ),
-                F.lit(BPE_SEP + l + r + BPE_SEP),
-            )
+        merges, _ = _train_merges(vocab, n_merges, min_count)
         return spark.createDataFrame(
             merges,
             "merge_rank bigint, left_sym string, right_sym string, "
@@ -233,6 +206,131 @@ def bpe_merge_table(
         )
     finally:
         release()
+
+
+def _train_merges(
+    vocab: DataFrame, n_merges: int, min_count: int
+) -> tuple[list[tuple[int, str, str, str, int]], F.Column]:
+    """Run the greedy merge loop over a persisted word-histogram and
+    return (merge table rows, final segmentation Column) — the Column
+    is the k-nested-replace projection that segments any word under the
+    learned merges, reused by the encode side."""
+    syms = _char_syms(F.col("word"))
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            _adjacent_pairs(vocab, syms)
+            .groupBy("left_sym", "right_sym")
+            .agg(F.sum("f").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["pair_count"] < min_count:
+            break
+        l, r, c = (
+            best[0]["left_sym"],
+            best[0]["right_sym"],
+            int(best[0]["pair_count"]),
+        )
+        merges.append((rank, l, r, l + r, c))
+        syms = F.replace(
+            syms,
+            F.lit(BPE_SEP + l + BPE_SEP + BPE_SEP + r + BPE_SEP),
+            F.lit(BPE_SEP + l + r + BPE_SEP),
+        )
+    return merges, syms
+
+
+def bpe_encode_stats(
+    documents: DataFrame,
+    n_merges: int = BPE_MERGES,
+    min_count: int = BPE_MIN_PAIR_COUNT,
+) -> DataFrame:
+    """(doc_id, n_words, n_chars, n_tokens): the apply side — encode
+    every document under the merge table just trained on the corpus and
+    report per-doc token counts (n_chars/n_tokens is the compression
+    ratio a tokenizer team reads off a candidate vocab; all-integer
+    output so engines cannot disagree).
+
+    Distributed shape: tokens-per-word is computed ONCE per distinct
+    word on the Heaps-compressed vocab (the same nested-replace codegen
+    projection the trainer ends with — the corpus is never re-segmented
+    row by row), then documents explode to words and equi-join that
+    (word → n_tokens) table; the vocab side is Heaps-law small relative
+    to the corpus, so the join broadcasts at any corpus scale where the
+    vocab fits (~n^0.7 growth), else AQE picks a shuffle hash join on
+    the same key. Docs with no encodable word (empty text, or every
+    word carrying the separator byte) keep a row with zero counts via
+    the left join — conservation (sum(n_chars) is merge-invariant) is
+    property-tested.
+
+    Rows-only by design (the merge table is data-dependent, so no
+    static SQL can express train-then-encode); exactness is pinned
+    against the pure-Python reference encoder in ``tests/test_bpe.py``.
+    """
+    vocab, release = persist_scoped(_word_vocab(documents))
+    try:
+        _, syms = _train_merges(vocab, n_merges, min_count)
+        inner = F.split(
+            F.btrim(syms, F.lit(BPE_SEP)), BPE_SEP + BPE_SEP
+        )
+        word_tok = vocab.select(
+            "word",
+            F.length("word").alias("w_chars"),
+            F.size(inner).alias("w_tokens"),
+        )
+        doc_words = documents.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), " ")).alias("word"),
+        ).filter((F.col("word") != "") & ~F.col("word").contains(BPE_SEP))
+        per_doc = (
+            doc_words.join(F.broadcast(word_tok), "word")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_words"),
+                F.sum("w_chars").alias("n_chars"),
+                F.sum("w_tokens").alias("n_tokens"),
+            )
+        )
+        out = (
+            documents.select("doc_id")
+            .join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+                F.coalesce("n_chars", F.lit(0)).cast("bigint").alias("n_chars"),
+                F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            )
+        )
+        # releasing the vocab cache here is safe AND correct: the merges
+        # are already driver-side literals baked into `syms`, and the
+        # returned (lazy) plan references the deterministic histogram
+        # exactly once — the cache only ever amortized the train loop's
+        # per-round jobs
+        return out
+    finally:
+        release()
+
+
+def bpe_apply_reference(
+    word: str, merges: list[tuple[int, str, str, str, int]]
+) -> list[str]:
+    """Pure-Python reference encoder (test oracle for the encode side):
+    apply the learned merges in rank order, each as the same leftmost
+    non-overlapping greedy pass the trainer uses."""
+    syms: list[str] = list(word)
+    for _, l, r, _, _ in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
 
 
 def bpe_train_reference(

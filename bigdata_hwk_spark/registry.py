@@ -922,6 +922,10 @@ register(
     "bpe_merge_table",
     lambda spark, sf: BPE.bpe_merge_table(_docs(spark, sf)),
 )
+register(
+    "bpe_encode_stats",
+    lambda spark, sf: BPE.bpe_encode_stats(_docs(spark, sf)),
+)
 
 # similarity search family
 register(

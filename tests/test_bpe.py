@@ -113,3 +113,71 @@ def test_pair_stats_rank_is_dense_and_capped(spark):
     assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
     assert len(rows) <= 16
     assert all(r["pair_count"] > 0 for r in rows)
+
+
+def _reference_encode_stats(spark, sf_dir, **kw):
+    """Per-doc (n_words, n_chars, n_tokens) via the pure-Python trainer
+    + encoder, over the same word filter the distributed side applies."""
+    rows = _docs(spark, sf_dir).select("doc_id", "text").collect()
+    freqs: dict[str, int] = {}
+    split_docs = []
+    for doc_id, text in rows:
+        words = [
+            w
+            for w in text.split(" ")
+            if w and bpe.BPE_SEP not in w
+        ]
+        split_docs.append((doc_id, words))
+        for w in words:
+            freqs[w] = freqs.get(w, 0) + 1
+    merges = bpe.bpe_train_reference(freqs, **kw)
+    tok = {w: len(bpe.bpe_apply_reference(w, merges)) for w in freqs}
+    return {
+        doc_id: (
+            len(words),
+            sum(len(w) for w in words),
+            sum(tok[w] for w in words),
+        )
+        for doc_id, words in split_docs
+    }
+
+
+def test_encode_stats_equals_python_reference(spark):
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_tokens"])
+        for r in bpe.bpe_encode_stats(_docs(spark, SF_SMOKE)).collect()
+    }
+    want = _reference_encode_stats(spark, SF_SMOKE)
+    assert got == want
+    # the learned merges actually compressed something
+    assert sum(v[2] for v in got.values()) < sum(v[1] for v in got.values())
+
+
+def test_encode_stats_zero_merges_is_char_count(spark):
+    """With an empty merge table every token is one character, so
+    n_tokens == n_chars doc-for-doc (and n_chars is merge-invariant —
+    conservation under any merge count)."""
+    docs = _docs(spark, SF_SMOKE)
+    zero = bpe.bpe_encode_stats(docs, n_merges=0).collect()
+    assert all(r["n_tokens"] == r["n_chars"] for r in zero)
+    full = bpe.bpe_encode_stats(docs).collect()
+    assert {r["doc_id"]: r["n_chars"] for r in full} == {
+        r["doc_id"]: r["n_chars"] for r in zero
+    }
+
+
+def test_encode_stats_keeps_unencodable_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "aa aa bb"), (2, ""), (3, f"x{bpe.BPE_SEP}y")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_tokens"])
+        for r in bpe.bpe_encode_stats(docs, n_merges=2, min_count=1).collect()
+    }
+    # merge 1 fuses (a,a) f=2; doc 2 and 3 have no encodable word but
+    # keep their zero rows
+    assert got[2] == (0, 0, 0)
+    assert got[3] == (0, 0, 0)
+    assert got[1][0] == 3 and got[1][1] == 6
+    assert got[1][2] < got[1][1]
