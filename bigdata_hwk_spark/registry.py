@@ -1395,6 +1395,19 @@ register(
     RC.table_checksum_sql("lineitem", RC.LINEITEM_CANON),
 )
 
+# Deequ-style declarative constraint audit (Schelter et al. VLDB 2018):
+# all row-local checks + PK uniqueness in ONE map-side-combined scan,
+# FK containment as a key-only left-anti join
+from .operators import audit as AU  # noqa: E402
+
+register(
+    "lineitem_constraint_audit",
+    lambda spark, sf: AU.lineitem_constraint_audit(
+        _li(spark, sf), load_table(spark, sf, "orders")
+    ),
+    AU.lineitem_constraint_audit_sql(),
+)
+
 
 # --- round-9 reconciliation suite: localization + row-level diff ---
 # partition_checksums narrows "the sides differ" to a ship-month;

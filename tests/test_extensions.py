@@ -78,6 +78,7 @@ EXTENSION_ORACLE_QUERIES = [
     # round-9 session-3: BPE merge round 0 (the merge loop itself is
     # rows-only, pinned against a Python reference in test_bpe.py)
     "bpe_pair_stats",
+    "lineitem_constraint_audit",
 ]
 
 
