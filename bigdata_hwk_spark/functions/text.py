@@ -1621,3 +1621,101 @@ FROM m
 
 
 GOPHER_QUALITY_FLAGS_SQL = _gopher_sql()
+
+
+# ---------------------------------------------------------------------------
+# Zipf head fit (corpus rank-frequency diagnostic)
+# ---------------------------------------------------------------------------
+
+ZIPF_HEAD_K = 2000
+
+
+def zipf_head_fit(documents: DataFrame, top_k: int = ZIPF_HEAD_K) -> DataFrame:
+    """One row (n_vocab, n_tokens, head_k, zipf_slope, zipf_intercept,
+    r2): closed-form OLS of ln(freq) on ln(rank) over the top-``top_k``
+    words — the rank-frequency diagnostic a corpus team reads before
+    trusting token statistics (natural text fits slope ≈ −1, Zipf 1949;
+    template/boilerplate corpora flatten the head, OCR noise fattens it).
+
+    Scale shape: ONE corpus-scale groupBy on the 8-byte word hash (word
+    strings never shuffle — same hash domain as unigram_surprise), then
+    the head is a distributed take-ordered (count DESC, hash ASC — fully
+    deterministic ties), and the OLS is one aggregation over ≤ top_k
+    rows with the closed-form slope/intercept/r² computed from six sums.
+    The full-vocab (n_vocab, n_tokens) totals ride a second tiny agg on
+    the same persisted-by-Catalyst freq table; no Python, no driver loop.
+    """
+    from ..functions.hashing import md5_hash64
+
+    h = (
+        documents.select(
+            F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .select(md5_hash64(F.col("word")).alias("wh"))
+    )
+    freq = h.groupBy("wh").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(
+        F.count(F.lit(1)).alias("n_vocab"), F.sum("c").alias("n_tokens")
+    )
+    head = freq.orderBy(F.desc("c"), "wh").limit(top_k)
+    ranked = head.select(
+        F.log(
+            F.row_number()
+            .over(Window.orderBy(F.desc("c"), "wh"))
+            .cast("double")
+        ).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    ols = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / den_x
+    return ols.crossJoin(F.broadcast(tot)).select(
+        F.col("n_vocab").cast("bigint").alias("n_vocab"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("k").cast("bigint").alias("head_k"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 6).alias(
+            "zipf_intercept"
+        ),
+        F.round(num * num / (den_x * den_y), 6).alias("r2"),
+    )
+
+
+def zipf_head_fit_sql(top_k: int = ZIPF_HEAD_K) -> str:
+    """Oracle: identical hash domain, identical deterministic head
+    selection, identical six-sum closed-form OLS."""
+    from ..functions.hashing import md5_hash64_sql
+
+    wh = md5_hash64_sql("word")
+    return f"""
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+h AS (SELECT {wh} AS wh FROM w WHERE word <> ''),
+freq AS (SELECT wh, count(*) AS c FROM h GROUP BY wh),
+tot AS (SELECT count(*) AS n_vocab, sum(c) AS n_tokens FROM freq),
+head AS (SELECT c, row_number() OVER (ORDER BY c DESC, wh) AS r
+         FROM freq QUALIFY r <= {top_k}),
+pts AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+        FROM head),
+ols AS (SELECT CAST(count(*) AS DOUBLE) AS k, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM pts)
+SELECT CAST(n_vocab AS BIGINT) AS n_vocab,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(k AS BIGINT) AS head_k,
+       round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 6)
+         AS zipf_intercept,
+       round((k * sxy - sx * sy) * (k * sxy - sx * sy)
+             / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6) AS r2
+FROM ols, tot
+"""

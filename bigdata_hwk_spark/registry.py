@@ -863,6 +863,12 @@ register(
     lambda spark, sf: TX.curriculum_tiers(_docs(spark, sf)),
     TX.curriculum_tiers_sql(),
 )
+# rank-frequency head diagnostic: closed-form OLS of ln(freq)~ln(rank)
+register(
+    "zipf_head_fit",
+    lambda spark, sf: TX.zipf_head_fit(_docs(spark, sf)),
+    TX.zipf_head_fit_sql(),
+)
 # chunk-granularity corpus dedup: keep the first occurrence of every
 # distinct w-token chunk, rebuild docs from surviving chunks
 register(

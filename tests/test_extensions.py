@@ -79,6 +79,7 @@ EXTENSION_ORACLE_QUERIES = [
     # rows-only, pinned against a Python reference in test_bpe.py)
     "bpe_pair_stats",
     "lineitem_constraint_audit",
+    "zipf_head_fit",
 ]
 
 
