@@ -46,6 +46,10 @@ BNLJ_ALLOWED = {
                             "ONE-ROW corpus-count/threshold sides — "
                             "the quality_gated_docs scalar-subquery "
                             "shape applied to DSIR scores",
+    "zipf_head_fit": "two ONE-ROW aggregate sides (six-sum OLS row × "
+                     "vocab-totals row) cross-joined — the same "
+                     "scalar-subquery shape; both sides single rows "
+                     "by construction",
 }
 
 
