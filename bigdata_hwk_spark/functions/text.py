@@ -1666,6 +1666,7 @@ def zipf_head_fit(documents: DataFrame, top_k: int = ZIPF_HEAD_K) -> DataFrame:
             .cast("double")
         ).alias("x"),
         F.log(F.col("c").cast("double")).alias("y"),
+        F.col("c"),
     )
     ols = ranked.agg(
         F.count(F.lit(1)).cast("double").alias("k"),
@@ -1674,20 +1675,42 @@ def zipf_head_fit(documents: DataFrame, top_k: int = ZIPF_HEAD_K) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.min("c").alias("c_min"),
+        F.max("c").alias("c_max"),
     )
     num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
     den_x = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
-    den_y = F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")
     slope = num / den_x
+    # degenerate-fit convention on an EXACT INTEGER predicate (constant
+    # head counts, or a single point): both engines agree bit-for-bit on
+    # min(c)=max(c)/k=1 where a float zero-variance test would hit
+    # catastrophic cancellation differently per summation order. The
+    # constant model is then the exact fit: slope 0, intercept ȳ, r² 1.
+    degenerate = (F.col("c_min") == F.col("c_max")) | (F.col("k") == 1)
     return ols.crossJoin(F.broadcast(tot)).select(
         F.col("n_vocab").cast("bigint").alias("n_vocab"),
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.col("k").cast("bigint").alias("head_k"),
-        F.round(slope, 6).alias("zipf_slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 6).alias(
-            "zipf_intercept"
+        F.round(F.when(degenerate, F.lit(0.0)).otherwise(slope), 6).alias(
+            "zipf_slope"
         ),
-        F.round(num * num / (den_x * den_y), 6).alias("r2"),
+        F.round(
+            F.when(degenerate, F.col("sy") / F.col("k")).otherwise(
+                (F.col("sy") - slope * F.col("sx")) / F.col("k")
+            ),
+            6,
+        ).alias("zipf_intercept"),
+        F.round(
+            F.when(degenerate, F.lit(1.0)).otherwise(
+                num
+                * num
+                / (
+                    den_x
+                    * (F.col("k") * F.col("syy") - F.col("sy") * F.col("sy"))
+                )
+            ),
+            6,
+        ).alias("r2"),
     )
 
 
@@ -1704,18 +1727,338 @@ freq AS (SELECT wh, count(*) AS c FROM h GROUP BY wh),
 tot AS (SELECT count(*) AS n_vocab, sum(c) AS n_tokens FROM freq),
 head AS (SELECT c, row_number() OVER (ORDER BY c DESC, wh) AS r
          FROM freq QUALIFY r <= {top_k}),
-pts AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+pts AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y, c
         FROM head),
 ols AS (SELECT CAST(count(*) AS DOUBLE) AS k, sum(x) AS sx, sum(y) AS sy,
-               sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+               sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy,
+               min(c) AS c_min, max(c) AS c_max
         FROM pts)
 SELECT CAST(n_vocab AS BIGINT) AS n_vocab,
        CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(k AS BIGINT) AS head_k,
-       round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS zipf_slope,
-       round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 6)
-         AS zipf_intercept,
-       round((k * sxy - sx * sy) * (k * sxy - sx * sy)
-             / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6) AS r2
+       round(CASE WHEN c_min = c_max OR k = 1 THEN 0.0
+                  ELSE (k * sxy - sx * sy) / (k * sxx - sx * sx) END,
+             6) AS zipf_slope,
+       round(CASE WHEN c_min = c_max OR k = 1 THEN sy / k
+                  ELSE (sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx)
+                       / k END,
+             6) AS zipf_intercept,
+       round(CASE WHEN c_min = c_max OR k = 1 THEN 1.0
+                  ELSE (k * sxy - sx * sy) * (k * sxy - sx * sy)
+                       / ((k * sxx - sx * sx) * (k * syy - sy * sy)) END,
+             6) AS r2
 FROM ols, tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law fit (vocabulary-growth diagnostic)
+# ---------------------------------------------------------------------------
+
+HEAPS_CHECKPOINTS = 8
+
+
+def heaps_law_fit(
+    documents: DataFrame, m: int = HEAPS_CHECKPOINTS
+) -> DataFrame:
+    """One row (n_vocab, n_tokens, n_checkpoints, heaps_beta, heaps_ln_k,
+    r2): the Heaps/Herdan vocabulary-growth law V(n) ≈ K·n^β fitted over
+    ``m`` doc-id checkpoints — the companion diagnostic to the Zipf head
+    fit (β ≈ 0.5–0.8 for natural text; β → 1 flags a corpus of unique
+    noise, β → 0 a template corpus), and the measured basis for the BPE
+    trainer's "vocab grows ~n^0.7" scale claim.
+
+    The classic formulation (sort the corpus, count distinct prefixes) is
+    a global sort + running distinct — hostile at scale. This one needs
+    NO sort: a word's contribution to checkpoint i depends only on its
+    FIRST doc_id (vocab_i = #{words: min_doc·m ≤ max_id·i}) and a token's
+    only on its own doc_id — so the whole curve is one groupBy (min per
+    word hash) plus conditional integer-inequality sums against the
+    broadcast one-row max(doc_id), exact in both engines with no
+    division. The m-point ln-ln OLS runs on a stacked m-row table.
+    """
+    from ..functions.hashing import md5_hash64
+
+    h = (
+        documents.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), " ")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .select("doc_id", md5_hash64(F.col("word")).alias("wh"))
+    )
+    mx = documents.agg(F.max("doc_id").alias("max_id"))
+    # tokens_i = #tokens with doc_id ≤ floor(max_id·i/m), as the exact
+    # integer predicate doc_id·m ≤ max_id·i
+    tok_sums = [
+        F.sum((F.col("doc_id") * m <= F.col("max_id") * i).cast("bigint"))
+        .alias(f"t{i}")
+        for i in range(1, m + 1)
+    ]
+    toks = h.crossJoin(F.broadcast(mx)).agg(
+        F.count(F.lit(1)).alias("n_tokens"), *tok_sums
+    )
+    first = h.groupBy("wh").agg(F.min("doc_id").alias("first_doc"))
+    voc_sums = [
+        F.sum(
+            (F.col("first_doc") * m <= F.col("max_id") * i).cast("bigint")
+        ).alias(f"v{i}")
+        for i in range(1, m + 1)
+    ]
+    vocs = first.crossJoin(F.broadcast(mx)).agg(
+        F.count(F.lit(1)).alias("n_vocab"), *voc_sums
+    )
+    both = toks.crossJoin(vocs)
+    pairs = ", ".join(f"t{i}, v{i}" for i in range(1, m + 1))
+    pts = both.select(
+        "n_vocab",
+        "n_tokens",
+        F.expr(f"stack({m}, {pairs}) as (t, v)"),
+    ).filter((F.col("t") > 0) & (F.col("v") > 0))
+    ols = pts.groupBy("n_vocab", "n_tokens").agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum(F.log(F.col("t").cast("double"))).alias("sx"),
+        F.sum(F.log(F.col("v").cast("double"))).alias("sy"),
+        F.sum(
+            F.log(F.col("t").cast("double"))
+            * F.log(F.col("v").cast("double"))
+        ).alias("sxy"),
+        F.sum(
+            F.log(F.col("t").cast("double"))
+            * F.log(F.col("t").cast("double"))
+        ).alias("sxx"),
+        F.sum(
+            F.log(F.col("v").cast("double"))
+            * F.log(F.col("v").cast("double"))
+        ).alias("syy"),
+        F.min("t").alias("t_min"),
+        F.max("t").alias("t_max"),
+        F.min("v").alias("v_min"),
+        F.max("v").alias("v_max"),
+    )
+    num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / den_x
+    # degenerate-fit convention on EXACT INTEGER predicates (saturated
+    # vocab → constant v; all rows before the first checkpoint →
+    # constant t; single surviving checkpoint): a float zero-variance
+    # test hits catastrophic cancellation (k·syy − sy² ~ 1e-13, sign and
+    # magnitude depending on each engine's summation order) — min=max on
+    # the raw integers is bit-identical everywhere. The constant model
+    # is then the exact fit: beta 0, ln K = ȳ, r² 1.
+    degenerate = (
+        (F.col("t_min") == F.col("t_max"))
+        | (F.col("v_min") == F.col("v_max"))
+        | (F.col("k") == 1)
+    )
+    return ols.select(
+        F.col("n_vocab").cast("bigint").alias("n_vocab"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("k").cast("bigint").alias("n_checkpoints"),
+        F.round(F.when(degenerate, F.lit(0.0)).otherwise(slope), 6).alias(
+            "heaps_beta"
+        ),
+        F.round(
+            F.when(degenerate, F.col("sy") / F.col("k")).otherwise(
+                (F.col("sy") - slope * F.col("sx")) / F.col("k")
+            ),
+            6,
+        ).alias("heaps_ln_k"),
+        F.round(
+            F.when(degenerate, F.lit(1.0)).otherwise(
+                num * num / (den_x * den_y)
+            ),
+            6,
+        ).alias("r2"),
+    )
+
+
+def heaps_law_fit_sql(m: int = HEAPS_CHECKPOINTS) -> str:
+    """Oracle: identical hash domain, identical integer checkpoint
+    predicates, identical six-sum OLS."""
+    from ..functions.hashing import md5_hash64_sql
+
+    wh = md5_hash64_sql("word")
+    return f"""
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+h AS (SELECT doc_id, {wh} AS wh FROM w WHERE word <> ''),
+mx AS (SELECT max(doc_id) AS max_id FROM documents),
+cp AS (SELECT unnest(range(1, {m} + 1)) AS i),
+toks AS (SELECT i, count(*) AS t
+         FROM h, mx, cp WHERE h.doc_id * {m} <= mx.max_id * i GROUP BY i),
+fw AS (SELECT wh, min(doc_id) AS first_doc FROM h GROUP BY wh),
+vocs AS (SELECT i, count(*) AS v
+         FROM fw, mx, cp
+         WHERE fw.first_doc * {m} <= mx.max_id * i GROUP BY i),
+tot AS (SELECT (SELECT count(*) FROM h) AS n_tokens,
+               (SELECT count(*) FROM fw) AS n_vocab),
+pts AS (SELECT ln(CAST(t AS DOUBLE)) AS x, ln(CAST(v AS DOUBLE)) AS y, t, v
+        FROM toks JOIN vocs USING (i) WHERE t > 0 AND v > 0),
+ols AS (SELECT CAST(count(*) AS DOUBLE) AS k, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy,
+               min(t) AS t_min, max(t) AS t_max,
+               min(v) AS v_min, max(v) AS v_max
+        FROM pts)
+SELECT CAST(n_vocab AS BIGINT) AS n_vocab,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(k AS BIGINT) AS n_checkpoints,
+       round(CASE WHEN t_min = t_max OR v_min = v_max OR k = 1 THEN 0.0
+                  ELSE (k * sxy - sx * sy) / (k * sxx - sx * sx) END,
+             6) AS heaps_beta,
+       round(CASE WHEN t_min = t_max OR v_min = v_max OR k = 1 THEN sy / k
+                  ELSE (sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx)
+                       / k END,
+             6) AS heaps_ln_k,
+       round(CASE WHEN t_min = t_max OR v_min = v_max OR k = 1 THEN 1.0
+                  ELSE (k * sxy - sx * sy) * (k * sxy - sx * sy)
+                       / ((k * sxx - sx * sx) * (k * syy - sy * sy)) END,
+             6) AS r2
+FROM ols, tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (top bigrams by pointwise mutual information)
+# ---------------------------------------------------------------------------
+
+PMI_TOP_K = 100
+PMI_MIN_COUNT = 5
+
+
+def pmi_top_bigrams(
+    documents: DataFrame,
+    k: int = PMI_TOP_K,
+    min_count: int = PMI_MIN_COUNT,
+) -> DataFrame:
+    """(rank, left_word, right_word, pair_count, left_count, right_count,
+    pmi): the corpus's top-k collocations by pointwise mutual information
+    (Church & Hanks 1990) with a min-count support cut — the classic
+    phrase-mining / tokenizer-vocabulary signal.
+
+    Scale shape: adjacency is computed inside the row (array slice+zip,
+    codegen), counts aggregate on 8-byte word hashes, and the ONLY
+    string bytes that shuffle are one ``min(word)`` display
+    representative per distinct hash (map-side partially aggregated, so
+    network cost is vocab-bounded, not corpus-bounded). The support cut
+    bounds the PMI join inputs.
+
+    Determinism/parity: ranking orders by the RAW likelihood ratio
+    ``(c_xy·Nt·Nt)/(Nb·c_x·c_y)`` — pure IEEE multiplications/divisions
+    of exact integers, bit-identical across engines — with hash
+    tie-breaks; the transcendental ``pmi = ln(ratio)`` is display-only
+    and rounded, so a last-ulp ``ln`` divergence cannot reorder results
+    (the tfidf_top_terms discipline).
+
+    Convention: empty tokens (doubled spaces) are dropped BEFORE
+    adjacency, so words separated only by extra whitespace count as
+    adjacent — mirrored exactly in the oracle.
+    """
+    from ..functions.hashing import md5_hash64
+
+    ws = documents.select(
+        F.filter(
+            F.split(F.col("text"), " "), lambda w: w != ""
+        ).alias("ws")
+    )
+    uni = (
+        ws.select(F.explode("ws").alias("word"))
+        .select(md5_hash64(F.col("word")).alias("wh"), "word")
+        .groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("c"), F.min("word").alias("word"))
+    )
+    pairs = F.arrays_zip(
+        F.slice(F.col("ws"), 1, F.size("ws") - 1).alias("lw"),
+        F.slice(F.col("ws"), 2, F.size("ws") - 1).alias("rw"),
+    )
+    big0 = (
+        ws.select(F.explode(pairs).alias("p"))
+        .select(
+            md5_hash64(F.col("p.lw")).alias("lh"),
+            md5_hash64(F.col("p.rw")).alias("rh"),
+        )
+        .groupBy("lh", "rh")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+    )
+    big = big0.filter(F.col("cxy") >= min_count)
+    # Nb is the PRE-cut bigram total (standard PMI normalization: the
+    # support cut bounds the join, it must not reshape the distribution)
+    tot = uni.agg(F.sum("c").alias("nt")).crossJoin(
+        big0.agg(F.sum("cxy").alias("nb"))
+    )
+    lu = uni.select(
+        F.col("wh").alias("lh"),
+        F.col("c").alias("cl"),
+        F.col("word").alias("left_word"),
+    )
+    ru = uni.select(
+        F.col("wh").alias("rh"),
+        F.col("c").alias("cr"),
+        F.col("word").alias("right_word"),
+    )
+    ratio = (
+        F.col("cxy").cast("double") * F.col("nt") * F.col("nt")
+    ) / (F.col("nb").cast("double") * F.col("cl") * F.col("cr"))
+    scored = (
+        big.join(lu, "lh")
+        .join(ru, "rh")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("__ratio", ratio)
+        .orderBy(F.desc("__ratio"), "lh", "rh")
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("__ratio"), "lh", "rh")
+    return scored.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "left_word",
+        "right_word",
+        F.col("cxy").cast("bigint").alias("pair_count"),
+        F.col("cl").cast("bigint").alias("left_count"),
+        F.col("cr").cast("bigint").alias("right_count"),
+        F.round(F.log("__ratio"), 6).alias("pmi"),
+    )
+
+
+def pmi_top_bigrams_sql(
+    k: int = PMI_TOP_K, min_count: int = PMI_MIN_COUNT
+) -> str:
+    """Oracle: identical hash domain, identical empty-token convention,
+    identical raw-ratio ordering with the same left-associated IEEE
+    expression, ln display-only."""
+    from ..functions.hashing import md5_hash64_sql
+
+    whw = md5_hash64_sql("word")
+    whl = md5_hash64_sql("lw")
+    whr = md5_hash64_sql("rw")
+    return f"""
+WITH d AS (SELECT list_filter(string_split(text, ' '), w -> w <> '') AS ws
+           FROM documents),
+u0 AS (SELECT unnest(ws) AS word FROM d),
+uni AS (SELECT {whw} AS wh, count(*) AS c, min(word) AS word
+        FROM u0 GROUP BY 1),
+ix AS (SELECT ws, unnest(range(1, len(ws))) AS i FROM d),
+p0 AS (SELECT ws[CAST(i AS INT)] AS lw, ws[CAST(i AS INT) + 1] AS rw
+       FROM ix),
+big0 AS (SELECT {whl} AS lh, {whr} AS rh, count(*) AS cxy
+         FROM p0 GROUP BY 1, 2),
+big AS (SELECT * FROM big0 WHERE cxy >= {min_count}),
+nt AS (SELECT sum(c) AS nt FROM uni),
+nb AS (SELECT sum(cxy) AS nb FROM big0),
+scored AS (
+  SELECT b.lh, b.rh, b.cxy, l.c AS cl, r.c AS cr,
+         l.word AS left_word, r.word AS right_word,
+         CAST(b.cxy AS DOUBLE) * (SELECT nt FROM nt) * (SELECT nt FROM nt)
+           / (CAST((SELECT nb FROM nb) AS DOUBLE) * l.c * r.c) AS ratio
+  FROM big b
+  JOIN uni l ON l.wh = b.lh
+  JOIN uni r ON r.wh = b.rh),
+ranked AS (SELECT *, row_number() OVER (ORDER BY ratio DESC, lh, rh) AS rank
+           FROM scored)
+SELECT CAST(rank AS BIGINT) AS rank, left_word, right_word,
+       CAST(cxy AS BIGINT) AS pair_count,
+       CAST(cl AS BIGINT) AS left_count,
+       CAST(cr AS BIGINT) AS right_count,
+       round(ln(ratio), 6) AS pmi
+FROM ranked WHERE rank <= {k}
 """

@@ -869,6 +869,20 @@ register(
     lambda spark, sf: TX.zipf_head_fit(_docs(spark, sf)),
     TX.zipf_head_fit_sql(),
 )
+# vocabulary-growth diagnostic: sort-free Heaps fit via per-word first
+# appearance + integer checkpoint predicates
+register(
+    "heaps_law_fit",
+    lambda spark, sf: TX.heaps_law_fit(_docs(spark, sf)),
+    TX.heaps_law_fit_sql(),
+)
+# collocation mining: top bigrams by PMI, ranked on the raw integer
+# likelihood ratio (ln display-only)
+register(
+    "pmi_top_bigrams",
+    lambda spark, sf: TX.pmi_top_bigrams(_docs(spark, sf)),
+    TX.pmi_top_bigrams_sql(),
+)
 # chunk-granularity corpus dedup: keep the first occurrence of every
 # distinct w-token chunk, rebuild docs from surviving chunks
 register(

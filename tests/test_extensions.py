@@ -80,6 +80,8 @@ EXTENSION_ORACLE_QUERIES = [
     "bpe_pair_stats",
     "lineitem_constraint_audit",
     "zipf_head_fit",
+    "heaps_law_fit",
+    "pmi_top_bigrams",
 ]
 
 

@@ -50,6 +50,13 @@ BNLJ_ALLOWED = {
                      "vocab-totals row) cross-joined — the same "
                      "scalar-subquery shape; both sides single rows "
                      "by construction",
+    "heaps_law_fit": "ONE-ROW max(doc_id) side broadcast against the "
+                     "token/first-appearance aggregates, then two "
+                     "one-row aggregate sides cross-joined — the same "
+                     "scalar-subquery shape",
+    "pmi_top_bigrams": "ONE-ROW (Nt, Nb) totals side broadcast against "
+                       "the support-cut bigram join — the same "
+                       "scalar-subquery shape",
 }
 
 
