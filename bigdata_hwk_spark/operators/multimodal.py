@@ -376,3 +376,199 @@ SELECT media_type,
        CAST(max(n_frames) AS INTEGER) AS max_frames
 FROM feats GROUP BY media_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup (dHash + pigeonhole Hamming banding)
+# ---------------------------------------------------------------------------
+
+DHASH_MAX_HAMMING = 6   # near-dup threshold on the 64-bit dHash
+DHASH_CHUNKS = 8        # 8 chunks x 8 bits; pigeonhole needs chunks > k
+PNG_SIDE = 16           # synthetic fixture image side
+
+
+def png_encode_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal stdlib PNG ENCODER (8-bit greyscale, filter 0, one IDAT) —
+    the module-side twin of the test encoder, used to synthesize REAL
+    decodable fixture images. Round-trips exactly through ``_png_decode``."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    for y in range(height):
+        raw += b"\x00" + pixels[y * width : (y + 1) * width]
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _synth_png_pixels(media_id: int, side: int = PNG_SIDE) -> bytes:
+    """Deterministic per-row image content. Every id whose residue mod 7
+    is 3 renders its PREDECESSOR's pattern with ONE pixel nudged — a
+    planted near-duplicate pair (the derivation is still row-local: the
+    seed is computed from the id, never read from another row)."""
+    import struct
+
+    near_dup = media_id % 7 == 3
+    seed = media_id - 1 if near_dup else media_id
+    n = side * side
+    buf = bytearray()
+    block = 0
+    while len(buf) < n:  # sha256 counter stream: genuinely pseudo-random
+        buf += hashlib.sha256(struct.pack(">qi", seed, block)).digest()
+        block += 1
+    px = bytearray(buf[:n])
+    if near_dup:
+        px[(seed % side) * side + (seed % side)] ^= 0x08
+    return bytes(px)
+
+
+def synth_png_media(documents: DataFrame, side: int = PNG_SIDE) -> DataFrame:
+    """(media_id, payload): REAL 8-bit greyscale PNGs synthesized
+    deterministically from doc ids (row-local, so the generation is a
+    pure map — no cross-row reads even for the planted near-dup pairs).
+    Gives the perceptual-hash pipeline a decodable end-to-end fixture in
+    a container with no image libraries."""
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(documents.sparkSession)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        png_encode_gray(
+                            side, side, _synth_png_pixels(int(i), side)
+                        )
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        kernel, schema="media_id bigint, payload binary"
+    )
+
+
+def dhash64(payload: bytes) -> int | None:
+    """64-bit difference hash (dHash, the published perceptual-hash
+    baseline): real PNG decode → integer Rec.601 luma → 9×8
+    nearest-neighbor grid → bit b set iff grid[x] > grid[x+1] row-wise.
+    All-integer, so the hash is bit-reproducible on any platform.
+    Returns None for payloads this decoder cannot read (callers drop
+    them — a production pipeline routes those to a PIL/ffmpeg path)."""
+    try:
+        w, h, raw = _png_decode(payload)
+    except Exception:
+        return None
+    if w == 0 or h == 0:
+        return None
+    channels = len(raw) // (w * h)
+
+    def luma(x: int, y: int) -> int:
+        o = (y * w + x) * channels
+        if channels >= 3:
+            return (77 * raw[o] + 150 * raw[o + 1] + 29 * raw[o + 2]) >> 8
+        return raw[o]
+
+    bits = 0
+    for gy in range(8):
+        y = min(gy * h // 8, h - 1)
+        row = [luma(min(gx * w // 9, w - 1), y) for gx in range(9)]
+        for gx in range(8):
+            bits = (bits << 1) | (1 if row[gx] > row[gx + 1] else 0)
+    # two's-complement into a signed 64-bit value for Spark's BIGINT
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """(media_id, dhash): the Arrow-batched decode+hash map — the
+    embarrassingly-parallel stage; undecodable payloads drop out."""
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(media.sparkSession)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs = [dhash64(p) for p in pdf["payload"]]
+            keep = [i for i, v in enumerate(hs) if v is not None]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].iloc[keep].astype("int64"),
+                    "dhash": pd.Series(
+                        [hs[i] for i in keep], dtype="int64"
+                    ),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema="media_id bigint, dhash bigint"
+    )
+
+
+def image_phash_pairs(
+    media: DataFrame, k: int = DHASH_MAX_HAMMING
+) -> DataFrame:
+    """(id_a, id_b, hamming): image near-duplicate pairs with
+    Hamming(dhash_a, dhash_b) ≤ k — the simhash_pairs construction
+    applied to perceptual hashes. Candidate generation without a cross
+    join: split 64 bits into 8 unsigned 8-bit chunks; by pigeonhole any
+    pair within Hamming ≤ 7 agrees on some chunk, so a (chunk, value)
+    equi-join finds every qualifying pair (EXACT — verified against
+    brute force in tests); verification is one bit_count(xor). The
+    decode map never shuffles payload bytes — only (id, 8-byte hash)
+    rows enter the join."""
+    assert k < DHASH_CHUNKS, "pigeonhole needs more chunks than k"
+    chunk_bits = 64 // DHASH_CHUNKS
+    fp = image_dhash(media)
+    chunks = fp.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(DHASH_CHUNKS - 1))
+        ).alias("c"),
+    ).select(
+        "media_id",
+        "dhash",
+        "c",
+        F.expr(
+            f"shiftrightunsigned(dhash, c * {chunk_bits})"
+            f" & {(1 << chunk_bits) - 1}"
+        ).alias("chunk_val"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.expr("ha ^ hb")).cast("bigint")
+        )
+        .filter(F.col("hamming") <= k)
+        .select("id_a", "id_b", "hamming")
+    )

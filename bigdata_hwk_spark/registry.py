@@ -1041,6 +1041,15 @@ register(
     lambda spark, sf: MM.media_feature_summary(MM.synth_media(_docs(spark, sf))),
     MM.MEDIA_FEATURE_SUMMARY_SQL,
 )
+# perceptual-hash image near-dup pairs over REAL synthesized PNGs
+# (decode is not SQL-expressible → rows-only; banding proven lossless
+# vs brute force and the planted pair set pinned exactly in pytest)
+register(
+    "image_phash_pairs",
+    lambda spark, sf: MM.image_phash_pairs(
+        MM.synth_png_media(_docs(spark, sf))
+    ),
+)
 
 # per-doc boilerplate measure (C4-style duplicated-shingle fraction);
 # shares the session's persisted shingle index with the dedup family
