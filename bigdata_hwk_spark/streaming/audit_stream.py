@@ -114,12 +114,18 @@ def run_audit_stream(
     )
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_counts(batch_df, orders_keys).write.mode("append").parquet(
-            counts_dir
+        # epoch-keyed OVERWRITE, not append: foreachBatch may retry an
+        # epoch after a failure (and a full replay re-numbers from 0), so
+        # each epoch's partials land in their own partition directory and
+        # a rerun replaces rather than double-counts them — the
+        # exactly-once discipline additive state needs (pinned by the
+        # rerun-idempotence test)
+        batch_counts(batch_df, orders_keys).write.mode("overwrite").parquet(
+            f"{counts_dir}/epoch={epoch_id}"
         )
         hll_registers(
             batch_df.select(_pk_item().alias("item")), "item"
-        ).write.mode("append").parquet(registers_dir)
+        ).write.mode("overwrite").parquet(f"{registers_dir}/epoch={epoch_id}")
 
     stream = (
         spark.readStream.schema(LINEITEM_STREAM_SCHEMA)

@@ -97,3 +97,24 @@ def test_uniqueness_estimate_within_hll_envelope(spark, tmp_path, li_files):
     # envelope on the implied duplicate count
     slack = int(0.6 * n_distinct) + 1
     assert abs(row["violations"] - true_dups) <= slack
+
+
+def test_rerun_over_same_sinks_is_idempotent(spark, tmp_path, li_files):
+    """Epoch-keyed overwrite partials: replaying the SAME source into the
+    SAME sinks twice (epoch numbering restarts at 0) must leave the final
+    result unchanged — the retry/restart discipline additive state
+    requires. An append-mode sink would double every violation count."""
+    li, orders, src = li_files
+    counts = str(tmp_path / "counts_i")
+    regs = str(tmp_path / "regs_i")
+    AS.run_audit_stream(spark, src, orders, counts, regs)
+    first = [
+        tuple(r)
+        for r in AS.audit_stream_result(spark, counts, regs).collect()
+    ]
+    AS.run_audit_stream(spark, src, orders, counts, regs)
+    second = [
+        tuple(r)
+        for r in AS.audit_stream_result(spark, counts, regs).collect()
+    ]
+    assert first == second
