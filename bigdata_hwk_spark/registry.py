@@ -996,6 +996,9 @@ register("ann_lsh_pairs", lambda spark, sf: SIM.ann_lsh_pairs(_embs(spark, sf)))
 # IVF top-k: deterministic (FFT codebook on a sorted sample) but not
 # SQL-expressible → rows-only; recall vs brute force is property-tested.
 register("ann_ivf_topk", lambda spark, sf: SIM.ann_ivf_topk(_embs(spark, sf)))
+# PQ-ADC top-k (Jégou et al. 2011): iterative codebook training → rows-
+# only; ADC ≡ NumPy reimplementation + recall floor property-tested.
+register("ann_pq_topk", lambda spark, sf: SIM.ann_pq_topk(_embs(spark, sf)))
 # SemDeDup (Abbas et al. 2023): distributed k-means (integer-quantized
 # partial sums → bit-deterministic centroids) + per-cluster greedy cosine
 # prune; iterative k-means is not SQL-expressible → rows-only, with the
