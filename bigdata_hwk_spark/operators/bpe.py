@@ -208,6 +208,20 @@ def bpe_merge_table(
         release()
 
 
+def _sized_vocab(vocab: DataFrame) -> DataFrame:
+    """Materialize the persisted vocab and right-size its partitioning:
+    the merge loop runs n_merges tiny jobs over this table, and a
+    Heaps-compressed vocab of a few thousand rows spread over 32 shuffle
+    partitions pays 32 task launches per round for microseconds of work
+    each. Partitions ∝ measured row count (one narrow coalesce on top of
+    the cache — no second shuffle); a production-scale vocab keeps the
+    session's full parallelism."""
+    n = vocab.count()  # also materializes the persist
+    parallelism = vocab.sparkSession.sparkContext.defaultParallelism
+    parts = max(1, min(parallelism, n // 50_000 + 1))
+    return vocab.coalesce(parts)
+
+
 def _train_merges(
     vocab: DataFrame, n_merges: int, min_count: int
 ) -> tuple[list[tuple[int, str, str, str, int]], F.Column]:
@@ -215,6 +229,7 @@ def _train_merges(
     return (merge table rows, final segmentation Column) — the Column
     is the k-nested-replace projection that segments any word under the
     learned merges, reused by the encode side."""
+    vocab = _sized_vocab(vocab)
     syms = _char_syms(F.col("word"))
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
