@@ -1219,7 +1219,6 @@ def ann_pq_topk(
     squared L2 ranks identically to cosine (‖a−b‖² = 2 − 2cos), so the
     output is directly recall-comparable to the brute-force twin.
     """
-    from .kcenter import sequential_fft
     from ..sources.tables import fan_out
 
     spark = embeddings.sparkSession
@@ -1244,24 +1243,7 @@ def ann_pq_topk(
     assert dim % m_sub == 0, "dim must be divisible by the subspace count"
     dsub = dim // m_sub
 
-    # per-subspace codebooks: FFT seed + Lloyd on the sample's subvectors
-    # (plain L2 k-means per subspace — deterministic: sorted sample,
-    # fixed iterations, empty cells keep their previous centroid)
-    books = np.zeros((m_sub, k_codes, dsub))
-    for m in range(m_sub):
-        sub = smat[:, m * dsub : (m + 1) * dsub]
-        cb = sequential_fft(sub, min(k_codes, len(sub)))
-        if len(cb) < k_codes:  # tiny corpus: pad by repeating the seed
-            cb = np.vstack([cb] * (k_codes // len(cb) + 1))[:k_codes]
-        cb = cb.copy()
-        for _ in range(PQ_LLOYD):
-            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
-            a = np.argmin(d2, axis=1)  # ties -> lowest code
-            for c in range(k_codes):
-                members = sub[a == c]
-                if len(members):
-                    cb[c] = members.mean(axis=0)
-        books[m] = cb
+    books = pq_train_books(smat, m_sub, k_codes)
 
     # distributed encode: codes in LONG form (vec_id, m, code) — the only
     # corpus-scale table downstream, 8-byte rows, no float columns
@@ -1317,6 +1299,200 @@ def ann_pq_topk(
     )
     adc = (
         codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pd_int").alias("adc_int"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_int", "vec_id")
+    return (
+        adc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("adc_int") / PQ_QUANT, 6).alias("adc_dist"),
+            "rk",
+        )
+    )
+
+
+def pq_train_books(
+    train: np.ndarray, m_sub: int = PQ_M, k_codes: int = PQ_K
+) -> np.ndarray:
+    """(M, K, dim/M) per-subspace PQ codebooks: FFT seed + Lloyd on the
+    caller's training matrix (plain L2 k-means per subspace —
+    deterministic: caller passes sorted rows, fixed iterations, empty
+    cells keep their previous centroid, argmin ties → lowest code)."""
+    from .kcenter import sequential_fft
+
+    dim = train.shape[1]
+    dsub = dim // m_sub
+    books = np.zeros((m_sub, k_codes, dsub))
+    for m in range(m_sub):
+        sub = train[:, m * dsub : (m + 1) * dsub]
+        cb = sequential_fft(sub, min(k_codes, len(sub)))
+        if len(cb) < k_codes:  # tiny corpus: pad by repeating the seed
+            cb = np.vstack([cb] * (k_codes // len(cb) + 1))[:k_codes]
+        cb = cb.copy()
+        for _ in range(PQ_LLOYD):
+            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)  # ties -> lowest code
+            for c in range(k_codes):
+                members = sub[a == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        books[m] = cb
+    return books
+
+
+# ---------------------------------------------------------------------------
+# IVFPQ: coarse inverted lists + residual product quantization
+# ---------------------------------------------------------------------------
+
+
+def ann_ivfpq_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    nlist: int | None = None,
+    nprobe: int | None = None,
+    m_sub: int = PQ_M,
+    k_codes: int = PQ_K,
+    sample_cap: int = 2048,
+) -> DataFrame:
+    """(query_id, neighbor_id, adc_dist, rk): the full published ANN
+    stack (Jégou et al. TPAMI 2011, §IV — IVFADC): the IVF coarse
+    quantizer bounds WORK (each query scans ~nprobe/nlist of the corpus)
+    and PQ bounds MEMORY (the probed candidates are ranked from 64-bit
+    RESIDUAL codes, never from raw floats).
+
+    Construction: coarse centroids = the ann_ivf_topk codebook recipe
+    (FFT seed + spherical Lloyd on the deterministic driver sample); PQ
+    codebooks train on the sample's coarse RESIDUALS pooled across lists
+    (the published default). Corpus pass: ONE broadcast-codebook
+    ``mapInPandas`` emitting (vec_id, cid, m, code) — the corpus floats
+    are read once and never shuffled. Query side: each query's nprobe
+    nearest lists define a per-(query, list) LUT over residual space —
+    n_queries × nprobe × M × K integer-quantized entries, broadcast; the
+    probe restriction lives IN the LUT, so the search is one (cid, m,
+    code) equi-join + one INTEGER groupBy sum + a top-k window. Layout-
+    invariant ranking for the same reason as ``ann_pq_topk``
+    (micro-unit integers, hash-free tie-break on vec_id).
+
+    Rows-only (iterative training); recall vs brute force, probed-list
+    containment, ADC ≡ NumPy reimplementation, and layout determinism
+    are pinned in tests.
+    """
+    from .kcenter import sequential_fft
+    from ..sources.tables import fan_out
+
+    spark = embeddings.sparkSession
+    out_schema = (
+        "query_id bigint, neighbor_id bigint, adc_dist double, rk int"
+    )
+    sample = sorted(
+        embeddings.select("vec_id", "embedding")
+        .filter(F.col("vec_id") < sample_cap)
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    if not sample:
+        return spark.createDataFrame([], out_schema)
+    smat = np.array([r.embedding for r in sample], dtype=np.float64)
+    norms = np.linalg.norm(smat, axis=1, keepdims=True)
+    keep = norms[:, 0] > 0
+    smat = smat[keep] / norms[keep]
+    sids = [r.vec_id for r, kp in zip(sample, keep) if kp]
+    dim = smat.shape[1]
+    assert dim % m_sub == 0, "dim must be divisible by the subspace count"
+    dsub = dim // m_sub
+
+    if nlist is None:
+        n_corpus = embeddings.count()
+        nlist = int(min(max(16, round(n_corpus**0.5)), sample_cap // 8))
+    if nprobe is None:
+        nprobe = max(2, nlist // 4)
+    nprobe = min(nprobe, nlist)
+
+    # coarse quantizer: the ann_ivf_topk recipe verbatim
+    coarse = sequential_fft(smat, min(nlist, len(smat)))
+    nlist = len(coarse)
+    nprobe = min(nprobe, nlist)
+    coarse = coarse / np.linalg.norm(coarse, axis=1, keepdims=True)
+    for _ in range(10):
+        assign_s = np.argmax(smat @ coarse.T, axis=1)
+        for c in range(nlist):
+            members = smat[assign_s == c]
+            if len(members):
+                coarse[c] = members.mean(axis=0)
+        coarse /= np.linalg.norm(coarse, axis=1, keepdims=True)
+
+    # PQ codebooks on the sample's coarse residuals (pooled across lists)
+    assign_s = np.argmax(smat @ coarse.T, axis=1)
+    books = pq_train_books(smat - coarse[assign_s], m_sub, k_codes)
+
+    C, B = coarse, books
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            block = np.array(list(pdf["embedding"]), dtype=np.float64)
+            bn = np.linalg.norm(block, axis=1, keepdims=True)
+            ok = bn[:, 0] > 0
+            block, vids = block[ok] / bn[ok], pdf["vec_id"].to_numpy()[ok]
+            if not len(block):
+                continue
+            cid = np.argmax(block @ C.T, axis=1)
+            resid = block - C[cid]
+            outs = []
+            for m in range(m_sub):
+                sub = resid[:, m * dsub : (m + 1) * dsub]
+                d2 = ((sub[:, None, :] - B[m][None, :, :]) ** 2).sum(axis=2)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": vids,
+                            "cid": cid.astype("int32"),
+                            "m": m,
+                            "code": np.argmin(d2, axis=1).astype("int32"),
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    codes = fan_out(embeddings.select("vec_id", "embedding")).mapInPandas(
+        encode, schema="vec_id bigint, cid int, m int, code int"
+    )
+
+    # per-(query, probed-list) integer LUTs over residual space
+    lut_rows = []
+    for qid, qv in zip(sids, smat):
+        if qid >= n_queries:
+            continue
+        probes = np.argsort(-(C @ qv))[:nprobe]
+        for cid in probes:
+            qr = qv - C[cid]
+            for m in range(m_sub):
+                qs = qr[m * dsub : (m + 1) * dsub]
+                d2 = ((B[m] - qs[None, :]) ** 2).sum(axis=1)
+                for c in range(k_codes):
+                    lut_rows.append(
+                        (
+                            int(qid),
+                            int(cid),
+                            m,
+                            c,
+                            int(round(d2[c] * PQ_QUANT)),
+                        )
+                    )
+    if not lut_rows:
+        return spark.createDataFrame([], out_schema)
+    lut = spark.createDataFrame(
+        lut_rows, "query_id bigint, cid int, m int, code int, pd_int bigint"
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["cid", "m", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
         .agg(F.sum("pd_int").alias("adc_int"))

@@ -999,6 +999,12 @@ register("ann_ivf_topk", lambda spark, sf: SIM.ann_ivf_topk(_embs(spark, sf)))
 # PQ-ADC top-k (Jégou et al. 2011): iterative codebook training → rows-
 # only; ADC ≡ NumPy reimplementation + recall floor property-tested.
 register("ann_pq_topk", lambda spark, sf: SIM.ann_pq_topk(_embs(spark, sf)))
+# IVFPQ (IVFADC): coarse lists bound work, residual PQ bounds memory —
+# the composed published stack; rows-only, probe-containment + ADC twins
+# property-tested.
+register(
+    "ann_ivfpq_topk", lambda spark, sf: SIM.ann_ivfpq_topk(_embs(spark, sf))
+)
 # SemDeDup (Abbas et al. 2023): distributed k-means (integer-quantized
 # partial sums → bit-deterministic centroids) + per-cluster greedy cosine
 # prune; iterative k-means is not SQL-expressible → rows-only, with the
