@@ -1508,3 +1508,67 @@ def ann_ivfpq_topk(
             "rk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination (embedding-space eval overlap)
+# ---------------------------------------------------------------------------
+
+SEMDECON_TAU = 0.4
+# fixture stand-in for the fixed eval set; production passes a real,
+# corpus-independent benchmark table (eval sets are small and FIXED, so
+# the broadcast side never grows with the corpus)
+SEMDECON_EVAL_PRED = "vec_id % 7 = 0"
+
+
+def semantic_decontamination(
+    embeddings: DataFrame,
+    tau: float = SEMDECON_TAU,
+    eval_pred: str = SEMDECON_EVAL_PRED,
+) -> DataFrame:
+    """(vec_id, n_eval_hits, max_cosine): corpus vectors whose embedding
+    sits within cosine ≥ tau of ANY eval vector — the semantic twin of
+    ``dedup.decontamination_check``: the n-gram check catches verbatim
+    benchmark copies, this catches the paraphrase/translation-level
+    leakage that shares no 8-gram (the documented blind spot of verbatim
+    decontamination).
+
+    Pure composition: the bipartite eval×corpus scoring IS
+    ``incremental_embedding_pairs`` (eval set broadcast as one
+    normalized matrix, one blocked BLAS matmul per corpus partition,
+    zero shuffle, recall 1 — exact, so the oracle is an equality), plus
+    one per-corpus-doc aggregation. Cost is O(|corpus|·|eval|) flops on
+    a pure corpus scan — at 100 TB the eval side stays a fixed few
+    thousand rows, so this is a linear pass.
+    """
+    ev = embeddings.filter(F.expr(eval_pred))
+    corpus = embeddings.filter(~F.expr(eval_pred))
+    pairs = incremental_embedding_pairs(ev, corpus, tau)
+    return (
+        pairs.groupBy("corpus_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_hits"),
+            F.max("cosine").alias("max_cosine"),
+        )
+        .select(
+            F.col("corpus_id").alias("vec_id"),
+            F.col("n_eval_hits").cast("bigint").alias("n_eval_hits"),
+            "max_cosine",
+        )
+    )
+
+
+def semantic_decontamination_sql(
+    tau: float = SEMDECON_TAU, eval_pred: str = SEMDECON_EVAL_PRED
+) -> str:
+    """Oracle: the incremental-pairs bipartite score (same zero-norm
+    exclusion, same unrounded threshold, same round-4 display) folded
+    per corpus vector — max over the ROUNDED cosines exactly as the
+    Spark side aggregates the pair table's rounded column."""
+    return f"""
+WITH p AS ({incremental_embedding_pairs_sql(eval_pred, tau)})
+SELECT corpus_id AS vec_id,
+       CAST(count(*) AS BIGINT) AS n_eval_hits,
+       max(cosine) AS max_cosine
+FROM p GROUP BY corpus_id
+"""

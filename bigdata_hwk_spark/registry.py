@@ -1005,6 +1005,13 @@ register("ann_pq_topk", lambda spark, sf: SIM.ann_pq_topk(_embs(spark, sf)))
 register(
     "ann_ivfpq_topk", lambda spark, sf: SIM.ann_ivfpq_topk(_embs(spark, sf))
 )
+# semantic decontamination: paraphrase-level eval leakage the verbatim
+# 8-gram decontamination_check cannot see (fixed eval side broadcast)
+register(
+    "semantic_decontamination",
+    lambda spark, sf: SIM.semantic_decontamination(_embs(spark, sf)),
+    SIM.semantic_decontamination_sql(),
+)
 # SemDeDup (Abbas et al. 2023): distributed k-means (integer-quantized
 # partial sums → bit-deterministic centroids) + per-cluster greedy cosine
 # prune; iterative k-means is not SQL-expressible → rows-only, with the

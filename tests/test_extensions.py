@@ -82,6 +82,7 @@ EXTENSION_ORACLE_QUERIES = [
     "zipf_head_fit",
     "heaps_law_fit",
     "pmi_top_bigrams",
+    "semantic_decontamination",
 ]
 
 

@@ -179,3 +179,37 @@ def test_ivfpq_candidates_come_from_probed_lists_only(spark, ivfpq_result):
             np.argsort(-(coarse @ mat[idx[r["query_id"]]]))[:nprobe]
         )
         assert int(cid[idx[r["neighbor_id"]]]) in probes, r
+
+
+# --- semantic decontamination ---
+
+
+def test_semantic_decontamination_matches_oracle(spark):
+    from tests.conftest import SF_CORRECT, assert_matches_oracle
+
+    assert_matches_oracle(
+        SIM.semantic_decontamination(_emb(spark, SF_CORRECT)),
+        SIM.semantic_decontamination_sql(),
+        SF_CORRECT,
+        float_round=4,
+    )
+
+
+def test_semantic_decontamination_planted_paraphrase(spark):
+    """A corpus vector equal to an eval vector plus small noise — zero
+    shared text n-grams by construction, cosine ≈ 1 — must be flagged
+    with the eval hit counted; an orthogonal vector must not."""
+    ev = [1.0] + [0.0] * 63
+    near = [0.999] + [0.02] + [0.0] * 62
+    ortho = [0.0, 0.0, 1.0] + [0.0] * 61
+    emb = spark.createDataFrame(
+        [(0, ev), (1, near), (2, ortho)],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r
+        for r in SIM.semantic_decontamination(emb).collect()
+    }
+    assert 1 in got and got[1]["n_eval_hits"] == 1
+    assert got[1]["max_cosine"] > 0.99
+    assert 2 not in got
