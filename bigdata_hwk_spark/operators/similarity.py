@@ -1516,9 +1516,12 @@ def ann_ivfpq_topk(
 
 SEMDECON_TAU = 0.4
 # fixture stand-in for the fixed eval set; production passes a real,
-# corpus-independent benchmark table (eval sets are small and FIXED, so
-# the broadcast side never grows with the corpus)
-SEMDECON_EVAL_PRED = "vec_id % 7 = 0"
+# corpus-independent benchmark table. A FIXED-SIZE predicate (not a
+# modulus) is load-bearing: eval sets do not grow with the corpus, so
+# the broadcast side — and the bipartite flop count per corpus row —
+# stays constant as the corpus scales (scale-stress measures this
+# linearity; a % k pred would grow both sides and measure an artifact)
+SEMDECON_EVAL_PRED = "vec_id < 64"
 
 
 def semantic_decontamination(
