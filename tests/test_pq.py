@@ -202,14 +202,15 @@ def test_semantic_decontamination_planted_paraphrase(spark):
     ev = [1.0] + [0.0] * 63
     near = [0.999] + [0.02] + [0.0] * 62
     ortho = [0.0, 0.0, 1.0] + [0.0] * 61
+    # corpus ids sit ABOVE the fixed-size eval predicate's cutoff
     emb = spark.createDataFrame(
-        [(0, ev), (1, near), (2, ortho)],
+        [(0, ev), (100, near), (200, ortho)],
         "vec_id bigint, embedding array<float>",
     )
     got = {
         r["vec_id"]: r
         for r in SIM.semantic_decontamination(emb).collect()
     }
-    assert 1 in got and got[1]["n_eval_hits"] == 1
-    assert got[1]["max_cosine"] > 0.99
-    assert 2 not in got
+    assert 100 in got and got[100]["n_eval_hits"] == 1
+    assert got[100]["max_cosine"] > 0.99
+    assert 200 not in got
