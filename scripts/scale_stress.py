@@ -315,6 +315,12 @@ HEAVY_QUERIES = [
     # per-replica alphabet permutations keep match volume ∝ replicas,
     # so the engine-scaling exponent is the honest signal here
     "crossdoc_shared_spans",
+    # BPE train-then-encode (round 9): the heaviest new r9 op — the
+    # claim under test is the Heaps collapse (per-replica alphabet
+    # permutations grow the vocab ~linearly in replicas, the WORST case
+    # for the word-histogram compression, while the merge loop's k jobs
+    # stay vocab-sized) plus the encode join's broadcast posture
+    "bpe_encode_stats",
 ]
 
 # Inline justifications for the second-decade entries whose exponents
