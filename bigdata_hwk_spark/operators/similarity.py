@@ -1575,3 +1575,89 @@ SELECT corpus_id AS vec_id,
        max(cosine) AS max_cosine
 FROM p GROUP BY corpus_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Cluster-balanced sampling (semantic topic balancing)
+# ---------------------------------------------------------------------------
+
+BALANCE_FRAC = 0.5
+
+
+def cluster_balanced_counts(
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    frac: float = BALANCE_FRAC,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """(cluster, n_vecs, quota, n_kept): realized cluster-balanced
+    downsampling — cap every semantic cluster at the SAME quota
+    (⌈frac·N/k⌉), so over-represented topics (boilerplate genres, SEO
+    farms) stop dominating the training mix while rare topics survive
+    whole. The embedding-space complement of the provenance-based
+    ``source_mix_weights``: that balances WHERE data came from, this
+    balances what it's ABOUT.
+
+    Selection inside a cluster is deterministic and layout-stable: rows
+    rank by the salted 64-bit hash of vec_id (ties impossible — the id
+    is hashed injectively mod collisions), the same order-by-hash
+    contract as the split family, so re-partitioning or growing the
+    corpus never flips which of two surviving vectors is kept except
+    where the quota boundary genuinely moves.
+
+    Scale shape: ``kmeans_fit`` scans (no shuffle), assignment is one
+    broadcast-centroid map, and the quota rank is ONE shuffle keyed by
+    cluster id. Rows-only (iterative k-means); quota arithmetic,
+    keep-all-below-quota, determinism, and conservation are pinned in
+    tests.
+    """
+    from ..functions.hashing import md5_hash64
+    from ..sources.tables import fan_out
+
+    spark = embeddings.sparkSession
+    out_schema = "cluster int, n_vecs bigint, quota bigint, n_kept bigint"
+    centers = kmeans_fit(embeddings, k=k, iters=iters)
+    if centers.size == 0:
+        return spark.createDataFrame([], out_schema)
+    n_total = embeddings.count()
+    k_eff = len(centers)
+    quota = -(-int(n_total * frac) // k_eff)  # ceil
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            block = np.array(list(pdf["embedding"]), dtype=np.float64)
+            norms = np.linalg.norm(block, axis=1, keepdims=True)
+            ok = norms[:, 0] > 0
+            if not ok.any():
+                continue
+            block = block[ok] / norms[ok]
+            out = pdf.loc[ok, ["vec_id"]].copy()
+            out["cluster"] = np.argmax(block @ centers.T, axis=1).astype(
+                np.int32
+            )
+            yield out
+
+    assigned = fan_out(embeddings.select("vec_id", "embedding")).mapInPandas(
+        assign, schema="vec_id bigint, cluster int"
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        md5_hash64(F.concat(F.lit("balance|"), F.col("vec_id").cast("string"))),
+        "vec_id",
+    )
+    ranked = assigned.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum((F.col("rk") <= quota).cast("bigint")).alias("n_kept"),
+        )
+        .select(
+            "cluster",
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            F.lit(quota).cast("bigint").alias("quota"),
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )

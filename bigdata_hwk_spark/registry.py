@@ -1012,6 +1012,13 @@ register(
     lambda spark, sf: SIM.semantic_decontamination(_embs(spark, sf)),
     SIM.semantic_decontamination_sql(),
 )
+# cluster-balanced sampling: per-k-means-cluster quotas (semantic topic
+# balancing) — rows-only (iterative k-means), quota/skew/determinism
+# property-tested
+register(
+    "cluster_balanced_counts",
+    lambda spark, sf: SIM.cluster_balanced_counts(_embs(spark, sf)),
+)
 # SemDeDup (Abbas et al. 2023): distributed k-means (integer-quantized
 # partial sums → bit-deterministic centroids) + per-cluster greedy cosine
 # prune; iterative k-means is not SQL-expressible → rows-only, with the

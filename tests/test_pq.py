@@ -214,3 +214,44 @@ def test_semantic_decontamination_planted_paraphrase(spark):
     assert 100 in got and got[100]["n_eval_hits"] == 1
     assert got[100]["max_cosine"] > 0.99
     assert 200 not in got
+
+
+# --- cluster-balanced sampling ---
+
+
+def test_cluster_balance_quota_arithmetic(spark):
+    rows = SIM.cluster_balanced_counts(_emb(spark, SF_SMOKE)).collect()
+    assert rows, "no clusters"
+    n_total = _emb(spark, SF_SMOKE).count()
+    k_eff = len(rows)
+    quota = -(-int(n_total * SIM.BALANCE_FRAC) // k_eff)
+    assert all(r["quota"] == quota for r in rows)
+    for r in rows:
+        # clusters under quota keep everything; over-quota clusters cap
+        assert r["n_kept"] == min(r["n_vecs"], quota), r
+    assert sum(r["n_vecs"] for r in rows) == n_total
+    # the fixture's clusters are near-uniform, so the cap binds in every
+    # cluster (the skew case is constructed below)
+    assert any(r["n_vecs"] > quota for r in rows)
+
+
+def test_cluster_balance_skewed_corpus_spares_small_cluster(spark):
+    """One giant topic + one rare topic: the giant is capped at the
+    quota, the rare cluster survives whole."""
+    rows = [(i, [1.0, 0.001 * i] + [0.0] * 62) for i in range(30)]
+    rows += [(100 + i, [0.0, 0.0, 1.0, 0.001 * i] + [0.0] * 60) for i in range(3)]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    )
+    got = SIM.cluster_balanced_counts(emb, k=2).collect()
+    sizes = sorted((r["n_vecs"], r["n_kept"], r["quota"]) for r in got)
+    assert sizes[0][0] == 3 and sizes[0][1] == 3  # rare topic kept whole
+    assert sizes[1][0] == 30 and sizes[1][1] == sizes[1][2]  # giant capped
+
+
+def test_cluster_balance_deterministic_across_layouts(spark):
+    a = SIM.cluster_balanced_counts(_emb(spark, SF_SMOKE)).collect()
+    b = SIM.cluster_balanced_counts(
+        _emb(spark, SF_SMOKE).repartition(13)
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
