@@ -104,14 +104,13 @@ def run_audit_stream(
     file, file order) through the incremental audit, appending additive
     (constraint, violations) partials to ``counts_dir`` and per-batch
     HLL register tables over the PK to ``registers_dir``."""
-    # freeze the dim's key projection once; the per-batch anti-join
-    # broadcasts a key-only table, never the full dim row
-    orders_keys = F.broadcast(
-        spark.createDataFrame(
-            orders.select("o_orderkey").distinct().collect(),
-            "o_orderkey bigint",
-        )
-    )
+    # freeze the dim's key projection once, EXECUTOR-side: localCheckpoint
+    # materializes the distinct keys so no batch recomputes them, without
+    # ever collecting a (potentially corpus-sized) key set to the driver —
+    # the dsir_stream freeze pattern is for ≤4096-row artifacts, not dims.
+    # Join strategy stays with AQE: it broadcasts when the key table fits
+    # and shuffle-hash-joins when it doesn't.
+    orders_keys = orders.select("o_orderkey").distinct().localCheckpoint()
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         # epoch-keyed OVERWRITE, not append: foreachBatch may retry an
