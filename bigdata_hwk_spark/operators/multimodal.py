@@ -24,6 +24,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -571,4 +572,158 @@ def image_phash_pairs(
         )
         .filter(F.col("hamming") <= k)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio content stats (real WAV decode, integer-exact PCM features)
+# ---------------------------------------------------------------------------
+
+WAV_RATE = 16_000
+WAV_SAMPLES = 2048
+CLIP_ABS = 32_000  # |sample| at or above this counts as clipped
+
+
+def wav_encode_pcm16(rate: int, samples: list[int]) -> bytes:
+    """Minimal stdlib WAV ENCODER (mono, 16-bit PCM) — the audio twin of
+    ``png_encode_gray``: synthesizes REAL decodable fixtures in a
+    container with no audio libraries. Round-trips exactly through the
+    stdlib ``wave`` reader."""
+    import io as _io
+    import struct
+    import wave
+
+    buf = _io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def _synth_wav_samples(
+    media_id: int, n: int = WAV_SAMPLES
+) -> list[int]:
+    """Deterministic per-row PCM16 content (sha256 counter stream, the
+    png fixture's recipe). Every id ≡ 0 (mod 5) gets a planted CLIPPED
+    burst — the saturation a speech-corpus quality audit must count."""
+    import struct
+
+    out: list[int] = []
+    block = 0
+    while len(out) < n:
+        d = hashlib.sha256(struct.pack(">qi", media_id, block)).digest()
+        for i in range(0, len(d) - 1, 2):
+            v = struct.unpack_from("<h", d, i)[0]
+            # keep the organic stream clear of the clip threshold so
+            # planted bursts are the ONLY clipped samples
+            out.append(max(-CLIP_ABS + 1, min(CLIP_ABS - 1, v)))
+        block += 1
+    out = out[:n]
+    if media_id % 5 == 0:
+        for i in range(16):
+            out[(media_id + i * 7) % n] = 32_767 if i % 2 == 0 else -32_768
+    return out
+
+
+def synth_wav_media(documents: DataFrame, n: int = WAV_SAMPLES) -> DataFrame:
+    """(media_id, payload): REAL mono PCM16 WAVs synthesized
+    deterministically from doc ids (row-local map, like
+    ``synth_png_media``)."""
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(documents.sparkSession)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        wav_encode_pcm16(
+                            WAV_RATE, _synth_wav_samples(int(i), n)
+                        )
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        kernel, schema="media_id bigint, payload binary"
+    )
+
+
+def audio_pcm_stats(media: DataFrame) -> DataFrame:
+    """(media_id, sample_rate, n_samples, sum_sq, max_abs, clip_count):
+    the content-level audio audit a speech pipeline runs before
+    training — energy (sum of squared samples: RMS² = sum_sq/n without
+    ever leaving integers), peak level, and clipping counts — decoded
+    from the REAL WAV container (stdlib ``wave`` + int16 unpack), not
+    metadata. ALL-INTEGER outputs, so the numbers are bit-reproducible
+    on any platform (sum_sq ≤ n·2³⁰ fits BIGINT to ~2⁹ hours of audio).
+
+    Arrow-batched decode map, undecodable payloads drop out — the
+    ``image_dhash`` shape with PCM in place of pixels; payload bytes
+    never shuffle."""
+    import io as _io
+    import wave as _wave
+
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(media.sparkSession)
+
+    def stats(payload: bytes):
+        try:
+            with _wave.open(_io.BytesIO(payload), "rb") as w:
+                if w.getsampwidth() != 2:
+                    return None
+                rate = w.getframerate()
+                raw = w.readframes(w.getnframes())
+        except Exception:
+            return None
+        x = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+        if x.size == 0:
+            return rate, 0, 0, 0, 0
+        return (
+            rate,
+            int(x.size),
+            int((x * x).sum()),
+            int(np.abs(x).max()),
+            int((np.abs(x) >= CLIP_ABS).sum()),
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [(i, stats(p)) for i, p in zip(pdf["media_id"], pdf["payload"])]
+            rows = [(i, s) for i, s in rows if s is not None]
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(
+                        [i for i, _ in rows], dtype="int64"
+                    ),
+                    "sample_rate": pd.Series(
+                        [s[0] for _, s in rows], dtype="int64"
+                    ),
+                    "n_samples": pd.Series(
+                        [s[1] for _, s in rows], dtype="int64"
+                    ),
+                    "sum_sq": pd.Series(
+                        [s[2] for _, s in rows], dtype="int64"
+                    ),
+                    "max_abs": pd.Series(
+                        [s[3] for _, s in rows], dtype="int64"
+                    ),
+                    "clip_count": pd.Series(
+                        [s[4] for _, s in rows], dtype="int64"
+                    ),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel,
+        schema=(
+            "media_id bigint, sample_rate bigint, n_samples bigint, "
+            "sum_sq bigint, max_abs bigint, clip_count bigint"
+        ),
     )

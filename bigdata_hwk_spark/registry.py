@@ -1073,6 +1073,14 @@ register(
         MM.synth_png_media(_docs(spark, sf))
     ),
 )
+# audio content audit over REAL synthesized WAVs (stdlib wave decode →
+# integer PCM energy/peak/clipping; rows-only — decode is not SQL)
+register(
+    "audio_pcm_stats",
+    lambda spark, sf: MM.audio_pcm_stats(
+        MM.synth_wav_media(_docs(spark, sf))
+    ),
+)
 
 # per-doc boilerplate measure (C4-style duplicated-shingle fraction);
 # shares the session's persisted shingle index with the dedup family
