@@ -1082,6 +1082,17 @@ register(
     ),
 )
 
+# JSONL source/sink: parquet → gzip JSONL shards → schema-first
+# PERMISSIVE read; the oracle aggregates the parquet directly, so
+# equality certifies the round-trip lossless end to end
+from .sources import jsonl as JL  # noqa: E402
+
+register(
+    "documents_jsonl_roundtrip",
+    lambda spark, sf: JL.documents_jsonl_roundtrip_profile(spark, sf),
+    JL.documents_jsonl_roundtrip_sql(),
+)
+
 # per-doc boilerplate measure (C4-style duplicated-shingle fraction);
 # shares the session's persisted shingle index with the dedup family
 register(

@@ -83,6 +83,7 @@ EXTENSION_ORACLE_QUERIES = [
     "heaps_law_fit",
     "pmi_top_bigrams",
     "semantic_decontamination",
+    "documents_jsonl_roundtrip",
 ]
 
 

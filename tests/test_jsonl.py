@@ -1,0 +1,63 @@
+"""JSONL source/sink: lossless round-trip vs parquet, corrupt-line
+quarantine (PERMISSIVE capture), schema-first typing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_hwk_spark.sources import jsonl as J
+from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+
+def test_roundtrip_profile_matches_parquet_oracle(spark, tmp_path):
+    assert_matches_oracle(
+        J.documents_jsonl_roundtrip_profile(
+            spark, SF_SMOKE, work_dir=str(tmp_path / "shards")
+        ),
+        J.documents_jsonl_roundtrip_sql(),
+        SF_SMOKE,
+    )
+
+
+def test_roundtrip_rows_are_identical(spark, tmp_path):
+    """Row-for-row equality, not just aggregates."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = str(tmp_path / "shards")
+    J.write_documents_jsonl(docs, out)
+    clean, quarantine = J.split_corrupt(J.read_documents_jsonl(spark, out))
+    assert quarantine.count() == 0
+    a = sorted(tuple(r) for r in docs.collect())
+    b = sorted(tuple(r) for r in clean.select(*docs.columns).collect())
+    assert a == b
+
+
+def test_corrupt_lines_are_quarantined_not_fatal(spark, tmp_path):
+    out = tmp_path / "mixed"
+    out.mkdir()
+    good1 = '{"doc_id": 1, "text": "hello", "lang": "en", "source": "web", "n_chars": 5}'
+    bad = '{"doc_id": 2, "text": "unterminated'
+    good2 = '{"doc_id": 3, "text": "world", "lang": "fr", "source": "web", "n_chars": 5}'
+    (out / "part-0.json").write_text(f"{good1}\n{bad}\n{good2}\n")
+    clean, quarantine = J.split_corrupt(
+        J.read_documents_jsonl(spark, str(out))
+    )
+    assert {r["doc_id"] for r in clean.collect()} == {1, 3}
+    q = quarantine.collect()
+    assert len(q) == 1 and q[0]["raw_line"] == bad
+    # schema-first: typed columns, no inference drift
+    assert dict(clean.dtypes)["doc_id"] == "bigint"
+    assert dict(clean.dtypes)["n_chars"] == "bigint"
+
+
+def test_type_mismatch_rows_are_captured_too(spark, tmp_path):
+    """A syntactically-valid JSON line whose doc_id is not castable is a
+    corrupt record under the explicit schema — captured, not coerced."""
+    out = tmp_path / "typed"
+    out.mkdir()
+    bad_type = '{"doc_id": "not-a-number", "text": "x", "lang": "en", "source": "s", "n_chars": 1}'
+    (out / "part-0.json").write_text(bad_type + "\n")
+    clean, quarantine = J.split_corrupt(
+        J.read_documents_jsonl(spark, str(out))
+    )
+    assert clean.count() == 0
+    assert quarantine.count() == 1
