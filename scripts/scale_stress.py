@@ -321,6 +321,11 @@ HEAVY_QUERIES = [
     # for the word-histogram compression, while the merge loop's k jobs
     # stay vocab-sized) plus the encode join's broadcast posture
     "bpe_encode_stats",
+    # reconciliation family representative (round 9): per-month split
+    # checksums — the claim is one map-side-combined pass per side at
+    # ANY scale (the petabyte-reconciliation shape), so the 64× wall
+    # should track the scan, not the group count
+    "lineitem_month_checksums",
 ]
 
 # Inline justifications for the second-decade entries whose exponents
