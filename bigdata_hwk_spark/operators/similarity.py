@@ -980,6 +980,12 @@ def kmeans_fit(
     max-cosine after each assignment pass (non-decreasing — the spherical
     k-means objective — up to quantization jitter); it is a float
     diagnostic only and never feeds back into the centroids.
+
+    Zero-norm vectors (cosine undefined — ``embedding_coverage_audit``
+    counts them precisely because real corpora contain them) are
+    excluded from both the FFT seed sample and every partial-sum pass:
+    without the filter, 0/0 → NaN rows and ``np.rint(NaN).astype(int64)``
+    silently poisons the integer centroid partials.
     """
     from .kcenter import sequential_fft
     from ..sources.tables import fan_out
@@ -996,7 +1002,10 @@ def kmeans_fit(
     if not sample:
         return np.zeros((0, 0))
     smat = np.array([r.embedding for r in sample], dtype=np.float64)
-    smat /= np.linalg.norm(smat, axis=1, keepdims=True)
+    snorms = np.linalg.norm(smat, axis=1, keepdims=True)
+    smat = smat[snorms[:, 0] > 0] / snorms[snorms[:, 0] > 0]
+    if smat.shape[0] == 0:
+        return np.zeros((0, 0))
     dim = smat.shape[1]
     centers = sequential_fft(smat, k)
     k = len(centers)  # clamped when the corpus is smaller than k
@@ -1014,7 +1023,11 @@ def kmeans_fit(
                 if len(pdf) == 0:
                     continue
                 block = np.array(list(pdf["embedding"]), dtype=np.float64)
-                block /= np.linalg.norm(block, axis=1, keepdims=True)
+                norms = np.linalg.norm(block, axis=1, keepdims=True)
+                ok = norms[:, 0] > 0
+                if not ok.any():
+                    continue
+                block = block[ok] / norms[ok]
                 sims = block @ C.T
                 a = np.argmax(sims, axis=1)  # ties -> lowest cid
                 cos_sum += float(sims[np.arange(len(a)), a].sum())
@@ -1089,6 +1102,10 @@ def semdedup_prune(
     sits in cache on one executor (the paper runs 50k clusters for LAION;
     a skewed giant cluster is split by raising k or sub-clustering —
     cluster sizes are observable from this output before committing).
+
+    Zero-norm vectors are excluded from the output (cosine undefined,
+    same contract as ``similar_pairs_threshold``); the assign pass drops
+    them before normalizing so NaN never reaches argmax or the prune.
     """
     from ..sources.tables import fan_out
 
@@ -1103,8 +1120,12 @@ def semdedup_prune(
             if len(pdf) == 0:
                 continue
             block = np.array(list(pdf["embedding"]), dtype=np.float64)
-            block /= np.linalg.norm(block, axis=1, keepdims=True)
-            out = pdf[["vec_id", "embedding"]].copy()
+            norms = np.linalg.norm(block, axis=1, keepdims=True)
+            ok = norms[:, 0] > 0
+            if not ok.any():
+                continue
+            block = block[ok] / norms[ok]
+            out = pdf.loc[ok, ["vec_id", "embedding"]].copy()
             out["cluster"] = np.argmax(block @ centers.T, axis=1).astype(
                 np.int32
             )
@@ -1117,7 +1138,21 @@ def semdedup_prune(
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         block = np.array(list(pdf["embedding"]), dtype=np.float64)
-        block /= np.linalg.norm(block, axis=1, keepdims=True)
+        norms = np.linalg.norm(block, axis=1, keepdims=True)
+        ok = norms[:, 0] > 0
+        if not ok.all():  # assign() excludes these; guard direct calls
+            pdf = pdf.loc[ok].reset_index(drop=True)
+            block, norms = block[ok], norms[ok]
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype=np.int64),
+                    "cluster": pd.Series([], dtype=np.int32),
+                    "kept": pd.Series([], dtype=bool),
+                    "nn_cos": pd.Series([], dtype=np.float64),
+                }
+            )
+        block = block / norms
         kept_rows: list[int] = []
         kept_flags = np.empty(len(pdf), dtype=bool)
         nn = np.empty(len(pdf), dtype=np.float64)

@@ -126,3 +126,34 @@ def test_semdedup_kept_counts_consistent(spark):
     assert all(0 < r.n_kept <= r.n_vectors for r in summary)
     # something actually pruned at the corpus tau (fixture has near-dups)
     assert sum(r.n_kept for r in summary) < n
+
+
+def test_zero_norm_vectors_excluded_not_poisonous(spark):
+    """A zero-norm embedding (cosine undefined) must be EXCLUDED from
+    the prune output, and must not corrupt the centroids: without the
+    row filter, 0/0 -> NaN and np.rint(NaN).astype(int64) poisons the
+    integer partial sums, flipping every downstream assignment."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),
+        (5, [0.0, 0.0]),  # planted zero-norm vector
+        (10, [0.0, 1.0]),
+        (11, [0.0, 2.0]),
+    ]
+    df = _emb_df(spark, rows)
+    centers = kmeans_fit(df, k=2, iters=2)
+    assert np.isfinite(centers).all()
+    out = semdedup_prune(df, k=2, tau=0.9).collect()
+    ids = {r.vec_id for r in out}
+    assert 5 not in ids  # excluded, same contract as similar_pairs
+    assert ids == {0, 1, 10, 11}
+    kept = {r.vec_id for r in out if r.kept}
+    assert kept == {0, 10}  # clean vectors still prune correctly
+
+
+def test_all_zero_norm_corpus_degrades_cleanly(spark):
+    """Every vector zero-norm: kmeans_fit returns an empty centroid set
+    and semdedup_prune returns an empty frame rather than NaN output."""
+    df = _emb_df(spark, [(0, [0.0, 0.0]), (1, [0.0, 0.0])])
+    assert kmeans_fit(df, k=2, iters=1).size == 0
+    assert semdedup_prune(df, k=2).count() == 0
