@@ -73,6 +73,33 @@ def _tee_stderr(log_path: str):
     return proc
 
 
+def _drain_tee(log_path: str, timeout: float = 10.0) -> bool:
+    """Deterministically sync the tee'd stderr log before scanning it.
+
+    A flush+sleep is a race: log4j lines sitting in the tee pipe may not
+    have reached the file yet, letting a WARN slip past the gate. A pipe
+    is FIFO and tee writes in order, so writing a sentinel to fd 2 and
+    polling the file for it guarantees every byte written BEFORE the
+    sentinel (all JVM log lines included — log4j's console appender
+    flushes per event) is on disk once the sentinel appears. EOF-based
+    draining (close + tee exit) is NOT available here: the JVM inherited
+    the pipe's write end at launch and holds it until process exit.
+    Returns True when the sentinel was observed, False on timeout."""
+    token = f"# bench-stderr-drain {os.getpid()} {time.time_ns()}"
+    sys.stderr.flush()
+    os.write(2, (token + "\n").encode())
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        try:
+            with open(log_path, errors="replace") as fh:
+                if token in fh.read():
+                    return True
+        except OSError:
+            pass
+        time.sleep(0.05)
+    return False
+
+
 def scan_cache_warnings(log_path: str) -> list[str]:
     """Cache-health scan over a captured stderr log: the WARN lines that
     indicate a persist regression (double-persist → CacheManager,
@@ -146,9 +173,14 @@ def main() -> None:
     print(f"# mrfft rounds: {mr}", file=sys.stderr)
 
     # cache-health gate: scan the captured stderr BEFORE writing any
-    # artifact. sys.stderr.flush() + a tiny sleep lets tee drain.
-    sys.stderr.flush()
-    time.sleep(0.2)
+    # artifact, after a deterministic sentinel-based drain of the tee
+    # pipe (a WARN that slipped past the scan would defeat the gate).
+    if not _drain_tee(stderr_log):
+        print(
+            "# CACHE-HEALTH GATE: stderr drain sentinel not observed "
+            "within timeout — scanning anyway (gate may be incomplete)",
+            file=sys.stderr,
+        )
     bad = scan_cache_warnings(stderr_log)
     if bad:
         print(

@@ -63,6 +63,11 @@ BPE_SEP = "\x1f"
 BPE_PAIR_TOPK = 64
 BPE_MERGES = 12
 BPE_MIN_PAIR_COUNT = 2
+# Broadcast the (word -> n_tokens) side of the encode join only while
+# the measured vocab is comfortably driver-sized; a production-scale
+# vocab (Heaps ~n^0.7 of a 100 TB corpus) must be allowed to degrade to
+# a shuffle hash join on the same key instead of OOMing the broadcast.
+BPE_BROADCAST_MAX_VOCAB = 4_000_000
 
 
 def _word_vocab(documents: DataFrame) -> DataFrame:
@@ -273,9 +278,11 @@ def bpe_encode_stats(
     projection the trainer ends with — the corpus is never re-segmented
     row by row), then documents explode to words and equi-join that
     (word → n_tokens) table; the vocab side is Heaps-law small relative
-    to the corpus, so the join broadcasts at any corpus scale where the
-    vocab fits (~n^0.7 growth), else AQE picks a shuffle hash join on
-    the same key. Docs with no encodable word (empty text, or every
+    to the corpus, so the join broadcasts while the MEASURED vocab row
+    count stays under ``BPE_BROADCAST_MAX_VOCAB`` (the count is free —
+    the persisted vocab was already materialized by ``_sized_vocab``);
+    above it the hint is withheld so AQE picks a shuffle hash join on
+    the same key instead of force-broadcasting an oversized vocab. Docs with no encodable word (empty text, or every
     word carrying the separator byte) keep a row with zero counts via
     the left join — conservation (sum(n_chars) is merge-invariant) is
     property-tested.
@@ -299,8 +306,14 @@ def bpe_encode_stats(
             "doc_id",
             F.explode(F.split(F.col("text"), " ")).alias("word"),
         ).filter((F.col("word") != "") & ~F.col("word").contains(BPE_SEP))
+        n_vocab = vocab.count()  # cached; materialized in _sized_vocab
+        tok_side = (
+            F.broadcast(word_tok)
+            if n_vocab <= BPE_BROADCAST_MAX_VOCAB
+            else word_tok
+        )
         per_doc = (
-            doc_words.join(F.broadcast(word_tok), "word")
+            doc_words.join(tok_side, "word")
             .groupBy("doc_id")
             .agg(
                 F.count(F.lit(1)).alias("n_words"),

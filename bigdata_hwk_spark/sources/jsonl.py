@@ -50,9 +50,13 @@ def read_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def split_corrupt(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(clean, quarantine): clean rows with the capture column dropped,
-    and the raw text of every malformed line for the quarantine sink.
+def split_corrupt(
+    parsed: DataFrame,
+) -> tuple[DataFrame, DataFrame, "Callable[[], None]"]:
+    """(clean, quarantine, release): clean rows with the capture column
+    dropped, the raw text of every malformed line for the quarantine
+    sink, and a ``release()`` callback that unpersists the parse cache
+    once both streams have drained.
 
     The parsed frame is cached here BY SPARK'S OWN CONTRACT: the JSON
     datasource refuses plans whose scan references only the corrupt
@@ -63,13 +67,18 @@ def split_corrupt(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
     shape: clean and quarantine are two consumers of one parse, and at
     ingest scale both streams drain from the same pass (a foreachBatch
     writes clean shards and quarantined lines per micro-batch) rather
-    than re-reading the corpus."""
-    parsed = parsed.cache()
+    than re-reading the corpus. The cache is scoped, not leaked: the
+    caller invokes ``release()`` after consuming both streams —
+    otherwise every invocation (warm+timed bench passes, repeated
+    tests) pins another parsed corpus in executor storage."""
+    from ..session import persist_scoped
+
+    parsed, release = persist_scoped(parsed)
     clean = parsed.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     quarantine = parsed.filter(F.col(CORRUPT_COL).isNotNull()).select(
         F.col(CORRUPT_COL).alias("raw_line")
     )
-    return clean, quarantine
+    return clean, quarantine, release
 
 
 def documents_jsonl_roundtrip_profile(
@@ -88,16 +97,30 @@ def documents_jsonl_roundtrip_profile(
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = work_dir or tempfile.mkdtemp(prefix="jsonl_roundtrip_")
     write_documents_jsonl(docs, out)
-    clean, quarantine = split_corrupt(read_documents_jsonl(spark, out))
-    n_bad = quarantine.count()  # scalar metadata: clean corpus → 0
-    return clean.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.count_distinct("doc_id").alias("n_ids"),
-        F.sum("n_chars").alias("sum_chars"),
-        F.sum(F.length("text")).alias("sum_text_len"),
-        F.count_distinct("lang").alias("n_langs"),
-        F.count_distinct("source").alias("n_sources"),
-        F.lit(n_bad).cast("bigint").alias("n_corrupt"),
+    clean, quarantine, release = split_corrupt(
+        read_documents_jsonl(spark, out)
+    )
+    try:
+        n_bad = quarantine.count()  # scalar metadata: clean corpus → 0
+        # materialize the one-row profile WHILE the parse cache is hot,
+        # then release it — returning the lazy plan instead would leave
+        # the cache pinned (or force a second parse) after release()
+        row = clean.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("doc_id").alias("n_ids"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.lit(n_bad).cast("bigint").alias("n_corrupt"),
+        ).collect()[0]
+    finally:
+        release()
+    return spark.createDataFrame(
+        [row],
+        "n_docs bigint, n_ids bigint, sum_chars bigint, "
+        "sum_text_len bigint, n_langs bigint, n_sources bigint, "
+        "n_corrupt bigint",
     )
 
 

@@ -24,11 +24,14 @@ def test_roundtrip_rows_are_identical(spark, tmp_path):
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     out = str(tmp_path / "shards")
     J.write_documents_jsonl(docs, out)
-    clean, quarantine = J.split_corrupt(J.read_documents_jsonl(spark, out))
+    clean, quarantine, release = J.split_corrupt(
+        J.read_documents_jsonl(spark, out)
+    )
     assert quarantine.count() == 0
     a = sorted(tuple(r) for r in docs.collect())
     b = sorted(tuple(r) for r in clean.select(*docs.columns).collect())
     assert a == b
+    release()
 
 
 def test_corrupt_lines_are_quarantined_not_fatal(spark, tmp_path):
@@ -38,7 +41,7 @@ def test_corrupt_lines_are_quarantined_not_fatal(spark, tmp_path):
     bad = '{"doc_id": 2, "text": "unterminated'
     good2 = '{"doc_id": 3, "text": "world", "lang": "fr", "source": "web", "n_chars": 5}'
     (out / "part-0.json").write_text(f"{good1}\n{bad}\n{good2}\n")
-    clean, quarantine = J.split_corrupt(
+    clean, quarantine, release = J.split_corrupt(
         J.read_documents_jsonl(spark, str(out))
     )
     assert {r["doc_id"] for r in clean.collect()} == {1, 3}
@@ -47,6 +50,7 @@ def test_corrupt_lines_are_quarantined_not_fatal(spark, tmp_path):
     # schema-first: typed columns, no inference drift
     assert dict(clean.dtypes)["doc_id"] == "bigint"
     assert dict(clean.dtypes)["n_chars"] == "bigint"
+    release()
 
 
 def test_type_mismatch_rows_are_captured_too(spark, tmp_path):
@@ -56,8 +60,22 @@ def test_type_mismatch_rows_are_captured_too(spark, tmp_path):
     out.mkdir()
     bad_type = '{"doc_id": "not-a-number", "text": "x", "lang": "en", "source": "s", "n_chars": 1}'
     (out / "part-0.json").write_text(bad_type + "\n")
-    clean, quarantine = J.split_corrupt(
+    clean, quarantine, release = J.split_corrupt(
         J.read_documents_jsonl(spark, str(out))
     )
     assert clean.count() == 0
     assert quarantine.count() == 1
+    release()
+
+
+def test_roundtrip_profile_releases_parse_cache(spark, tmp_path):
+    """The profile caches the PERMISSIVE parse (Spark's own contract for
+    corrupt-column plans) but must unpersist it before returning —
+    repeated invocations (warm+timed bench passes) must not accumulate
+    pinned corpora in executor storage."""
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    J.documents_jsonl_roundtrip_profile(
+        spark, SF_SMOKE, work_dir=str(tmp_path / "shards")
+    )
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before
