@@ -950,6 +950,18 @@ KMEANS_ITERS = 4
 KMEANS_QUANT = 1 << 20
 SEMDEDUP_TAU = 0.4  # aligned with the corpus near-dup threshold used by
                     # embedding_similar_pairs / embedding_dedup_clusters
+# Giant-cluster cap for the per-cluster O(c²) prune: SemDeDup's cost
+# model assumes k ~ √N keeps clusters at ~√N, but a pathological corpus
+# (one dominant topic) can put most rows in ONE cluster and stall a
+# single task. Above this row count the prune deterministically
+# SUB-CLUSTERS the group in-place (FFT-seeded spherical Lloyd on the
+# vec_id-sorted members — the kmeans_fit recipe run locally) and prunes
+# each sub-cluster independently — the paper's own remedy (raise k /
+# refine clustering), applied only where needed. Depth-bounded so
+# unsplittable groups (near-identical vectors — where greedy is cheap
+# anyway: the kept set stays tiny) still terminate.
+SEMDEDUP_MAX_CLUSTER = 8192
+SEMDEDUP_SPLIT_DEPTH = 4
 
 
 def kmeans_fit(
@@ -1079,6 +1091,7 @@ def semdedup_prune(
     k: int = KMEANS_K,
     tau: float = SEMDEDUP_TAU,
     iters: int = KMEANS_ITERS,
+    max_cluster_rows: int = SEMDEDUP_MAX_CLUSTER,
 ) -> DataFrame:
     """SemDeDup semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus with k-means, then within each
@@ -1099,9 +1112,19 @@ def semdedup_prune(
     the prune is ONE shuffle keyed by cluster id, then per-cluster work
     quadratic only WITHIN a cluster — the whole point of SemDeDup is
     that k ~ √N keeps clusters at ~√N and the per-cluster O(c²) matmul
-    sits in cache on one executor (the paper runs 50k clusters for LAION;
-    a skewed giant cluster is split by raising k or sub-clustering —
-    cluster sizes are observable from this output before committing).
+    sits in cache on one executor (the paper runs 50k clusters for LAION
+    precisely so clusters stay small).
+
+    Giant-cluster degrade (``max_cluster_rows``): a cluster that blows
+    past the gate is recursively sub-clustered IN TASK (deterministic
+    FFT-seeded spherical Lloyd over its vec_id-sorted members) and each
+    sub-cluster pruned independently — same remedy the paper prescribes
+    (refine the clustering), applied only to the offending group, so a
+    one-dominant-topic corpus cannot stall a single task on an O(c²)
+    pass. Kept-flag semantics on clusters under the gate are EXACTLY
+    the ungated algorithm's (pinned in tests); an over-gate cluster's
+    flags are those of SemDeDup run at finer granularity — still
+    pairwise-below-tau within each sub-cluster.
 
     Zero-norm vectors are excluded from the output (cosine undefined,
     same contract as ``similar_pairs_threshold``); the assign pass drops
@@ -1153,20 +1176,58 @@ def semdedup_prune(
                 }
             )
         block = block / norms
-        kept_rows: list[int] = []
         kept_flags = np.empty(len(pdf), dtype=bool)
         nn = np.empty(len(pdf), dtype=np.float64)
-        for i in range(len(pdf)):
-            mx = (
-                float((block[kept_rows] @ block[i]).max())
-                if kept_rows
-                else -1.0
+
+        def greedy(idx: np.ndarray) -> None:
+            kept_rows: list[int] = []
+            for i in idx:
+                mx = (
+                    float((block[kept_rows] @ block[i]).max())
+                    if kept_rows
+                    else -1.0
+                )
+                nn[i] = round(mx, 6)
+                keep = mx < tau
+                kept_flags[i] = keep
+                if keep:
+                    kept_rows.append(i)
+
+        def process(idx: np.ndarray, depth: int) -> None:
+            if len(idx) <= max_cluster_rows or depth >= SEMDEDUP_SPLIT_DEPTH:
+                greedy(idx)
+                return
+            # deterministic local refine: FFT seed on the vec_id-sorted
+            # members (idx is ascending-vec_id by construction), fixed
+            # spherical Lloyd rounds, argmax ties -> lowest sub-id —
+            # the kmeans_fit recipe without a Spark job
+            from .kcenter import sequential_fft
+
+            sub_block = block[idx]
+            k_sub = min(
+                int(np.ceil(len(idx) / max_cluster_rows)) + 1, 64
             )
-            nn[i] = round(mx, 6)
-            keep = mx < tau
-            kept_flags[i] = keep
-            if keep:
-                kept_rows.append(i)
+            centers = sequential_fft(sub_block, min(k_sub, len(idx)))
+            centers = centers / np.linalg.norm(
+                centers, axis=1, keepdims=True
+            )
+            for _ in range(4):
+                a = np.argmax(sub_block @ centers.T, axis=1)
+                for c in range(len(centers)):
+                    members = sub_block[a == c]
+                    if len(members):
+                        m = members.mean(axis=0)
+                        nm = np.linalg.norm(m)
+                        if nm > 0:  # else keep previous center
+                            centers[c] = m / nm
+            a = np.argmax(sub_block @ centers.T, axis=1)
+            if len(np.unique(a)) == 1:  # unsplittable (near-identical)
+                greedy(idx)
+                return
+            for c in np.unique(a):
+                process(idx[a == c], depth + 1)
+
+        process(np.arange(len(pdf)), 0)
         return pd.DataFrame(
             {
                 "vec_id": pdf["vec_id"],
@@ -1543,6 +1604,135 @@ def ann_ivfpq_topk(
             "rk",
         )
     )
+
+
+def _exact_rerank(
+    embeddings: DataFrame,
+    shortlist: DataFrame,
+    n_queries: int,
+    k: int,
+) -> DataFrame:
+    """Shared +R tail (Jégou, Douze & Schmid, TPAMI 2011 §V, IVFADC+R):
+    re-rank a compressed-domain shortlist with EXACT distances.
+
+    The shortlist (top ~rerank_factor·k per query by ADC) is tiny —
+    n_queries × shortlist rows — so it broadcasts and the float vectors
+    are recovered by one broadcast-hash equi-join against a column-
+    pruned (vec_id, embedding) corpus scan: the corpus is read, never
+    shuffled, and only candidate rows cross into Python. Exact squared
+    L2 on normalized vectors (= 2 − 2·cos, rank-identical to cosine) is
+    integer-quantized to micro-units like the ADC sums, so the final
+    top-k window is layout-invariant with the same (dist, vec_id) tie
+    order as every ANN variant here.
+    """
+    spark = embeddings.sparkSession
+    out_schema = (
+        "query_id bigint, neighbor_id bigint, exact_dist double, rk int"
+    )
+    qrows = sorted(
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    if not qrows:
+        return spark.createDataFrame([], out_schema)
+    qmat = np.array([r.embedding for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qkeep = qn[:, 0] > 0
+    qmat = qmat[qkeep] / qn[qkeep]
+    qids = np.array(
+        [r.vec_id for r, kp in zip(qrows, qkeep) if kp], dtype=np.int64
+    )
+    if not len(qids):
+        return spark.createDataFrame([], out_schema)
+    bc = spark.sparkContext.broadcast((qids, qmat))
+
+    cand = shortlist.select(
+        "query_id", F.col("neighbor_id").alias("vec_id")
+    )
+    joined = embeddings.select("vec_id", "embedding").join(
+        F.broadcast(cand), "vec_id"
+    )
+
+    def rerank(batches):
+        ids_q, mat_q = bc.value
+        pos = {int(q): i for i, q in enumerate(ids_q)}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            block = np.array(list(pdf["embedding"]), dtype=np.float64)
+            bn = np.linalg.norm(block, axis=1, keepdims=True)
+            ok = bn[:, 0] > 0  # encode() excludes these; guard anyway
+            qi_s = pdf["query_id"].map(pos)
+            ok &= qi_s.notna().to_numpy()
+            if not ok.any():
+                continue
+            block = block[ok] / bn[ok]
+            qi = qi_s.to_numpy(dtype=np.float64)[ok].astype(np.int64)
+            d2 = 2.0 - 2.0 * np.einsum(
+                "ij,ij->i", block, mat_q[qi]
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": ids_q[qi],
+                    "vec_id": pdf["vec_id"].to_numpy()[ok],
+                    "d2_int": np.rint(
+                        np.maximum(d2, 0.0) * PQ_QUANT
+                    ).astype(np.int64),
+                }
+            )
+
+    rr = joined.mapInPandas(
+        rerank, schema="query_id bigint, vec_id bigint, d2_int bigint"
+    )
+    w = Window.partitionBy("query_id").orderBy("d2_int", "vec_id")
+    return (
+        rr.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("d2_int") / PQ_QUANT, 6).alias("exact_dist"),
+            "rk",
+        )
+    )
+
+
+def ann_pq_rerank_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    rerank_factor: int = 10,
+    **kw,
+) -> DataFrame:
+    """(query_id, neighbor_id, exact_dist, rk): PQ-ADC search completed
+    with exact re-ranking — the ADC pass cheaply ranks the WHOLE corpus
+    from 64-bit codes, the top rerank_factor·k shortlist is re-scored
+    with exact distances (see ``_exact_rerank``), and recall@k is then
+    bounded only by ADC's recall@(rerank_factor·k), which is far higher
+    than its recall@k (the published +R observation)."""
+    short = ann_pq_topk(embeddings, n_queries, k * rerank_factor, **kw)
+    return _exact_rerank(embeddings, short, n_queries, k)
+
+
+def ann_ivfpq_rerank_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    rerank_factor: int = 10,
+    **kw,
+) -> DataFrame:
+    """(query_id, neighbor_id, exact_dist, rk): the full IVFADC+R stack
+    — IVF bounds work (probe ~nprobe/nlist of the corpus), PQ bounds
+    memory (64-bit residual codes), and the +R pass re-ranks the ADC
+    shortlist with exact distances so quantization error stops costing
+    recall. Residual recall is capped by list coverage: a true neighbor
+    in an unprobed list is unrecoverable at any rerank_factor, so
+    accuracy-critical deployments raise ``nprobe`` (the published knob)
+    together with the rerank factor."""
+    short = ann_ivfpq_topk(embeddings, n_queries, k * rerank_factor, **kw)
+    return _exact_rerank(embeddings, short, n_queries, k)
 
 
 # ---------------------------------------------------------------------------

@@ -1005,6 +1005,14 @@ register("ann_pq_topk", lambda spark, sf: SIM.ann_pq_topk(_embs(spark, sf)))
 register(
     "ann_ivfpq_topk", lambda spark, sf: SIM.ann_ivfpq_topk(_embs(spark, sf))
 )
+# PQ-ADC + exact re-ranking (IVFADC+R, Jégou et al. §V): the ADC
+# shortlist joins back to the float vectors and re-ranks exactly —
+# recall@10 jumps 0.38 → ≥0.9 at the same 64-bit codes (measured;
+# floor pinned in tests/test_pq.py). Rows-only like its ADC base.
+register(
+    "ann_pq_rerank_topk",
+    lambda spark, sf: SIM.ann_pq_rerank_topk(_embs(spark, sf)),
+)
 # semantic decontamination: paraphrase-level eval leakage the verbatim
 # 8-gram decontamination_check cannot see (fixed eval side broadcast)
 register(

@@ -1,0 +1,181 @@
+"""Merge-count-axis sweep for the BPE trainer/encoder (r9 verdict #1).
+
+The corpus-axis stress (SCALE_STRESS.json main sweep) already shows the
+BPE queries flat in corpus size (Heaps collapse); the UNMEASURED axis
+was merge count k — the codegen path's nested-replace segmentation is a
+k-deep expression re-executed every round (O(k²) total, with a
+planning/codegen knee), while the histogram path
+(``bpe_train_incremental`` + ``bpe_apply_batch``) is flat in k by
+construction. This script measures both and pins
+``BPE_CODEGEN_MAX_MERGES`` to data.
+
+The sf0.1 fixture's own vocabulary is 31 distinct words — it saturates
+after ~a hundred merges and cannot exercise the axis. Following the
+scale-stress harness pattern (derived fixtures in a /tmp workdir, never
+hand-rolled data), the sweep derives a vocab-enriched corpus FROM the
+fixture: every word occurrence is deterministically suffixed with a
+hash bucket (``word-<hex>``), lifting the histogram to a
+production-shaped ~30k distinct words while keeping corpus size and
+character distribution anchored to the fixture.
+
+Writes the section ``bpe_merge_axis`` into SCALE_STRESS.json via the
+same read-modify-write helper the other deep sweeps use.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), BPE_AXIS_WORKDIR, BPE_AXIS_BUDGET_SEC
+(per-point wall budget before the codegen escalation stops, default
+300).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bigdata_hwk_spark.operators import bpe  # noqa: E402
+from bigdata_hwk_spark.session import get_spark  # noqa: E402
+from scripts.scale_stress import _merge_into_artifact  # noqa: E402
+
+CODEGEN_KS = [16, 32, 64, 128, 256]
+HISTOGRAM_KS = [64, 256, 1024, 4096]
+VARIANTS = 1024  # hash buckets per base word -> ~30k distinct words
+
+
+def build_enriched_corpus(spark, sf_dir: str, out_path: str):
+    if not os.path.exists(out_path):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        words = docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "word"),
+        ).filter(F.col("word") != "")
+        variant = F.concat(
+            "word",
+            F.lit("-"),
+            F.lower(
+                F.hex(
+                    F.pmod(
+                        F.xxhash64("word", "doc_id", "pos"),
+                        F.lit(VARIANTS),
+                    )
+                )
+            ),
+        )
+        (
+            words.groupBy("doc_id")
+            .agg(F.concat_ws(" ", F.collect_list(variant)).alias("text"))
+            .write.mode("overwrite")
+            .parquet(out_path)
+        )
+    return spark.read.parquet(out_path)
+
+
+def timed_train(docs, k: int, method: str) -> tuple[float, int]:
+    t0 = time.perf_counter()
+    n_rows = bpe.bpe_merge_table(
+        docs, n_merges=k, min_count=2, method=method
+    ).count()
+    return round(time.perf_counter() - t0, 3), n_rows
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    work = os.environ.get("BPE_AXIS_WORKDIR", "/tmp/bpe_merge_axis")
+    budget = float(os.environ.get("BPE_AXIS_BUDGET_SEC", "300"))
+    spark = get_spark(
+        app_name="bigdata_hwk_spark-bpe-merge-axis",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus_path = os.path.join(work, "enriched_documents.parquet")
+    docs = build_enriched_corpus(spark, sf_dir, corpus_path)
+    vocab_rows = bpe._word_vocab(docs).count()
+    print(f"# enriched vocab: {vocab_rows} distinct words", file=sys.stderr)
+
+    # warm the scan so the first timed point isn't charged for it
+    docs.count()
+
+    out: dict = {
+        "base_sf_dir": sf_dir,
+        "vocab_rows": vocab_rows,
+        "variants_per_word": VARIANTS,
+        "codegen": {},
+        "histogram": {},
+    }
+    stopped_at = None
+    for k in CODEGEN_KS:
+        wall, n_merges = timed_train(docs, k, "codegen")
+        out["codegen"][str(k)] = {"wall_sec": wall, "merges_learned": n_merges}
+        print(f"# codegen k={k}: {wall}s ({n_merges} merges)", file=sys.stderr)
+        if wall > budget:
+            stopped_at = k
+            break
+    if stopped_at:
+        out["codegen_stopped_at"] = stopped_at
+
+    for k in HISTOGRAM_KS:
+        wall, n_merges = timed_train(docs, k, "histogram")
+        out["histogram"][str(k)] = {
+            "wall_sec": wall,
+            "merges_learned": n_merges,
+        }
+        print(
+            f"# histogram k={k}: {wall}s ({n_merges} merges)", file=sys.stderr
+        )
+
+    # end-to-end encode at a production-ish merge count (the r9 verdict's
+    # "done" bar: bpe_encode_stats green at n_merges >= 1024)
+    t0 = time.perf_counter()
+    enc = bpe.bpe_encode_stats(docs, n_merges=1024, method="histogram")
+    agg = enc.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_chars").alias("chars"),
+        F.sum("n_tokens").alias("tokens"),
+    ).collect()[0]
+    out["encode_1024"] = {
+        "wall_sec": round(time.perf_counter() - t0, 3),
+        "docs": int(agg["docs"]),
+        "chars": int(agg["chars"]),
+        "tokens": int(agg["tokens"]),
+        "compression": round(agg["chars"] / max(agg["tokens"], 1), 3),
+    }
+
+    # the knee: smallest k where codegen wall exceeds histogram wall at
+    # the same k (both measured above at 64 and 256)
+    knee = None
+    for k in CODEGEN_KS:
+        c = out["codegen"].get(str(k))
+        h = out["histogram"].get(str(k))
+        if c and h and c["wall_sec"] > h["wall_sec"]:
+            knee = k
+            break
+    out["crossover_k"] = knee
+    out["threshold_constant"] = bpe.BPE_CODEGEN_MAX_MERGES
+    out["notes"] = (
+        "Merge-count axis (r9 verdict item 1): codegen wall grows "
+        "superlinearly in k (k-deep replace chain re-executed per round "
+        "— O(k²) expression work plus per-round Catalyst analysis of a "
+        "deepening tree), histogram path is flat in k (one histogram "
+        "collect + incremental driver loop + constant-depth mapInPandas "
+        "encode). BPE_CODEGEN_MAX_MERGES is pinned at/below the "
+        "measured crossover; production vocab sizes (10k-50k merges) "
+        "take the histogram path unconditionally."
+    )
+    path = _merge_into_artifact("bpe_merge_axis", out)
+    print(f"# wrote {path}", file=sys.stderr)
+    import json
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

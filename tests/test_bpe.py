@@ -181,3 +181,130 @@ def test_encode_stats_keeps_unencodable_docs(spark):
     assert got[3] == (0, 0, 0)
     assert got[1][0] == 3 and got[1][1] == 6
     assert got[1][2] < got[1][1]
+
+
+# ---------------------------------------------------------------------------
+# Merge-count-safe histogram path (round-10): bit-equality vs the
+# codegen path and the pure-Python reference at every seam.
+
+
+def test_incremental_trainer_equals_reference_on_fixture(spark):
+    """bpe_train_incremental (inverted index + lazy heap) must be
+    bit-identical to the O(k·V)-rescan reference trainer."""
+    texts = [r[0] for r in _docs(spark, SF_SMOKE).select("text").collect()]
+    freqs: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w and bpe.BPE_SEP not in w:
+                freqs[w] = freqs.get(w, 0) + 1
+    for n in (0, 1, 12, 40, 200):
+        assert bpe.bpe_train_incremental(
+            freqs, n_merges=n, min_count=1
+        ) == bpe.bpe_train_reference(freqs, n_merges=n, min_count=1), n
+
+
+def test_merge_table_histogram_path_equals_codegen(spark):
+    docs = _docs(spark, SF_SMOKE)
+    a = sorted(
+        map(tuple, bpe.bpe_merge_table(docs, n_merges=12, method="codegen").collect())
+    )
+    b = sorted(
+        map(tuple, bpe.bpe_merge_table(docs, n_merges=12, method="histogram").collect())
+    )
+    assert a == b
+
+
+def test_encode_stats_histogram_path_equals_codegen(spark):
+    docs = _docs(spark, SF_SMOKE)
+    a = sorted(
+        map(tuple, bpe.bpe_encode_stats(docs, n_merges=12, method="codegen").collect())
+    )
+    b = sorted(
+        map(tuple, bpe.bpe_encode_stats(docs, n_merges=12, method="histogram").collect())
+    )
+    assert a == b
+
+
+def test_auto_dispatch_crosses_threshold(spark, monkeypatch):
+    """auto picks codegen at/below the knee and histogram above; both
+    sides of the boundary produce the same table for the same k."""
+    docs = _docs(spark, SF_SMOKE)
+    monkeypatch.setattr(bpe, "BPE_CODEGEN_MAX_MERGES", 3)
+    auto = sorted(
+        map(tuple, bpe.bpe_merge_table(docs, n_merges=4).collect())
+    )  # 4 > 3 -> histogram
+    explicit = sorted(
+        map(tuple, bpe.bpe_merge_table(docs, n_merges=4, method="codegen").collect())
+    )
+    assert auto == explicit
+
+
+def test_apply_batch_equals_reference_encoder(spark):
+    """bpe_apply_batch (shared inverted index, rank order) must match
+    bpe_apply_reference word-for-word, including the re-created-earlier-
+    rank-pair case its docstring documents."""
+    texts = [r[0] for r in _docs(spark, SF_SMOKE).select("text").collect()]
+    freqs: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w and bpe.BPE_SEP not in w:
+                freqs[w] = freqs.get(w, 0) + 1
+    merges = bpe.bpe_train_reference(freqs, n_merges=40, min_count=1)
+    words = sorted(freqs)
+    got = bpe.bpe_apply_batch(words, merges)
+    for w, seg in zip(words, got):
+        assert seg == bpe.bpe_apply_reference(w, merges), w
+
+
+def test_apply_batch_rank_order_not_lowest_rank_loop():
+    """Constructed case where a later merge re-creates an earlier rank's
+    pair: rank-order semantics leave it unmerged (one greedy pass per
+    rank); a lowest-rank-first loop would merge it. Pins the batch
+    kernel to the trainer's nested-replace semantics."""
+    # merges: rank1 (b,c)->bc ; rank2 (a,bc)? no — build explicitly:
+    # rank1: (x,y)->xy ; rank2: (w,x)->wx where wx == 'x'? impossible.
+    # Instead: rank1 (a,b)->ab, rank2 (c,a)->ca — word "cab":
+    #   rank1 pass: c,a,b -> c,ab   (a,b merged first, leftmost scan)
+    #   rank2 pass: (c,ab) no (c,a) adjacency -> stays [c, ab]
+    # vs word "caab": rank1: c,a,ab? chars c,a,a,b -> rank1 merges the
+    # (a,b) at positions 3-4 -> [c,a,ab]; rank2 merges (c,a) -> [ca,ab].
+    merges = [(1, "a", "b", "ab", 0), (2, "c", "a", "ca", 0)]
+    got = bpe.bpe_apply_batch(["cab", "caab"], merges)
+    assert got[0] == bpe.bpe_apply_reference("cab", merges) == ["c", "ab"]
+    assert got[1] == bpe.bpe_apply_reference("caab", merges) == ["ca", "ab"]
+
+
+def test_encode_stats_large_merge_count_runs(spark):
+    """The r9 verdict's headline gap: encode must be green at
+    n_merges >= 1024 (histogram path; the nested-replace chain cannot
+    hold there). Conservation: n_chars is merge-invariant and n_tokens
+    is monotone non-increasing in merge count."""
+    docs = _docs(spark, SF_SMOKE)
+    big = {
+        r["doc_id"]: (r["n_chars"], r["n_tokens"])
+        for r in bpe.bpe_encode_stats(docs, n_merges=1024, min_count=1).collect()
+    }
+    small = {
+        r["doc_id"]: (r["n_chars"], r["n_tokens"])
+        for r in bpe.bpe_encode_stats(docs, n_merges=12).collect()
+    }
+    assert set(big) == set(small)
+    for did in big:
+        assert big[did][0] == small[did][0]  # chars conserved
+        assert big[did][1] <= small[did][1]  # more merges, fewer tokens
+
+
+def test_vocab_cap_prunes_tail_loudly(spark, caplog):
+    """vocab_cap bounds the driver collect; the prune is logged and only
+    the rare tail's counts are lost (top pair unaffected here)."""
+    docs = spark.createDataFrame(
+        [(0, "aa aa aa aa zz qq")], "doc_id bigint, text string"
+    )
+    import logging as _logging
+
+    with caplog.at_level(_logging.WARNING, logger="bigdata_hwk_spark.operators.bpe"):
+        rows = bpe.bpe_merge_table(
+            docs, n_merges=1, min_count=1, method="histogram", vocab_cap=1
+        ).collect()
+    assert any("vocab_cap" in rec.message for rec in caplog.records)
+    assert [tuple(r) for r in rows] == [(1, "a", "a", "aa", 4)]

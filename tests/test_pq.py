@@ -255,3 +255,98 @@ def test_cluster_balance_deterministic_across_layouts(spark):
         _emb(spark, SF_SMOKE).repartition(13)
     ).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+# ---------------------------------------------------------------------------
+# Exact re-ranking (+R) — r9 verdict item 2
+
+
+@pytest.fixture(scope="module")
+def pq_rerank_result(spark):
+    return SIM.ann_pq_rerank_topk(_emb(spark, SF_SMOKE)).collect()
+
+
+def test_pq_rerank_recall_clears_090(spark, pq_rerank_result):
+    """The +R bar from the r9 verdict: exact re-ranking of the ADC
+    top-100 shortlist lifts recall@10 from the measured 0.38 to >= 0.9
+    at the SAME 64-bit codes (the published IVFADC+R observation:
+    ADC recall@100 is far higher than its recall@10)."""
+    exact = SIM.cosine_topk_bruteforce(_emb(spark, SF_SMOKE)).collect()
+    want = {}
+    for r in exact:
+        want.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    for r in pq_rerank_result:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(got.get(q, set()) & want[q]) / len(want[q]) for q in want
+    ]
+    assert len(recalls) == 5
+    assert sum(recalls) / len(recalls) >= 0.9
+
+
+def test_pq_rerank_output_shape(pq_rerank_result):
+    by_q = {}
+    for r in pq_rerank_result:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(5))
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rows] == list(range(1, 11))
+        dists = [r["exact_dist"] for r in rows]
+        assert dists == sorted(dists)
+        assert all(r["neighbor_id"] != q for r in rows)
+        # exact squared L2 on unit vectors lives in [0, 4]
+        assert all(0.0 <= d <= 4.0 for d in dists)
+
+
+def test_pq_rerank_dist_is_exact_cosine(spark, pq_rerank_result):
+    """exact_dist must equal 2 - 2*cos(query, neighbor) recomputed in
+    NumPy from the raw vectors (micro-unit rounding only)."""
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in _emb(spark, SF_SMOKE)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    for r in pq_rerank_result:
+        q = vecs[r["query_id"]] / np.linalg.norm(vecs[r["query_id"]])
+        v = vecs[r["neighbor_id"]] / np.linalg.norm(vecs[r["neighbor_id"]])
+        d2 = 2.0 - 2.0 * float(q @ v)
+        assert abs(r["exact_dist"] - max(d2, 0.0)) < 2e-6, r
+
+
+def test_pq_rerank_deterministic_across_layouts(spark, pq_rerank_result):
+    b = SIM.ann_pq_rerank_topk(_emb(spark, SF_SMOKE).repartition(11)).collect()
+    assert sorted(map(tuple, pq_rerank_result)) == sorted(map(tuple, b))
+
+
+def test_ivfpq_rerank_beats_plain_ivfpq_and_saturates_with_probes(
+    spark, ivfpq_result
+):
+    """+R on the IVF stack: strictly better recall than plain IVFADC at
+    the same probes (re-ranking cannot lose), and with every list probed
+    the ONLY loss left is shortlist coverage -> recall >= 0.9 (shows the
+    re-rank removed quantization error; the default-probe gap is list
+    coverage, the published nprobe trade)."""
+    exact = SIM.cosine_topk_bruteforce(_emb(spark, SF_SMOKE)).collect()
+    want = {}
+    for r in exact:
+        want.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        rs = [len(got.get(q, set()) & want[q]) / len(want[q]) for q in want]
+        return sum(rs) / len(rs)
+
+    base = recall(ivfpq_result)
+    plus_r = recall(SIM.ann_ivfpq_rerank_topk(_emb(spark, SF_SMOKE)).collect())
+    assert plus_r >= base
+    full_probe = recall(
+        SIM.ann_ivfpq_rerank_topk(
+            _emb(spark, SF_SMOKE), nprobe=10**6
+        ).collect()
+    )
+    assert full_probe >= 0.9

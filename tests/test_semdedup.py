@@ -157,3 +157,60 @@ def test_all_zero_norm_corpus_degrades_cleanly(spark):
     df = _emb_df(spark, [(0, [0.0, 0.0]), (1, [0.0, 0.0])])
     assert kmeans_fit(df, k=2, iters=1).size == 0
     assert semdedup_prune(df, k=2).count() == 0
+
+
+def test_giant_cluster_cap_subclusters_within_budget(spark):
+    """r9 verdict item 3: one cluster holding 80% of the corpus must not
+    stall the O(c²) prune — above max_cluster_rows the task sub-clusters
+    deterministically and prunes each piece. Planted duplicates (10
+    copies of each of 40 directions) are identical vectors, so they
+    land in the same sub-cluster at ANY granularity and still get
+    pruned; clusters under the gate keep EXACTLY the ungated flags."""
+    rng = np.random.default_rng(11)
+    rows = []
+    vid = 0
+    base = rng.normal(size=(40, 8)) + np.array([5.0] + [0.0] * 7)  # one
+    # dominant topic: all 400 bundle vectors share a strong common
+    # component so k-means puts them in one cluster
+    for d in range(40):
+        for _ in range(10):
+            rows.append((vid, [float(x) for x in base[d]]))
+            vid += 1
+    spread = rng.normal(size=(100, 8)) - np.array([5.0] + [0.0] * 7)
+    for v in spread:
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    df = _emb_df(spark, rows)
+
+    capped = semdedup_prune(
+        df, k=4, tau=0.9, iters=2, max_cluster_rows=50
+    ).collect()
+    uncapped = semdedup_prune(
+        df, k=4, tau=0.9, iters=2, max_cluster_rows=10**9
+    ).collect()
+    assert len(capped) == len(uncapped) == 500
+
+    sizes: dict[int, int] = {}
+    for r in uncapped:
+        sizes[r.cluster] = sizes.get(r.cluster, 0) + 1
+    giant = {c for c, n in sizes.items() if n > 50}
+    assert giant, "construction failed: expected a >50-row cluster"
+
+    cap_by_id = {r.vec_id: r for r in capped}
+    for r in uncapped:
+        assert cap_by_id[r.vec_id].cluster == r.cluster  # assign unchanged
+        if r.cluster not in giant:
+            assert cap_by_id[r.vec_id].kept == r.kept, r.vec_id
+
+    # duplicates still die inside the giant cluster(s): each planted
+    # direction keeps at most one copy
+    kept_giant = [
+        r for r in capped if r.cluster in giant and r.kept and r.vec_id < 400
+    ]
+    assert 1 <= len(kept_giant) <= 40
+
+    # determinism under re-layout, cap path included
+    again = semdedup_prune(
+        df.repartition(13), k=4, tau=0.9, iters=2, max_cluster_rows=50
+    ).collect()
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, again))
