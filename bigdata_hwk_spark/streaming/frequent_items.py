@@ -434,6 +434,17 @@ def distributed_reservoir_sample(
             )
 
     partials = parts.mapInPandas(run, "p int, cnt bigint, sample array<bigint>").collect()
+    return _fold_reservoir_partials(partials, m, seed)
+
+
+def _fold_reservoir_partials(
+    partials, m: int, seed: int
+) -> tuple[list[int], int]:
+    """Driver fold of L (p, cnt, sample) rows into one uniform m-sample:
+    p-ascending hypergeometric merges with the shared seed — the single
+    code path both the batch twin and the streaming deployment end in,
+    so their outputs are bit-comparable whenever the per-group partials
+    are."""
     merge_rng = random.Random(seed ^ 0x5EED)
     merged: list[int] = []
     total = 0
@@ -684,6 +695,105 @@ def run_distributed_sticky_stream(
         .filter(F.col("cnt") >= (phi - eps) * n)
     )
     return sorted(r.item for r in merged.collect())
+
+
+def run_distributed_reservoir_stream(
+    spark: SparkSession,
+    source_dir: str,
+    m: int,
+    n: int,
+    num_reservoirs: int | None = None,
+    seed: int = 42,
+    max_files_per_trigger: int = 1,
+) -> tuple[list[int], int]:
+    """Streaming deployment form of the distributed reservoir (r9
+    VERDICT item 7 — the sticky sampler has had this since round 8;
+    the reservoir previously deployed only via the sequential
+    driver-state wrapper): file-replay source → ``foreachBatch`` with
+    ALL reservoir state in a Spark DataFrame advanced by a cogrouped
+    ``applyInPandas`` — per group p, the current sample slots, the
+    population count, and the group RNG's pickled Mersenne state. The
+    driver holds a DataFrame handle and a boolean, never a sample.
+
+    Replays the SAME per-group computation as
+    ``distributed_reservoir_sample`` (group = ``seq % L``, per-group RNG
+    seeded ``seed + 1_000_003·p``, seq-ordered replacement draws)
+    incrementally, so after any micro-batch chunking the per-group
+    (sample, count) pairs — and therefore the shared
+    ``_fold_reservoir_partials`` output — are BIT-EQUAL to the batch
+    twin's; pinned by
+    ``test_distributed_reservoir_stream_equals_batch_twin``.
+
+    Returns (merged sample, population count), like the batch twin.
+    """
+    import pickle
+
+    import pandas as pd
+
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    L = num_reservoirs or spark.sparkContext.defaultParallelism
+    state_schema = "p int, sample array<bigint>, cnt bigint, rng binary"
+    state = {
+        "df": spark.createDataFrame([], state_schema),
+        "done": False,
+    }
+
+    def advance(key, st_pdf: "pd.DataFrame", b_pdf: "pd.DataFrame") -> "pd.DataFrame":
+        p = int(key[0])
+        rng = random.Random(seed + 1_000_003 * p)
+        sample: list[int] = []
+        t = 0
+        if len(st_pdf):
+            row = st_pdf.iloc[0]
+            sample = [int(x) for x in row["sample"]]
+            t = int(row["cnt"])
+            rng.setstate(pickle.loads(bytes(row["rng"])))
+        for it in b_pdf.sort_values("seq")["item"].to_numpy():
+            t += 1
+            if len(sample) < m:
+                sample.append(int(it))
+            else:
+                j = rng.randrange(t)
+                if j < m:
+                    sample[j] = int(it)
+        return pd.DataFrame(
+            [(p, sample, t, pickle.dumps(rng.getstate()))],
+            columns=["p", "sample", "cnt", "rng"],
+        )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if state["done"]:
+            return
+        bounded = batch_df.filter(F.col("seq") < n)
+        b = bounded.select(
+            (F.col("seq") % L).cast("int").alias("p"), "seq", "item"
+        )
+        new = (
+            state["df"]
+            .groupBy("p")
+            .cogroup(b.groupBy("p"))
+            .applyInPandas(advance, state_schema)
+            .localCheckpoint()  # materialize + truncate per-batch lineage
+        )
+        state["df"] = new
+        mx = batch_df.agg(F.max("seq")).first()[0]
+        if mx is not None and mx >= n - 1:
+            state["done"] = True  # first-n cutoff (reference A10)
+
+    stream = (
+        spark.readStream.schema("seq bigint, item bigint")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    query = stream.writeStream.foreachBatch(process_batch).start()
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    partials = state["df"].collect()
+    return _fold_reservoir_partials(partials, m, seed)
 
 
 # ---------------------------------------------------------------------------

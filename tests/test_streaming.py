@@ -1371,3 +1371,44 @@ def test_sticky_admission_rate_bound_monte_carlo():
     observed = failures / trials
     sigma = math.sqrt(bound * (1 - bound) / trials)
     assert observed <= bound + 3 * sigma, (observed, bound)
+
+
+def test_distributed_reservoir_stream_equals_batch_twin(spark, tmp_path):
+    """The foreachBatch deployment of the distributed reservoir — state
+    (sample slots + count + pickled RNG per group) lives in a cogrouped-
+    applyInPandas DataFrame, never the driver — must reproduce the batch
+    mapInPandas twin BIT-FOR-BIT: each group consumes the same
+    seq-ordered items with the same seeded RNG across any micro-batch
+    chunking, and both end in the shared hypergeometric fold."""
+    import os
+    import shutil
+    import time
+
+    from bigdata_hwk_spark.sources.tables import stream_from_events
+
+    stream = stream_from_events(spark, SF_SMOKE)
+    m, n, L = 15, 900, 4
+    rows = stream.orderBy("seq").limit(1200).collect()
+    flat = tmp_path / "res_flat"
+    flat.mkdir()
+    base = time.time() - 3600
+    for idx, i in enumerate(range(0, 1200, 150)):
+        chunk = spark.createDataFrame(
+            [(r.seq, r.item) for r in rows[i : i + 150]], "seq bigint, item bigint"
+        )
+        d = tmp_path / f"rchunk_{i:05d}"
+        chunk.coalesce(1).write.mode("overwrite").parquet(str(d))
+        part = next(p for p in d.iterdir() if p.name.endswith(".parquet"))
+        dst = flat / f"rchunk_{i:05d}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (base + idx, base + idx))
+
+    got_sample, got_n = FI.run_distributed_reservoir_stream(
+        spark, str(flat), m=m, n=n, num_reservoirs=L, seed=5
+    )
+    want_sample, want_n = FI.distributed_reservoir_sample(
+        stream, m=m, n=n, num_reservoirs=L, seed=5
+    )
+    assert got_n == want_n == n
+    assert got_sample == want_sample  # bit-equal, not just same set
+    assert len(got_sample) == m
