@@ -946,6 +946,19 @@ register(
     "bpe_encode_stats",
     lambda spark, sf: BPE.bpe_encode_stats(_docs(spark, sf)),
 )
+# the merge-count-safe production path (round 10): histogram-collected
+# incremental trainer + broadcast-merge-table mapInPandas encoder —
+# bit-identical output to bpe_encode_stats (pinned in tests/test_bpe.py;
+# SCALE_STRESS.json "bpe_merge_axis" shows why this path exists: the
+# codegen chain is quadratic in merge count, this one is flat). Running
+# it through the driver gate keeps the large-k path continuously
+# exercised, not just unit-tested.
+register(
+    "bpe_encode_stats_histogram",
+    lambda spark, sf: BPE.bpe_encode_stats(
+        _docs(spark, sf), method="histogram"
+    ),
+)
 
 # similarity search family
 register(
@@ -1012,6 +1025,13 @@ register(
 register(
     "ann_pq_rerank_topk",
     lambda spark, sf: SIM.ann_pq_rerank_topk(_embs(spark, sf)),
+)
+# the full IVFADC+R stack: IVF bounds work, PQ bounds memory, +R
+# restores exactness on the shortlist (residual recall gap is list
+# coverage only — tests show 0.94 recall@10 with all lists probed)
+register(
+    "ann_ivfpq_rerank_topk",
+    lambda spark, sf: SIM.ann_ivfpq_rerank_topk(_embs(spark, sf)),
 )
 # semantic decontamination: paraphrase-level eval leakage the verbatim
 # 8-gram decontamination_check cannot see (fixed eval side broadcast)

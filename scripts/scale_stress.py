@@ -326,6 +326,12 @@ HEAVY_QUERIES = [
     # ANY scale (the petabyte-reconciliation shape), so the 64× wall
     # should track the scan, not the group count
     "lineitem_month_checksums",
+    # row-level replica diff (round 10, r9 verdict item 6): ships the
+    # distinct-row shuffle — the stated information lower bound for a
+    # row diff — so the 64× claim under test is wall ∝ shuffled rows
+    # with no superlinear knee (at scale it runs AFTER
+    # partition_checksums narrows to the drifted partitions)
+    "lineitem_replica_diff",
 ]
 
 # Inline justifications for the second-decade entries whose exponents
