@@ -25,7 +25,7 @@ import logging
 import numpy as np
 import pandas as pd
 from pyspark import StorageLevel
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 _LOG = logging.getLogger(__name__)
@@ -1315,12 +1315,41 @@ def ann_pq_topk(
     squared L2 ranks identically to cosine (‖a−b‖² = 2 − 2cos), so the
     output is directly recall-comparable to the brute-force twin.
     """
-    from ..sources.tables import fan_out
-
     spark = embeddings.sparkSession
     out_schema = (
         "query_id bigint, neighbor_id bigint, adc_dist double, rk int"
     )
+    fitted = _pq_sample_books(embeddings, sample_cap, m_sub, k_codes)
+    if fitted is None:
+        return spark.createDataFrame([], out_schema)
+    sids, smat, books, dsub = fitted
+    codes = _pq_encode_codes(embeddings, books, m_sub, dsub)
+    lut_rows = _pq_query_lut_rows(
+        [
+            (int(qid), qv)
+            for qid, qv in zip(sids, smat)
+            if qid < n_queries
+        ],
+        books,
+        m_sub,
+        dsub,
+        k_codes,
+    )
+    if not lut_rows:
+        return spark.createDataFrame([], out_schema)
+    lut = spark.createDataFrame(
+        lut_rows, "query_id bigint, m int, code int, pd_int bigint"
+    )
+    return _pq_adc_topk(codes, lut, k)
+
+
+def _pq_sample_books(
+    embeddings: DataFrame, sample_cap: int, m_sub: int, k_codes: int
+):
+    """Deterministic driver sample + per-subspace codebooks: returns
+    (sids, smat, books, dsub), or None on an empty/zero-norm corpus.
+    Shared by the in-memory search and the persisted index builder so
+    both train bit-identical codebooks."""
     sample = sorted(
         embeddings.select("vec_id", "embedding")
         .filter(F.col("vec_id") < sample_cap)
@@ -1328,21 +1357,27 @@ def ann_pq_topk(
         key=lambda r: r.vec_id,
     )
     if not sample:
-        return spark.createDataFrame([], out_schema)
+        return None
     smat = np.array([r.embedding for r in sample], dtype=np.float64)
     norms = np.linalg.norm(smat, axis=1, keepdims=True)
     keep = norms[:, 0] > 0
-    smat, sids = smat[keep] / norms[keep], [
-        r.vec_id for r, kp in zip(sample, keep) if kp
-    ]
+    smat = smat[keep] / norms[keep]
+    sids = [r.vec_id for r, kp in zip(sample, keep) if kp]
+    if not len(sids):
+        return None
     dim = smat.shape[1]
     assert dim % m_sub == 0, "dim must be divisible by the subspace count"
     dsub = dim // m_sub
+    return sids, smat, pq_train_books(smat, m_sub, k_codes), dsub
 
-    books = pq_train_books(smat, m_sub, k_codes)
 
-    # distributed encode: codes in LONG form (vec_id, m, code) — the only
-    # corpus-scale table downstream, 8-byte rows, no float columns
+def _pq_encode_codes(
+    embeddings: DataFrame, books: np.ndarray, m_sub: int, dsub: int
+) -> DataFrame:
+    """Distributed encode: codes in LONG form (vec_id, m, code) — the
+    only corpus-scale table downstream, 8-byte rows, no float columns."""
+    from ..sources.tables import fan_out
+
     B = books
 
     def encode(batches):
@@ -1372,27 +1407,37 @@ def ann_pq_topk(
                 )
             yield pd.concat(outs, ignore_index=True)
 
-    codes = fan_out(embeddings.select("vec_id", "embedding")).mapInPandas(
+    return fan_out(embeddings.select("vec_id", "embedding")).mapInPandas(
         encode, schema="vec_id bigint, m int, code int"
     )
 
-    # per-query integer LUTs (n_queries × M × K rows — tiny, broadcast)
+
+def _pq_query_lut_rows(
+    queries: list[tuple[int, np.ndarray]],
+    books: np.ndarray,
+    m_sub: int,
+    dsub: int,
+    k_codes: int,
+) -> list[tuple[int, int, int, int]]:
+    """Per-query integer LUTs (n_queries × M × K rows — tiny, broadcast):
+    each entry is the integer-quantized partial squared distance from the
+    query's m-th subvector to codebook entry (m, c)."""
     lut_rows = []
-    for qid, qv in zip(sids, smat):
-        if qid >= n_queries:
-            continue
+    for qid, qv in queries:
         for m in range(m_sub):
             qs = qv[m * dsub : (m + 1) * dsub]
-            d2 = ((B[m] - qs[None, :]) ** 2).sum(axis=1)
+            d2 = ((books[m] - qs[None, :]) ** 2).sum(axis=1)
             for c in range(k_codes):
                 lut_rows.append(
                     (int(qid), m, c, int(round(d2[c] * PQ_QUANT)))
                 )
-    if not lut_rows:
-        return spark.createDataFrame([], out_schema)
-    lut = spark.createDataFrame(
-        lut_rows, "query_id bigint, m int, code int, pd_int bigint"
-    )
+    return lut_rows
+
+
+def _pq_adc_topk(codes: DataFrame, lut: DataFrame, k: int) -> DataFrame:
+    """ADC ranking tail: (m, code) equi-join + integer groupBy sum +
+    per-query top-k window — layout-invariant (micro-unit integers,
+    vec_id tie-break)."""
     adc = (
         codes.join(F.broadcast(lut), ["m", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1439,6 +1484,144 @@ def pq_train_books(
                     cb[c] = members.mean(axis=0)
         books[m] = cb
     return books
+
+
+# ---------------------------------------------------------------------------
+# Persisted PQ index: build once, query many (the ANN serving shape)
+# ---------------------------------------------------------------------------
+
+
+def pq_index_build(
+    embeddings: DataFrame,
+    path: str,
+    m_sub: int = PQ_M,
+    k_codes: int = PQ_K,
+    sample_cap: int = 2048,
+) -> dict:
+    """Build and PERSIST a PQ index under ``path``: the corpus-scale
+    encode pass (the expensive part — one full scan of the float
+    vectors) runs ONCE and lands as a parquet codes table
+    (vec_id, m, code — 64-bit-code rows, no floats), next to the tiny
+    codebook table (m, code, vec). Every later query session reads only
+    the codes table; the floats are never touched again — the
+    build-once/query-many serving shape the in-memory ``ann_pq_topk``
+    (whose codebook recipe this shares, bit-identically) cannot offer.
+
+    Returns build metadata {n_vectors, m_sub, k_codes, dsub}.
+    """
+    fitted = _pq_sample_books(embeddings, sample_cap, m_sub, k_codes)
+    if fitted is None:
+        raise ValueError("pq_index_build: empty or all-zero-norm corpus")
+    _, _, books, dsub = fitted
+    spark = embeddings.sparkSession
+    book_rows = [
+        (m, c, [float(x) for x in books[m][c]])
+        for m in range(m_sub)
+        for c in range(k_codes)
+    ]
+    spark.createDataFrame(
+        book_rows, "m int, code int, vec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks.parquet")
+    codes = _pq_encode_codes(embeddings, books, m_sub, dsub)
+    codes.write.mode("overwrite").parquet(f"{path}/codes.parquet")
+    n_codes = spark.read.parquet(f"{path}/codes.parquet").count()
+    return {
+        "n_vectors": n_codes // m_sub,
+        "m_sub": m_sub,
+        "k_codes": k_codes,
+        "dsub": dsub,
+    }
+
+
+def pq_index_topk(
+    spark: SparkSession,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+) -> DataFrame:
+    """Query a persisted PQ index: ``queries`` is a bounded driver-side
+    list of (query_id, raw vector) — per-request data, not corpus data.
+    Codebooks load to the driver (M·K rows), per-query integer LUTs
+    broadcast, and the search is the same (m, code) equi-join + integer
+    sum + top-k window as the in-memory path — over the CODES table
+    only. Zero-norm query vectors are excluded (cosine undefined).
+    Results are bit-equal to ``ann_pq_topk`` for the same corpus and
+    query vectors (pinned in tests): parquet round-trips the integer
+    codes exactly and the LUT/ranking arithmetic is shared."""
+    brows = sorted(
+        spark.read.parquet(f"{path}/codebooks.parquet").collect(),
+        key=lambda r: (r.m, r.code),
+    )
+    m_sub = 1 + max(r.m for r in brows)
+    k_codes = 1 + max(r.code for r in brows)
+    dsub = len(brows[0].vec)
+    books = np.zeros((m_sub, k_codes, dsub))
+    for r in brows:
+        books[r.m][r.code] = r.vec
+    qlist = []
+    for qid, vec in queries:
+        qv = np.asarray(vec, dtype=np.float64)
+        nv = np.linalg.norm(qv)
+        if nv > 0:
+            qlist.append((int(qid), qv / nv))
+    out_schema = (
+        "query_id bigint, neighbor_id bigint, adc_dist double, rk int"
+    )
+    lut_rows = _pq_query_lut_rows(qlist, books, m_sub, dsub, k_codes)
+    if not lut_rows:
+        return spark.createDataFrame([], out_schema)
+    lut = spark.createDataFrame(
+        lut_rows, "query_id bigint, m int, code int, pd_int bigint"
+    )
+    codes = spark.read.parquet(f"{path}/codes.parquet")
+    return _pq_adc_topk(codes, lut, k)
+
+
+def pq_index_roundtrip_profile(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str | None = None,
+    n_queries: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """One-row profile proving the persisted-index path is lossless:
+    build the index from the fixture embeddings into a per-invocation
+    temp dir, query it with the same first-``n_queries`` vectors the
+    in-memory path uses, and count exact row agreement against
+    ``ann_pq_topk`` — (n_vectors, n_code_rows, topk_rows, n_agree).
+    ``n_agree == topk_rows`` certifies build→parquet→query ≡ in-memory
+    end to end. Rows-only registry surface (iterative training)."""
+    import tempfile
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = work_dir or tempfile.mkdtemp(prefix="pq_index_")
+    meta = pq_index_build(emb, out)
+    queries = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    idx = {
+        tuple(r)
+        for r in pq_index_topk(spark, out, queries, k=k).collect()
+    }
+    mem = {
+        tuple(r)
+        for r in ann_pq_topk(emb, n_queries=n_queries, k=k).collect()
+    }
+    return spark.createDataFrame(
+        [
+            (
+                meta["n_vectors"],
+                meta["n_vectors"] * meta["m_sub"],
+                len(mem),
+                len(idx & mem),
+            )
+        ],
+        "n_vectors bigint, n_code_rows bigint, topk_rows bigint, "
+        "n_agree bigint",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1033,6 +1033,13 @@ register(
     "ann_ivfpq_rerank_topk",
     lambda spark, sf: SIM.ann_ivfpq_rerank_topk(_embs(spark, sf)),
 )
+# persisted PQ index round-trip (round 10): build-once/query-many — the
+# corpus encodes ONCE to a parquet codes table; queries touch only the
+# codes. n_agree == topk_rows certifies persisted ≡ in-memory search.
+register(
+    "pq_index_roundtrip",
+    lambda spark, sf: SIM.pq_index_roundtrip_profile(spark, sf),
+)
 # semantic decontamination: paraphrase-level eval leakage the verbatim
 # 8-gram decontamination_check cannot see (fixed eval side broadcast)
 register(

@@ -350,3 +350,55 @@ def test_ivfpq_rerank_beats_plain_ivfpq_and_saturates_with_probes(
         ).collect()
     )
     assert full_probe >= 0.9
+
+
+# ---------------------------------------------------------------------------
+# Persisted PQ index (build once / query many)
+
+
+def test_pq_index_roundtrip_bit_equal(spark, tmp_path, pq_result):
+    """Persisted-index search must be BIT-equal to the in-memory path:
+    same deterministic sample -> same codebooks, parquet round-trips the
+    integer codes exactly, and the LUT/ranking arithmetic is shared."""
+    emb = _emb(spark, SF_SMOKE)
+    meta = SIM.pq_index_build(emb, str(tmp_path / "idx"))
+    assert meta["m_sub"] == SIM.PQ_M and meta["k_codes"] == SIM.PQ_K
+    queries = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter("vec_id < 5").select("vec_id", "embedding").collect()
+    ]
+    got = sorted(
+        map(tuple, SIM.pq_index_topk(spark, str(tmp_path / "idx"), queries).collect())
+    )
+    assert got == sorted(map(tuple, pq_result))
+
+
+def test_pq_index_profile_full_agreement(spark, tmp_path):
+    row = SIM.pq_index_roundtrip_profile(
+        spark, SF_SMOKE, work_dir=str(tmp_path / "p")
+    ).collect()[0]
+    assert row.n_agree == row.topk_rows == 50
+    assert row.n_code_rows == row.n_vectors * SIM.PQ_M
+    assert row.n_vectors > 0
+
+
+def test_pq_index_queries_novel_vectors(spark, tmp_path):
+    """The index answers queries for vectors NOT in the corpus (the
+    serving case): results are well-formed, ranked, and exclude nothing
+    (no self-filter can apply to an unseen id)."""
+    emb = _emb(spark, SF_SMOKE)
+    SIM.pq_index_build(emb, str(tmp_path / "idx2"))
+    rng = np.random.default_rng(3)
+    q = [(10**9, [float(x) for x in rng.normal(size=64)])]
+    rows = SIM.pq_index_topk(spark, str(tmp_path / "idx2"), q, k=7).collect()
+    assert len(rows) == 7
+    assert [r.rk for r in sorted(rows, key=lambda r: r.rk)] == list(range(1, 8))
+    dists = [r.adc_dist for r in sorted(rows, key=lambda r: r.rk)]
+    assert dists == sorted(dists)
+    # zero-norm query vectors are excluded -> empty result, not NaN
+    assert (
+        SIM.pq_index_topk(
+            spark, str(tmp_path / "idx2"), [(5, [0.0] * 64)], k=3
+        ).count()
+        == 0
+    )
