@@ -27,6 +27,7 @@ from .operators import outliers as O
 from .operators import reconcile as RC
 from .operators import similarity as SIM
 from .plans import relational as R
+from .plans import tpch_shapes as TQ
 from .sources.tables import (
     POINTS_SQL_BODY,
     STREAM_SQL_BODY,
@@ -280,6 +281,47 @@ register(
     R.SHIPPING_PRIORITY_SQL,
 )
 register("salted_item_counts", R.salted_item_counts, R.SALTED_ITEM_COUNTS_SQL)
+
+# --- decision-support archetypes (TPC-H Q2/Q4/Q7..Q21 shapes adapted to
+# the fixture schema — see plans/tpch_shapes.py module docstring) ---
+register(
+    "order_priority_late_check",
+    TQ.order_priority_late_check,
+    TQ.ORDER_PRIORITY_LATE_SQL,
+)
+register(
+    "small_quantity_part_revenue",
+    TQ.small_quantity_part_revenue,
+    TQ.SMALL_QTY_REVENUE_SQL,
+)
+register("large_volume_customers", TQ.large_volume_customers, TQ.LARGE_VOLUME_SQL)
+register(
+    "customer_order_histogram",
+    TQ.customer_order_histogram,
+    TQ.CUSTOMER_ORDER_HISTOGRAM_SQL,
+)
+register("promo_revenue_pct", TQ.promo_revenue_pct, TQ.PROMO_REVENUE_SQL)
+register("nation_trade_volume", TQ.nation_trade_volume, TQ.NATION_TRADE_SQL)
+register("market_share_by_year", TQ.market_share_by_year, TQ.MARKET_SHARE_SQL)
+register("nation_product_profit", TQ.nation_product_profit, TQ.NATION_PROFIT_SQL)
+register("returned_item_report", TQ.returned_item_report, TQ.RETURNED_ITEM_SQL)
+register("important_part_values", TQ.important_part_values, TQ.IMPORTANT_PARTS_SQL)
+register(
+    "min_cost_supplier_per_part",
+    TQ.min_cost_supplier_per_part,
+    TQ.MIN_COST_SUPPLIER_SQL,
+)
+register(
+    "late_sole_supplier_orders",
+    TQ.late_sole_supplier_orders,
+    TQ.LATE_SOLE_SUPPLIER_SQL,
+)
+register(
+    "part_supplier_breadth", TQ.part_supplier_breadth, TQ.PART_SUPPLIER_BREADTH_SQL
+)
+register(
+    "dominant_part_suppliers", TQ.dominant_part_suppliers, TQ.DOMINANT_SUPPLIERS_SQL
+)
 # sketch aggregates: HLL/quantile internals are engine-specific → rows-only;
 # error bounds vs exact answers are property-tested in tests/test_relational.py
 register("approx_event_stats", R.approx_event_stats)

@@ -57,6 +57,9 @@ BNLJ_ALLOWED = {
     "pmi_top_bigrams": "ONE-ROW (Nt, Nb) totals side broadcast against "
                        "the support-cut bigram join — the same "
                        "scalar-subquery shape",
+    "important_part_values": "ONE-ROW global-total side (Q11's scalar "
+                             "subquery) broadcast against the per-part "
+                             "aggregate — single row by construction",
 }
 
 
