@@ -1105,6 +1105,21 @@ register(
     lambda spark, sf: SIM.semdedup_kept_counts(_embs(spark, sf)),
 )
 
+# distributed PCA / whitening (operators/pca.py): one-scan integer-exact
+# Gram partials → driver eigh; an eigendecomposition is not
+# SQL-expressible → rows-only, pinned against an exact NumPy recompute
+# and a layout-determinism check in tests/test_pca.py
+from .operators import pca as PCA  # noqa: E402
+
+register(
+    "embedding_pca_variance",
+    lambda spark, sf: PCA.embedding_pca_variance(_embs(spark, sf)),
+)
+register(
+    "embedding_pca_whitened_audit",
+    lambda spark, sf: PCA.pca_whitened_audit(_embs(spark, sf)),
+)
+
 # count-min sketch: distributed mergeable frequency sketch over the event
 # item stream; estimates joined with true counts so the CM overestimate
 # is part of the hash-checked output
