@@ -326,6 +326,135 @@ jac AS (
 """
 
 
+# ---------------------------------------------------------------------------
+# Asymmetric shingle containment (quote / subset detection)
+# ---------------------------------------------------------------------------
+
+# Jaccard misses the "document A is a fragment of document B" case: a
+# short quote inside a long page has tiny Jaccard but containment ≈ 1.
+# Containment C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| is the standard
+# asymmetric complement (Broder's resemblance/containment pair, 1997,
+# public). tau sits in the fixtures' measured bimodal gap (planted
+# near-dups ≥ 0.9, background < 0.3 at sf0.01 — margin ≥ 0.3 either
+# side of 0.6).
+CONTAINMENT_TAU = 0.6
+
+
+def _pair_containment(ex: DataFrame) -> DataFrame:
+    """(src_doc, dst_doc, containment) for every ORDERED pair sharing
+    ≥ 1 shingle: the share of src's distinct shingles present in dst.
+    One undirected common-count join emits both directions (no second
+    self-join)."""
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nb"))
+    both = common.join(sa, "doc_a").join(sb, "doc_b")
+    fwd = both.select(
+        F.col("doc_a").alias("src_doc"),
+        F.col("doc_b").alias("dst_doc"),
+        (F.col("common") / F.col("na")).alias("containment"),
+    )
+    rev = both.select(
+        F.col("doc_b").alias("src_doc"),
+        F.col("doc_a").alias("dst_doc"),
+        (F.col("common") / F.col("nb")).alias("containment"),
+    )
+    return fwd.union(rev)
+
+
+def containment_pairs(
+    documents: DataFrame,
+    tau: float = CONTAINMENT_TAU,
+    cut: int = SHINGLE_DF_CUT,
+    index: tuple[DataFrame, DataFrame | None] | None = None,
+) -> DataFrame:
+    """Directed near-containment pairs: C(src→dst) ≥ tau, rounded to 6.
+
+    Same cut/verify split as ``ngram_jaccard_pairs`` (and the same shared
+    persisted shingle ``index``): candidates come from the hot-shingle-cut
+    inverted index, the containment that decides is computed over FULL
+    shingle sets. A containment filter can only widen under the cut
+    (the denominator |sh(src)| shrinks), so cut-phase pruning at tau is
+    NOT lossless for containment the way the prefix filter is for
+    Jaccard — hence candidates are every co-shingled pair and tau is
+    applied only at verify time, on full sets.
+    """
+    ex_cut, sh_all = index if index is not None else _shingle_index(documents, cut)
+    if sh_all is None:
+        return (
+            _pair_containment(ex_cut)
+            .filter(F.col("containment") >= tau)
+            .select(
+                "src_doc", "dst_doc",
+                F.round("containment", 6).alias("containment"),
+            )
+        )
+    a = ex_cut.alias("a")
+    b = ex_cut.alias("b")
+    cand = (
+        a.join(b, "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    from ..session import persist_once
+
+    cand = persist_once(cand, StorageLevel.MEMORY_AND_DISK)
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    ex = sh_all.join(cand_docs, "doc_id", "left_semi")
+    return (
+        _pair_containment(ex)
+        .join(
+            cand.select("doc_a", "doc_b")
+            .union(cand.select(F.col("doc_b"), F.col("doc_a")))
+            .toDF("src_doc", "dst_doc"),
+            ["src_doc", "dst_doc"],
+            "left_semi",
+        )
+        .filter(F.col("containment") >= tau)
+        .select(
+            "src_doc", "dst_doc",
+            F.round("containment", 6).alias("containment"),
+        )
+    )
+
+
+def containment_pairs_sql(tau: float = CONTAINMENT_TAU) -> str:
+    return f"""
+WITH ex AS ({shingles_sql()}),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM ex GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+directed AS (
+  SELECT doc_a AS src_doc, doc_b AS dst_doc,
+         common::DOUBLE / sa.nsh AS containment
+  FROM common JOIN sizes sa ON sa.doc_id = doc_a
+  UNION ALL
+  SELECT doc_b, doc_a, common::DOUBLE / sb.nsh
+  FROM common JOIN sizes sb ON sb.doc_id = doc_b)
+SELECT src_doc, dst_doc, round(containment, 6) AS containment
+FROM directed WHERE containment >= {tau!r}
+"""
+
+
 # TF-IDF shingle cosine: the weighted lexical near-dup scorer. Jaccard
 # treats every shared shingle equally; TF-IDF cosine discounts common
 # boilerplate and rewards rare shared content — the standard soft

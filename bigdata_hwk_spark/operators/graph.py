@@ -1,0 +1,153 @@
+"""Weighted PageRank over the part co-purchase graph.
+
+Extension surface (no reference counterpart): alongside connected
+components (``dedup.py`` — cluster MEMBERSHIP) a pipeline needs a node
+IMPORTANCE measure — seed selection for crawls, popularity priors for
+retrieval, influence weighting for sampling. PageRank (Brin & Page
+1998, public) is the canonical one; this is the standard weighted
+formulation ``r' = (1−d)/N + d · Wᵀ_norm r`` run as a fixed number of
+DataFrame iterations.
+
+Graph construction: parts are linked when they appear in the same order
+(market-basket co-occurrence). Per-order fan-out is quadratic in the
+order's item count, but TPC-H orders carry ≤ 7 lineitems — a bounded
+constant, so edge volume is O(|lineitem|) with a small factor; the
+builder first DISTINCTs (orderkey, partkey) so duplicate lines can't
+square into the pair count. Co-occurrence counts become symmetric edge
+weights; row-normalizing by each source's out-weight makes the walk
+matrix column-stochastic over the co-purchased part set. Isolated parts
+(never co-purchased) have no random-walk semantics here and are
+excluded by construction — documented contract, not an accident.
+
+Scale shape: the edge table is built once, persisted, and partitioned
+by ``src``; each iteration is ONE equi-join of the (|parts|-row) rank
+table against the persisted edges — AQE broadcasts the rank side when
+it fits (parts ≪ edges at every SF) — plus one map-side-combined
+groupBy on ``dst``. The rank table is ``localCheckpoint``-ed per
+iteration, truncating what would otherwise become a T-deep join
+lineage (the connected-components device at ``dedup.py``). Driver
+traffic per iteration: zero (no collect; checkpoint materializes on
+executors). With no dangling nodes (symmetric edges ⇒ every node has
+out-weight), total rank stays at 1 up to float addition error.
+
+Determinism: iteration count is FIXED (no float convergence test), the
+emitted rank is rounded to 9 before the top-k ordering (partial-sum
+order varies run to run in the last ulp; round-before-rank is the
+BM25/TF-IDF device), ties break by part key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+PR_DAMPING = 0.85
+PR_ITERS = 10
+PR_TOPK = 20
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """(src, dst, weight): co-occurrence-weighted symmetric edges over
+    parts sharing an order. Both directions are emitted by the
+    unordered pair filter (src ≠ dst), so no explicit mirroring pass."""
+    li = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(b, "ok")
+        .filter(F.col("a.pk") != F.col("b.pk"))
+        .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = PR_DAMPING,
+    iters: int = PR_ITERS,
+) -> DataFrame:
+    """(node, rank) after ``iters`` weighted PageRank iterations.
+
+    ``edges`` must be symmetric (every node reachable as both src and
+    dst) — true for ``copurchase_edges`` by construction — so there are
+    no dangling nodes and no residual redistribution term.
+    """
+    from ..session import persist_scoped
+
+    norm = edges.groupBy("src").agg(F.sum("weight").alias("wout"))
+    walk, release_walk = persist_scoped(
+        edges.join(norm, "src").select(
+            "src", "dst", (F.col("weight") / F.col("wout")).alias("p")
+        ).repartition("src"),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    nodes, release_nodes = persist_scoped(
+        edges.select(F.col("src").alias("node")).distinct(),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    try:
+        n_nodes = nodes.count()
+        base = (1.0 - damping) / n_nodes
+        ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+        for _ in range(iters):
+            contrib = (
+                walk.join(ranks, walk["src"] == ranks["node"])
+                .groupBy("dst")
+                .agg(F.sum(F.col("p") * F.col("rank")).alias("inflow"))
+            )
+            ranks = (
+                nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.lit(damping)
+                        * F.coalesce(F.col("inflow"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint()
+            )
+        # the final ranks table is checkpoint-materialized — the scoped
+        # caches are not referenced by it (round-10 ADVICE hygiene:
+        # scoped persist, scoped release)
+        return ranks
+    finally:
+        release_walk()
+        release_nodes()
+
+
+def part_pagerank_topk(
+    lineitem: DataFrame,
+    damping: float = PR_DAMPING,
+    iters: int = PR_ITERS,
+    topk: int = PR_TOPK,
+) -> DataFrame:
+    """Top-``topk`` parts by co-purchase PageRank: (part, rnk, rank_x_n).
+
+    ``rank_x_n`` is the rank scaled by the node count (1.0 = the
+    uniform-walk baseline), rounded to 6 — scale-free across SFs and
+    stable under partial-sum reordering.
+    """
+    from pyspark.sql import Window
+
+    edges = copurchase_edges(lineitem)
+    ranks = pagerank(edges, damping=damping, iters=iters)
+    n_nodes = ranks.count()
+    scored = ranks.select(
+        F.col("node").alias("part"),
+        F.round(F.col("rank") * F.lit(float(n_nodes)), 6).alias("rank_x_n"),
+    )
+    # orderBy().limit(k) plans TakeOrderedAndProject (per-partition
+    # heaps, no global sort, no all-rows-to-one-partition window — the
+    # A-ES sampler's shape at splits.py); the rank position is then a
+    # window over the k SURVIVING rows only.
+    top = scored.orderBy(
+        F.col("rank_x_n").desc(), F.col("part").asc()
+    ).limit(topk)
+    w = Window.orderBy(F.col("rank_x_n").desc(), F.col("part").asc())
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "part", "rnk", "rank_x_n"
+    )

@@ -1,0 +1,167 @@
+"""BM25 full-text retrieval over the documents corpus.
+
+Extension surface (no reference counterpart): a training-data pipeline
+needs lexical retrieval long before it needs a vector index — eval-set
+decontamination sweeps, targeted corpus probes ("show me the docs that
+answer this"), and data-selection recipes (e.g. retrieval-augmented
+pretraining selection) all rank documents against a small query set.
+This module is the classic distributed inverted-index scorer: Okapi
+BM25 (Robertson/Sparck Jones; the Lucene ``k1``/``b`` variant with the
+``ln(1 + …)`` idf floor) expressed entirely in DataFrame ops.
+
+Shape at 100 TB:
+
+* the posting table (``doc_id, term, tf, dl``) is one map-side-combined
+  groupBy over the exploded corpus — the same shuffle a word-count pays;
+* the query side is TINY (a handful of terms) and broadcast onto the
+  postings, so the per-query candidate set is exactly the docs
+  containing ≥ 1 query term — no corpus-wide score materialization;
+* corpus stats (N, avgdl) and per-term document frequencies are one-row
+  / |vocab|-row aggregates; the one-row stats side rides a scalar-
+  subquery broadcast (the ``quality_gated_docs`` shape);
+* the final top-k is a per-query window over the matched docs only.
+
+Scores are rounded to 6 decimals BEFORE ranking on both engines, so the
+rank order (and the tie-break by doc_id) is identical arithmetic in
+Spark and DuckDB — the same determinism device the TF-IDF cosine and
+Jaccard families use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+# Fixed query set: multi-term probes over the fixture vocabulary (the
+# synthetic corpus draws from a small closed word list, so these hit
+# every SF). Literal in both engines — no RNG, no corpus-derived state.
+BM25_QUERIES: list[tuple[int, str]] = [
+    (1, "customer join table"),
+    (2, "batch scan"),
+    (3, "hash merge stream"),
+    (4, "slow filter value"),
+    (5, "window data row"),
+    (6, "spark query part"),
+]
+
+
+def _postings(documents: DataFrame) -> DataFrame:
+    """(doc_id, term, tf, dl) — whitespace tokens, term frequency and
+    document length per posting. One explode + one map-side-combined
+    groupBy; ``dl`` is constant per doc so ``min`` is exact."""
+    ws = F.split(F.col("text"), " ")
+    toks = documents.select(
+        "doc_id", F.size(ws).alias("dl"), F.explode(ws).alias("term")
+    )
+    return toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl")
+    )
+
+
+def bm25_topk(
+    documents: DataFrame,
+    queries: list[tuple[int, str]] = BM25_QUERIES,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    topk: int = BM25_TOPK,
+) -> DataFrame:
+    """Top-``topk`` documents per query by BM25 score.
+
+    Returns (query_id, doc_id, rnk, score): ``rnk`` ranks by the
+    6-decimal-rounded score descending, doc_id ascending — ranking on
+    the ROUNDED value keeps the order identical across engines and
+    across partial-aggregation orders (raw float sums are
+    order-sensitive in the last ulp; queries have ≤ 5 terms, so the
+    rounded value is stable).
+    """
+    spark = documents.sparkSession
+    q_rows = [
+        (qid, term) for qid, qtext in queries for term in qtext.split(" ")
+    ]
+    q = spark.createDataFrame(q_rows, "query_id int, term string")
+
+    tf = _postings(documents)
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = documents.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg(F.size(F.split(F.col("text"), " "))).alias("avgdl"),
+    )
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    scores = (
+        F.broadcast(q)
+        .join(tf, "term")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))  # ONE-ROW (n, avgdl) scalar side
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scores.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topk)
+        .select("query_id", "doc_id", "rnk", "score")
+    )
+
+
+def bm25_topk_sql(
+    queries: list[tuple[int, str]] = BM25_QUERIES,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    topk: int = BM25_TOPK,
+) -> str:
+    """DuckDB twin: identical tokenization, identical double arithmetic,
+    identical round-before-rank."""
+    q_values = ", ".join(
+        f"({qid}, '{term}')"
+        for qid, qtext in queries
+        for term in qtext.split(" ")
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, min(dl) AS dl, count(*) AS tf
+  FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT count(*)::DOUBLE AS n,
+         avg(len(string_split(text, ' '))) AS avgdl
+  FROM documents),
+q(query_id, term) AS (VALUES {q_values}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum(
+           ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * {k1 + 1.0!r})
+             / (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} * tf.dl / s.avgdl))
+         ), 6) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scores)
+SELECT query_id, doc_id, rnk, score
+FROM ranked WHERE rnk <= {topk}
+"""

@@ -1,0 +1,112 @@
+"""Robust per-group anomaly statistics (median / MAD / IQR fences).
+
+Extension surface (no reference counterpart): the spatial outlier
+family (``operators/outliers.py``) finds points isolated in R²; a data
+pipeline ALSO needs distributional anomaly screens over plain value
+columns — telemetry spikes, corrupt measurements, fat-finger prices.
+Mean/stddev fences break down under the very outliers they hunt, so the
+standard screens are median-based: the modified z-score
+``0.6745·|x − med| / MAD > 3.5`` (Iglewicz & Hoaglin 1993, public) and
+Tukey's IQR fences ``[p25 − 1.5·IQR, p75 + 1.5·IQR]``.
+
+Shape at 100 TB: exact interpolated percentiles per group are one
+map-side-combined groupBy (Spark's ``percentile`` aggregate); the MAD
+needs a second pass over the values with the group median joined back —
+the group-stats side is |groups| rows and broadcasts, so the fact table
+is scanned twice and shuffled never (the join is broadcast, the final
+count re-aggregates per group map-side). For a 100 TB column where two
+exact passes are too dear, the sketches module's mergeable histogram
+gives an approximate single-pass quantile — this operator is the exact
+twin the audits call when the answer must be right.
+
+Cross-engine determinism: the fence predicates compare against the
+6-decimal-ROUNDED med/mad/p25/p75 on both engines (an interpolated
+percentile differs in the last ulp between implementations; rounding
+first makes the comparison identical arithmetic — the round-before-rank
+device the BM25/TF-IDF rankers use).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAD_Z_CUT = 3.5       # modified z-score fence (Iglewicz & Hoaglin)
+MAD_CONSISTENCY = 0.6745  # Φ⁻¹(0.75): MAD→σ consistency constant
+IQR_WHISKER = 1.5     # Tukey fence multiplier
+
+
+def robust_value_outliers(events: DataFrame) -> DataFrame:
+    """Per event_type robust anomaly summary over ``value``.
+
+    Returns one row per event_type: n, med, mad, p25, p75 (rounded to
+    6) and the two fence counts ``n_mad_outliers`` / ``n_iqr_outliers``.
+    NULL values are excluded from both the percentiles and the counts
+    (identical semantics in DuckDB's ``quantile_cont``).
+    """
+    vals = events.filter(F.col("value").isNotNull()).select(
+        "event_type", "value"
+    )
+    stats = vals.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med"),
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("value", F.lit(0.75)), 6).alias("p75"),
+    )
+    with_med = vals.join(F.broadcast(stats), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.round(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)), 6
+        ).alias("mad")
+    )
+    full = vals.join(F.broadcast(stats.join(mad, "event_type")), "event_type")
+    iqr = F.col("p75") - F.col("p25")
+    is_mad_out = (
+        F.lit(MAD_CONSISTENCY) * F.abs(F.col("value") - F.col("med"))
+        > F.lit(MAD_Z_CUT) * F.col("mad")
+    )
+    is_iqr_out = (F.col("value") < F.col("p25") - F.lit(IQR_WHISKER) * iqr) | (
+        F.col("value") > F.col("p75") + F.lit(IQR_WHISKER) * iqr
+    )
+    return (
+        full.groupBy("event_type")
+        .agg(
+            F.min("n").alias("n"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.min("p25").alias("p25"),
+            F.min("p75").alias("p75"),
+            F.sum(is_mad_out.cast("bigint")).alias("n_mad_outliers"),
+            F.sum(is_iqr_out.cast("bigint")).alias("n_iqr_outliers"),
+        )
+        .select(
+            "event_type", "n", "med", "mad", "p25", "p75",
+            "n_mad_outliers", "n_iqr_outliers",
+        )
+    )
+
+
+ROBUST_VALUE_OUTLIERS_SQL = f"""
+WITH vals AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+stats AS (
+  SELECT event_type, count(*) AS n,
+         round(quantile_cont(value, 0.5), 6) AS med,
+         round(quantile_cont(value, 0.25), 6) AS p25,
+         round(quantile_cont(value, 0.75), 6) AS p75
+  FROM vals GROUP BY event_type),
+mad AS (
+  SELECT v.event_type,
+         round(quantile_cont(abs(v.value - s.med), 0.5), 6) AS mad
+  FROM vals v JOIN stats s USING (event_type)
+  GROUP BY v.event_type)
+SELECT s.event_type, s.n, s.med, m.mad, s.p25, s.p75,
+       sum(CASE WHEN {MAD_CONSISTENCY!r} * abs(v.value - s.med)
+                     > {MAD_Z_CUT!r} * m.mad
+                THEN 1 ELSE 0 END) AS n_mad_outliers,
+       sum(CASE WHEN v.value < s.p25 - {IQR_WHISKER!r} * (s.p75 - s.p25)
+                  OR v.value > s.p75 + {IQR_WHISKER!r} * (s.p75 - s.p25)
+                THEN 1 ELSE 0 END) AS n_iqr_outliers
+FROM vals v JOIN stats s USING (event_type) JOIN mad m USING (event_type)
+GROUP BY s.event_type, s.n, s.med, m.mad, s.p25, s.p75
+"""

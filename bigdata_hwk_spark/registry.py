@@ -1696,6 +1696,45 @@ register(
 )
 
 
+# --- lexical retrieval, containment dedup, robust screens, graph rank ---
+from .operators import graph as GR  # noqa: E402
+from .operators import retrieval as RV  # noqa: E402
+from .operators import robust as RB  # noqa: E402
+
+# BM25 top-k per query: the inverted-index scorer (query side broadcast
+# onto postings; scores rounded to 6 BEFORE ranking on both engines)
+register(
+    "bm25_doc_topk",
+    lambda spark, sf: RV.bm25_topk(_docs(spark, sf)),
+    RV.bm25_topk_sql(),
+)
+# Asymmetric shingle containment (quote/subset detection) — shares the
+# per-(session, corpus) persisted shingle index with the Jaccard family
+register(
+    "dedup_containment",
+    lambda spark, sf: D.containment_pairs(
+        _docs(spark, sf), index=_shingle_shared(spark, sf)
+    ),
+    D.containment_pairs_sql(),
+)
+# Median/MAD/IQR per-group anomaly screens over events.value (the exact
+# distributional twin of the sketches module's approximate histogram)
+register(
+    "robust_value_outliers",
+    lambda spark, sf: RB.robust_value_outliers(
+        load_table(spark, sf, "events")
+    ),
+    RB.ROBUST_VALUE_OUTLIERS_SQL,
+)
+# Weighted PageRank over the part co-purchase graph (fixed-iteration
+# DataFrame loop; NumPy power-iteration pin in tests/test_graph.py) —
+# rows-only: iterative fixpoint, not SQL-expressible in one statement
+register(
+    "part_copurchase_pagerank",
+    lambda spark, sf: GR.part_pagerank_topk(load_table(spark, sf, "lineitem")),
+)
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering (rotating — round-6 VERDICT item 8)
 # ---------------------------------------------------------------------------

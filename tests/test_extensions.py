@@ -84,6 +84,10 @@ EXTENSION_ORACLE_QUERIES = [
     "pmi_top_bigrams",
     "semantic_decontamination",
     "documents_jsonl_roundtrip",
+    # round-10: lexical retrieval + asymmetric containment + robust screens
+    "bm25_doc_topk",
+    "dedup_containment",
+    "robust_value_outliers",
 ]
 
 

@@ -60,6 +60,9 @@ BNLJ_ALLOWED = {
     "important_part_values": "ONE-ROW global-total side (Q11's scalar "
                              "subquery) broadcast against the per-part "
                              "aggregate — single row by construction",
+    "bm25_doc_topk": "ONE-ROW (N, avgdl) corpus-stats side broadcast "
+                     "against the query⋈posting join — the same "
+                     "scalar-subquery shape as unigram_surprise_scores",
 }
 
 

@@ -1,0 +1,204 @@
+"""Round-10 operator contracts: BM25 retrieval, asymmetric containment,
+robust (median/MAD/IQR) screens, and co-purchase PageRank.
+
+The registry oracle rows pin cross-engine equality (BM25, containment,
+robust — the parametrized sweep covers them at up to 3 SFs); these
+tests pin the operators' OWN semantics on hand-computable inputs and
+pin the rows-only PageRank against an independent NumPy power-iteration
+twin.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from bigdata_hwk_spark import registry
+from bigdata_hwk_spark.operators import graph as G
+from bigdata_hwk_spark.operators import retrieval as RV
+from bigdata_hwk_spark.operators import robust as RB
+from bigdata_hwk_spark.operators.dedup import containment_pairs
+from bigdata_hwk_spark.sources.tables import load_table
+
+from .conftest import SF_CORRECT, SF_SMOKE, assert_matches_oracle
+
+
+# ---------------------------------------------------------------- BM25
+def test_bm25_matches_oracle_smoke(spark):
+    assert_matches_oracle(
+        registry.QUERIES["bm25_doc_topk"](spark, SF_SMOKE),
+        registry.ORACLES["bm25_doc_topk"],
+        SF_SMOKE,
+    )
+
+
+def test_bm25_matches_oracle_gate_sf(spark):
+    assert_matches_oracle(
+        registry.QUERIES["bm25_doc_topk"](spark, SF_CORRECT),
+        registry.ORACLES["bm25_doc_topk"],
+        SF_CORRECT,
+    )
+
+
+def test_bm25_shape_and_ranking(spark):
+    """Per query: ≤ topk rows, ranks are 1..n without gaps, scores
+    non-increasing in rank, every score positive (the ln(1+…) idf floor
+    keeps even corpus-saturating terms non-negative)."""
+    rows = registry.QUERIES["bm25_doc_topk"](spark, SF_CORRECT).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {qid for qid, _ in RV.BM25_QUERIES}
+    for qrows in by_q.values():
+        qrows.sort(key=lambda r: r.rnk)
+        assert len(qrows) <= RV.BM25_TOPK
+        assert [r.rnk for r in qrows] == list(range(1, len(qrows) + 1))
+        scores = [r.score for r in qrows]
+        assert scores == sorted(scores, reverse=True)
+        assert all(s > 0 for s in scores)
+
+
+def test_bm25_prefers_more_query_terms(spark):
+    """A doc containing BOTH terms of a two-term query outranks a doc of
+    the same length containing one of them twice and a filler once —
+    per-term tf saturation is the property that separates BM25 from a
+    raw dot product."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta filler filler"),
+            (2, "alpha alpha filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.rnk
+        for r in RV.bm25_topk(docs, queries=[(1, "alpha beta")]).collect()
+    }
+    assert got[1] == 1 and got[2] == 2
+
+
+# --------------------------------------------------------- containment
+def test_containment_matches_oracle_smoke(spark):
+    assert_matches_oracle(
+        registry.QUERIES["dedup_containment"](spark, SF_SMOKE),
+        registry.ORACLES["dedup_containment"],
+        SF_SMOKE,
+    )
+
+
+def test_containment_is_asymmetric(spark):
+    """A short doc fully quoted inside a long doc: containment
+    short→long = 1.0 (caught), long→short well under tau (not emitted).
+    This is exactly the pair Jaccard misses."""
+    quote = "one two three four five six"
+    long_text = quote + " " + " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, long_text)], "doc_id long, text string"
+    )
+    rows = containment_pairs(docs).collect()
+    got = {(r.src_doc, r.dst_doc): r.containment for r in rows}
+    assert got == {(1, 2): 1.0}
+
+
+def test_containment_cut_path_is_subset(spark):
+    """With an active hot-shingle cut the candidate set can only shrink;
+    emitted pairs still carry FULL-set containment, so the result is a
+    subset of the uncut answer with identical values."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    full = {
+        (r.src_doc, r.dst_doc): r.containment
+        for r in containment_pairs(docs).collect()
+    }
+    cut = {
+        (r.src_doc, r.dst_doc): r.containment
+        for r in containment_pairs(docs, cut=5).collect()
+    }
+    assert set(cut) <= set(full)
+    for k, v in cut.items():
+        assert v == full[k]
+
+
+# -------------------------------------------------------------- robust
+def test_robust_matches_oracle_smoke(spark):
+    assert_matches_oracle(
+        registry.QUERIES["robust_value_outliers"](spark, SF_SMOKE),
+        registry.ORACLES["robust_value_outliers"],
+        SF_SMOKE,
+    )
+
+
+def test_robust_planted_outlier(spark):
+    """Nine benign values + one wild spike: both fences catch exactly
+    the spike; med/mad are the hand values; NULLs are excluded from n."""
+    vals = [10.0, 11.0, 12.0, 13.0, 14.0, 15.0, 16.0, 17.0, 18.0, 1000.0]
+    ev = spark.createDataFrame(
+        [(i, "t", v) for i, v in enumerate(vals)] + [(99, "t", None)],
+        "event_id long, event_type string, value double",
+    )
+    r = RB.robust_value_outliers(ev).collect()[0]
+    assert r.n == 10
+    assert r.med == 14.5  # interpolated median of the 10 values
+    # |x - 14.5| over vals -> sorted [0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,985.5]
+    assert r.mad == 2.5
+    assert r.n_mad_outliers == 1
+    assert r.n_iqr_outliers == 1
+
+
+def test_robust_constant_group_has_no_outliers(spark):
+    """Degenerate group (all values equal): MAD = 0 and the strict
+    inequality keeps the count at zero instead of flagging everything."""
+    ev = spark.createDataFrame(
+        [(i, "t", 7.0) for i in range(6)],
+        "event_id long, event_type string, value double",
+    )
+    r = RB.robust_value_outliers(ev).collect()[0]
+    assert r.mad == 0.0
+    assert r.n_mad_outliers == 0
+    assert r.n_iqr_outliers == 0
+
+
+# ------------------------------------------------------------ pagerank
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """The distributed fixed-iteration loop equals an independent dense
+    NumPy power iteration on the same edges to 1e-9, and total rank
+    mass is 1 (no dangling nodes in the symmetric co-purchase graph)."""
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    edges = G.copurchase_edges(li)
+    rows = edges.collect()
+    got = {r["node"]: r["rank"] for r in G.pagerank(edges).collect()}
+
+    nodes = sorted({r["src"] for r in rows})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    w = np.zeros((n, n))
+    for r in rows:
+        w[idx[r["src"]], idx[r["dst"]]] = r["weight"]
+    p = w / w.sum(axis=1, keepdims=True)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(G.PR_ITERS):
+        rank = (1 - G.PR_DAMPING) / n + G.PR_DAMPING * (p.T @ rank)
+
+    assert set(got) == set(nodes)
+    assert max(abs(got[v] - rank[idx[v]]) for v in nodes) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_copurchase_edges_symmetric(spark):
+    """Edge construction emits both directions with equal weight and no
+    self-loops — the no-dangling-node precondition pagerank() states."""
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    rows = G.copurchase_edges(li).collect()
+    w = {(r.src, r.dst): r.weight for r in rows}
+    assert all(src != dst for src, dst in w)
+    assert all(w[(b, a)] == c for (a, b), c in w.items())
+
+
+def test_pagerank_topk_deterministic(spark):
+    """Two independent runs return the identical top-k listing (round-
+    before-rank makes the ordering insensitive to partial-sum order)."""
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    a = [tuple(r) for r in G.part_pagerank_topk(li).collect()]
+    b = [tuple(r) for r in G.part_pagerank_topk(li).collect()]
+    assert a == b
+    assert len(a) == G.PR_TOPK
+    assert [r[1] for r in a] == list(range(1, G.PR_TOPK + 1))
