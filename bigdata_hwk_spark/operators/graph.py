@@ -75,48 +75,62 @@ def pagerank(
     dst) — true for ``copurchase_edges`` by construction — so there are
     no dangling nodes and no residual redistribution term.
     """
+    from pyspark.sql import Window
+
     from ..session import persist_scoped
 
-    norm = edges.groupBy("src").agg(F.sum("weight").alias("wout"))
+    # Row-normalize with a WINDOW over src, not a self-referencing
+    # norm join: the upstream pair-generation self-join then executes
+    # exactly once inside walk's single materialization (the join form
+    # re-ran it per consumer — measured as the dominant fixed cost),
+    # and the window's shuffle already leaves the table hash-partitioned
+    # by src — the key every iteration's join probes.
+    wsrc = Window.partitionBy("src")
     walk, release_walk = persist_scoped(
-        edges.join(norm, "src").select(
-            "src", "dst", (F.col("weight") / F.col("wout")).alias("p")
-        ).repartition("src"),
-        StorageLevel.MEMORY_AND_DISK,
-    )
-    nodes, release_nodes = persist_scoped(
-        edges.select(F.col("src").alias("node")).distinct(),
+        edges.select(
+            "src",
+            "dst",
+            (F.col("weight") / F.sum("weight").over(wsrc)).alias("p"),
+        ),
         StorageLevel.MEMORY_AND_DISK,
     )
     try:
+        # symmetric edges ⇒ every node occurs as src; one distinct off
+        # the persisted walk
+        nodes = walk.select(F.col("src").alias("node")).distinct()
         n_nodes = nodes.count()
         base = (1.0 - damping) / n_nodes
-        ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
-        for _ in range(iters):
-            contrib = (
-                walk.join(ranks, walk["src"] == ranks["node"])
-                .groupBy("dst")
-                .agg(F.sum(F.col("p") * F.col("rank")).alias("inflow"))
-            )
+        ranks = nodes.select(
+            "node", F.lit(1.0 / n_nodes).alias("rank")
+        ).localCheckpoint()
+        for it in range(iters):
+            # symmetric edges ⇒ every node also occurs as dst, so the
+            # inflow aggregate already covers the full node set — no
+            # node-table left join needed to re-complete it
             ranks = (
-                nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
-                .select(
-                    "node",
+                walk.join(ranks, walk["src"] == ranks["node"])
+                .groupBy(F.col("dst").alias("node"))
+                .agg(
                     (
                         F.lit(base)
                         + F.lit(damping)
-                        * F.coalesce(F.col("inflow"), F.lit(0.0))
-                    ).alias("rank"),
+                        * F.sum(F.col("p") * F.col("rank"))
+                    ).alias("rank")
                 )
-                .localCheckpoint()
             )
+            # checkpoint every SECOND round (and always the last): a
+            # 2-join-deep lineage plans fine, and halving the eager
+            # materializations halves the sequential job count — the
+            # actual wall cost of a fixed-point loop at this node scale
+            # (measured: rank rows are tiny; scheduling dominates)
+            if it % 2 == 1 or it == iters - 1:
+                ranks = ranks.localCheckpoint()
         # the final ranks table is checkpoint-materialized — the scoped
         # caches are not referenced by it (round-10 ADVICE hygiene:
         # scoped persist, scoped release)
         return ranks
     finally:
         release_walk()
-        release_nodes()
 
 
 def part_pagerank_topk(

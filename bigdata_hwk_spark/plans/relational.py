@@ -560,6 +560,77 @@ def shipping_priority_sqltext(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Key-skew profiler — the diagnostic you run BEFORE picking a salting /
+# AQE-skew-join strategy
+# ---------------------------------------------------------------------------
+
+def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
+    """One-row skew summary of ``key``'s distribution in ``df``.
+
+    Every skew mitigation below (two-phase salting, salted joins, AQE
+    skew splitting) starts from the same question: HOW skewed is this
+    key? This operator answers it in two map-side-combined aggregations
+    (per-key counts, then one row over the counts) — no scalar-subquery
+    cross join: the Shannon entropy over key shares rewrites to
+    ``ln T − (Σ c·ln c)/T``, so the total never has to be joined back.
+
+    Columns: n_keys, n_rows, max_count, top1_share (heaviest key's row
+    share), p50/p99_count (exact interpolated percentiles of the per-key
+    counts), entropy (nats), entropy_uniform_ratio (1.0 = perfectly
+    uniform keys; → 0 as one key dominates). Floats rounded to 6 for
+    cross-engine hash equality (percentile/ln ulp drift — the
+    round-before-compare device used engine-wide).
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    c = F.col("cnt").cast("double")
+    agg = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_count"),
+        F.percentile("cnt", F.lit(0.5)).alias("p50_raw"),
+        F.percentile("cnt", F.lit(0.99)).alias("p99_raw"),
+        F.sum(c * F.log(c)).alias("clnc"),
+    )
+    total = F.col("n_rows").cast("double")
+    entropy = F.log(total) - F.col("clnc") / total
+    return agg.select(
+        "n_keys",
+        "n_rows",
+        "max_count",
+        F.round(F.col("max_count") / total, 6).alias("top1_share"),
+        F.round("p50_raw", 6).alias("p50_count"),
+        F.round("p99_raw", 6).alias("p99_count"),
+        F.round(entropy, 6).alias("entropy"),
+        F.round(entropy / F.log(F.col("n_keys").cast("double")), 6).alias(
+            "entropy_uniform_ratio"
+        ),
+    )
+
+
+def event_user_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return key_skew_profile(load_table(spark, sf_dir, "events"), "user_id")
+
+
+EVENT_USER_SKEW_PROFILE_SQL = """
+WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+a AS (
+  SELECT count(*) AS n_keys, sum(cnt) AS n_rows, max(cnt) AS max_count,
+         quantile_cont(cnt, 0.5) AS p50_raw,
+         quantile_cont(cnt, 0.99) AS p99_raw,
+         sum(cnt::DOUBLE * ln(cnt::DOUBLE)) AS clnc
+  FROM c)
+SELECT n_keys, n_rows, max_count,
+       round(max_count / n_rows::DOUBLE, 6) AS top1_share,
+       round(p50_raw, 6) AS p50_count,
+       round(p99_raw, 6) AS p99_count,
+       round(ln(n_rows::DOUBLE) - clnc / n_rows::DOUBLE, 6) AS entropy,
+       round((ln(n_rows::DOUBLE) - clnc / n_rows::DOUBLE)
+             / ln(n_keys::DOUBLE), 6) AS entropy_uniform_ratio
+FROM a
+"""
+
+
+# ---------------------------------------------------------------------------
 # Skew-aware two-phase (salted) aggregation
 # ---------------------------------------------------------------------------
 

@@ -1727,11 +1727,18 @@ register(
     RB.ROBUST_VALUE_OUTLIERS_SQL,
 )
 # Weighted PageRank over the part co-purchase graph (fixed-iteration
-# DataFrame loop; NumPy power-iteration pin in tests/test_graph.py) —
-# rows-only: iterative fixpoint, not SQL-expressible in one statement
+# DataFrame loop; NumPy power-iteration pin in tests/test_round10_ops.py)
+# — rows-only: iterative fixpoint, not SQL-expressible in one statement
 register(
     "part_copurchase_pagerank",
     lambda spark, sf: GR.part_pagerank_topk(load_table(spark, sf, "lineitem")),
+)
+# Key-skew profiler: the pre-salting diagnostic (entropy via the
+# ln T − Σc·lnc/T rewrite — no scalar-subquery join anywhere)
+register(
+    "event_user_skew_profile",
+    R.event_user_skew_profile,
+    R.EVENT_USER_SKEW_PROFILE_SQL,
 )
 
 

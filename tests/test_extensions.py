@@ -88,6 +88,7 @@ EXTENSION_ORACLE_QUERIES = [
     "bm25_doc_topk",
     "dedup_containment",
     "robust_value_outliers",
+    "event_user_skew_profile",
 ]
 
 

@@ -157,6 +157,38 @@ def test_robust_constant_group_has_no_outliers(spark):
     assert r.n_iqr_outliers == 0
 
 
+# -------------------------------------------------------- skew profile
+def test_skew_profile_matches_oracle_smoke(spark):
+    assert_matches_oracle(
+        registry.QUERIES["event_user_skew_profile"](spark, SF_SMOKE),
+        registry.ORACLES["event_user_skew_profile"],
+        SF_SMOKE,
+    )
+
+
+def test_skew_profile_uniform_and_dominant(spark):
+    """Hand-checkable extremes: perfectly uniform keys score
+    entropy_uniform_ratio 1.0; a 90%-dominant key is reported with its
+    exact top1_share and a ratio well below 1."""
+    from bigdata_hwk_spark.plans.relational import key_skew_profile
+
+    uniform = spark.createDataFrame(
+        [(i % 4,) for i in range(40)], "user_id long"
+    )
+    r = key_skew_profile(uniform, "user_id").collect()[0]
+    assert r.n_keys == 4 and r.n_rows == 40 and r.max_count == 10
+    assert r.top1_share == 0.25
+    assert r.entropy_uniform_ratio == 1.0
+
+    skewed = spark.createDataFrame(
+        [(0,)] * 90 + [(i,) for i in range(1, 11)], "user_id long"
+    )
+    s = key_skew_profile(skewed, "user_id").collect()[0]
+    assert s.top1_share == 0.9
+    assert s.max_count == 90
+    assert s.entropy_uniform_ratio < 0.25
+
+
 # ------------------------------------------------------------ pagerank
 def test_pagerank_matches_numpy_power_iteration(spark):
     """The distributed fixed-iteration loop equals an independent dense
