@@ -86,6 +86,137 @@ def robust_value_outliers(events: DataFrame) -> DataFrame:
     )
 
 
+WINSOR_LO = 0.01
+WINSOR_HI = 0.99
+
+
+def winsorized_value_stats(
+    events: DataFrame, lo: float = WINSOR_LO, hi: float = WINSOR_HI
+) -> DataFrame:
+    """Per event_type mean/stddev before vs after winsorizing ``value``
+    at the [p_lo, p_hi] percentile fences — the standard tail-robust
+    moment estimate (clip, don't drop: sample size is preserved).
+
+    Same two-pass broadcast shape as ``robust_value_outliers``: exact
+    percentiles per group (one map-side-combined groupBy), |groups|-row
+    fence table broadcast back, clip + re-aggregate map-side. Fences are
+    6-decimal-rounded BEFORE clipping on both engines (percentile ulp
+    drift would otherwise flip boundary rows' clip decision).
+
+    Columns: n, mean_raw/mean_wins, sd_raw/sd_wins (sample stddev,
+    rounded to 6), n_clipped_lo/n_clipped_hi.
+    """
+    vals = events.filter(F.col("value").isNotNull()).select(
+        "event_type", "value"
+    )
+    fences = vals.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(lo)), 6).alias("p_lo"),
+        F.round(F.percentile("value", F.lit(hi)), 6).alias("p_hi"),
+    )
+    j = vals.join(F.broadcast(fences), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("p_lo")), F.col("p_hi"))
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("mean_raw"),
+            F.round(F.avg(clipped), 6).alias("mean_wins"),
+            F.round(F.stddev_samp("value"), 6).alias("sd_raw"),
+            F.round(F.stddev_samp(clipped), 6).alias("sd_wins"),
+            F.sum((F.col("value") < F.col("p_lo")).cast("bigint")).alias(
+                "n_clipped_lo"
+            ),
+            F.sum((F.col("value") > F.col("p_hi")).cast("bigint")).alias(
+                "n_clipped_hi"
+            ),
+        )
+    )
+
+
+WINSORIZED_VALUE_STATS_SQL = f"""
+WITH vals AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+fences AS (
+  SELECT event_type,
+         round(quantile_cont(value, {WINSOR_LO!r}), 6) AS p_lo,
+         round(quantile_cont(value, {WINSOR_HI!r}), 6) AS p_hi
+  FROM vals GROUP BY event_type)
+SELECT v.event_type, count(*) AS n,
+       round(avg(v.value), 6) AS mean_raw,
+       round(avg(least(greatest(v.value, f.p_lo), f.p_hi)), 6) AS mean_wins,
+       round(stddev_samp(v.value), 6) AS sd_raw,
+       round(stddev_samp(least(greatest(v.value, f.p_lo), f.p_hi)), 6)
+         AS sd_wins,
+       sum(CASE WHEN v.value < f.p_lo THEN 1 ELSE 0 END) AS n_clipped_lo,
+       sum(CASE WHEN v.value > f.p_hi THEN 1 ELSE 0 END) AS n_clipped_hi
+FROM vals v JOIN fences f USING (event_type)
+GROUP BY v.event_type
+"""
+
+
+def lang_source_independence(documents: DataFrame) -> DataFrame:
+    """Pearson chi-square independence audit of the lang × source
+    contingency table — "did the language mix shift per source?" is the
+    first drift question a multi-source corpus audit asks.
+
+    One map-side-combined groupBy builds the (lang, source, count)
+    table (vocabulary-bounded: langs × sources cells); marginals come
+    from two window sums over those CELLS (not the corpus), and the
+    statistic folds the cells into one row:
+    χ² = Σ (O − E)² / E with E = row_total · col_total / N.
+    Returns (n_cells, n_langs, n_sources, dof, chi2) — chi2 rounded to
+    6; the cell fold is a ≤ |langs·sources|-term double sum, far inside
+    round-6 stability.
+    """
+    from pyspark.sql import Window
+
+    cells = documents.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    wl = Window.partitionBy("lang")
+    ws = Window.partitionBy("source")
+    wall = Window.partitionBy()
+    e = (
+        F.sum("o").over(wl).cast("double")
+        * F.sum("o").over(ws).cast("double")
+        / F.sum("o").over(wall).cast("double")
+    )
+    per_cell = cells.select(
+        "lang",
+        "source",
+        ((F.col("o") - e) * (F.col("o") - e) / e).alias("contrib"),
+    )
+    return per_cell.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        (
+            (F.countDistinct("lang") - F.lit(1))
+            * (F.countDistinct("source") - F.lit(1))
+        ).alias("dof"),
+        F.round(F.sum("contrib"), 6).alias("chi2"),
+    )
+
+
+LANG_SOURCE_INDEPENDENCE_SQL = """
+WITH cells AS (
+  SELECT lang, source, count(*) AS o
+  FROM documents GROUP BY lang, source),
+x AS (
+  SELECT lang, source, o,
+         sum(o) OVER (PARTITION BY lang)::DOUBLE
+           * sum(o) OVER (PARTITION BY source)::DOUBLE
+           / sum(o) OVER ()::DOUBLE AS e
+  FROM cells)
+SELECT count(*) AS n_cells,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT source) AS n_sources,
+       (count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS dof,
+       round(sum((o - e) * (o - e) / e), 6) AS chi2
+FROM x
+"""
+
+
 ROBUST_VALUE_OUTLIERS_SQL = f"""
 WITH vals AS (
   SELECT event_type, value FROM events WHERE value IS NOT NULL),

@@ -1740,6 +1740,20 @@ register(
     R.event_user_skew_profile,
     R.EVENT_USER_SKEW_PROFILE_SQL,
 )
+# Tail-robust moments (winsorized mean/stddev per group) + the lang ×
+# source chi-square drift audit — both exact, both cell-bounded
+register(
+    "winsorized_value_stats",
+    lambda spark, sf: RB.winsorized_value_stats(
+        load_table(spark, sf, "events")
+    ),
+    RB.WINSORIZED_VALUE_STATS_SQL,
+)
+register(
+    "lang_source_independence",
+    lambda spark, sf: RB.lang_source_independence(_docs(spark, sf)),
+    RB.LANG_SOURCE_INDEPENDENCE_SQL,
+)
 
 
 # ---------------------------------------------------------------------------

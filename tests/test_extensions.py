@@ -89,6 +89,8 @@ EXTENSION_ORACLE_QUERIES = [
     "dedup_containment",
     "robust_value_outliers",
     "event_user_skew_profile",
+    "winsorized_value_stats",
+    "lang_source_independence",
 ]
 
 

@@ -157,6 +157,49 @@ def test_robust_constant_group_has_no_outliers(spark):
     assert r.n_iqr_outliers == 0
 
 
+# ------------------------------------------------- winsorize + chi2
+def test_winsorized_matches_oracle_smoke(spark):
+    assert_matches_oracle(
+        registry.QUERIES["winsorized_value_stats"](spark, SF_SMOKE),
+        registry.ORACLES["winsorized_value_stats"],
+        SF_SMOKE,
+    )
+
+
+def test_winsorized_planted_tail(spark):
+    """One wild spike among 99 benign values: the raw mean moves, the
+    winsorized mean barely does, and exactly one row clips high."""
+    vals = [float(i % 10 + 10) for i in range(99)] + [10000.0]
+    ev = spark.createDataFrame(
+        [(i, "t", v) for i, v in enumerate(vals)],
+        "event_id long, event_type string, value double",
+    )
+    r = RB.winsorized_value_stats(ev).collect()[0]
+    assert r.n == 100
+    assert r.n_clipped_hi == 1
+    assert r.mean_raw > 100  # spike drags the raw mean
+    assert r.mean_wins < 20  # winsorized mean stays near the bulk
+    assert r.sd_wins < r.sd_raw
+
+
+def test_chi2_independence_oracle_and_null_case(spark):
+    assert_matches_oracle(
+        registry.QUERIES["lang_source_independence"](spark, SF_SMOKE),
+        registry.ORACLES["lang_source_independence"],
+        SF_SMOKE,
+    )
+    # perfectly independent 2x2 table -> chi2 exactly 0
+    rows = (
+        [(i, "en", "a") for i in range(10)]
+        + [(i + 10, "en", "b") for i in range(10)]
+        + [(i + 20, "zh", "a") for i in range(10)]
+        + [(i + 30, "zh", "b") for i in range(10)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    r = RB.lang_source_independence(docs).collect()[0]
+    assert r.chi2 == 0.0 and r.dof == 1 and r.n_cells == 4
+
+
 # -------------------------------------------------------- skew profile
 def test_skew_profile_matches_oracle_smoke(spark):
     assert_matches_oracle(
