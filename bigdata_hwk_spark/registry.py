@@ -1754,6 +1754,43 @@ register(
     lambda spark, sf: RB.lang_source_independence(_docs(spark, sf)),
     RB.LANG_SOURCE_INDEPENDENCE_SQL,
 )
+# Streaming twin of the skew profiler: per-window key entropy as a
+# CHAINED streaming aggregation (batch body here is the oracle path;
+# the append-mode deployment is pinned in tests/test_streaming.py)
+def _windowed_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.windowed import windowed_key_entropy
+
+    return windowed_key_entropy(load_table(spark, sf_dir, "events"))
+
+
+def _windowed_entropy_sql() -> str:
+    from .streaming.windowed import WINDOWED_KEY_ENTROPY_SQL
+
+    return WINDOWED_KEY_ENTROPY_SQL
+
+
+register("windowed_user_entropy", _windowed_entropy, _windowed_entropy_sql())
+
+
+# Per-window FULL checksum (ck_m included) via the same chained-window
+# construction — closes windowed_checksum's documented ck_m gap
+def _windowed_checksum_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.windowed import windowed_checksum_m
+
+    return windowed_checksum_m(load_table(spark, sf_dir, "events"))
+
+
+def _windowed_checksum_m_sql() -> str:
+    from .streaming.windowed import windowed_checksum_m_sql
+
+    return windowed_checksum_m_sql()
+
+
+register(
+    "windowed_event_checksums_m",
+    _windowed_checksum_m,
+    _windowed_checksum_m_sql(),
+)
 
 
 # ---------------------------------------------------------------------------

@@ -382,9 +382,11 @@ def windowed_checksum(
     because xor is associative the per-window folds combine to the
     whole-table checksum by plain xor (tested), so any window range can
     be verified at any granularity from this output alone. The
-    multiplicity fold ``ck_m`` is deliberately absent: it needs a
-    two-level aggregation, which append-mode streaming cannot express —
-    it remains the batch audit's refinement.
+    multiplicity fold ``ck_m`` is absent HERE because it needs a
+    two-level aggregation; ``windowed_checksum_m`` below expresses
+    exactly that with Spark's chained time-window aggregation — use it
+    when the even-duplicate blind spot matters, this one when the
+    cheapest possible state does.
 
     State: O(open windows) rows of (count, two 60-bit accumulators),
     bounded by the watermark — the cheapest windowed state in this
@@ -404,6 +406,166 @@ def windowed_checksum(
         )
         .select(F.col("w.start").alias("win_start"), "n_rows", "ck_a", "ck_b")
     )
+
+
+def windowed_key_entropy(
+    events: DataFrame,
+    key: str = "user_id",
+    window: str = EVENT_WINDOW,
+    watermark: str = EVENT_WATERMARK,
+) -> DataFrame:
+    """Per-window key-skew monitor: the streaming twin of
+    ``plans.relational.key_skew_profile`` (run it BEFORE a key choice;
+    run this to watch the choice stay safe in production — a key that
+    was uniform at design time can go hot when one tenant spikes).
+
+    Output per closed window: (win_start, n_keys, n_rows, max_count,
+    entropy) with entropy = ln T − (Σ c·ln c)/T over the window's
+    per-key counts, rounded to 6.
+
+    This is a CHAINED streaming aggregation — counts per (window, key),
+    then the entropy fold per window. Append-mode support for stacked
+    stateful operators needs the second groupBy to re-window ON THE
+    WINDOW COLUMN (``F.window(F.col("w"), window)`` — the time-window
+    chaining introduced in Spark 3.4), which the watermark propagates
+    through; grouping the second stage by the raw struct instead raises
+    the multiple-stateful-operators error. State: O(open windows ×
+    keys in window) for stage 1 + O(open windows) for stage 2, both
+    watermark-bounded.
+    """
+    c = F.col("cnt").cast("double")
+    counts = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), key)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = F.col("n_rows").cast("double")
+    return (
+        counts.groupBy(F.window(F.col("w"), window).alias("w2"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("n_rows"),
+            F.max("cnt").alias("max_count"),
+            F.sum(c * F.log(c)).alias("clnc"),
+        )
+        .select(
+            F.col("w2.start").alias("win_start"),
+            "n_keys",
+            "n_rows",
+            "max_count",
+            F.round(
+                F.log(total) - F.col("clnc") / total, 6
+            ).alias("entropy"),
+        )
+    )
+
+
+WINDOWED_KEY_ENTROPY_SQL = """
+WITH c AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, user_id,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2)
+SELECT win_start, count(*) AS n_keys, sum(cnt) AS n_rows,
+       max(cnt) AS max_count,
+       round(ln(sum(cnt)::DOUBLE)
+             - sum(cnt::DOUBLE * ln(cnt::DOUBLE)) / sum(cnt)::DOUBLE,
+             6) AS entropy
+FROM c GROUP BY win_start
+"""
+
+
+def windowed_checksum_m(
+    events: DataFrame,
+    window: str = EVENT_WINDOW,
+    watermark: str = EVENT_WATERMARK,
+) -> DataFrame:
+    """Per-window FULL reconciliation checksum including the
+    multiplicity fold: (win_start, n_rows, ck_a, ck_b, ck_m).
+
+    The round-9 windowed_checksum shipped without ``ck_m`` on the stated
+    ground that its two-level aggregation (count per distinct row, then
+    fold) was not expressible in append-mode streaming. Chained
+    time-window aggregation (Spark 3.4+) expresses it directly: stage 1
+    counts per (window, row-hash pair), stage 2 re-windows ON the window
+    column and folds — the same construction ``windowed_key_entropy``
+    uses. ck_a/ck_b stay definitionally equal to the ungrouped xor
+    (odd-count case), so this strictly dominates ``windowed_checksum``
+    on detection power at the cost of stage-1 state carrying distinct
+    row hashes per open window instead of two accumulators.
+    """
+    from ..operators.reconcile import (
+        CK_SALT_M,
+        EVENTS_CANON,
+        _hash_pair_cols,
+        canon_row,
+    )
+    from ..functions.hashing import md5_hash64
+
+    h = events.withWatermark("ts", watermark).select(
+        "ts", *_hash_pair_cols(canon_row(EVENTS_CANON))
+    )
+    counts = h.groupBy(
+        F.window("ts", window).alias("w"), "__ha", "__hb"
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    hm = md5_hash64(
+        F.concat(
+            F.lit(CK_SALT_M),
+            F.col("__ha").cast("string"),
+            F.lit(":"),
+            F.col("__hb").cast("string"),
+            F.lit(":"),
+            F.col("__c").cast("string"),
+        )
+    )
+    return (
+        counts.select("w", "__ha", "__hb", "__c", hm.alias("__hm"))
+        .groupBy(F.window(F.col("w"), window).alias("w2"))
+        .agg(
+            F.sum("__c").cast("bigint").alias("n_rows"),
+            F.expr(
+                "bit_xor(CASE WHEN __c % 2 = 1 THEN __ha ELSE 0 END)"
+            ).alias("ck_a"),
+            F.expr(
+                "bit_xor(CASE WHEN __c % 2 = 1 THEN __hb ELSE 0 END)"
+            ).alias("ck_b"),
+            F.expr("bit_xor(__hm)").alias("ck_m"),
+        )
+        .select(
+            F.col("w2.start").alias("win_start"),
+            "n_rows", "ck_a", "ck_b", "ck_m",
+        )
+    )
+
+
+def windowed_checksum_m_sql() -> str:
+    """DuckDB batch twin of ``windowed_checksum_m``."""
+    from ..operators.reconcile import (
+        CK_SALT_M,
+        EVENTS_CANON,
+        _hash_pair_sql,
+        canon_row_sql,
+    )
+    from ..functions.hashing import md5_hash64_sql
+
+    m, ha, hb = _hash_pair_sql(canon_row_sql(EVENTS_CANON))
+    hm = md5_hash64_sql(
+        f"'{CK_SALT_M}' || CAST(ha AS VARCHAR) || ':' || "
+        "CAST(hb AS VARCHAR) || ':' || CAST(c AS VARCHAR)"
+    )
+    return f"""
+WITH h0 AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+                   {ha} AS ha, {hb} AS hb
+            FROM (SELECT ts, {m} AS m FROM events)),
+c0 AS (SELECT win_start, ha, hb, count(*) AS c
+       FROM h0 GROUP BY win_start, ha, hb)
+SELECT win_start,
+       sum(c)::BIGINT AS n_rows,
+       bit_xor(CASE WHEN c % 2 = 1 THEN ha ELSE 0 END) AS ck_a,
+       bit_xor(CASE WHEN c % 2 = 1 THEN hb ELSE 0 END) AS ck_b,
+       bit_xor({hm}) AS ck_m
+FROM c0
+GROUP BY win_start
+"""
 
 
 def windowed_checksum_sql() -> str:

@@ -1412,3 +1412,152 @@ def test_distributed_reservoir_stream_equals_batch_twin(spark, tmp_path):
     assert got_n == want_n == n
     assert got_sample == want_sample  # bit-equal, not just same set
     assert len(got_sample) == m
+
+
+def test_windowed_entropy_oracle_batch(spark):
+    from .conftest import SF_CORRECT, assert_matches_oracle
+    from bigdata_hwk_spark import registry
+
+    assert_matches_oracle(
+        registry.QUERIES["windowed_user_entropy"](spark, SF_CORRECT),
+        registry.ORACLES["windowed_user_entropy"],
+        SF_CORRECT,
+    )
+
+
+def test_windowed_entropy_chained_streaming_append(spark, tmp_path):
+    """The CHAINED streaming aggregation (counts per (window, key) ->
+    entropy per window) in append mode over file-replayed chunks emits
+    exactly the batch rows for every window the watermark closed."""
+    from bigdata_hwk_spark.sources.tables import load_table
+    from bigdata_hwk_spark.streaming.windowed import windowed_key_entropy
+
+    events = load_table(spark, SF_SMOKE, "events")
+    src = tmp_path / "ent_src"
+    src.mkdir()
+    ordered = events.orderBy("ts").collect()
+    mid = len(ordered) // 2
+    schema = "ts timestamp, user_id bigint"
+    for name, chunk in (("a", ordered[:mid]), ("b", ordered[mid:])):
+        spark.createDataFrame(
+            [(r.ts, r.user_id) for r in chunk], schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        windowed_key_entropy(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_entropy")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.win_start: (r.n_keys, r.n_rows, r.max_count, r.entropy)
+            for r in spark.table("t_entropy").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        r.win_start: (r.n_keys, r.n_rows, r.max_count, r.entropy)
+        for r in windowed_key_entropy(events).collect()
+    }
+    assert set(got) <= set(want)
+    for k, v in got.items():
+        assert v == want[k]
+    # the chained pipeline must actually close and emit the early windows
+    if want:
+        assert got, "append mode emitted nothing - watermark never advanced"
+        assert min(got) == min(want)
+
+
+def test_windowed_checksum_m_oracle_batch(spark):
+    from .conftest import SF_CORRECT, assert_matches_oracle
+    from bigdata_hwk_spark import registry
+
+    assert_matches_oracle(
+        registry.QUERIES["windowed_event_checksums_m"](spark, SF_CORRECT),
+        registry.ORACLES["windowed_event_checksums_m"],
+        SF_CORRECT,
+    )
+
+
+def test_windowed_checksum_m_catches_even_duplicate(spark):
+    """The blind spot ck_m exists for, per window: duplicating one row
+    TWICE leaves ck_a/ck_b unchanged (xor cancels) but moves ck_m and
+    n_rows. The plain windowed_checksum misses it by construction."""
+    from bigdata_hwk_spark.sources.tables import load_table
+    from bigdata_hwk_spark.streaming.windowed import windowed_checksum_m
+
+    events = load_table(spark, SF_SMOKE, "events")
+    victim = events.limit(1)
+    drifted = events.union(victim).union(victim)
+    base = {r.win_start: r for r in windowed_checksum_m(events).collect()}
+    drift = {r.win_start: r for r in windowed_checksum_m(drifted).collect()}
+    vwin = [
+        w for w in base
+        if base[w].n_rows != drift[w].n_rows
+    ]
+    assert len(vwin) == 1
+    w = vwin[0]
+    assert base[w].ck_a == drift[w].ck_a  # xor blind spot, by design
+    assert base[w].ck_b == drift[w].ck_b
+    assert base[w].ck_m != drift[w].ck_m  # multiplicity fold catches it
+    for w2 in base:
+        if w2 != w:
+            assert tuple(base[w2]) == tuple(drift[w2])
+
+
+def test_windowed_checksum_m_chained_streaming_append(spark, tmp_path):
+    """Append-mode deployment of the chained (window, row-hash) ->
+    window fold equals the batch twin on every closed window."""
+    from bigdata_hwk_spark.sources.tables import load_table
+    from bigdata_hwk_spark.streaming.windowed import windowed_checksum_m
+
+    events = load_table(spark, SF_SMOKE, "events")
+    src = tmp_path / "ckm_src"
+    src.mkdir()
+    ordered = events.orderBy("ts").collect()
+    mid = len(ordered) // 2
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    for name, chunk in (("a", ordered[:mid]), ("b", ordered[mid:])):
+        spark.createDataFrame(
+            [tuple(r[c] for c in cols) for r in chunk], schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        windowed_checksum_m(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_ckm")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.win_start: (r.n_rows, r.ck_a, r.ck_b, r.ck_m)
+            for r in spark.table("t_ckm").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        r.win_start: (r.n_rows, r.ck_a, r.ck_b, r.ck_m)
+        for r in windowed_checksum_m(events).collect()
+    }
+    assert set(got) <= set(want)
+    for k, v in got.items():
+        assert v == want[k]
+    if want:
+        assert got and min(got) == min(want)
