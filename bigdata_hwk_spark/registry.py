@@ -1793,6 +1793,23 @@ register(
 )
 
 
+# ORC source/sink round-trip certified by the reconciliation checksum
+# (content equality, not just aggregate equality — sources/orc.py)
+def _orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.orc import documents_orc_roundtrip_profile
+
+    return documents_orc_roundtrip_profile(spark, sf_dir)
+
+
+def _orc_roundtrip_sql() -> str:
+    from .sources.orc import documents_orc_roundtrip_sql
+
+    return documents_orc_roundtrip_sql()
+
+
+register("documents_orc_roundtrip", _orc_roundtrip, _orc_roundtrip_sql())
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering (rotating — round-6 VERDICT item 8)
 # ---------------------------------------------------------------------------

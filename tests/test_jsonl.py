@@ -79,3 +79,68 @@ def test_roundtrip_profile_releases_parse_cache(spark, tmp_path):
     )
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert after == before
+
+
+# ---------------------------------------------------------------- ORC
+def test_orc_roundtrip_matches_oracle_smoke(spark):
+    from bigdata_hwk_spark import registry
+
+    from .conftest import SF_SMOKE, assert_matches_oracle
+
+    assert_matches_oracle(
+        registry.QUERIES["documents_orc_roundtrip"](spark, SF_SMOKE),
+        registry.ORACLES["documents_orc_roundtrip"],
+        SF_SMOKE,
+    )
+
+
+def test_orc_checksum_moves_on_content_drift(spark, tmp_path):
+    """The round-trip certificate is content-sensitive: flipping ONE
+    character of ONE document between write and read-back moves the
+    xor fold (the aggregate-only profile would still match if lengths
+    were preserved)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_hwk_spark.operators.reconcile import (
+        _hash_pair_cols,
+        canon_row,
+    )
+    from bigdata_hwk_spark.sources.orc import (
+        DOCUMENTS_CANON,
+        read_documents_orc,
+        write_documents_orc,
+    )
+    from bigdata_hwk_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "orc_docs")
+    write_documents_orc(docs, out)
+    back = read_documents_orc(spark, out)
+
+    def fold(df):
+        return tuple(
+            df.select(*_hash_pair_cols(canon_row(DOCUMENTS_CANON)))
+            .agg(
+                F.expr("bit_xor(__ha)").alias("a"),
+                F.expr("bit_xor(__hb)").alias("b"),
+            )
+            .collect()[0]
+        )
+
+    victim = docs.select(F.min("doc_id")).collect()[0][0]
+    drifted = back.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == victim,
+            F.concat(F.lit("X"), F.expr("substring(text, 2)")),
+        ).otherwise(F.col("text")),
+    )
+    assert fold(back) == fold(docs)          # transcode is lossless
+    assert fold(drifted) != fold(docs)       # one flipped char is caught
+    # length-preserving flip: the aggregate profile alone would miss it
+    assert (
+        drifted.agg(F.sum(F.length("text"))).collect()[0][0]
+        == docs.agg(F.sum(F.length("text"))).collect()[0][0]
+    )
