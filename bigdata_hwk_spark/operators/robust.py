@@ -147,8 +147,10 @@ SELECT v.event_type, count(*) AS n,
        round(stddev_samp(v.value), 6) AS sd_raw,
        round(stddev_samp(least(greatest(v.value, f.p_lo), f.p_hi)), 6)
          AS sd_wins,
-       sum(CASE WHEN v.value < f.p_lo THEN 1 ELSE 0 END) AS n_clipped_lo,
-       sum(CASE WHEN v.value > f.p_hi THEN 1 ELSE 0 END) AS n_clipped_hi
+       CAST(sum(CASE WHEN v.value < f.p_lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_lo,
+       CAST(sum(CASE WHEN v.value > f.p_hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_hi
 FROM vals v JOIN fences f USING (event_type)
 GROUP BY v.event_type
 """
@@ -232,12 +234,12 @@ mad AS (
   FROM vals v JOIN stats s USING (event_type)
   GROUP BY v.event_type)
 SELECT s.event_type, s.n, s.med, m.mad, s.p25, s.p75,
-       sum(CASE WHEN {MAD_CONSISTENCY!r} * abs(v.value - s.med)
-                     > {MAD_Z_CUT!r} * m.mad
-                THEN 1 ELSE 0 END) AS n_mad_outliers,
-       sum(CASE WHEN v.value < s.p25 - {IQR_WHISKER!r} * (s.p75 - s.p25)
-                  OR v.value > s.p75 + {IQR_WHISKER!r} * (s.p75 - s.p25)
-                THEN 1 ELSE 0 END) AS n_iqr_outliers
+       CAST(sum(CASE WHEN {MAD_CONSISTENCY!r} * abs(v.value - s.med)
+                          > {MAD_Z_CUT!r} * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_mad_outliers,
+       CAST(sum(CASE WHEN v.value < s.p25 - {IQR_WHISKER!r} * (s.p75 - s.p25)
+                       OR v.value > s.p75 + {IQR_WHISKER!r} * (s.p75 - s.p25)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_iqr_outliers
 FROM vals v JOIN stats s USING (event_type) JOIN mad m USING (event_type)
 GROUP BY s.event_type, s.n, s.med, m.mad, s.p25, s.p75
 """

@@ -619,7 +619,7 @@ a AS (
          quantile_cont(cnt, 0.99) AS p99_raw,
          sum(cnt::DOUBLE * ln(cnt::DOUBLE)) AS clnc
   FROM c)
-SELECT n_keys, n_rows, max_count,
+SELECT n_keys, CAST(n_rows AS BIGINT) AS n_rows, max_count,
        round(max_count / n_rows::DOUBLE, 6) AS top1_share,
        round(p50_raw, 6) AS p50_count,
        round(p99_raw, 6) AS p99_count,

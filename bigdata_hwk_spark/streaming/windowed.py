@@ -465,7 +465,8 @@ WITH c AS (
   SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, user_id,
          count(*) AS cnt
   FROM events GROUP BY 1, 2)
-SELECT win_start, count(*) AS n_keys, sum(cnt) AS n_rows,
+SELECT win_start, count(*) AS n_keys,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
        max(cnt) AS max_count,
        round(ln(sum(cnt)::DOUBLE)
              - sum(cnt::DOUBLE * ln(cnt::DOUBLE)) / sum(cnt)::DOUBLE,
