@@ -156,3 +156,86 @@ FROM packed
 GROUP BY shard
 ORDER BY shard
 """
+
+
+# ---------------------------------------------------------------------------
+# Release manifest: the packing layout, checksum-certified per shard
+# ---------------------------------------------------------------------------
+
+MANIFEST_SALT = "pack-manifest-v1:"
+
+
+def shard_release_manifest(
+    documents: DataFrame,
+    budget: int = PACK_BUDGET,
+    shards: int = PACK_SHARDS,
+) -> DataFrame:
+    """Per-shard release manifest with an order-independent checksum of
+    the LAYOUT: (shard, n_docs, n_tokens, n_sequences, ck_a, ck_b).
+
+    A training-data release hands downstream consumers shard files plus
+    a manifest; the consumer must be able to verify "the layout I read
+    is the layout you packed" without re-deriving it. The xor fold of
+    the salted (doc_id : n_tokens : seq_id : seq_offset) rows is the
+    reconciliation-family construction applied to the packing
+    coordinates — two independent packing runs (or the producer and a
+    consumer's audit, or Spark and the DuckDB oracle here) certify each
+    other by comparing O(shards) tiny rows. Deterministic because the
+    packing itself is (salted shard hash + doc_id order + integer
+    sums).
+    """
+    from .reconcile import _hash_pair_cols
+
+    packed = pack_sequences(documents, budget, shards)
+    row = F.concat_ws(
+        ":",
+        F.col("doc_id").cast("string"),
+        F.col("n_tokens").cast("string"),
+        F.col("seq_id").cast("string"),
+        F.col("seq_offset").cast("string"),
+    )
+    h = packed.select(
+        "shard", "n_tokens",
+        *_hash_pair_cols(F.concat(F.lit(MANIFEST_SALT), row)),
+    )
+    return (
+        h.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.ceil(F.sum("n_tokens") / F.lit(float(budget)))
+            .cast("bigint")
+            .alias("n_sequences"),
+            F.expr("bit_xor(__ha)").alias("ck_a"),
+            F.expr("bit_xor(__hb)").alias("ck_b"),
+        )
+        .orderBy("shard")
+    )
+
+
+def shard_release_manifest_sql(
+    budget: int = PACK_BUDGET, shards: int = PACK_SHARDS
+) -> str:
+    from .reconcile import _hash_pair_sql
+
+    row = (
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR)"
+        " || ':' || CAST(seq_id AS VARCHAR)"
+        " || ':' || CAST(seq_offset AS VARCHAR)"
+    )
+    m, ha, hb = _hash_pair_sql(f"'{MANIFEST_SALT}' || {row}")
+    # _hash_pair_sql salts with CK_SALT internally on top of our salt —
+    # identical on the Spark side, where _hash_pair_cols does the same
+    return f"""
+WITH packed AS ({pack_sequences_sql(budget, shards)}),
+h AS (SELECT shard, n_tokens, {m} AS m FROM packed)
+SELECT shard,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(ceil(sum(n_tokens) / {float(budget)!r}) AS BIGINT) AS n_sequences,
+       bit_xor({ha}) AS ck_a,
+       bit_xor({hb}) AS ck_b
+FROM h
+GROUP BY shard
+ORDER BY shard
+"""

@@ -1808,6 +1808,13 @@ def _orc_roundtrip_sql() -> str:
 
 
 register("documents_orc_roundtrip", _orc_roundtrip, _orc_roundtrip_sql())
+# Per-shard packing-layout manifest with reconciliation checksums: the
+# release artifact a consumer verifies shard files against
+register(
+    "shard_release_manifest",
+    lambda spark, sf: PK.shard_release_manifest(_docs(spark, sf)),
+    PK.shard_release_manifest_sql(),
+)
 
 
 # ---------------------------------------------------------------------------

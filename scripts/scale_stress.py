@@ -332,6 +332,22 @@ HEAVY_QUERIES = [
     # with no superlinear knee (at scale it runs AFTER
     # partition_checksums narrows to the drifted partitions)
     "lineitem_replica_diff",
+    # BM25 retrieval (round 10): the claim is that cost tracks the
+    # postings/df build (linear in corpus) while the scoring side stays
+    # bound to the docs matching the tiny fixed query set — per-replica
+    # alphabet permutations keep the match set constant, so a
+    # superlinear exponent here would indict the inverted-index build
+    "bm25_doc_topk",
+    # asymmetric containment (round 10): same inverted-index candidate
+    # join as the Jaccard family but with DIRECTED emission — the 64×
+    # point tests that the shared-shingle pair fan-out stays bounded by
+    # the per-replica shingle decorrelation like ngram_jaccard's does
+    "dedup_containment",
+    # co-purchase PageRank (round 10): fixed-iteration loop — the claim
+    # is wall ∝ edge volume with the ~6s fixed cost (walk build + 10
+    # scheduled jobs) amortizing away, i.e. exponent well below 1 at 8×
+    # should RISE toward the linear per-edge cost at 64×, not past it
+    "part_copurchase_pagerank",
 ]
 
 # Inline justifications for the second-decade entries whose exponents

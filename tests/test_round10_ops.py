@@ -232,6 +232,41 @@ def test_skew_profile_uniform_and_dominant(spark):
     assert s.entropy_uniform_ratio < 0.25
 
 
+# ---------------------------------------------------- release manifest
+def test_shard_manifest_matches_oracle_smoke(spark):
+    assert_matches_oracle(
+        registry.QUERIES["shard_release_manifest"](spark, SF_SMOKE),
+        registry.ORACLES["shard_release_manifest"],
+        SF_SMOKE,
+    )
+
+
+def test_shard_manifest_detects_layout_drift(spark):
+    """The manifest certifies the LAYOUT: perturbing one document's
+    token count (same doc set, same shard assignment) moves exactly
+    that shard's checksum and leaves the others bit-identical."""
+    from pyspark.sql import functions as F
+
+    from bigdata_hwk_spark.operators.packing import shard_release_manifest
+    from bigdata_hwk_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    victim = docs.select(F.min("doc_id")).collect()[0][0]
+    drifted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == victim, F.concat(F.col("text"), F.lit(" x"))
+        ).otherwise(F.col("text")),
+    )
+    base = {r.shard: r for r in shard_release_manifest(docs).collect()}
+    moved = {r.shard: r for r in shard_release_manifest(drifted).collect()}
+    diff = [s for s in base if tuple(base[s]) != tuple(moved[s])]
+    assert len(diff) == 1
+    s = diff[0]
+    assert moved[s].n_tokens == base[s].n_tokens + 1
+    assert (base[s].ck_a, base[s].ck_b) != (moved[s].ck_a, moved[s].ck_b)
+
+
 # ------------------------------------------------------------ pagerank
 def test_pagerank_matches_numpy_power_iteration(spark):
     """The distributed fixed-iteration loop equals an independent dense
