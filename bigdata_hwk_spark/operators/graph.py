@@ -165,3 +165,154 @@ def part_pagerank_topk(
     return top.withColumn("rnk", F.row_number().over(w)).select(
         "part", "rnk", "rank_x_n"
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact triangle count + global clustering coefficient
+# ---------------------------------------------------------------------------
+
+def copurchase_triangles(lineitem: DataFrame) -> DataFrame:
+    """One row: (n_nodes, n_edges, n_wedges, n_triangles,
+    global_clustering) over the undirected co-purchase graph.
+
+    The MapReduce-classic degree-ordered orientation (Cohen 2009; Suri &
+    Vassilvitskii's MR triangle counting — public): orient every
+    undirected edge from its lower (degree, id) endpoint to the higher,
+    which (a) makes each triangle {x<y<z} countable EXACTLY once — as
+    the wedge at x closed by the oriented edge y→z — and (b) bounds
+    every out-degree by O(√E) on any graph, so the wedge self-join's
+    fan-out is capped no matter how skewed the raw degrees are (the hub
+    that breaks the naive neighbor join is exactly the node the
+    orientation demotes to mostly-incoming).
+
+    Plan: one distinct + one equi-self-join to undirected pairs, one
+    degree aggregate joined back to both endpoints, the wedge self-join
+    on the shared LOW endpoint, and one closure equi-join against the
+    oriented edge set. All joins keyed; (degree, id) ordering is
+    integer-exact struct comparison, identical row-comparison logic in
+    the DuckDB oracle. ``n_wedges`` is Σ C(d,2) (open+closed paths of
+    length 2) so ``global_clustering = 3·triangles / wedges`` is the
+    standard transitivity ratio, rounded to 6.
+    """
+    li = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("a.pk") < F.col("b.pk"))
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .union(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ku = F.struct(F.col("du").alias("d"), F.col("u").alias("i"))
+    kv = F.struct(F.col("dv").alias("d"), F.col("v").alias("i"))
+    oriented = (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(ku < kv, kv).otherwise(ku).alias("kdst"),
+        )
+    )
+    from ..session import persist_scoped
+    from pyspark.storagelevel import StorageLevel
+
+    oriented, release = persist_scoped(oriented, StorageLevel.MEMORY_AND_DISK)
+    try:
+        e1 = oriented.alias("e1")
+        e2 = oriented.alias("e2")
+        wedges_at_low = (
+            e1.join(e2, "src")
+            .filter(F.col("e1.kdst") < F.col("e2.kdst"))
+            .select(
+                F.col("e1.dst").alias("u"), F.col("e2.dst").alias("v")
+            )
+        )
+        closure = oriented.select("src", "dst")
+        n_tri = (
+            wedges_at_low.join(
+                closure,
+                (wedges_at_low["u"] == closure["src"])
+                & (wedges_at_low["v"] == closure["dst"]),
+                "inner",
+            ).count()
+        )
+        stats = deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            (F.sum(F.col("d") * (F.col("d") - 1)) / 2)
+            .cast("bigint")
+            .alias("n_wedges"),
+            (F.sum("d") / 2).cast("bigint").alias("n_edges"),
+        ).collect()[0]
+        spark = lineitem.sparkSession
+        clustering = (
+            round(3.0 * n_tri / stats.n_wedges, 6) if stats.n_wedges else 0.0
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    stats.n_nodes,
+                    stats.n_edges,
+                    stats.n_wedges,
+                    n_tri,
+                    clustering,
+                )
+            ],
+            "n_nodes bigint, n_edges bigint, n_wedges bigint, "
+            "n_triangles bigint, global_clustering double",
+        )
+    finally:
+        release()
+
+
+def copurchase_triangles_sql(mod: int | None = None) -> str:
+    """DuckDB twin; ``mod`` mirrors the registry's orderkey-modulus
+    subset guard (triangle counting is quadratic in graph DENSITY by
+    physics — the guard is the exact-outlier family's size-guard
+    pattern applied to density)."""
+    where = f" WHERE l_orderkey % {mod} = 0" if mod else ""
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem{where}),
+pairs AS (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+  GROUP BY node),
+o AS (
+  SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.u ELSE p.v END AS src,
+         CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.v ELSE p.u END AS dst,
+         CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN dv.d ELSE du.d END AS kd,
+         CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.v ELSE p.u END AS ki
+  FROM pairs p
+  JOIN deg du ON du.node = p.u
+  JOIN deg dv ON dv.node = p.v),
+w AS (
+  SELECT e1.dst AS u, e2.dst AS v
+  FROM o e1 JOIN o e2
+    ON e1.src = e2.src AND (e1.kd, e1.ki) < (e2.kd, e2.ki)),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM w JOIN o ON o.src = w.u AND o.dst = w.v),
+s AS (
+  SELECT count(*) AS n_nodes,
+         CAST(sum(d * (d - 1)) / 2 AS BIGINT) AS n_wedges,
+         CAST(sum(d) / 2 AS BIGINT) AS n_edges
+  FROM deg)
+SELECT s.n_nodes, s.n_edges, s.n_wedges,
+       CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+       round(3.0 * tri.n_triangles / s.n_wedges, 6) AS global_clustering
+FROM s, tri
+"""

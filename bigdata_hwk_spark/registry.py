@@ -1815,6 +1815,29 @@ register(
     lambda spark, sf: PK.shard_release_manifest(_docs(spark, sf)),
     PK.shard_release_manifest_sql(),
 )
+# Exact triangle count / transitivity. Wedge volume is quadratic in
+# graph DENSITY by physics, so the registry applies the exact-outlier
+# family's size-guard pattern: a deterministic orderkey-modulus subset
+# keeps the density bench-safe at every SF (the operator itself is
+# general; degree-ordered orientation bounds fan-out at O(sqrt E)).
+TRIANGLE_SUBSET_MOD = 7
+
+
+def _triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return GR.copurchase_triangles(
+        load_table(spark, sf_dir, "lineitem").filter(
+            F.col("l_orderkey") % TRIANGLE_SUBSET_MOD == 0
+        )
+    )
+
+
+register(
+    "copurchase_triangle_stats",
+    _triangle_stats,
+    GR.copurchase_triangles_sql(TRIANGLE_SUBSET_MOD),
+)
 
 
 # ---------------------------------------------------------------------------

@@ -303,6 +303,46 @@ def test_copurchase_edges_symmetric(spark):
     assert all(w[(b, a)] == c for (a, b), c in w.items())
 
 
+def test_triangles_match_oracle_smoke(spark):
+    assert_matches_oracle(
+        registry.QUERIES["copurchase_triangle_stats"](spark, SF_SMOKE),
+        registry.ORACLES["copurchase_triangle_stats"],
+        SF_SMOKE,
+    )
+
+
+def test_triangles_match_oracle_gate_sf(spark):
+    assert_matches_oracle(
+        registry.QUERIES["copurchase_triangle_stats"](spark, SF_CORRECT),
+        registry.ORACLES["copurchase_triangle_stats"],
+        SF_CORRECT,
+    )
+
+
+def test_triangles_hand_cases(spark):
+    """K4 (one 4-item order): C(4,3)=4 triangles, transitivity 1. A
+    star (hub order pairs each spoke with the hub only... not
+    expressible per-order) — instead: two disjoint 3-item orders give
+    exactly 2 triangles; adding a 2-item bridge order adds an edge but
+    no triangle and no new wedge closure."""
+    k4 = spark.createDataFrame(
+        [(1, p) for p in (10, 11, 12, 13)], "l_orderkey long, l_partkey long"
+    )
+    r = G.copurchase_triangles(k4).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)
+    assert r.global_clustering == 1.0
+
+    two_tris = spark.createDataFrame(
+        [(1, p) for p in (10, 11, 12)]
+        + [(2, p) for p in (20, 21, 22)]
+        + [(3, p) for p in (12, 20)],  # bridge edge, closes nothing
+        "l_orderkey long, l_partkey long",
+    )
+    r2 = G.copurchase_triangles(two_tris).collect()[0]
+    assert r2.n_triangles == 2
+    assert r2.n_edges == 7
+
+
 def test_pagerank_topk_deterministic(spark):
     """Two independent runs return the identical top-k listing (round-
     before-rank makes the ordering insensitive to partial-sum order)."""
