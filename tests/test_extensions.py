@@ -91,6 +91,8 @@ EXTENSION_ORACLE_QUERIES = [
     "event_user_skew_profile",
     "winsorized_value_stats",
     "lang_source_independence",
+    "documents_orc_roundtrip",
+    "shard_release_manifest",
 ]
 
 
