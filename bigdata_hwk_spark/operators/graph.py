@@ -247,7 +247,16 @@ def copurchase_triangles(lineitem: DataFrame) -> DataFrame:
                 "inner",
             ).count()
         )
-        stats = deg.agg(
+        # degree stats off the PERSISTED oriented table (each undirected
+        # edge appears exactly once): recomputing `deg` from `pairs`
+        # would replay the upstream pair self-join a second time
+        deg_p = (
+            oriented.select(F.col("src").alias("node"))
+            .union(oriented.select(F.col("dst").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        stats = deg_p.agg(
             F.count(F.lit(1)).alias("n_nodes"),
             (F.sum(F.col("d") * (F.col("d") - 1)) / 2)
             .cast("bigint")

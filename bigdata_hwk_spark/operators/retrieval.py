@@ -85,7 +85,19 @@ def bm25_topk(
     q = spark.createDataFrame(q_rows, "query_id int, term string")
 
     tf = _postings(documents)
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df over QUERY terms only: semi-join the postings to the tiny term
+    # set BEFORE aggregating — the per-term doc counts are identical
+    # (every posting of a query term survives the semi-join) and the df
+    # side stays ≤ |query terms| rows, so broadcasting it can never OOM.
+    # Aggregating the full vocabulary and force-broadcasting it would be
+    # the Heaps-law trap a 100 TB corpus springs on the encode join
+    # (same class as the round-10 BPE broadcast-hint fix).
+    q_terms = q.select("term").distinct()
+    df = (
+        tf.join(F.broadcast(q_terms), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     stats = documents.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.avg(F.size(F.split(F.col("text"), " "))).alias("avgdl"),
