@@ -1990,3 +1990,169 @@ SELECT doc_id,
                            ' ' ORDER BY pos), '') AS clean_text
 FROM marked GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (entity-resolution windowing)
+# ---------------------------------------------------------------------------
+
+SNB_W = 8          # neighborhood width: pairs within w positions of the sort
+SNB_TAU = 0.9      # word-set Jaccard verify threshold (word sets of the
+                   # small-vocab fixture overlap heavily by chance; 0.9
+                   # keeps the verified set at genuine near-dup density)
+SNB_KEY_WORDS = 4  # blocking key = the 4 smallest-by-hash distinct words
+
+
+def _snb_ranked(documents: DataFrame, key_words: int = SNB_KEY_WORDS) -> DataFrame:
+    """(doc_id, wset, rnk) — every document's global rank in
+    (blocking-key, doc_id) order, computed WITHOUT a single-task global
+    window.
+
+    The blocking key joins the md5 digests of the ``key_words``
+    smallest-BY-HASH distinct words — i.e. the sort order is MinHash
+    order: two documents agree on their minimum-hash word with
+    probability equal to their word-set Jaccard, so near-duplicates sort
+    adjacently (word-order-insensitive), while the key's *leading
+    characters* are uniform hex. That uniformity is what makes the rank
+    distributable: the global rank uses the driver-folded-offsets
+    pattern of ``training_shard_manifest`` (splits.py), whose bucket must
+    be a *weakly order-preserving* function of the key (hash buckets
+    would scramble the sort) — here bucket = int(first two hex chars),
+    valid because hex-string lexicographic order equals its numeric
+    order, and balanced because min-hash digests are uniform (a lexical
+    key like "the 4 smallest words" measured 77% of the fixture in one
+    bucket — every corpus shares its alphabetically-first stopword; the
+    hashed key spreads the same corpus across all 256). Per-bucket counts
+    (256 tiny rows) fold to start offsets on the driver; each bucket then
+    ranks independently. Residual skew = groups with identical 4-word
+    min-hash keys, i.e. actual duplicate clusters — bounded by dup-group
+    size, not corpus size.
+
+    Everything is a pure projection of row values (no persist, no sampled
+    range partitioner), so re-execution reproduces ranks bit-identically.
+    """
+    wset = F.array_sort(F.array_distinct(F.split(F.col("text"), " ")))
+    hkey = F.array_join(
+        F.slice(
+            F.array_sort(F.transform(F.col("wset"), lambda x: F.md5(x))),
+            1,
+            key_words,
+        ),
+        " ",
+    )
+    t = documents.select("doc_id", wset.alias("wset")).withColumn(
+        "bkey", hkey
+    )
+    bucket = F.conv(F.substring("bkey", 1, 2), 16, 10).cast("int")
+    t = t.withColumn("__b", bucket)
+    counts = t.groupBy("__b").count().collect()
+    acc = 0
+    offsets = []
+    for r in sorted(counts, key=lambda r: r["__b"]):
+        offsets.append((r["__b"], acc))
+        acc += r["count"]
+    off_df = t.sparkSession.createDataFrame(offsets, "__b int, __off bigint")
+    w = Window.partitionBy("__b").orderBy("bkey", "doc_id")
+    return (
+        t.join(F.broadcast(off_df), "__b")
+        .withColumn("rnk", F.col("__off") + F.row_number().over(w))
+        .select("doc_id", "wset", "rnk")
+    )
+
+
+def sorted_neighborhood_pairs(
+    documents: DataFrame, w: int = SNB_W, tau: float = SNB_TAU
+) -> DataFrame:
+    """(doc_a, doc_b, gap, jaccard) — the classic sorted-neighborhood
+    blocking method (Hernández & Stolfo, SIGMOD '95): sort the corpus by a
+    content-derived blocking key, compare only documents within ``w``
+    positions of each other, verify candidates with exact word-set
+    Jaccard ≥ ``tau``.
+
+    Complements the existing candidate generators (LSH bands, SimHash
+    chunks, PPJoin prefixes): sorted-neighborhood bounds the *comparison
+    count* at exactly N·w regardless of key skew — no bucket can go
+    quadratic, the trade being recall limited to key-adjacent pairs (the
+    standard multi-pass answer is a second key; the fixture's shuffled
+    near-dups share the full word set, so one key suffices there).
+
+    Spark shape: global ranks from ``_snb_ranked`` (driver-folded bucket
+    offsets, no global window), then the band trick turns |rnk_a − rnk_b|
+    ≤ w into an *equi*-join — band = (rnk−1) div w; any qualifying pair
+    has band_b ∈ {band_a, band_a+1}, so the left side explodes into those
+    two keys and the join matches each pair exactly once. Word-set arrays
+    ride the candidate join so verification is an array intersect in
+    whole-stage codegen — no second pass over the corpus.
+    """
+    r = _snb_ranked(documents)
+    band_a = F.expr(f"(rnk - 1) div {w}")
+    left = (
+        r.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("rnk").alias("rnk_a"),
+            F.col("wset").alias("wset_a"),
+        )
+        .withColumn(
+            "__band",
+            F.explode(
+                F.array(
+                    F.expr(f"(rnk_a - 1) div {w}"),
+                    F.expr(f"(rnk_a - 1) div {w} + 1"),
+                )
+            ),
+        )
+    )
+    right = r.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("rnk").alias("rnk_b"),
+        F.col("wset").alias("wset_b"),
+        F.expr(f"(rnk - 1) div {w}").alias("__band"),
+    )
+    inter = F.size(F.array_intersect("wset_a", "wset_b"))
+    jac = inter / (F.size("wset_a") + F.size("wset_b") - inter)
+    return (
+        left.join(right, "__band")
+        .filter(
+            (F.col("rnk_b") > F.col("rnk_a"))
+            & (F.col("rnk_b") <= F.col("rnk_a") + w)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("rnk_b") - F.col("rnk_a")).cast("bigint").alias("gap"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= tau)
+    )
+
+
+def sorted_neighborhood_pairs_sql(
+    w: int = SNB_W, tau: float = SNB_TAU, key_words: int = SNB_KEY_WORDS
+) -> str:
+    """DuckDB oracle: the same key, a literal global ROW_NUMBER (fine at
+    oracle SF — the sequential sort is exactly what the engine avoids),
+    a rank-distance theta join, and the identical Jaccard arithmetic
+    (integer intersect/union sizes, one double division on each side)."""
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_sort(list_distinct(string_split(text, ' '))) AS wset
+  FROM documents),
+r AS (
+  SELECT doc_id, wset,
+         ROW_NUMBER() OVER (
+           ORDER BY array_to_string(
+             list_sort(list_transform(wset, x -> md5(x)))[1:{key_words}],
+             ' '), doc_id) AS rnk
+  FROM t),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         b.rnk - a.rnk AS gap,
+         len(list_intersect(a.wset, b.wset)) AS inter,
+         len(a.wset) + len(b.wset) AS stot
+  FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + {w})
+SELECT doc_a, doc_b, CAST(gap AS BIGINT) AS gap,
+       inter / (stot - inter) AS jaccard
+FROM cand
+WHERE inter / (stot - inter) >= {tau!r}
+"""

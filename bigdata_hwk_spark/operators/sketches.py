@@ -577,3 +577,178 @@ def bloom_prune_bits(
         )
         cond = ok if cond is None else (cond & ok)
     return fact.filter(cond)
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: union / intersection across segments by register merge
+# ---------------------------------------------------------------------------
+
+def _hll_estimate_expr(m: int, rho_max: int):
+    """The HLL estimate as a Column over a fold row with (n_present,
+    s_present) — the identical expression ``hll_cardinality`` inlines,
+    factored so the union estimator below is guaranteed to apply the same
+    arithmetic (including the small-range linear-counting branch)."""
+    v = F.lit(m) - F.col("n_present")
+    s_scaled = F.col("s_present") + v * F.lit(1 << rho_max)
+    e_raw = F.lit(_hll_alpha(m) * m * m * (1 << rho_max)) / s_scaled
+    return F.when(
+        (v > 0) & (e_raw <= 2.5 * m),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(e_raw)
+
+
+def _hll_fold(regs: DataFrame, keys: tuple[str, ...], rho_max: int) -> DataFrame:
+    """Register table → one fold row per key group: (n_present,
+    s_present), both exact integers so summation order can never move
+    the oracle hash (same invariant as ``hll_cardinality``)."""
+    return regs.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(rho_max) - F.col("max_rho")).cast("bigint")
+        ).alias("s_present"),
+    )
+
+
+def hll_overlap(
+    items: DataFrame,
+    item_col: str = "item",
+    group_col: str = "grp",
+    p: int = HLL_P,
+) -> DataFrame:
+    """(ga, gb, n_a_est, n_b_est, n_union_est, n_inter_est, n_inter_exact)
+    for every unordered pair of groups — HLL *set algebra*: the union
+    cardinality comes from merging the two groups' register tables
+    (bucket-wise max — no rescan of the data), the intersection from
+    inclusion–exclusion (|A∩B| ≈ E(A) + E(B) − E(A∪B)), next to the
+    exact intersection so the sketch error is directly observable.
+
+    This is the sketch property that matters at 100 TB: every segment /
+    shard / day sketches once (one shuffle on (group, bucket), ≤ 2^p rows
+    per group), and any cross-segment distinct-count question afterwards
+    is answered from the register tables alone — max is idempotent,
+    commutative, and associative, so merging sketches of overlapping data
+    is still exact over the registers. Group values are collected once
+    (bounded metadata — groups are an enum-sized dimension by contract,
+    like the mixture-rate and source-mix tables) to build the tiny
+    broadcast pair list; registers reach each pair via two broadcast
+    equi-joins, never a cartesian. The exact-intersection twin is one
+    distinct + self-equi-join on the item key, the usual observability
+    cost the estimate exists to avoid.
+    """
+    m = 1 << p
+    rho_max = 61 - p
+    regs = hll_registers(items, item_col, p, (group_col,))
+    groups = sorted(
+        r[0] for r in items.select(group_col).distinct().collect()
+    )
+    pairs = [(a, b) for i, a in enumerate(groups) for b in groups[i + 1:]]
+    spark = items.sparkSession
+    pair_df = spark.createDataFrame(pairs, "ga string, gb string")
+
+    ra = regs.join(
+        F.broadcast(pair_df), F.col(group_col) == F.col("ga")
+    ).select("ga", "gb", "bucket", "max_rho")
+    rb = regs.join(
+        F.broadcast(pair_df), F.col(group_col) == F.col("gb")
+    ).select("ga", "gb", "bucket", "max_rho")
+    u = (
+        ra.unionByName(rb)
+        .groupBy("ga", "gb", "bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    est = F.round(_hll_estimate_expr(m, rho_max), 2)
+    singles = _hll_fold(regs, (group_col,), rho_max).select(
+        F.col(group_col).alias("g"), est.alias("n_est")
+    )
+    union_est = _hll_fold(u, ("ga", "gb"), rho_max).select(
+        "ga", "gb", est.alias("n_union_est")
+    )
+    d = items.select(
+        F.col(group_col).alias("g"), F.col(item_col).cast("string").alias("it")
+    ).distinct()
+    inter_exact = (
+        d.alias("x")
+        .join(d.alias("y"), "it")
+        .filter(F.col("x.g") < F.col("y.g"))
+        .groupBy(F.col("x.g").alias("ga"), F.col("y.g").alias("gb"))
+        .agg(F.count(F.lit(1)).alias("n_inter_exact"))
+    )
+    sa = singles.select(F.col("g").alias("ga"), F.col("n_est").alias("n_a_est"))
+    sb = singles.select(F.col("g").alias("gb"), F.col("n_est").alias("n_b_est"))
+    return (
+        union_est.join(F.broadcast(sa), "ga")
+        .join(F.broadcast(sb), "gb")
+        .join(inter_exact, ["ga", "gb"], "left")
+        .select(
+            "ga",
+            "gb",
+            "n_a_est",
+            "n_b_est",
+            "n_union_est",
+            F.round(
+                F.col("n_a_est") + F.col("n_b_est") - F.col("n_union_est"), 2
+            ).alias("n_inter_est"),
+            F.coalesce(F.col("n_inter_exact"), F.lit(0))
+            .cast("bigint")
+            .alias("n_inter_exact"),
+        )
+    )
+
+
+def hll_overlap_sql(items_body: str, p: int = HLL_P) -> str:
+    """DuckDB oracle: identical registers, pair list, register-max merge,
+    estimator (with the same small-range branch), inclusion–exclusion,
+    and exact-intersection twin.
+
+    ``items_body`` — SQL body yielding (g, it VARCHAR)."""
+    m = 1 << p
+    rho_max = 61 - p
+    alpha_c = repr(_hll_alpha(m) * m * m * (1 << rho_max))
+    h = md5_hash64_sql("'hll:' || it")
+    e_raw = f"({alpha_c} / (s_present + ({m} - n_present) * {1 << rho_max}))"
+    est = (
+        f"round(CASE WHEN ({m} - n_present) > 0 AND {e_raw} <= {2.5 * m!r} "
+        f"THEN {float(m)!r} * ln({float(m)!r} / ({m} - n_present)) "
+        f"ELSE {e_raw} END, 2)"
+    )
+    return f"""
+WITH its AS ({items_body}),
+hashed AS (SELECT g, it, {h} AS h FROM its),
+regs AS (
+  SELECT g, h % {m} AS bucket,
+         max(CASE WHEN h // {m} = 0 THEN {rho_max}
+                  ELSE {rho_max} - length(bin(h // {m})) END) AS max_rho
+  FROM hashed GROUP BY 1, 2),
+grps AS (SELECT DISTINCT g FROM its),
+pairs AS (SELECT a.g AS ga, b.g AS gb FROM grps a JOIN grps b ON a.g < b.g),
+u AS (
+  SELECT ga, gb, bucket, max(max_rho) AS max_rho FROM (
+    SELECT p.ga, p.gb, r.bucket, r.max_rho FROM regs r JOIN pairs p ON r.g = p.ga
+    UNION ALL
+    SELECT p.ga, p.gb, r.bucket, r.max_rho FROM regs r JOIN pairs p ON r.g = p.gb)
+  GROUP BY 1, 2, 3),
+sfold AS (
+  SELECT g, count(*) AS n_present,
+         CAST(sum(CAST(power(2.0, {rho_max} - max_rho) AS BIGINT)) AS BIGINT)
+           AS s_present
+  FROM regs GROUP BY 1),
+ufold AS (
+  SELECT ga, gb, count(*) AS n_present,
+         CAST(sum(CAST(power(2.0, {rho_max} - max_rho) AS BIGINT)) AS BIGINT)
+           AS s_present
+  FROM u GROUP BY 1, 2),
+sing AS (SELECT g, {est} AS n_est FROM sfold),
+uest AS (SELECT ga, gb, {est} AS n_union_est FROM ufold),
+dd AS (SELECT DISTINCT g, it FROM its),
+ex AS (
+  SELECT x.g AS ga, y.g AS gb, count(*) AS n_inter_exact
+  FROM dd x JOIN dd y ON x.it = y.it AND x.g < y.g
+  GROUP BY 1, 2)
+SELECT u.ga, u.gb, a.n_est AS n_a_est, b.n_est AS n_b_est, u.n_union_est,
+       round(a.n_est + b.n_est - u.n_union_est, 2) AS n_inter_est,
+       CAST(COALESCE(ex.n_inter_exact, 0) AS BIGINT) AS n_inter_exact
+FROM uest u
+JOIN sing a ON a.g = u.ga
+JOIN sing b ON b.g = u.gb
+LEFT JOIN ex ON ex.ga = u.ga AND ex.gb = u.gb
+"""

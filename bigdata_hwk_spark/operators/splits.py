@@ -638,3 +638,61 @@ WITH scored AS (
 SELECT doc_id, n_tokens
 FROM scored ORDER BY key DESC, doc_id LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Epoch shuffle: deterministic per-epoch permutation for the data loader
+# ---------------------------------------------------------------------------
+
+EPOCH_SHUFFLE_SEED = "epoch0"   # bump per epoch to redraw the permutation
+EPOCH_SHARDS = 16               # fixture-sized; production ~ O(writer count)
+
+
+def epoch_shuffle_assignment(
+    documents: DataFrame,
+    n_shards: int = EPOCH_SHARDS,
+    seed: str = EPOCH_SHUFFLE_SEED,
+) -> DataFrame:
+    """(doc_id, shard, pos) — the data-loader view of a deterministic
+    global shuffle: each epoch seed induces a fresh pseudo-random
+    permutation of the corpus; a document lands in shard
+    ``md5(seed, doc_id) mod n_shards`` at position ``pos`` within the
+    shard's hash order.
+
+    Complements ``training_shard_manifest`` (token-budget packing of ONE
+    canonical order): this is the per-epoch reshuffle a training run
+    applies on top — reproducible across runs and re-layouts because the
+    permutation is a pure projection of (seed, doc_id), no RNG state, no
+    sampled partitioner. Map-only shard assignment (no global sort
+    anywhere); positions need one window per shard partition, so
+    parallelism = n_shards — exactly the writer fan-out a loader
+    provisions (hundreds to thousands at 100 TB), and only the 8-byte
+    keys shuffle, never the text.
+    """
+    hk = md5_hash64(
+        F.concat(F.lit(f"shuffle:{seed}:"), F.col("doc_id").cast("string"))
+    )
+    t = documents.select("doc_id", hk.alias("hk")).withColumn(
+        "shard", (F.col("hk") % n_shards).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("hk", "doc_id")
+    return t.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+def epoch_shuffle_assignment_sql(
+    n_shards: int = EPOCH_SHARDS, seed: str = EPOCH_SHUFFLE_SEED
+) -> str:
+    """DuckDB oracle: the identical hash, shard, and within-shard rank."""
+    hk = md5_hash64_sql(f"'shuffle:{seed}:' || doc_id::VARCHAR")
+    return f"""
+WITH t AS (SELECT doc_id, {hk} AS hk FROM documents)
+SELECT doc_id,
+       CAST(hk % {n_shards} AS INTEGER) AS shard,
+       ROW_NUMBER() OVER (PARTITION BY hk % {n_shards}
+                          ORDER BY hk, doc_id) AS pos
+FROM t
+"""

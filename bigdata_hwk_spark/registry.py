@@ -1840,6 +1840,50 @@ register(
 )
 
 
+# Sorted-neighborhood blocking: the N·w-bounded candidate generator of the
+# dedup family (no bucket can go quadratic, regardless of key skew); the
+# oracle recomputes the global sort, the neighborhood, and the word-set
+# Jaccard verification literally.
+register(
+    "dedup_sorted_neighborhood",
+    lambda spark, sf: D.sorted_neighborhood_pairs(_docs(spark, sf)),
+    D.sorted_neighborhood_pairs_sql(),
+)
+
+
+# HLL set algebra: distinct-user union/intersection across event_type
+# segments from merged register tables (inclusion–exclusion), next to the
+# exact intersection — the "answer cross-segment questions from sketches
+# alone" property that matters at 100 TB.
+def _hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    return SK.hll_overlap(
+        ev.select(
+            F.col("event_type").alias("g"), F.col("user_id").alias("item")
+        ),
+        group_col="g",
+    )
+
+
+register(
+    "hll_event_type_overlap",
+    _hll_overlap,
+    SK.hll_overlap_sql("SELECT event_type AS g, user_id::VARCHAR AS it FROM events"),
+)
+
+
+# Epoch shuffle: the data-loader view of a deterministic per-epoch
+# permutation (seeded md5 → shard + within-shard position); map-only shard
+# assignment, one window per shard partition, 8-byte keys only.
+register(
+    "doc_epoch_shuffle",
+    lambda spark, sf: SP.epoch_shuffle_assignment(_docs(spark, sf)),
+    SP.epoch_shuffle_assignment_sql(),
+)
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering (rotating — round-6 VERDICT item 8)
 # ---------------------------------------------------------------------------

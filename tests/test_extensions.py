@@ -93,6 +93,11 @@ EXTENSION_ORACLE_QUERIES = [
     "lang_source_independence",
     "documents_orc_roundtrip",
     "shard_release_manifest",
+    # round-10 session-2: sorted-neighborhood blocking + HLL set algebra
+    # + epoch shuffle
+    "dedup_sorted_neighborhood",
+    "hll_event_type_overlap",
+    "doc_epoch_shuffle",
 ]
 
 

@@ -352,3 +352,144 @@ def test_pagerank_topk_deterministic(spark):
     assert a == b
     assert len(a) == G.PR_TOPK
     assert [r[1] for r in a] == list(range(1, G.PR_TOPK + 1))
+
+
+# ------------------------------------------- sorted-neighborhood blocking
+def test_snb_shuffled_duplicates_sort_adjacent(spark):
+    """Word-order-shuffled duplicates share the min-hash key exactly, so
+    they MUST meet inside the neighborhood and verify at jaccard 1.0 —
+    while a word-disjoint doc can never pair with them above threshold."""
+    from bigdata_hwk_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "epsilon delta gamma beta alpha"),   # shuffle of doc 1
+            (3, "zeta eta theta iota kappa"),        # disjoint words
+            (4, "alpha beta gamma delta zeta"),      # 4-of-6 overlap
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = D.sorted_neighborhood_pairs(docs, w=3, tau=0.99).collect()
+    assert {(r.doc_a, r.doc_b) for r in rows} == {(1, 2)}
+    [r] = rows
+    assert r.jaccard == 1.0 and r.gap == 1
+    # looser threshold admits the 4-of-6 overlap pair but never doc 3
+    loose = D.sorted_neighborhood_pairs(docs, w=3, tau=0.5).collect()
+    assert all(3 not in (r.doc_a, r.doc_b) for r in loose)
+    assert {(r.doc_a, r.doc_b) for r in loose} >= {(1, 2)}
+
+
+def test_snb_global_rank_is_a_permutation(spark):
+    """Driver-folded bucket offsets must yield exactly 1..N — no gaps, no
+    collisions across buckets — and be invariant under re-layout."""
+    from bigdata_hwk_spark.operators.dedup import _snb_ranked
+    from bigdata_hwk_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    r1 = _snb_ranked(docs)
+    n = docs.count()
+    assert sorted(x.rnk for x in r1.collect()) == list(range(1, n + 1))
+    r2 = _snb_ranked(docs.repartition(7))
+    assert r1.orderBy("doc_id").collect() == r2.orderBy("doc_id").collect()
+
+
+def test_snb_comparison_count_is_bounded(spark):
+    """The whole point of sorted-neighborhood: at most N·w candidate
+    comparisons regardless of key skew — even a corpus of identical
+    documents (worst case for every bucketed generator) stays at N·w."""
+    from bigdata_hwk_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, "same words every single time") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    rows = D.sorted_neighborhood_pairs(docs, w=5, tau=0.0).collect()
+    # exactly the in-window pairs: sum over gap g=1..w of (N-g)
+    assert len(rows) == sum(40 - g for g in range(1, 6))
+    assert all(1 <= r.gap <= 5 and r.jaccard == 1.0 for r in rows)
+
+
+# ------------------------------------------------------- HLL set algebra
+def test_hll_overlap_planted_subset(spark):
+    """B ⊂ A: exact intersection = |B|, estimates track the planted
+    cardinalities within sketch error, inclusion–exclusion is internally
+    consistent (n_inter_est = n_a_est + n_b_est − n_union_est)."""
+    from bigdata_hwk_spark.operators import sketches as SK
+
+    rows = [("A", str(i)) for i in range(200)] + [
+        ("B", str(i)) for i in range(100)
+    ]
+    items = spark.createDataFrame(rows, "g string, item string")
+    [r] = SK.hll_overlap(items, group_col="g").collect()
+    assert (r.ga, r.gb) == ("A", "B")
+    assert r.n_inter_exact == 100
+    # m=32 registers → ~18% relative error; allow 3σ-ish slack
+    assert abs(r.n_a_est - 200) / 200 < 0.6
+    assert abs(r.n_union_est - 200) / 200 < 0.6
+    assert r.n_inter_est == round(r.n_a_est + r.n_b_est - r.n_union_est, 2)
+
+
+def test_hll_overlap_disjoint_groups_have_zero_exact(spark):
+    """Groups with no shared items still get a row (left join), with
+    n_inter_exact pinned to 0."""
+    from bigdata_hwk_spark.operators import sketches as SK
+
+    rows = [("A", f"a{i}") for i in range(50)] + [
+        ("B", f"b{i}") for i in range(50)
+    ]
+    items = spark.createDataFrame(rows, "g string, item string")
+    [r] = SK.hll_overlap(items, group_col="g").collect()
+    assert r.n_inter_exact == 0
+
+
+def test_hll_overlap_union_matches_single_group_sketch(spark):
+    """Register-merge correctness: the pair's union estimate must equal
+    the estimate of sketching A∪B's items as ONE group — merging
+    register tables is lossless (max is associative/idempotent)."""
+    from bigdata_hwk_spark.operators import sketches as SK
+
+    rows = [("A", str(i)) for i in range(150)] + [
+        ("B", str(i)) for i in range(75, 225)
+    ]
+    items = spark.createDataFrame(rows, "g string, item string")
+    [pair] = SK.hll_overlap(items, group_col="g").collect()
+    one = spark.createDataFrame(
+        [("U", str(i)) for i in range(225)], "g string, item string"
+    )
+    [single] = SK.hll_cardinality(
+        one, group_cols=("g",)
+    ).collect()
+    assert pair.n_union_est == single.n_est
+
+
+# ---------------------------------------------------------- epoch shuffle
+def test_epoch_shuffle_positions_are_contiguous_per_shard(spark):
+    from bigdata_hwk_spark.operators import splits as SP
+    from bigdata_hwk_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    rows = SP.epoch_shuffle_assignment(docs, n_shards=4).collect()
+    assert len(rows) == docs.count()
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) == set(range(4))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_epoch_shuffle_seed_changes_permutation_deterministically(spark):
+    from bigdata_hwk_spark.operators import splits as SP
+    from bigdata_hwk_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    e0 = {r.doc_id: (r.shard, r.pos) for r in
+          SP.epoch_shuffle_assignment(docs, seed="epoch0").collect()}
+    e1 = {r.doc_id: (r.shard, r.pos) for r in
+          SP.epoch_shuffle_assignment(docs, seed="epoch1").collect()}
+    assert e0 != e1                      # a new epoch reshuffles
+    again = {r.doc_id: (r.shard, r.pos) for r in
+             SP.epoch_shuffle_assignment(
+                 docs.repartition(13), seed="epoch0").collect()}
+    assert again == e0                   # layout-invariant reproducibility
