@@ -239,3 +239,65 @@ FROM h
 GROUP BY shard
 ORDER BY shard
 """
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching: padding-waste accounting for inference
+# ---------------------------------------------------------------------------
+
+def length_bucket_padding_stats(documents: DataFrame) -> DataFrame:
+    """(bucket, n_docs, max_tokens, sum_tokens, padded_tokens, waste_pct)
+    — the inference-side twin of training packing: batched inference pads
+    every sequence in a batch to the batch max, so batching docs of
+    wildly different lengths burns compute on pad tokens. Bucketing by
+    power-of-two token length (bucket = bit length of n_tokens, i.e.
+    ⌊log2⌋+1) bounds within-bucket padding waste below 50% by
+    construction; this operator reports the actual per-bucket waste a
+    scheduler would see if each bucket padded to its own max.
+
+    Map-only projection + one ≤64-group aggregation — nothing here grows
+    with corpus size except the scan. All integer arithmetic except the
+    final display ratio (one division of two exact integers, identical
+    IEEE on both engines).
+    """
+    n = F.size(F.split(F.col("text"), " "))
+    t = documents.select(
+        F.length(F.conv((n - 1).cast("string"), 10, 2)).alias("bucket"),
+        n.alias("n_tokens"),
+    )
+    agg = t.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+    )
+    padded = F.col("n_docs") * F.col("max_tokens")
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "max_tokens",
+        "sum_tokens",
+        padded.alias("padded_tokens"),
+        ((padded - F.col("sum_tokens")) / padded).alias("waste_pct"),
+    )
+
+
+def length_bucket_padding_stats_sql() -> str:
+    """DuckDB oracle: identical bucketing (bit length via bin string of
+    n_tokens − 1, matching Spark's conv-to-base-2 length) and arithmetic."""
+    return """
+WITH t AS (
+  SELECT CAST(length(bin(len(string_split(text, ' ')) - 1)) AS INTEGER)
+           AS bucket,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents),
+agg AS (
+  SELECT bucket, count(*) AS n_docs,
+         CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+         CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+  FROM t GROUP BY 1)
+SELECT bucket, n_docs, max_tokens, sum_tokens,
+       n_docs * max_tokens AS padded_tokens,
+       (n_docs * max_tokens - sum_tokens)
+         / CAST(n_docs * max_tokens AS DOUBLE) AS waste_pct
+FROM agg
+"""

@@ -177,3 +177,90 @@ ranked AS (
 SELECT query_id, doc_id, rnk, score
 FROM ranked WHERE rnk <= {topk}
 """
+
+
+# ---------------------------------------------------------------------------
+# Positional-index exact phrase search
+# ---------------------------------------------------------------------------
+
+# Fixed phrase probes over the fixture vocabulary; the last one matches
+# nothing anywhere, pinning the no-hit edge through both engines.
+PHRASE_QUERIES: list[tuple[int, str]] = [
+    (1, "batch batch"),
+    (2, "window window"),
+    (3, "scan join"),
+    (4, "stream spark"),
+    (5, "key order sort"),
+]
+
+
+def phrase_search(
+    documents: DataFrame,
+    phrases: list[tuple[int, str]] = PHRASE_QUERIES,
+) -> DataFrame:
+    """(query_id, doc_id, n_matches) — exact phrase retrieval over a
+    positional inverted index: BM25's bag-of-words postings can't
+    distinguish "scan join" from "join … scan"; phrase queries need word
+    POSITIONS. Classic IR positional-postings evaluation (one posting
+    row per (doc, pos, word) from ``posexplode``), with the adjacency
+    check expressed as pure relational algebra: a phrase occurrence
+    starting at ``s`` means word_i sits at position ``s + i`` for every
+    i, so each posting row that matches some phrase word votes for start
+    ``pos − i``, and a start with exactly k votes (one per phrase slot —
+    (doc, pos) is unique, so votes can't double-count) is a full match.
+
+    Shape at 100 TB: the tiny phrase table broadcasts onto the postings
+    (candidate rows = postings whose word appears in ANY phrase — the
+    selectivity a real phrase query has), then one map-side-combined
+    groupBy on (query, doc, start) and one on (query, doc). The corpus
+    is scanned once; no self-join of postings against postings (the
+    k-way position join rewritten as vote-counting — k-1 fewer shuffles).
+    """
+    qrows = []
+    for qid, phrase in phrases:
+        ws = phrase.split(" ")
+        qrows.extend((qid, i, w, len(ws)) for i, w in enumerate(ws))
+    qdf = documents.sparkSession.createDataFrame(
+        qrows, "query_id int, i int, w string, k int"
+    )
+    post = documents.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    )
+    votes = post.join(F.broadcast(qdf), "w").select(
+        "query_id",
+        "doc_id",
+        (F.col("pos") - F.col("i")).alias("start"),
+        "k",
+    )
+    full = (
+        votes.groupBy("query_id", "doc_id", "start", "k")
+        .agg(F.count(F.lit(1)).alias("nv"))
+        .filter(F.col("nv") == F.col("k"))
+    )
+    return full.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_matches")
+    )
+
+
+def phrase_search_sql(
+    phrases: list[tuple[int, str]] = PHRASE_QUERIES,
+) -> str:
+    """DuckDB oracle: an INDEPENDENT algorithm — per document, a literal
+    sliding-window scan of the split word array (list_filter over every
+    candidate start), not an inverted index; agreement pins the
+    vote-counting rewrite, not just the arithmetic."""
+    parts = []
+    for qid, phrase in phrases:
+        ws = phrase.split(" ")
+        k = len(ws)
+        cond = " AND ".join(
+            f"ws[i+{j}] = '{w}'" if j else f"ws[i] = '{w}'"
+            for j, w in enumerate(ws)
+        )
+        parts.append(f"""
+SELECT CAST({qid} AS INTEGER) AS query_id, doc_id,
+       CAST(len(list_filter(generate_series(1, len(ws) - {k - 1}),
+                            i -> {cond})) AS BIGINT) AS n_matches
+FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"SELECT * FROM (\n{body}\n) WHERE n_matches > 0"

@@ -752,3 +752,106 @@ JOIN sing a ON a.g = u.ga
 JOIN sing b ON b.g = u.gb
 LEFT JOIN ex ON ex.ga = u.ga AND ex.gb = u.gb
 """
+
+
+# ---------------------------------------------------------------------------
+# CMS inner product: join-size estimation from two sketches
+# ---------------------------------------------------------------------------
+
+def cms_join_size(
+    a_items: DataFrame,
+    b_items: DataFrame,
+    item_col: str = "item",
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """(est_join_size, true_join_size, n_a, n_b) — one row: the size of
+    the equi-join A ⋈ B on the item key, estimated from the two CM
+    sketches alone via the inner-product identity (Cormode &
+    Muthukrishnan 2005, §4.2): per depth row, Σ_b cntA[b]·cntB[b]
+    overestimates Σ_k fA(k)·fB(k) (colliding keys only ADD), so the min
+    over the d rows is an upper-bound estimate with error ≤ ε·|A|·|B|
+    w.h.p.
+
+    The planner quantity this answers at 100 TB: "how big is this join
+    going to be?" from two ≤ d·w-cell tables, no scan of either input —
+    the same sketches the point-query estimator already maintains. The
+    exact twin (one count per key per side + an equi-join on keys) rides
+    along so the overestimate is observable and oracle-checked; all
+    arithmetic is exact integers on both engines.
+    """
+    sa = cms_sketch(a_items, item_col, d, w)
+    sb = cms_sketch(b_items, item_col, d, w)
+    ip_rows = (
+        sa.alias("a")
+        .join(sb.alias("b"), ["r", "b"])
+        .groupBy("r")
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("ip"))
+    )
+    # a depth row with zero shared buckets must contribute ip = 0 (the
+    # true inner product is 0 there), not vanish from the min
+    depth = a_items.sparkSession.range(d).select(
+        F.col("id").cast("int").alias("r")
+    )
+    est = (
+        depth.join(ip_rows, "r", "left")
+        .agg(
+            F.min(F.coalesce(F.col("ip"), F.lit(0)))
+            .cast("bigint")
+            .alias("est_join_size")
+        )
+    )
+    fa = (
+        a_items.select(F.col(item_col).cast("string").alias("it"))
+        .groupBy("it")
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    fb = (
+        b_items.select(F.col(item_col).cast("string").alias("it"))
+        .groupBy("it")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    truth = fa.join(fb, "it").agg(
+        F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
+        .cast("bigint")
+        .alias("true_join_size")
+    )
+    counts = a_items.agg(F.count(F.lit(1)).alias("n_a")).crossJoin(
+        b_items.agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    return est.crossJoin(truth).crossJoin(counts)
+
+
+def cms_join_size_sql(
+    a_body: str, b_body: str, d: int = CMS_D, w: int = CMS_W
+) -> str:
+    """DuckDB oracle: identical sketches, per-depth inner products
+    (missing depth rows pinned to 0), min fold, and exact twin.
+
+    ``a_body``/``b_body`` — SQL bodies yielding (it VARCHAR)."""
+    h = md5_hash64_sql("'cms' || r || ':' || it")
+    return f"""
+WITH a AS ({a_body}), b AS ({b_body}),
+ca AS (
+  SELECT r, {h} % {w} AS b, count(*) AS cnt
+  FROM a, generate_series(0, {d - 1}) AS t(r) GROUP BY 1, 2),
+cb AS (
+  SELECT r, {h} % {w} AS b, count(*) AS cnt
+  FROM b, generate_series(0, {d - 1}) AS t(r) GROUP BY 1, 2),
+ip AS (
+  SELECT ca.r, CAST(sum(ca.cnt * cb.cnt) AS BIGINT) AS ip
+  FROM ca JOIN cb ON ca.r = cb.r AND ca.b = cb.b GROUP BY 1),
+est AS (
+  SELECT CAST(min(coalesce(ip.ip, 0)) AS BIGINT) AS est_join_size
+  FROM generate_series(0, {d - 1}) AS t(r) LEFT JOIN ip ON ip.r = t.r),
+fa AS (SELECT it, count(*) AS ca FROM a GROUP BY 1),
+fb AS (SELECT it, count(*) AS cb FROM b GROUP BY 1),
+truth AS (
+  SELECT CAST(coalesce(sum(fa.ca * fb.cb), 0) AS BIGINT) AS true_join_size
+  FROM fa JOIN fb USING (it)),
+counts AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+         (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b)
+SELECT est.est_join_size, truth.true_join_size, counts.n_a, counts.n_b
+FROM est, truth, counts
+"""

@@ -1884,6 +1884,68 @@ register(
 )
 
 
+# CMS inner product: "how big is view ⋈ purchase on user_id?" answered
+# from two sketch tables alone (Σ per-user view·purchase counts — the
+# join-size quantity a planner wants before committing to the shuffle),
+# exact twin alongside.
+def _cms_joinsize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("item")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("item")
+    )
+    return SK.cms_join_size(views, buys)
+
+
+register(
+    "cms_view_purchase_joinsize",
+    _cms_joinsize,
+    SK.cms_join_size_sql(
+        "SELECT user_id::VARCHAR AS it FROM events WHERE event_type = 'view'",
+        "SELECT user_id::VARCHAR AS it FROM events WHERE event_type = 'purchase'",
+    ),
+)
+
+
+# Length-bucketed batching: per-power-of-two-length-bucket padding waste —
+# the inference-side twin of training packing.
+register(
+    "doc_length_bucket_padding",
+    lambda spark, sf: PK.length_bucket_padding_stats(_docs(spark, sf)),
+    PK.length_bucket_padding_stats_sql(),
+)
+
+
+# Hashed-BoW ridge classifier (the fastText/CCNet quality-filter shape):
+# fit on a lexical-marker label, report confusion counts over the corpus.
+# Rows-only by design (matrix solve on driver); the weights are pinned
+# bit-for-bit against the NumPy twin in tests.
+from .operators import classifier as CLF  # noqa: E402
+
+
+def _classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    label = F.array_contains(F.split(F.col("text"), " "), "dup").cast("int")
+    return CLF.classifier_eval(_docs(spark, sf_dir), label)
+
+
+register("doc_classifier_eval", _classifier_eval)
+
+
+# Positional-index exact phrase search: the vote-counting rewrite of the
+# k-way position join; the oracle is an INDEPENDENT sliding-window scan.
+register(
+    "phrase_search_hits",
+    lambda spark, sf: RV.phrase_search(_docs(spark, sf)),
+    RV.phrase_search_sql(),
+)
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering (rotating — round-6 VERDICT item 8)
 # ---------------------------------------------------------------------------

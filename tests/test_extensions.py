@@ -98,6 +98,9 @@ EXTENSION_ORACLE_QUERIES = [
     "dedup_sorted_neighborhood",
     "hll_event_type_overlap",
     "doc_epoch_shuffle",
+    "cms_view_purchase_joinsize",
+    "doc_length_bucket_padding",
+    "phrase_search_hits",
 ]
 
 

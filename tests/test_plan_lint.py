@@ -63,6 +63,11 @@ BNLJ_ALLOWED = {
     "bm25_doc_topk": "ONE-ROW (N, avgdl) corpus-stats side broadcast "
                      "against the query⋈posting join — the same "
                      "scalar-subquery shape as unigram_surprise_scores",
+    "cms_view_purchase_joinsize": "four ONE-ROW aggregate sides (sketch "
+                                  "min-fold, exact twin, two input "
+                                  "counts) cross-joined into the single "
+                                  "output row — every side is one row "
+                                  "by construction",
 }
 
 

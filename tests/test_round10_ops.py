@@ -493,3 +493,206 @@ def test_epoch_shuffle_seed_changes_permutation_deterministically(spark):
              SP.epoch_shuffle_assignment(
                  docs.repartition(13), seed="epoch0").collect()}
     assert again == e0                   # layout-invariant reproducibility
+
+
+# ---------------------------------------------------- CMS join-size estimate
+def test_cms_join_size_never_underestimates(spark):
+    """The inner-product estimate is an upper bound: colliding keys only
+    ADD counts to a cell product. Planted multiplicities make the true
+    join size hand-computable."""
+    from bigdata_hwk_spark.operators import sketches as SK
+
+    a = spark.createDataFrame(
+        [("k1",)] * 3 + [("k2",)] * 2 + [("k3",)] * 4, "item string"
+    )
+    b = spark.createDataFrame(
+        [("k1",)] * 5 + [("k3",)] * 2 + [("k9",)] * 7, "item string"
+    )
+    [r] = SK.cms_join_size(a, b).collect()
+    assert r.true_join_size == 3 * 5 + 4 * 2
+    assert r.est_join_size >= r.true_join_size
+    assert (r.n_a, r.n_b) == (9, 14)
+
+
+def test_cms_join_size_disjoint_inputs(spark):
+    """No shared keys → true join size 0; the estimate stays bounded by
+    the collision term (and is 0 when no buckets collide)."""
+    from bigdata_hwk_spark.operators import sketches as SK
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(20)], "item string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(20)], "item string")
+    [r] = SK.cms_join_size(a, b).collect()
+    assert r.true_join_size == 0
+    assert r.est_join_size >= 0
+
+
+# ---------------------------------------------- length-bucketed batching
+def test_padding_stats_bucket_bound(spark):
+    """Power-of-two buckets bound padding waste below 50% by
+    construction: within bucket b, lengths lie in (2^(b-1), 2^b], so the
+    mean can never fall below half the max."""
+    from bigdata_hwk_spark import registry
+
+    rows = registry.QUERIES["doc_length_bucket_padding"](
+        spark, SF_CORRECT
+    ).collect()
+    assert rows
+    total_docs = sum(r.n_docs for r in rows)
+    assert total_docs == 500
+    for r in rows:
+        assert r.padded_tokens == r.n_docs * r.max_tokens
+        assert 0.0 <= r.waste_pct < 0.5
+        assert r.max_tokens <= 2 ** r.bucket
+        # every doc in bucket b is longer than 2^(b-1) tokens
+        assert r.sum_tokens > r.n_docs * 2 ** (r.bucket - 1)
+
+
+def test_padding_stats_hand_case(spark):
+    from bigdata_hwk_spark.operators import packing as PK
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),          # 3 tokens  -> bucket bitlen(2)=2
+            (2, "a b c d"),        # 4 tokens  -> bucket bitlen(3)=2
+            (3, "a b c d e f g"),  # 7 tokens  -> bucket bitlen(6)=3
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.bucket: r for r in PK.length_bucket_padding_stats(docs).collect()}
+    assert set(got) == {2, 3}
+    assert got[2].n_docs == 2 and got[2].max_tokens == 4
+    assert got[2].padded_tokens == 8 and got[2].sum_tokens == 7
+    assert got[2].waste_pct == 1 / 8
+    assert got[3].n_docs == 1 and got[3].waste_pct == 0.0
+
+
+# --------------------------------------------- hashed-BoW ridge classifier
+def test_ridge_fit_matches_numpy_twin_bitwise(spark):
+    """The distributed moments are exact integers under any layout, so
+    the fitted weights must equal the dense NumPy twin bit-for-bit —
+    and stay identical after a repartition."""
+    import hashlib
+
+    from bigdata_hwk_spark.operators import classifier as CL
+    from bigdata_hwk_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    label = F.array_contains(F.split(F.col("text"), " "), "dup").cast("int")
+    rows = sorted(
+        docs.select("doc_id", "text").collect(), key=lambda r: r.doc_id
+    )
+
+    def b(s):
+        return (
+            int(hashlib.md5(("clf:" + s).encode()).hexdigest()[:15], 16)
+            % CL.CLF_DIM
+        )
+
+    X = np.zeros((len(rows), CL.CLF_DIM), dtype=np.int64)
+    y = np.zeros(len(rows), dtype=np.int64)
+    for i, r in enumerate(rows):
+        ws = r.text.split(" ")
+        for wd in ws:
+            X[i, b(wd)] += 1
+        y[i] = 1 if "dup" in ws else 0
+    w_ref = CL.ridge_fit_ref(X, y)
+    w_sp = CL.ridge_fit(docs, label)
+    assert np.array_equal(w_ref, w_sp)
+    w_sp2 = CL.ridge_fit(docs.repartition(13), label)
+    assert np.array_equal(w_sp, w_sp2)
+
+
+def test_classifier_learns_lexical_marker(spark):
+    """The 'contains dup' label is exactly one hashed feature — the fit
+    must recover it perfectly (tp = n_pos, fp = 0)."""
+    from bigdata_hwk_spark import registry
+
+    [r] = registry.QUERIES["doc_classifier_eval"](spark, SF_CORRECT).collect()
+    assert r.n_docs == 500 and r.n_pos == 25
+    assert (r.tp, r.fp, r.fn) == (25, 0, 0)
+    assert r.accuracy == 1.0
+
+
+def test_classifier_planted_teacher_recovery(spark):
+    """Labels drawn from a linear teacher over disjoint marker words are
+    recovered on a synthetic corpus; an all-one-class corpus degrades to
+    the trivial constant model without error."""
+    from bigdata_hwk_spark.operators import classifier as CL
+
+    pos = [(i, "good quality reference text sample") for i in range(30)]
+    neg = [(100 + i, "noisy crawl junk boilerplate spam") for i in range(30)]
+    docs = spark.createDataFrame(pos + neg, "doc_id bigint, text string")
+    label = (F.col("doc_id") < 100).cast("int")
+    [r] = CL.classifier_eval(docs, label).collect()
+    assert r.accuracy == 1.0 and r.n_pos == 30
+
+    one_class = spark.createDataFrame(pos, "doc_id bigint, text string")
+    [r1] = CL.classifier_eval(one_class, F.lit(1)).collect()
+    assert r1.n_pos == 30 and r1.fn == 0
+
+
+def test_ridge_score_covers_featureless_docs(spark):
+    """A doc whose text is empty still gets a score (bias only) — the
+    left join pins score = bias, never a dropped row."""
+    from bigdata_hwk_spark.operators import classifier as CL
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "")], "doc_id bigint, text string"
+    )
+    w = CL.ridge_fit(docs, (F.col("doc_id") == 1).cast("int"))
+    got = {r.doc_id: r for r in CL.ridge_score(docs, w).collect()}
+    assert set(got) == {1, 2}
+    assert got[2].score is not None
+
+
+# --------------------------------------------------- positional phrase search
+def test_phrase_search_hand_corpus(spark):
+    """Hand-checkable corpus: overlapping occurrences, repeated-word
+    phrases, and bag-of-words false friends (words present but not
+    adjacent) — the cases a postings-without-positions scorer gets wrong."""
+    from bigdata_hwk_spark.operators import retrieval as RV
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),      # "a b" twice, "b a" twice
+            (2, "b a x a b"),      # "a b" once, "b a" once
+            (3, "a a a"),          # "a a" twice (overlapping)
+            (4, "b x a"),          # has a and b, never adjacent
+        ],
+        "doc_id bigint, text string",
+    )
+    phrases = [(1, "a b"), (2, "a a"), (3, "b a")]
+    got = {
+        (r.query_id, r.doc_id): r.n_matches
+        for r in RV.phrase_search(docs, phrases).collect()
+    }
+    assert got == {
+        (1, 1): 2, (1, 2): 1,
+        (2, 3): 2,
+        (3, 1): 2, (3, 2): 1,
+    }
+
+
+def test_phrase_search_no_hit_phrase_yields_no_rows(spark):
+    """The fixture's impossible phrase must produce zero rows — and the
+    result must never contain a doc lacking the full adjacency chain."""
+    from bigdata_hwk_spark import registry
+    from bigdata_hwk_spark.operators import retrieval as RV
+
+    rows = registry.QUERIES["phrase_search_hits"](spark, SF_CORRECT).collect()
+    assert all(r.query_id != 5 for r in rows)  # "key order sort" hits nothing
+    assert all(r.n_matches >= 1 for r in rows)
+    # spot-verify one hit against a literal Python scan
+    from bigdata_hwk_spark.sources.tables import load_table
+
+    target = next(r for r in rows if r.query_id == 1)
+    [doc] = (
+        load_table(spark, SF_CORRECT, "documents")
+        .filter(F.col("doc_id") == target.doc_id)
+        .collect()
+    )
+    ws = doc.text.split(" ")
+    lit = sum(
+        1 for i in range(len(ws) - 1) if ws[i] == "batch" and ws[i + 1] == "batch"
+    )
+    assert lit == target.n_matches
