@@ -129,9 +129,7 @@ def ridge_fit(
     G, c, n = _moments(documents, label, dim)
     if n == 0:
         return np.zeros(dim + 1)
-    return np.linalg.solve(
-        G.astype(np.float64) + lam * np.eye(dim + 1), c.astype(np.float64)
-    )
+    return ridge_solve(G, c, lam)
 
 
 def ridge_fit_ref(
@@ -215,4 +213,29 @@ def classifier_eval(
         "fn",
         "tn",
         ((F.col("tp") + F.col("tn")) / F.col("n_docs")).alias("accuracy"),
+    )
+
+
+def ridge_moments(
+    documents: DataFrame, label: Column, dim: int = CLF_DIM
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Public handle on the exact-integer moment statistics (XᵀX, Xᵀy, n)
+    — the model's sufficient statistics. Because every cell is an exact
+    integer, moments are ADDITIVE across corpus slices: fit-on-union ≡
+    solve over the cell-wise sum of per-slice moments, bit for bit. That
+    is the incremental-maintenance contract (the checksum-delta /
+    incremental-ingest discipline applied to model fitting): keep (G, c,
+    n) per shard or per ingest batch, add the new batch's moments, and
+    re-solve — the corpus is never rescanned."""
+    return _moments(documents, label, dim)
+
+
+def ridge_solve(
+    G: np.ndarray, c: np.ndarray, lam: float = CLF_LAMBDA
+) -> np.ndarray:
+    """Solve the ridge normal equations for accumulated moments — the
+    driver-side half of incremental refit."""
+    d1 = G.shape[0]
+    return np.linalg.solve(
+        G.astype(np.float64) + lam * np.eye(d1), c.astype(np.float64)
     )

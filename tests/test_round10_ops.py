@@ -726,3 +726,22 @@ def test_classifier_stream_equals_batch_with_frozen_weights(spark, tmp_path):
     got = {r.doc_id: (r.score, r.pred) for r in streamed.collect()}
     assert got == want
     assert sum(p for _, p in got.values()) == 25  # the 25 marker docs
+
+
+def test_ridge_moments_are_additive_across_slices(spark):
+    """The sufficient statistics are exact integers, so fit-on-union must
+    equal solve-over-summed-moments BIT FOR BIT — the incremental-refit
+    contract (add a batch's moments, re-solve, never rescan)."""
+    from bigdata_hwk_spark.operators import classifier as CL
+    from bigdata_hwk_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    label = F.array_contains(F.split(F.col("text"), " "), "dup").cast("int")
+    old = docs.filter("doc_id % 3 != 0")
+    batch = docs.filter("doc_id % 3 = 0")
+    g1, c1, n1 = CL.ridge_moments(old, label)
+    g2, c2, n2 = CL.ridge_moments(batch, label)
+    w_incr = CL.ridge_solve(g1 + g2, c1 + c2)
+    w_full = CL.ridge_fit(docs, label)
+    assert n1 + n2 == 500
+    assert np.array_equal(w_incr, w_full)
