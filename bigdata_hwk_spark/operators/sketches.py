@@ -635,15 +635,56 @@ def hll_overlap(
     distinct + self-equi-join on the item key, the usual observability
     cost the estimate exists to avoid.
     """
+    regs = hll_registers(items, item_col, p, (group_col,))
+    est_pairs = hll_overlap_from_registers(regs, group_col, p)
+    d = items.select(
+        F.col(group_col).alias("g"), F.col(item_col).cast("string").alias("it")
+    ).distinct()
+    inter_exact = (
+        d.alias("x")
+        .join(d.alias("y"), "it")
+        .filter(F.col("x.g") < F.col("y.g"))
+        .groupBy(F.col("x.g").alias("ga"), F.col("y.g").alias("gb"))
+        .agg(F.count(F.lit(1)).alias("n_inter_exact"))
+    )
+    return est_pairs.join(inter_exact, ["ga", "gb"], "left").select(
+        "ga",
+        "gb",
+        "n_a_est",
+        "n_b_est",
+        "n_union_est",
+        "n_inter_est",
+        F.coalesce(F.col("n_inter_exact"), F.lit(0))
+        .cast("bigint")
+        .alias("n_inter_exact"),
+    )
+
+
+def hll_overlap_from_registers(
+    regs: DataFrame, group_col: str = "grp", p: int = HLL_P
+) -> DataFrame:
+    """(ga, gb, n_a_est, n_b_est, n_union_est, n_inter_est) for every
+    unordered group pair, computed from a REGISTER TABLE alone —
+    (group_col, bucket, max_rho), with no access to the underlying
+    items. This is the composition point of the sketch family: any
+    register producer plugs in — the per-segment batch table
+    (``hll_registers``), the per-event-time-window STREAMING table
+    (``streaming.windowed.windowed_hll_registers``, whose output schema
+    is exactly this contract with group_col = win_start), or registers
+    merged across days/shards — and cross-group distinct union /
+    intersection questions are answered without revisiting the data.
+    Group values are collected once (groups are an enum-sized dimension
+    by contract); registers reach each pair via two broadcast equi-joins.
+    """
     m = 1 << p
     rho_max = 61 - p
-    regs = hll_registers(items, item_col, p, (group_col,))
     groups = sorted(
-        r[0] for r in items.select(group_col).distinct().collect()
+        r[0] for r in regs.select(group_col).distinct().collect()
     )
     pairs = [(a, b) for i, a in enumerate(groups) for b in groups[i + 1:]]
-    spark = items.sparkSession
-    pair_df = spark.createDataFrame(pairs, "ga string, gb string")
+    spark = regs.sparkSession
+    gtype = dict(regs.dtypes)[group_col]
+    pair_df = spark.createDataFrame(pairs, f"ga {gtype}, gb {gtype}")
 
     ra = regs.join(
         F.broadcast(pair_df), F.col(group_col) == F.col("ga")
@@ -663,22 +704,11 @@ def hll_overlap(
     union_est = _hll_fold(u, ("ga", "gb"), rho_max).select(
         "ga", "gb", est.alias("n_union_est")
     )
-    d = items.select(
-        F.col(group_col).alias("g"), F.col(item_col).cast("string").alias("it")
-    ).distinct()
-    inter_exact = (
-        d.alias("x")
-        .join(d.alias("y"), "it")
-        .filter(F.col("x.g") < F.col("y.g"))
-        .groupBy(F.col("x.g").alias("ga"), F.col("y.g").alias("gb"))
-        .agg(F.count(F.lit(1)).alias("n_inter_exact"))
-    )
     sa = singles.select(F.col("g").alias("ga"), F.col("n_est").alias("n_a_est"))
     sb = singles.select(F.col("g").alias("gb"), F.col("n_est").alias("n_b_est"))
     return (
         union_est.join(F.broadcast(sa), "ga")
         .join(F.broadcast(sb), "gb")
-        .join(inter_exact, ["ga", "gb"], "left")
         .select(
             "ga",
             "gb",
@@ -688,9 +718,6 @@ def hll_overlap(
             F.round(
                 F.col("n_a_est") + F.col("n_b_est") - F.col("n_union_est"), 2
             ).alias("n_inter_est"),
-            F.coalesce(F.col("n_inter_exact"), F.lit(0))
-            .cast("bigint")
-            .alias("n_inter_exact"),
         )
     )
 

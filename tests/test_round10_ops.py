@@ -745,3 +745,33 @@ def test_ridge_moments_are_additive_across_slices(spark):
     w_full = CL.ridge_fit(docs, label)
     assert n1 + n2 == 500
     assert np.array_equal(w_incr, w_full)
+
+
+def test_hll_overlap_composes_with_windowed_registers(spark):
+    """Register-level set algebra composes with the STREAMING register
+    producer: overlap estimates computed from the per-window register
+    table alone equal hll_overlap's estimate columns computed from the
+    raw (window, user) items — registers are a sufficient statistic."""
+    from bigdata_hwk_spark.operators import sketches as SK
+    from bigdata_hwk_spark.sources.tables import load_table
+    from bigdata_hwk_spark.streaming.windowed import windowed_hll_registers
+
+    ev = load_table(spark, SF_CORRECT, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    regs = windowed_hll_registers(ev, window="30 minutes").select(
+        F.col("win_start").cast("string").alias("g"), "bucket", "max_rho"
+    )
+    from_regs = {
+        (r.ga, r.gb): (r.n_a_est, r.n_b_est, r.n_union_est, r.n_inter_est)
+        for r in SK.hll_overlap_from_registers(regs, "g").collect()
+    }
+    items = ev.select(
+        F.window("ts", "30 minutes").start.cast("string").alias("g"),
+        F.col("user_id").alias("item"),
+    )
+    from_items = {
+        (r.ga, r.gb): (r.n_a_est, r.n_b_est, r.n_union_est, r.n_inter_est)
+        for r in SK.hll_overlap(items, group_col="g").collect()
+    }
+    assert from_regs and from_regs == from_items
