@@ -31,7 +31,11 @@ At 100 TB: one codegen pass builds triples, one self-join pass builds
 the Gram (shuffle volume ≤ corpus pair fan-out, combiner-reduced to ≤
 (dim+1)² cells per partition), (dim+1)² tiny rows reach the driver
 once. Training twice on the same corpus gives the same model — no RNG,
-no state.
+no state. The dim axis is MEASURED (SCALE_STRESS.json "clf_dim_axis"):
+per-doc pair fan-out is min(distinct words, dim)² — bounded by the doc,
+not by dim — so distributed cost is flat in dim; the knee at dim ≈ 4k
+is the O(dim³) driver solve, the documented boundary where the method
+of choice becomes SGD rather than normal equations.
 """
 
 from __future__ import annotations

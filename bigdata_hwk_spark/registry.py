@@ -1961,6 +1961,26 @@ register(
 )
 
 
+# Windowed event-rate anomaly flags: per-type z-score vs the trailing
+# 6 windows, folded into one exact-integer inequality (no float
+# mean/stddev anywhere) — the monitoring face of the windowed family.
+def _windowed_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.windowed import windowed_count_anomalies
+
+    return windowed_count_anomalies(load_table(spark, sf_dir, "events"))
+
+
+def _windowed_anomalies_sql() -> str:
+    from .streaming.windowed import windowed_count_anomalies_sql
+
+    return windowed_count_anomalies_sql()
+
+
+register(
+    "windowed_count_anomalies", _windowed_anomalies, _windowed_anomalies_sql()
+)
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering (rotating — round-6 VERDICT item 8)
 # ---------------------------------------------------------------------------

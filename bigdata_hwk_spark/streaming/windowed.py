@@ -585,3 +585,117 @@ SELECT win_start,
 FROM h0
 GROUP BY win_start
 """
+
+
+# ---------------------------------------------------------------------------
+# Windowed event-rate anomaly flags (integer z-score test)
+# ---------------------------------------------------------------------------
+
+ANOM_TRAIL = 6       # trailing windows forming the baseline frame
+ANOM_Z2 = 9          # flag when z² > 9 (|z| > 3 sigma)
+
+
+def windowed_count_anomalies(
+    events: DataFrame,
+    window: str = EVENT_WINDOW,
+    trail: int = ANOM_TRAIL,
+    z2: int = ANOM_Z2,
+) -> DataFrame:
+    """(win_start, event_type, n_events, trail_n, trail_sum, is_anomaly)
+    — the monitoring face of the windowed family: each window's per-type
+    event count is z-score-tested against the trailing ``trail`` windows,
+    with the whole test folded into ONE integer inequality so the flag is
+    bit-deterministic and engine-portable (no float mean/stddev anywhere):
+
+        with k = |frame|, c = this count, S = Σ trailing counts,
+        SS = Σ trailing counts²:  population z² = (k·c − S)² / (k·SS − S²),
+        so  z² > T  ⇔  (k·c − S)² > T · (k·SS − S²)   — exact BIGINTs.
+
+    Semantics pinned by the form: a constant history (variance 0) flags
+    ANY deviation (0 > 0 is false only when c equals the constant — a
+    deviation from zero variance is infinitely many sigmas); windows with
+    fewer than ``trail`` predecessors report is_anomaly = false (not
+    enough history), and since absent (window, type) rows simply don't
+    exist, the frame skips over silent gaps — the gap-filled spine
+    variant (windowed_counts_gapfilled) is the tool when silence itself
+    is the anomaly.
+
+    Scale shape: counts come from the same watermark-bounded aggregation
+    the stream already maintains; the trailing frame is one per-type ROWS
+    window over win_start — second-order windowing over an
+    already-collapsed table (rows = windows × types, not events), the
+    composition the chained entropy/checksum queries established.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        events.select("ts", "event_type")
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "n_events"
+        )
+    )
+    frame = (
+        Window.partitionBy("event_type")
+        .orderBy("win_start")
+        .rowsBetween(-trail, -1)
+    )
+    t = counts.select(
+        "win_start",
+        "event_type",
+        "n_events",
+        F.count(F.lit(1)).over(frame).alias("trail_n"),
+        F.coalesce(F.sum("n_events").over(frame), F.lit(0)).alias(
+            "trail_sum"
+        ),
+        F.coalesce(
+            F.sum(F.col("n_events") * F.col("n_events")).over(frame),
+            F.lit(0),
+        ).alias("trail_ss"),
+    )
+    dev = F.col("trail_n") * F.col("n_events") - F.col("trail_sum")
+    var_num = (
+        F.col("trail_n") * F.col("trail_ss")
+        - F.col("trail_sum") * F.col("trail_sum")
+    )
+    flag = F.when(F.col("trail_n") < trail, F.lit(False)).otherwise(
+        dev * dev > F.lit(z2) * var_num
+    )
+    return t.select(
+        "win_start",
+        "event_type",
+        "n_events",
+        F.col("trail_n").cast("int").alias("trail_n"),
+        F.col("trail_sum").cast("bigint").alias("trail_sum"),
+        flag.alias("is_anomaly"),
+    )
+
+
+def windowed_count_anomalies_sql(
+    window_sec: int = 3600, trail: int = ANOM_TRAIL, z2: int = ANOM_Z2
+) -> str:
+    """DuckDB oracle: identical windowing, frame, and integer test."""
+    return f"""
+WITH counts AS (
+  SELECT time_bucket(INTERVAL '{window_sec} seconds', ts) AS win_start,
+         event_type, count(*) AS n_events
+  FROM events GROUP BY 1, 2),
+t AS (
+  SELECT win_start, event_type, n_events,
+         count(*) OVER f AS trail_n,
+         coalesce(sum(n_events) OVER f, 0) AS trail_sum,
+         coalesce(sum(n_events * n_events) OVER f, 0) AS trail_ss
+  FROM counts
+  WINDOW f AS (PARTITION BY event_type ORDER BY win_start
+               ROWS BETWEEN {trail} PRECEDING AND 1 PRECEDING))
+SELECT win_start, event_type, n_events,
+       CAST(trail_n AS INTEGER) AS trail_n,
+       CAST(trail_sum AS BIGINT) AS trail_sum,
+       CASE WHEN trail_n < {trail} THEN FALSE
+            ELSE (trail_n * n_events - trail_sum)
+                 * (trail_n * n_events - trail_sum)
+                 > {z2} * (trail_n * trail_ss - trail_sum * trail_sum)
+       END AS is_anomaly
+FROM t
+"""

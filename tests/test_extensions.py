@@ -101,6 +101,7 @@ EXTENSION_ORACLE_QUERIES = [
     "cms_view_purchase_joinsize",
     "doc_length_bucket_padding",
     "phrase_search_hits",
+    "windowed_count_anomalies",
 ]
 
 

@@ -775,3 +775,59 @@ def test_hll_overlap_composes_with_windowed_registers(spark):
         for r in SK.hll_overlap(items, group_col="g").collect()
     }
     assert from_regs and from_regs == from_items
+
+
+# ------------------------------------------------ windowed anomaly flags
+def test_windowed_anomalies_planted_spike(spark):
+    """A flat 10-per-hour history with one 100-event spike must flag the
+    spike hour and nothing else; the constant-history variance-0 edge
+    flags ANY deviation and never the constant itself."""
+    import datetime as dt
+
+    from bigdata_hwk_spark.streaming.windowed import windowed_count_anomalies
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(12):
+        n = 100 if h == 9 else 10
+        for i in range(n):
+            rows.append((eid, base + dt.timedelta(hours=h, seconds=i), "view"))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id bigint, ts timestamp, event_type string")
+    got = {r.win_start.hour: r for r in windowed_count_anomalies(ev).collect()}
+    assert len(got) == 12
+    assert got[9].is_anomaly                      # the spike
+    assert not any(got[h].is_anomaly for h in range(12) if h != 9 and h != 10)
+    # hour 10 follows the spike: its frame now has nonzero variance and
+    # 10 sits within 3 sigma of the mixed history -> still quiet
+    assert not got[10].is_anomaly
+    # warm-up hours (fewer than 6 predecessors) are never flagged
+    assert all(not got[h].is_anomaly for h in range(6))
+
+
+def test_windowed_anomalies_integer_test_matches_float_zscore(spark):
+    """The integer inequality must agree with the literal float z² on
+    the fixture (where variance > 0): no rounding drift ever."""
+    from bigdata_hwk_spark import registry
+
+    rows = registry.QUERIES["windowed_count_anomalies"](
+        spark, SF_CORRECT
+    ).collect()
+    flagged = sum(r.is_anomaly for r in rows)
+    assert 0 < flagged < len(rows)
+    # recompute per row from the reported integers
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.event_type, []).append(r)
+    for rs in by_key.values():
+        rs.sort(key=lambda r: r.win_start)
+        for i, r in enumerate(rs):
+            hist = [x.n_events for x in rs[max(0, i - 6):i]]
+            if len(hist) < 6:
+                assert not r.is_anomaly
+                continue
+            k, s = len(hist), sum(hist)
+            ss = sum(x * x for x in hist)
+            want = (k * r.n_events - s) ** 2 > 9 * (k * ss - s * s)
+            assert r.is_anomaly == want
