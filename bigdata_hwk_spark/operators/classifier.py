@@ -243,3 +243,74 @@ def ridge_solve(
     return np.linalg.solve(
         G.astype(np.float64) + lam * np.eye(d1), c.astype(np.float64)
     )
+
+
+def classifier_holdout_eval(
+    documents: DataFrame,
+    label: Column,
+    dim: int = CLF_DIM,
+    lam: float = CLF_LAMBDA,
+) -> DataFrame:
+    """One row: (n_train, n_test, test_pos, tp, fp, fn, tn, accuracy) —
+    the leakage-safe evaluation loop: fit on the deterministic salted-hash
+    'train' split (operators/splits.py — the same assignment every split
+    consumer uses), report confusion counts on the held-out 'test' split
+    only. The honest generalization number next to ``classifier_eval``'s
+    train-set fit; both reuse the identical fit/score paths."""
+    from .splits import hash_split
+
+    splits = hash_split(documents)
+    with_split = documents.join(splits, "doc_id")
+    train = with_split.filter(F.col("split") == "train").drop("split")
+    test = with_split.filter(F.col("split") == "test").drop("split")
+    w = ridge_fit(train, label, dim, lam)
+    n_train = train.count()
+    scored = ridge_score(test, w, dim).join(
+        test.select("doc_id", label.cast("int").alias("y")), "doc_id"
+    )
+    p, y = F.col("pred"), F.col("y")
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(y).cast("bigint").alias("test_pos"),
+        F.sum(((p == 1) & (y == 1)).cast("int")).cast("bigint").alias("tp"),
+        F.sum(((p == 1) & (y == 0)).cast("int")).cast("bigint").alias("fp"),
+        F.sum(((p == 0) & (y == 1)).cast("int")).cast("bigint").alias("fn"),
+        F.sum(((p == 0) & (y == 0)).cast("int")).cast("bigint").alias("tn"),
+    ).select(
+        F.lit(n_train).cast("bigint").alias("n_train"),
+        "n_test",
+        "test_pos",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        ((F.col("tp") + F.col("tn")) / F.col("n_test")).alias("accuracy"),
+    )
+
+
+def save_weights(w: np.ndarray, spark, path: str) -> None:
+    """Persist a fitted weight vector as a tiny parquet artifact
+    (bucket, wq) in CLF_SCALE micro-units plus the bias row at
+    bucket = -1 — the model-registry face of the classifier (the PQ
+    index's build-once/score-many discipline). Quantization at save time
+    IS the scoring contract: ``ridge_score`` quantizes identically, so a
+    reloaded model scores bit-for-bit like the in-memory one."""
+    rows = [
+        (int(j), int(np.floor(w[j] * CLF_SCALE + 0.5)))
+        for j in range(len(w) - 1)
+    ]
+    rows.append((-1, int(np.floor(w[-1] * CLF_SCALE + 0.5))))
+    spark.createDataFrame(rows, "bucket int, wq bigint").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_weights(spark, path: str, dim: int = CLF_DIM) -> np.ndarray:
+    """Reload a ``save_weights`` artifact into the float64[dim+1] vector
+    ``ridge_score`` takes. Exact: stored integers divide by the same
+    CLF_SCALE the scorer re-multiplies by."""
+    w = np.zeros(dim + 1, dtype=np.float64)
+    for r in spark.read.parquet(path).collect():
+        idx = dim if r["bucket"] == -1 else r["bucket"]
+        w[idx] = r["wq"] / CLF_SCALE
+    return w

@@ -1952,6 +1952,18 @@ def _classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("doc_classifier_eval", _classifier_eval)
 
 
+# Leakage-safe twin: fit on the salted-hash train split, confusion on the
+# held-out test split — the honest generalization number.
+def _classifier_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    label = F.array_contains(F.split(F.col("text"), " "), "dup").cast("int")
+    return CLF.classifier_holdout_eval(_docs(spark, sf_dir), label)
+
+
+register("doc_classifier_holdout_eval", _classifier_holdout)
+
+
 # Positional-index exact phrase search: the vote-counting rewrite of the
 # k-way position join; the oracle is an INDEPENDENT sliding-window scan.
 register(

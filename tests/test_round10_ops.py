@@ -831,3 +831,36 @@ def test_windowed_anomalies_integer_test_matches_float_zscore(spark):
             ss = sum(x * x for x in hist)
             want = (k * r.n_events - s) ** 2 > 9 * (k * ss - s * s)
             assert r.is_anomaly == want
+
+
+def test_classifier_holdout_generalizes_on_marker_label(spark):
+    """Fit on the train split only; the held-out marker docs must still
+    classify perfectly (the marker feature transfers), and the train/test
+    partition must be the salted-hash one (no leakage by construction)."""
+    from bigdata_hwk_spark import registry
+
+    [r] = registry.QUERIES["doc_classifier_holdout_eval"](
+        spark, SF_CORRECT
+    ).collect()
+    assert r.n_train + r.n_test < 500          # valid split exists too
+    assert r.n_test > 0 and r.test_pos > 0
+    assert r.fp == 0 and r.fn == 0
+    assert r.accuracy == 1.0
+
+
+def test_classifier_weights_artifact_roundtrip(spark, tmp_path):
+    """save_weights -> load_weights -> ridge_score must reproduce the
+    in-memory model's scores BIT-for-bit (quantization at save time is
+    the same quantization the scorer applies)."""
+    from bigdata_hwk_spark.operators import classifier as CL
+    from bigdata_hwk_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    label = F.array_contains(F.split(F.col("text"), " "), "dup").cast("int")
+    w = CL.ridge_fit(docs, label)
+    path = str(tmp_path / "clf_weights")
+    CL.save_weights(w, spark, path)
+    w2 = CL.load_weights(spark, path)
+    a = {r.doc_id: (r.score, r.pred) for r in CL.ridge_score(docs, w).collect()}
+    b = {r.doc_id: (r.score, r.pred) for r in CL.ridge_score(docs, w2).collect()}
+    assert a == b
