@@ -583,6 +583,13 @@ def bloom_prune_bits(
 # HLL set algebra: union / intersection across segments by register merge
 # ---------------------------------------------------------------------------
 
+# All-pairs overlap is quadratic in the number of groups by definition;
+# the operator is for enum-sized dimensions (event types, sources, a
+# bounded window slice). Past this cap it refuses loudly instead of
+# broadcasting a quadratic pair table (the similar_pairs gate discipline).
+HLL_OVERLAP_MAX_GROUPS = 64
+
+
 def _hll_estimate_expr(m: int, rho_max: int):
     """The HLL estimate as a Column over a fold row with (n_present,
     s_present) — the identical expression ``hll_cardinality`` inlines,
@@ -681,6 +688,15 @@ def hll_overlap_from_registers(
     groups = sorted(
         r[0] for r in regs.select(group_col).distinct().collect()
     )
+    if len(groups) > HLL_OVERLAP_MAX_GROUPS:
+        raise ValueError(
+            f"hll_overlap: {len(groups)} groups -> "
+            f"{len(groups) * (len(groups) - 1) // 2} pairs; the all-pairs "
+            f"register merge is meant for enum-sized dimensions "
+            f"(<= {HLL_OVERLAP_MAX_GROUPS}). Slice the group axis first "
+            "(e.g. a bounded window range) or merge registers toward a "
+            "coarser grouping before asking for pairwise overlap."
+        )
     pairs = [(a, b) for i, a in enumerate(groups) for b in groups[i + 1:]]
     spark = regs.sparkSession
     gtype = dict(regs.dtypes)[group_col]

@@ -759,6 +759,13 @@ def test_hll_overlap_composes_with_windowed_registers(spark):
     ev = load_table(spark, SF_CORRECT, "events").filter(
         F.col("event_type").isin("view", "purchase")
     )
+    # bound the group axis: all-pairs overlap is for enum-sized
+    # dimensions, so slice to the first day's windows (the operator
+    # refuses loudly past HLL_OVERLAP_MAX_GROUPS — tested below)
+    lo = ev.agg(F.min("ts")).collect()[0][0]
+    import datetime as dt
+
+    ev = ev.filter(F.col("ts") < F.lit(lo + dt.timedelta(hours=12)))
     regs = windowed_hll_registers(ev, window="30 minutes").select(
         F.col("win_start").cast("string").alias("g"), "bucket", "max_rho"
     )
@@ -775,6 +782,21 @@ def test_hll_overlap_composes_with_windowed_registers(spark):
         for r in SK.hll_overlap(items, group_col="g").collect()
     }
     assert from_regs and from_regs == from_items
+
+
+def test_hll_overlap_refuses_unbounded_group_axes(spark):
+    """Past the group cap the all-pairs merge must refuse loudly instead
+    of broadcasting a quadratic pair table."""
+    import pytest as _pytest
+
+    from bigdata_hwk_spark.operators import sketches as SK
+
+    items = spark.createDataFrame(
+        [(f"g{i:03d}", str(i)) for i in range(SK.HLL_OVERLAP_MAX_GROUPS + 1)],
+        "g string, item string",
+    )
+    with _pytest.raises(ValueError, match="enum-sized"):
+        SK.hll_overlap(items, group_col="g").collect()
 
 
 # ------------------------------------------------ windowed anomaly flags
