@@ -1993,6 +1993,19 @@ register(
 )
 
 
+# Market-basket association rules (Apriori's frequent-pair slice): the
+# oracle recomputes support/confidence/lift from the literal definitions.
+from .operators import assoc as ARL  # noqa: E402
+
+register(
+    "assoc_rules_topk",
+    lambda spark, sf: ARL.association_rules_topk(
+        load_table(spark, sf, "lineitem")
+    ),
+    ARL.association_rules_sql(),
+)
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering (rotating — round-6 VERDICT item 8)
 # ---------------------------------------------------------------------------
