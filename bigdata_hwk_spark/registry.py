@@ -2006,6 +2006,24 @@ register(
 )
 
 
+# Skyline (Pareto frontier): the 2-D sort-based rewrite and the d-D
+# local→global prune; both oracles are the literal NOT EXISTS dominance.
+from .operators import skyline as SKY  # noqa: E402
+
+register(
+    "part_price_size_skyline",
+    lambda spark, sf: SKY.price_size_skyline(load_table(spark, sf, "part")),
+    SKY.PRICE_SIZE_SKYLINE_SQL,
+)
+register(
+    "customer_value_skyline",
+    lambda spark, sf: SKY.customer_value_skyline(
+        load_table(spark, sf, "customer"), load_table(spark, sf, "orders")
+    ),
+    SKY.CUSTOMER_VALUE_SKYLINE_SQL,
+)
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering (rotating — round-6 VERDICT item 8)
 # ---------------------------------------------------------------------------

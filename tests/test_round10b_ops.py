@@ -37,6 +37,68 @@ def test_assoc_rules_hand_case(spark):
     assert ab.lift == ba.lift == round(8 / 9, 6)
 
 
+def test_skyline_hand_case_ties_and_dominance(spark):
+    from bigdata_hwk_spark.operators import skyline as SKY
+
+    # (id, spend_cents, n_orders, c_acctbal)
+    rows = [
+        (1, 100, 5, 10.0),   # frontier
+        (2, 100, 5, 10.0),   # exact tie of 1 → kept (no strict coordinate)
+        (3, 90, 6, 1.0),     # frontier (best n_orders tradeoff)
+        (4, 100, 4, 10.0),   # dominated by 1 (strict n_orders)
+        (5, 90, 5, 1.0),     # dominated by 3
+        (6, 100, 5, 9.0),    # dominated by 1 (strict acctbal)
+    ]
+    df = spark.createDataFrame(
+        rows, "c_custkey bigint, spend_cents bigint, n_orders bigint, c_acctbal double"
+    )
+    got = sorted(r.c_custkey for r in SKY.skyline_max(df).collect())
+    assert got == [1, 2, 3]
+    # partition-layout invariance of the local→global prune
+    got_rep = sorted(
+        r.c_custkey for r in SKY.skyline_max(df.repartition(4)).collect()
+    )
+    assert got_rep == [1, 2, 3]
+
+
+def test_skyline_prune_kernel_matches_bruteforce():
+    import random
+
+    import pandas as pd
+
+    from bigdata_hwk_spark.operators.skyline import (
+        _SKY_COLS,
+        _build_prune_kernel,
+    )
+
+    _pareto_prune = _build_prune_kernel(_SKY_COLS)
+
+    rng = random.Random(7)
+    for _ in range(25):
+        n = rng.randrange(1, 40)
+        pdf = pd.DataFrame(
+            {
+                "id": range(n),
+                _SKY_COLS[0]: [rng.randrange(0, 6) for _ in range(n)],
+                _SKY_COLS[1]: [rng.randrange(0, 6) for _ in range(n)],
+                _SKY_COLS[2]: [float(rng.randrange(0, 6)) for _ in range(n)],
+            }
+        )
+        got = set(_pareto_prune(pdf)["id"])
+        want = set()
+        arr = pdf[_SKY_COLS].to_numpy()
+        for i in range(n):
+            dominated = any(
+                all(arr[j, k] >= arr[i, k] for k in range(3))
+                and any(arr[j, k] > arr[i, k] for k in range(3))
+                for j in range(n)
+                if j != i
+            )
+            if not dominated:
+                want.add(i)
+        assert got == want
+
+
 def test_assoc_rules_rank_is_dense_and_deterministic(spark):
     df = _baskets_df(spark)
     a = ARL.association_rules_topk(df, min_pair_count=1, topk=10).collect()
