@@ -99,6 +99,71 @@ def test_skyline_prune_kernel_matches_bruteforce():
         assert got == want
 
 
+def test_fuzzy_linkage_blocking_is_lossless_for_ed1(spark):
+    """Every ed≤1 relation type (equal / substitution / insertion /
+    deletion) must survive the deletion-key blocking; ed=2 pairs must be
+    filtered by verification even when they share a block key."""
+    from bigdata_hwk_spark.operators import linkage as LK
+
+    canon = spark.createDataFrame(
+        [
+            (1, "martha"),
+            (2, "marta"),    # deletion of 'h' → ed 1 from martha
+            (3, "martha"),   # exact duplicate name, different entity
+            (4, "murtha"),   # substitution → ed 1 from martha
+            (5, "smartha"),  # insertion → ed 1 from martha
+            (6, "mart"),     # ed 2 from martha: must NOT match it
+        ],
+        "c_custkey bigint, c_name string",
+    )
+    dirty = canon.select(
+        F.col("c_custkey").alias("dirty_id"),
+        F.col("c_name").alias("dirty_name"),
+    )
+    dk = LK._with_keys(dirty, "dirty_name")
+    ck = LK._with_keys(canon, "c_name")
+    verified = (
+        dk.join(ck, "bkey")
+        .select("dirty_id", "dirty_name", "c_custkey", "c_name")
+        .distinct()
+        .filter(F.levenshtein("dirty_name", "c_name") <= 1)
+    )
+    got = {(r.dirty_id, r.c_custkey) for r in verified.collect()}
+    # brute-force oracle over all pairs
+    import itertools
+
+    def ed(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+
+    rows = canon.collect()
+    want = {
+        (a.c_custkey, b.c_custkey)
+        for a, b in itertools.product(rows, rows)
+        if ed(a.c_name, b.c_name) <= 1
+    }
+    assert got == want
+    assert (1, 6) not in got and (6, 1) not in got  # ed-2 excluded
+
+
+def test_fuzzy_linkage_self_recovery_is_total(spark):
+    from bigdata_hwk_spark.operators import linkage as LK
+    from bigdata_hwk_spark.sources.tables import load_table
+
+    out = LK.fuzzy_link_summary(
+        load_table(spark, "/root/testdata/sf0.001", "customer")
+    ).collect()
+    assert len(out) > 1  # non-degenerate histogram
+    for r in out:
+        assert r.n_self_matched == r.n_dirty  # ed(dirty, self)=1 always
+
+
 def test_assoc_rules_rank_is_dense_and_deterministic(spark):
     df = _baskets_df(spark)
     a = ARL.association_rules_topk(df, min_pair_count=1, topk=10).collect()
