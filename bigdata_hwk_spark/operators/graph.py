@@ -325,3 +325,85 @@ SELECT s.n_nodes, s.n_edges, s.n_wedges,
        round(3.0 * tri.n_triangles / s.n_wedges, 6) AS global_clustering
 FROM s, tri
 """
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation community detection
+# ---------------------------------------------------------------------------
+
+LPA_ITERS = 4
+LPA_TOPK = 15
+
+
+def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+    """(node, label) after ``iters`` synchronous label-propagation rounds
+    (Raghavan, Albert & Kumara 2007, public): every node adopts the label
+    carrying the highest incident edge WEIGHT among its neighbors, ties
+    broken by the smallest label. Communities = nodes sharing a label.
+
+    Where connected components (dedup.py) answer REACHABILITY and
+    PageRank answers IMPORTANCE, LPA answers cohesion — densely
+    intra-linked groups — the graph face of topic clustering.
+
+    Determinism: weights must be INTEGER (the caller casts the
+    co-occurrence counts; float partial-sum order must never reach a
+    tie-break), updates are synchronous (no visit-order dependence), the
+    argmax is a row_number over (weight DESC, label ASC), and the
+    iteration count is fixed — so the labeling is a pure function of the
+    edge set, invariant under partitioning (pinned in tests).
+
+    Scale shape per round: ONE equi-join of the |V|-row label table
+    against the edge table (AQE broadcasts the label side when it fits)
+    + one map-side-combined (node, label) tally + one per-node window —
+    two keyed shuffles, no driver traffic; ``localCheckpoint`` every
+    second round truncates the loop lineage (the ``pagerank`` device).
+    """
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    from pyspark.sql import Window
+
+    for it in range(iters):
+        tally = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src", "label")
+            .agg(F.sum("weight").alias("w"))
+        )
+        win = Window.partitionBy("src").orderBy(
+            F.col("w").desc(), F.col("label").asc()
+        )
+        labels = (
+            tally.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), "label")
+        )
+        if it % 2 == 1 or it == iters - 1:
+            labels = labels.localCheckpoint()
+    return labels
+
+
+def copurchase_communities(
+    lineitem: DataFrame, iters: int = LPA_ITERS, topk: int = LPA_TOPK
+) -> DataFrame:
+    """Top-``topk`` co-purchase communities by size: (rnk, community,
+    n_members). ``community`` is the shared label (a part key — stable,
+    not positional); ties in size break by label."""
+    from pyspark.sql import Window
+
+    edges = copurchase_edges(lineitem).select(
+        "src", "dst", F.col("weight").cast("bigint").alias("weight")
+    )
+    labels = label_propagation(edges, iters=iters)
+    sizes = labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    top = sizes.orderBy(
+        F.col("n_members").desc(), F.col("community").asc()
+    ).limit(topk)
+    w = Window.orderBy(F.col("n_members").desc(), F.col("community").asc())
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "rnk", "community", "n_members"
+    )

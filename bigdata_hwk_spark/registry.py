@@ -2038,6 +2038,22 @@ register(
 )
 
 
+# Label-propagation communities over the same subset co-purchase graph as
+# the pagerank row — rows-only: iterative fixpoint, not SQL-expressible;
+# determinism + planted-community semantics pinned in tests.
+def _copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return GR.copurchase_communities(
+        load_table(spark, sf_dir, "lineitem").filter(
+            F.col("l_orderkey") % PR_SUBSET_MOD == 0
+        )
+    )
+
+
+register("copurchase_communities", _copurchase_communities)
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering (rotating — round-6 VERDICT item 8)
 # ---------------------------------------------------------------------------
