@@ -114,3 +114,116 @@ SELECT n_candidates, count(*) AS n_dirty,
        CAST(sum(selfm) AS BIGINT) AS n_self_matched
 FROM per GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (crawl-record linkage)
+# ---------------------------------------------------------------------------
+# The messy-URL column is DERIVED deterministically from (doc_id, source)
+# with the same expression in both engines (the PII-scrub derivation device):
+# four real-world variants of one logical URL — plain; uppercased host with
+# www. and a trailing slash; explicit default :443 port with utm_* tracking
+# params; www. with a MEANINGFUL (kept) query param.
+# variant and path are both driven by q = doc_id DIV 20 through COPRIME
+# moduli (4, 9), so within any source every (path, variant) combination
+# occurs and the canonicalizer has real duplicates to collapse — deriving
+# both from doc_id directly would correlate them through the source
+# assignment's period and leave nothing to merge (measured footgun).
+_RAW_URL_EXPR_SPARK = (
+    "CASE CAST((doc_id DIV 20) % 4 AS INT) "
+    " WHEN 0 THEN 'https://' || concat('crawl-', source, '.example.com') "
+    "   || concat('/art/', CAST((doc_id DIV 20) % 9 AS STRING)) "
+    " WHEN 1 THEN 'HTTPS://WWW.' || upper(concat('crawl-', source, '.example.com')) "
+    "   || concat('/art/', CAST((doc_id DIV 20) % 9 AS STRING)) || '/' "
+    " WHEN 2 THEN 'https://' || concat('crawl-', source, '.example.com') "
+    "   || ':443' || concat('/art/', CAST((doc_id DIV 20) % 9 AS STRING)) "
+    "   || '?utm_source=feed&utm_campaign=recrawl' "
+    " ELSE 'https://www.' || concat('crawl-', source, '.example.com') "
+    "   || concat('/art/', CAST((doc_id DIV 20) % 9 AS STRING)) "
+    "   || '?ref=' || CAST(doc_id % 3 AS STRING) "
+    "END"
+)
+
+_RAW_URL_EXPR_DUCK = (
+    "CASE CAST((doc_id // 20) % 4 AS INT) "
+    " WHEN 0 THEN 'https://crawl-' || source || '.example.com' "
+    "   || '/art/' || CAST((doc_id // 20) % 9 AS VARCHAR) "
+    " WHEN 1 THEN 'HTTPS://WWW.' || upper('crawl-' || source || '.example.com') "
+    "   || '/art/' || CAST((doc_id // 20) % 9 AS VARCHAR) || '/' "
+    " WHEN 2 THEN 'https://crawl-' || source || '.example.com' "
+    "   || ':443' || '/art/' || CAST((doc_id // 20) % 9 AS VARCHAR) "
+    "   || '?utm_source=feed&utm_campaign=recrawl' "
+    " ELSE 'https://www.crawl-' || source || '.example.com' "
+    "   || '/art/' || CAST((doc_id // 20) % 9 AS VARCHAR) "
+    "   || '?ref=' || CAST(doc_id % 3 AS VARCHAR) "
+    "END"
+)
+
+
+def canonical_url_col(raw):
+    """Canonicalize a URL column: lower-case scheme+host, drop the default
+    https port, strip a leading ``www.``, remove ``utm_*`` tracking params
+    (repairing a query string orphaned by a leading-param removal), strip one trailing slash. Lower-casing
+    is applied to the WHOLE string — host-safe here by contract because
+    every derived path/param is already lower-case; a case-sensitive-path
+    corpus would lower only the authority (documented limitation).
+
+    All five steps are codegen string/regex primitives — no UDF — and each
+    has an exact DuckDB twin in ``URL_CANONICAL_PROFILE_SQL``."""
+    c = F.lower(raw)
+    c = F.replace(c, F.lit(":443/"), F.lit("/"))
+    c = F.regexp_replace(c, r"^https://www\.", "https://")
+    c = F.regexp_replace(c, r"[?&]utm_[a-z]+=[a-z0-9]*", "")
+    # repair a query string orphaned by the removal of a LEADING utm param
+    # ('/x&ref=2' → '/x?ref=2'): promote the first '&' iff no '?' survives
+    # before it (pinned by test_url_canonicalizer_rules, which caught the
+    # naive '\?&' repair missing exactly this case)
+    c = F.regexp_replace(c, r"^([^?&]*)&", "$1?")
+    c = F.regexp_replace(c, r"/$", "")
+    return c
+
+
+def url_canonical_profile(documents: DataFrame) -> DataFrame:
+    """Per-source URL dedup profile: how many raw crawl URLs collapse to
+    how many canonical ones. (source, n_docs, n_raw_urls,
+    n_canonical_urls, fanin = docs per canonical, rounded to 6) — the
+    go/no-go report before canonical-URL-keyed exact dedup."""
+    raw = F.expr(_RAW_URL_EXPR_SPARK)
+    urls = documents.select(
+        "source",
+        raw.alias("raw_url"),
+        canonical_url_col(raw).alias("canon_url"),
+    )
+    return urls.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("raw_url").alias("n_raw_urls"),
+        F.countDistinct("canon_url").alias("n_canonical_urls"),
+        F.round(
+            F.count(F.lit(1)) / F.countDistinct("canon_url"), 6
+        ).alias("fanin"),
+    )
+
+
+URL_CANONICAL_PROFILE_SQL = f"""
+WITH urls AS (
+  SELECT source,
+         ({_RAW_URL_EXPR_DUCK}) AS raw_url,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 replace(lower(({_RAW_URL_EXPR_DUCK})), ':443/', '/'),
+                 '^https://www\\.', 'https://'),
+               '[?&]utm_[a-z]+=[a-z0-9]*', '', 'g'),
+             '^([^?&]*)&', '\\1?'),
+           '/$', '') AS canon_url
+  FROM documents)
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT raw_url) AS n_raw_urls,
+       count(DISTINCT canon_url) AS n_canonical_urls,
+       round(count(*) / CAST(count(DISTINCT canon_url) AS DOUBLE), 6)
+         AS fanin
+FROM urls
+GROUP BY source
+"""

@@ -2036,6 +2036,13 @@ register(
     ),
     LK.FUZZY_LINK_SUMMARY_SQL,
 )
+# Canonical-URL crawl dedup profile (derived messy-URL column, identical
+# canonicalization pipeline spelled in both engines' string/regex fns)
+register(
+    "url_canonical_profile",
+    lambda spark, sf: LK.url_canonical_profile(_docs(spark, sf)),
+    LK.URL_CANONICAL_PROFILE_SQL,
+)
 
 
 # Label-propagation communities over the same subset co-purchase graph as

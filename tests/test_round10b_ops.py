@@ -215,6 +215,41 @@ def test_copurchase_communities_registry_shape(spark):
     assert sizes == sorted(sizes, reverse=True)
 
 
+def test_url_canonicalizer_rules(spark):
+    from bigdata_hwk_spark.operators.linkage import canonical_url_col
+
+    cases = [
+        # (raw, expected canonical)
+        ("https://a.example.com/x", "https://a.example.com/x"),
+        ("HTTPS://WWW.A.EXAMPLE.COM/x/", "https://a.example.com/x"),
+        ("https://a.example.com:443/x?utm_source=f&utm_campaign=c",
+         "https://a.example.com/x"),
+        # meaningful param kept; dangling ?& repaired after utm removal
+        ("https://www.a.example.com/x?utm_x=1&ref=2",
+         "https://a.example.com/x?ref=2"),
+        ("https://a.example.com/x?ref=2", "https://a.example.com/x?ref=2"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "raw string")
+    got = [
+        r.canon
+        for r in df.select(
+            canonical_url_col(F.col("raw")).alias("canon")
+        ).collect()
+    ]
+    assert got == [want for _, want in cases]
+
+
+def test_url_profile_collapses_real_duplicates(spark):
+    from bigdata_hwk_spark import registry
+
+    out = registry.QUERIES["url_canonical_profile"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert all(r.n_canonical_urls < r.n_raw_urls for r in out), (
+        "canonicalization must collapse at least one variant per source"
+    )
+
+
 def test_assoc_rules_rank_is_dense_and_deterministic(spark):
     df = _baskets_df(spark)
     a = ARL.association_rules_topk(df, min_pair_count=1, topk=10).collect()
