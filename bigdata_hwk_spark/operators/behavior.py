@@ -1,0 +1,124 @@
+"""Behavioral sequence analytics over the event stream: Markov
+transition matrix and cohort retention.
+
+Extension surface (no reference counterpart): the two reports every
+product/telemetry pipeline asks of an events table — "what follows
+what" (first-order Markov transitions, the input to journey mining and
+next-event prediction) and "who comes back" (cohort retention curves).
+Both are pure window + aggregate plans; both oracles are the literal
+definitions in DuckDB SQL.
+
+Determinism: event order within a user is (ts, event_id) — event_id is
+unique, so ``lead`` is well-defined under any partitioning; week
+arithmetic is integer epoch-day division (identical in both engines, no
+timezone dependence — the session pins UTC); probabilities are ratios of
+exact integer counts rounded to 6.
+
+Scale shape: transitions are ONE shuffle (hash by user for the window)
+plus a map-side-combined (from, to) tally whose size is |event-type
+alphabet|²; retention is the same user-keyed shuffle, a distinct on
+(user, cohort, offset) — bounded by active user-weeks, the table's
+information content — and a cohort-keyed aggregate of at most
+cohorts × offsets rows. Nothing driver-side, no Python row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def event_transition_matrix(events: DataFrame) -> DataFrame:
+    """(from_type, to_type, n_transitions, prob): first-order Markov
+    transition counts per user journey; ``prob`` row-normalizes each
+    ``from_type`` (rounded to 6). Terminal events (a user's last) emit
+    no transition."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = events.select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wf = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wf), 6
+        ).alias("prob"),
+    )
+
+
+EVENT_TRANSITION_MATRIX_SQL = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n_transitions
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY 1, 2)
+SELECT from_type, to_type, n_transitions,
+       round(n_transitions / CAST(
+         sum(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE),
+         6) AS prob
+FROM counts
+"""
+
+
+def user_retention_cohorts(events: DataFrame) -> DataFrame:
+    """(cohort_week, week_offset, n_users, retention): users grouped by
+    the absolute epoch-week of their FIRST event; ``retention`` is the
+    share of the cohort active again ``week_offset`` weeks later
+    (offset 0 is the cohort itself, retention 1.0 by definition)."""
+    wk = F.floor(F.col("ts").cast("long") / (7 * 86400)).alias("w")
+    uw = events.select("user_id", wk)
+    first = Window.partitionBy("user_id")
+    active = uw.select(
+        "user_id",
+        F.min("w").over(first).alias("cohort_week"),
+        (F.col("w") - F.min("w").over(first)).alias("week_offset"),
+    ).distinct()
+    per_cell = active.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    wc = Window.partitionBy("cohort_week")
+    return per_cell.select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        F.round(
+            F.col("n_users")
+            / F.max(
+                F.when(F.col("week_offset") == 0, F.col("n_users"))
+            ).over(wc),
+            6,
+        ).alias("retention"),
+    )
+
+
+USER_RETENTION_COHORTS_SQL = """
+WITH uw AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / (7 * 86400)) AS BIGINT) AS w
+  FROM events),
+active AS (
+  SELECT DISTINCT user_id,
+         min(w) OVER (PARTITION BY user_id) AS cohort_week,
+         w - min(w) OVER (PARTITION BY user_id) AS week_offset
+  FROM uw),
+per_cell AS (
+  SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_users
+  FROM active GROUP BY 1, 2)
+SELECT cohort_week, week_offset, n_users,
+       round(n_users / CAST(max(CASE WHEN week_offset = 0 THEN n_users END)
+         OVER (PARTITION BY cohort_week) AS DOUBLE), 6) AS retention
+FROM per_cell
+"""

@@ -2061,6 +2061,25 @@ def _copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("copurchase_communities", _copurchase_communities)
 
 
+# Behavioral sequence analytics: Markov transitions + cohort retention
+from .operators import behavior as BH  # noqa: E402
+
+register(
+    "event_transition_matrix",
+    lambda spark, sf: BH.event_transition_matrix(
+        load_table(spark, sf, "events")
+    ),
+    BH.EVENT_TRANSITION_MATRIX_SQL,
+)
+register(
+    "user_retention_cohorts",
+    lambda spark, sf: BH.user_retention_cohorts(
+        load_table(spark, sf, "events")
+    ),
+    BH.USER_RETENTION_COHORTS_SQL,
+)
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering (rotating — round-6 VERDICT item 8)
 # ---------------------------------------------------------------------------

@@ -250,6 +250,66 @@ def test_url_profile_collapses_real_duplicates(spark):
     )
 
 
+def test_event_transitions_hand_case(spark):
+    from datetime import datetime
+
+    from bigdata_hwk_spark.operators.behavior import event_transition_matrix
+
+    def ev(eid, uid, t, typ):
+        return (eid, datetime(2024, 1, 1, 0, 0, t), uid, typ)
+
+    rows = [
+        ev(1, 1, 1, "view"), ev(2, 1, 2, "click"), ev(3, 1, 3, "view"),
+        ev(4, 2, 1, "view"), ev(5, 2, 2, "click"),
+        # same-ts tie within user 3: event_id breaks it (6 before 7)
+        ev(6, 3, 5, "signup"), ev(7, 3, 5, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    got = {
+        (r.from_type, r.to_type): (r.n_transitions, r.prob)
+        for r in event_transition_matrix(df).collect()
+    }
+    assert got == {
+        ("view", "click"): (2, 1.0),       # user 3's last view is terminal
+        ("click", "view"): (1, 1.0),
+        ("signup", "view"): (1, 1.0),
+    }
+
+
+def test_retention_cohorts_hand_case(spark):
+    from datetime import datetime
+
+    from bigdata_hwk_spark.operators.behavior import user_retention_cohorts
+
+    def ev(eid, uid, day, typ="view"):
+        # epoch weeks: 2024-01-04 is exactly on a 7*86400 boundary
+        return (eid, datetime(2024, 1, day, 12, 0, 0), uid, typ)
+
+    rows = [
+        # cohort A (week of Jan 4): users 1, 2 active; user 1 returns
+        # next week, user 2 does not
+        ev(1, 1, 4), ev(2, 2, 5), ev(3, 1, 12),
+        # cohort B (next week): user 3 only
+        ev(4, 3, 11),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    out = {
+        (r.cohort_week, r.week_offset): (r.n_users, r.retention)
+        for r in user_retention_cohorts(df).collect()
+    }
+    weeks = sorted({cw for cw, _ in out})
+    a, b = weeks[0], weeks[1]
+    assert b == a + 1
+    assert out[(a, 0)] == (2, 1.0)
+    assert out[(a, 1)] == (1, 0.5)
+    assert out[(b, 0)] == (1, 1.0)
+    assert (b, 1) not in out
+
+
 def test_assoc_rules_rank_is_dense_and_deterministic(spark):
     df = _baskets_df(spark)
     a = ARL.association_rules_topk(df, min_pair_count=1, topk=10).collect()
