@@ -122,3 +122,121 @@ SELECT cohort_week, week_offset, n_users,
          OVER (PARTITION BY cohort_week) AS DOUBLE), 6) AS retention
 FROM per_cell
 """
+
+
+# ---------------------------------------------------------------------------
+# Hash-assigned A/B experiment report
+# ---------------------------------------------------------------------------
+
+AB_ACTIVATION_WINDOW_SEC = 24 * 3600
+
+
+def ab_test_report(
+    events: DataFrame,
+    salt: str = "ab1",
+    activation_window_sec: int = AB_ACTIVATION_WINDOW_SEC,
+) -> DataFrame:
+    """One-row A/B readout with deterministic hash assignment: users land
+    in control/treatment by the engine-portable salted md5 (the
+    ``hash_split`` device — assignment is a pure function of user_id, so
+    re-runs, backfills, and the DuckDB oracle agree bit-for-bit), a user
+    CONVERTS by purchasing within ``activation_window_sec`` of their
+    FIRST event (an activation metric — "ever purchased" saturates to 1.0
+    on any long-horizon fixture and reads out nothing, measured), and the
+    report is conversion counts, rates, and absolute uplift (ratios of
+    exact integers, rounded to 6; window arithmetic is integer epoch
+    seconds in both engines).
+
+    Scale shape: one user-keyed shuffle shared by the first-event window
+    and the conversion flag (both map-side-combinable per user), then a
+    ≤2-row conditional fold to one row. Nothing driver-side."""
+    from ..functions.hashing import md5_hash64
+
+    arm = (
+        md5_hash64(F.concat(F.lit(salt + ":"), F.col("user_id"))) % 2
+    ).alias("arm")
+    wu = Window.partitionBy("user_id")
+    flagged = events.select(
+        "user_id",
+        arm,
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (
+                F.col("ts").cast("long")
+                - F.min(F.col("ts").cast("long")).over(wu)
+                <= activation_window_sec
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_conv_event"),
+    )
+    per_user = flagged.groupBy("user_id", "arm").agg(
+        F.max("is_conv_event").alias("converted")
+    )
+    return per_user.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_control"),
+        F.sum(
+            F.when(F.col("arm") == 0, F.col("converted")).otherwise(0)
+        ).alias("conv_control"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_treatment"),
+        F.sum(
+            F.when(F.col("arm") == 1, F.col("converted")).otherwise(0)
+        ).alias("conv_treatment"),
+    ).select(
+        "n_control",
+        "conv_control",
+        "n_treatment",
+        "conv_treatment",
+        F.round(F.col("conv_control") / F.col("n_control"), 6).alias(
+            "rate_control"
+        ),
+        F.round(F.col("conv_treatment") / F.col("n_treatment"), 6).alias(
+            "rate_treatment"
+        ),
+        F.round(
+            F.col("conv_treatment") / F.col("n_treatment")
+            - F.col("conv_control") / F.col("n_control"),
+            6,
+        ).alias("uplift_abs"),
+    )
+
+
+def ab_test_report_sql(
+    salt: str = "ab1",
+    activation_window_sec: int = AB_ACTIVATION_WINDOW_SEC,
+) -> str:
+    from ..functions.hashing import md5_hash64_sql
+
+    h = md5_hash64_sql(f"'{salt}:' || CAST(user_id AS VARCHAR)")
+    return f"""
+WITH flagged AS (
+  SELECT user_id, ({h}) % 2 AS arm,
+         CASE WHEN event_type = 'purchase'
+                AND CAST(epoch(ts) AS BIGINT)
+                    - min(CAST(epoch(ts) AS BIGINT))
+                        OVER (PARTITION BY user_id)
+                    <= {activation_window_sec}
+              THEN 1 ELSE 0 END AS is_conv_event
+  FROM events),
+per_user AS (
+  SELECT user_id, arm, max(is_conv_event) AS converted
+  FROM flagged GROUP BY 1, 2),
+folded AS (
+  SELECT
+    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+    CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT)
+      AS conv_control,
+    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_treatment,
+    CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT)
+      AS conv_treatment
+  FROM per_user)
+SELECT n_control, conv_control, n_treatment, conv_treatment,
+       round(conv_control / CAST(n_control AS DOUBLE), 6) AS rate_control,
+       round(conv_treatment / CAST(n_treatment AS DOUBLE), 6)
+         AS rate_treatment,
+       round(conv_treatment / CAST(n_treatment AS DOUBLE)
+             - conv_control / CAST(n_control AS DOUBLE), 6) AS uplift_abs
+FROM folded
+"""

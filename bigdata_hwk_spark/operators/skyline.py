@@ -130,9 +130,26 @@ def _build_prune_kernel(sky_cols: list[str]):
     return pareto_prune
 
 
-def skyline_max(points: DataFrame, sky_cols: list[str] = _SKY_COLS) -> DataFrame:
+SKYLINE_GLOBAL_MAX_ROWS = 1_000_000
+
+
+def skyline_max(
+    points: DataFrame,
+    sky_cols: list[str] = _SKY_COLS,
+    global_max_rows: int = SKYLINE_GLOBAL_MAX_ROWS,
+) -> DataFrame:
     """Skyline of ``points`` maximizing every column in ``sky_cols``
-    (other columns ride along as identifiers)."""
+    (other columns ride along as identifiers).
+
+    ``global_max_rows`` is the loud degrade gate (the
+    ``similar_pairs_threshold`` device): the global stage deliberately
+    runs on ONE partition, which is only sound because real tradeoff
+    data prunes locally to a tiny frontier. Anti-correlated data (every
+    row on the frontier) defeats ANY skyline algorithm's output bound —
+    if the union of local skylines exceeds the gate, refuse with the
+    remedy named instead of stalling one task. The count runs on the
+    already-pruned intermediate, so the check costs one job over
+    frontier-sized data, not a corpus scan."""
     prune = _build_prune_kernel(list(sky_cols))
 
     def prune_partition(
@@ -152,6 +169,15 @@ def skyline_max(points: DataFrame, sky_cols: list[str] = _SKY_COLS) -> DataFrame
 
     schema = points.schema
     local = points.mapInPandas(prune_partition, schema=schema)
+    local = local.localCheckpoint()  # prune once; count + global reuse it
+    n_local = local.count()
+    if n_local > global_max_rows:
+        raise ValueError(
+            f"skyline_max: {n_local} local-frontier rows exceed the "
+            f"single-partition gate ({global_max_rows}) — the criteria "
+            "are anti-correlated at this scale; reduce dimensions, "
+            "pre-filter, or raise global_max_rows knowingly"
+        )
     return local.coalesce(1).mapInPandas(prune_partition, schema=schema)
 
 

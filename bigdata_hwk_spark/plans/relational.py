@@ -1551,3 +1551,68 @@ SELECT user_id,
        count(*) AS n_events
 FROM sess GROUP BY user_id, session_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Bag-semantics set operators (§2.7 completion: EXCEPT ALL / INTERSECT ALL)
+# ---------------------------------------------------------------------------
+
+def returned_month_bag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset comparison of the ship-month bags of RETURNED (flag R)
+    vs ACCEPTED (flag A) lineitems: per month, ``n_excess_returns`` =
+    bag difference (how many R occurrences have no matching A occurrence
+    — ``exceptAll``, duplicates significant) and ``n_matched`` = bag
+    intersection (``intersectAll``). The distinct-set ops at §2.7 can't
+    see multiplicity; these are their bag twins, planned by Catalyst as
+    aggregate-count + generate (no join explosion: both rewrites carry
+    (value, count) pairs, so the shuffle is month-cardinality-bounded).
+
+    Months with zero in both outputs vanish from the union by
+    definition; a full-outer join re-aligns the two aggregates with
+    zero-fill so the report is one row per month that has either."""
+    from ..sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    month = F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+    r = li.filter(F.col("l_returnflag") == "R").select(month)
+    a = li.filter(F.col("l_returnflag") == "A").select(month)
+    exc = (
+        r.exceptAll(a)
+        .groupBy("ship_month")
+        .agg(F.count(F.lit(1)).alias("n_excess_returns"))
+    )
+    inter = (
+        r.intersectAll(a)
+        .groupBy("ship_month")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return (
+        exc.join(inter, "ship_month", "full_outer")
+        .select(
+            "ship_month",
+            F.coalesce("n_excess_returns", F.lit(0)).alias(
+                "n_excess_returns"
+            ),
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+        )
+    )
+
+
+RETURNED_MONTH_BAG_DIFF_SQL = """
+WITH r AS (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month
+           FROM lineitem WHERE l_returnflag = 'R'),
+a AS (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month
+      FROM lineitem WHERE l_returnflag = 'A'),
+exc AS (
+  SELECT ship_month, count(*) AS n_excess_returns
+  FROM (SELECT ship_month FROM r EXCEPT ALL SELECT ship_month FROM a)
+  GROUP BY 1),
+inter AS (
+  SELECT ship_month, count(*) AS n_matched
+  FROM (SELECT ship_month FROM r INTERSECT ALL SELECT ship_month FROM a)
+  GROUP BY 1)
+SELECT coalesce(exc.ship_month, inter.ship_month) AS ship_month,
+       coalesce(n_excess_returns, 0) AS n_excess_returns,
+       coalesce(n_matched, 0) AS n_matched
+FROM exc FULL OUTER JOIN inter ON exc.ship_month = inter.ship_month
+"""

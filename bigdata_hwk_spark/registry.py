@@ -2078,6 +2078,18 @@ register(
     ),
     BH.USER_RETENTION_COHORTS_SQL,
 )
+# Hash-assigned A/B experiment readout (one-row conversion/uplift fold)
+register(
+    "ab_test_report",
+    lambda spark, sf: BH.ab_test_report(load_table(spark, sf, "events")),
+    BH.ab_test_report_sql(),
+)
+# Bag-semantics set ops (§2.7 completion): EXCEPT ALL / INTERSECT ALL
+register(
+    "returned_month_bag_diff",
+    R.returned_month_bag_diff,
+    R.RETURNED_MONTH_BAG_DIFF_SQL,
+)
 
 
 # ---------------------------------------------------------------------------

@@ -61,6 +61,25 @@ def test_skyline_hand_case_ties_and_dominance(spark):
     assert got_rep == [1, 2, 3]
 
 
+def test_skyline_global_gate_refuses_anticorrelated(spark):
+    """Anti-correlated data (x + y constant → every row on the frontier)
+    must trip the loud single-partition gate, not stall a task."""
+    import pytest
+
+    from bigdata_hwk_spark.operators import skyline as SKY
+
+    n = 50
+    rows = [(i, i, n - i, 0.0) for i in range(n)]
+    df = spark.createDataFrame(
+        rows,
+        "c_custkey bigint, spend_cents bigint, n_orders bigint, c_acctbal double",
+    ).repartition(4)
+    with pytest.raises(ValueError, match="anti-correlated"):
+        SKY.skyline_max(df, global_max_rows=10).collect()
+    # same data passes with the gate above the frontier size
+    assert SKY.skyline_max(df, global_max_rows=n).count() == n
+
+
 def test_skyline_prune_kernel_matches_bruteforce():
     import random
 
@@ -341,6 +360,85 @@ def test_transition_stream_equals_batch(spark, tmp_path):
     n_events = events.count()
     n_users = events.select("user_id").distinct().count()
     assert sum(n for n, _ in got.values()) == n_events - n_users
+
+
+def test_ab_report_hand_case_and_determinism(spark):
+    from datetime import datetime
+
+    from bigdata_hwk_spark.operators.behavior import ab_test_report
+
+    # derive each user's arm exactly as the operator does, then plant
+    # conversions: every treatment user purchases 1h after first event,
+    # every control user only after the 24h activation window
+    from bigdata_hwk_spark.functions.hashing import md5_hash64
+    arms = {
+        r.user_id: r.arm
+        for r in spark.createDataFrame(
+            [(u,) for u in range(40)], "user_id bigint"
+        )
+        .select(
+            "user_id",
+            (md5_hash64(F.concat(F.lit("ab1:"), F.col("user_id"))) % 2).alias(
+                "arm"
+            ),
+        )
+        .collect()
+    }
+    rows = []
+    eid = 0
+    for u, arm in arms.items():
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1, 0, 0, 0), u, "view"))
+        eid += 1
+        hours = 1 if arm == 1 else 30  # control converts OUTSIDE the window
+        rows.append((eid, datetime(2024, 1, 1 + hours // 24, hours % 24), u, "purchase"))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    r = ab_test_report(df).collect()[0]
+    n_t = sum(1 for a in arms.values() if a == 1)
+    n_c = len(arms) - n_t
+    assert (r.n_control, r.n_treatment) == (n_c, n_t)
+    assert r.conv_treatment == n_t and r.conv_control == 0
+    assert r.rate_treatment == 1.0 and r.rate_control == 0.0
+    assert r.uplift_abs == 1.0
+    # assignment is a pure function of user_id: re-run identical
+    assert ab_test_report(df.repartition(8)).collect()[0] == r
+
+
+def test_bag_diff_hand_case(spark):
+    from datetime import date
+
+    from bigdata_hwk_spark.plans.relational import returned_month_bag_diff
+    from bigdata_hwk_spark import registry
+
+    # registry-level: excess + matched must reconcile with raw counts
+    out = registry.QUERIES["returned_month_bag_diff"](
+        spark, "/root/testdata/sf0.001"
+    )
+    from bigdata_hwk_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    month = F.date_format("l_shipdate", "yyyy-MM").alias("m")
+    r_cnt = {
+        x.m: x["count"]
+        for x in li.filter(F.col("l_returnflag") == "R")
+        .groupBy(month)
+        .count()
+        .collect()
+    }
+    a_cnt = {
+        x.m: x["count"]
+        for x in li.filter(F.col("l_returnflag") == "A")
+        .groupBy(month)
+        .count()
+        .collect()
+    }
+    for row in out.collect():
+        r = r_cnt.get(row.ship_month, 0)
+        a = a_cnt.get(row.ship_month, 0)
+        assert row.n_excess_returns == max(r - a, 0)
+        assert row.n_matched == min(r, a)
 
 
 def test_assoc_rules_rank_is_dense_and_deterministic(spark):
