@@ -68,6 +68,8 @@ def bm25_topk(
     k1: float = BM25_K1,
     b: float = BM25_B,
     topk: int = BM25_TOPK,
+    tf: DataFrame | None = None,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``topk`` documents per query by BM25 score.
 
@@ -77,14 +79,22 @@ def bm25_topk(
     across partial-aggregation orders (raw float sums are
     order-sensitive in the last ulp; queries have ≤ 5 terms, so the
     rounded value is stable).
+
+    ``tf``/``stats`` inject a PRE-BUILT index (the persisted-artifact
+    path at ``text_index_build``); by default both derive from
+    ``documents`` in-plan. Either both or neither — the stats must
+    describe the corpus the postings were built from.
     """
+    if (tf is None) != (stats is None):
+        raise ValueError("bm25_topk: pass both tf and stats, or neither")
     spark = documents.sparkSession
     q_rows = [
         (qid, term) for qid, qtext in queries for term in qtext.split(" ")
     ]
     q = spark.createDataFrame(q_rows, "query_id int, term string")
 
-    tf = _postings(documents)
+    if tf is None:
+        tf = _postings(documents)
     # df over QUERY terms only: semi-join the postings to the tiny term
     # set BEFORE aggregating — the per-term doc counts are identical
     # (every posting of a query term survives the semi-join) and the df
@@ -98,10 +108,11 @@ def bm25_topk(
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    stats = documents.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.avg(F.size(F.split(F.col("text"), " "))).alias("avgdl"),
-    )
+    if stats is None:
+        stats = documents.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg(F.size(F.split(F.col("text"), " "))).alias("avgdl"),
+        )
 
     idf = F.log(
         F.lit(1.0)
@@ -264,3 +275,59 @@ SELECT CAST({qid} AS INTEGER) AS query_id, doc_id,
 FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)""")
     body = "\nUNION ALL\n".join(parts)
     return f"SELECT * FROM (\n{body}\n) WHERE n_matches > 0"
+
+
+# ---------------------------------------------------------------------------
+# Persisted inverted-index artifact (build once, query many)
+# ---------------------------------------------------------------------------
+
+def text_index_build(documents: DataFrame, out_dir: str) -> dict:
+    """Materialize the BM25 index as a parquet artifact: the posting
+    table bucket-partitioned-BY-TERM-HASH files under ``out_dir``/postings
+    and the one-row (n, avgdl) corpus stats under ``out_dir``/stats.
+
+    The artifact is the production contract the in-plan path can't give:
+    the corpus is tokenized ONCE, then any number of later query batches
+    pay only a pruned posting scan — the ``pq_index_build`` discipline
+    applied to the lexical index. Postings are repartitioned by ``term``
+    before the write so each file holds whole posting lists (a query's
+    semi-join prunes files by the term hash instead of scanning all)."""
+    postings = _postings(documents).repartition(F.col("term"))
+    postings.write.mode("overwrite").parquet(f"{out_dir}/postings")
+    stats = documents.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg(F.size(F.split(F.col("text"), " "))).alias("avgdl"),
+    )
+    stats.write.mode("overwrite").parquet(f"{out_dir}/stats")
+    spark = documents.sparkSession
+    n_postings = spark.read.parquet(f"{out_dir}/postings").count()
+    return {"n_postings": n_postings}
+
+
+def text_index_roundtrip_profile(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str | None = None,
+) -> DataFrame:
+    """One-row profile proving the persisted lexical index is lossless:
+    build the artifact into a per-invocation temp dir, run the SAME fixed
+    query set through (a) the from-index path and (b) the in-plan path,
+    and count exact (query, doc, rnk, score) row agreement —
+    (n_postings, topk_rows, n_agree). ``n_agree == topk_rows`` certifies
+    tokenize→parquet→score ≡ in-memory end to end (the
+    ``pq_index_roundtrip_profile`` device for the text index)."""
+    import tempfile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = work_dir or tempfile.mkdtemp(prefix="text_index_")
+    meta = text_index_build(docs, out)
+    tf = spark.read.parquet(f"{out}/postings")
+    stats = spark.read.parquet(f"{out}/stats")
+    from_index = {
+        tuple(r) for r in bm25_topk(docs, tf=tf, stats=stats).collect()
+    }
+    in_mem = {tuple(r) for r in bm25_topk(docs).collect()}
+    return spark.createDataFrame(
+        [(meta["n_postings"], len(in_mem), len(from_index & in_mem))],
+        "n_postings bigint, topk_rows bigint, n_agree bigint",
+    )

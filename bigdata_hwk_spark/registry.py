@@ -2090,6 +2090,12 @@ register(
     R.returned_month_bag_diff,
     R.RETURNED_MONTH_BAG_DIFF_SQL,
 )
+# Persisted lexical index roundtrip (build once, query many) — rows-only:
+# the agreement count certifies tokenize→parquet→score ≡ in-plan BM25
+register(
+    "text_index_roundtrip",
+    lambda spark, sf: RV.text_index_roundtrip_profile(spark, sf),
+)
 
 
 # ---------------------------------------------------------------------------

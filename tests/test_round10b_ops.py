@@ -441,6 +441,27 @@ def test_bag_diff_hand_case(spark):
         assert row.n_matched == min(r, a)
 
 
+def test_text_index_roundtrip_is_lossless(spark):
+    from bigdata_hwk_spark.operators.retrieval import (
+        text_index_roundtrip_profile,
+    )
+
+    r = text_index_roundtrip_profile(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r.n_postings > 0 and r.topk_rows > 0
+    assert r.n_agree == r.topk_rows  # persisted path ≡ in-plan path
+
+
+def test_bm25_index_args_must_pair(spark):
+    import pytest
+
+    from bigdata_hwk_spark.operators.retrieval import _postings, bm25_topk
+    from bigdata_hwk_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    with pytest.raises(ValueError, match="both tf and stats"):
+        bm25_topk(docs, tf=_postings(docs))
+
+
 def test_assoc_rules_rank_is_dense_and_deterministic(spark):
     df = _baskets_df(spark)
     a = ARL.association_rules_topk(df, min_pair_count=1, topk=10).collect()
