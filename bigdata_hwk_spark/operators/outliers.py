@@ -233,3 +233,91 @@ def outliers_auto(
     if n <= cap:
         return "exact", exact_outliers(points, d, m)
     return "approx", mr_approx_outliers_summary(points, d, m)
+
+
+# ---------------------------------------------------------------------------
+# Grid hotspot detection (spatial-statistics face of the grid machinery)
+# ---------------------------------------------------------------------------
+
+HOTSPOT_FACTOR = 3
+HOTSPOT_TOPK = 20
+
+
+def grid_hotspots(
+    points: DataFrame,
+    d: float,
+    factor: int = HOTSPOT_FACTOR,
+    topk: int = HOTSPOT_TOPK,
+) -> DataFrame:
+    """Top-``topk`` local density hotspots: non-empty cells whose count
+    exceeds ``factor`` × the mean of their non-empty 3×3 neighbors — the
+    Getis-Ord hot-spot idea reduced to an EXACT INTEGER inequality
+    (``cell_cnt · nbr_cells > factor · nbr_sum``; no float mean reaches
+    the decision, the ``windowed_count_anomalies`` device), so the flag
+    set is identical in both engines.
+
+    Where the outlier pipeline (P1–P4) flags SPARSITY (few neighbors =
+    isolated points), this flags the opposite tail — local density
+    spikes: crawl traps, bot bursts, duplicated coordinate clusters.
+    Same plan skeleton as ``cell_stats``: one cell histogram + the
+    offset-explode neighborhood aggregate (radius 1 → 9-way, plan-time
+    constant), then TakeOrderedAndProject + a window over the k
+    survivors. A cell with NO non-empty neighbors is not a hotspot (no
+    baseline to spike against; the inequality's nbr_cells factor makes
+    that explicit rather than dividing by zero).
+
+    Output: (rnk, cx, cy, cell_cnt, nbr_cells, nbr_sum, ratio) with
+    ``ratio`` = cell_cnt·nbr_cells/nbr_sum rounded to 6 — reported for
+    humans, never compared.
+    """
+    from pyspark.sql import Window
+
+    hist = cell_histogram(points, d)
+    contrib = hist.select(
+        F.explode(_offsets_col(1)).alias("o"),
+        F.col("cx"),
+        F.col("cy"),
+        F.col("cell_cnt"),
+    ).select(
+        (F.col("cx") + F.col("o.di")).alias("cx"),
+        (F.col("cy") + F.col("o.dj")).alias("cy"),
+        F.col("o.di").alias("di"),
+        F.col("o.dj").alias("dj"),
+        F.col("cell_cnt").alias("cnt"),
+    )
+    is_self = (F.col("di") == 0) & (F.col("dj") == 0)
+    stats = (
+        contrib.groupBy("cx", "cy")
+        .agg(
+            F.sum(F.when(is_self, F.col("cnt"))).alias("cell_cnt"),
+            F.coalesce(
+                F.sum(F.when(~is_self, F.col("cnt"))), F.lit(0)
+            ).alias("nbr_sum"),
+            F.coalesce(
+                F.count(F.when(~is_self, F.lit(1))), F.lit(0)
+            ).alias("nbr_cells"),
+        )
+        .filter(F.col("cell_cnt").isNotNull())
+    )
+    hot = stats.filter(
+        (F.col("nbr_cells") > 0)
+        & (
+            F.col("cell_cnt") * F.col("nbr_cells")
+            > F.lit(factor) * F.col("nbr_sum")
+        )
+    ).select(
+        "cx",
+        "cy",
+        "cell_cnt",
+        "nbr_cells",
+        "nbr_sum",
+        F.round(
+            F.col("cell_cnt") * F.col("nbr_cells") / F.col("nbr_sum"), 6
+        ).alias("ratio"),
+    )
+    order = [F.col("cell_cnt").desc(), F.col("cx").asc(), F.col("cy").asc()]
+    top = hot.orderBy(*order).limit(topk)
+    w = Window.orderBy(*order)
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "rnk", "cx", "cy", "cell_cnt", "nbr_cells", "nbr_sum", "ratio"
+    )

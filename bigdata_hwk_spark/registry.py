@@ -2098,6 +2098,55 @@ register(
 )
 
 
+# Grid density hotspots (the outlier grid's opposite tail): exact integer
+# inequality vs the 3×3 non-empty-neighbor mean; oracle = same literal
+# arithmetic over a generate_series offset cross (the cell_stats twin).
+def _grid_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return O.grid_hotspots(_points(spark, sf_dir), APPROX_D)
+
+
+def _grid_hotspots_oracle() -> str:
+    lam = O.cell_side(APPROX_D)
+    return f"""
+{_PTS_CTE},
+cells AS (
+  SELECT CAST(floor(x / {lam!r}) AS INTEGER) AS cx,
+         CAST(floor(y / {lam!r}) AS INTEGER) AS cy,
+         count(*) AS cnt
+  FROM pts GROUP BY 1, 2),
+contrib AS (
+  SELECT CAST(cx + di AS INTEGER) AS cx, CAST(cy + dj AS INTEGER) AS cy,
+         di, dj, cnt
+  FROM cells, generate_series(-1, 1) AS t1(di), generate_series(-1, 1) AS t2(dj)),
+stats AS (
+  SELECT cx, cy,
+         CAST(sum(CASE WHEN di = 0 AND dj = 0 THEN cnt END) AS BIGINT)
+           AS cell_cnt,
+         CAST(coalesce(sum(CASE WHEN NOT (di = 0 AND dj = 0) THEN cnt END), 0)
+              AS BIGINT) AS nbr_sum,
+         CAST(count(CASE WHEN NOT (di = 0 AND dj = 0) THEN 1 END) AS BIGINT)
+           AS nbr_cells
+  FROM contrib
+  GROUP BY cx, cy
+  HAVING sum(CASE WHEN di = 0 AND dj = 0 THEN cnt END) IS NOT NULL),
+hot AS (
+  SELECT cx, cy, cell_cnt, nbr_cells, nbr_sum,
+         round(cell_cnt * nbr_cells / CAST(nbr_sum AS DOUBLE), 6) AS ratio
+  FROM stats
+  WHERE nbr_cells > 0
+    AND cell_cnt * nbr_cells > {O.HOTSPOT_FACTOR} * nbr_sum)
+SELECT CAST(row_number() OVER (ORDER BY cell_cnt DESC, cx, cy) AS INTEGER)
+         AS rnk,
+       cx, cy, cell_cnt, nbr_cells, nbr_sum, ratio
+FROM hot
+ORDER BY cell_cnt DESC, cx, cy
+LIMIT {O.HOTSPOT_TOPK}
+"""
+
+
+register("grid_density_hotspots", _grid_hotspots, _grid_hotspots_oracle())
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering (rotating — round-6 VERDICT item 8)
 # ---------------------------------------------------------------------------

@@ -462,6 +462,29 @@ def test_bm25_index_args_must_pair(spark):
         bm25_topk(docs, tf=_postings(docs))
 
 
+def test_grid_hotspots_hand_case(spark):
+    from bigdata_hwk_spark.operators.outliers import cell_side, grid_hotspots
+
+    side = cell_side(1.0)
+
+    def at(i, j):  # center of integer cell (i, j)
+        return ((i + 0.5) * side, (j + 0.5) * side)
+
+    pts = []
+    # hot cell (0,0): 20 points; neighbors (1,0) and (0,1): 2 each
+    pts += [at(0, 0)] * 20 + [at(1, 0)] * 2 + [at(0, 1)] * 2
+    # isolated dense cell with NO non-empty neighbors: excluded
+    pts += [at(50, 50)] * 50
+    # dense cell with an equally dense neighbor: not a hotspot
+    pts += [at(80, 80)] * 10 + [at(81, 80)] * 10
+    df = spark.createDataFrame(pts, "x double, y double")
+    out = grid_hotspots(df, d=1.0, factor=3).collect()
+    assert [(r.cx, r.cy, r.cell_cnt, r.nbr_cells, r.nbr_sum) for r in out] == [
+        (0, 0, 20, 2, 4)  # 20·2 > 3·4 — the only hotspot
+    ]
+    assert out[0].ratio == 10.0
+
+
 def test_assoc_rules_rank_is_dense_and_deterministic(spark):
     df = _baskets_df(spark)
     a = ARL.association_rules_topk(df, min_pair_count=1, topk=10).collect()
