@@ -1616,3 +1616,159 @@ SELECT coalesce(exc.ship_month, inter.ship_month) AS ship_month,
        coalesce(n_matched, 0) AS n_matched
 FROM exc FULL OUTER JOIN inter ON exc.ship_month = inter.ship_month
 """
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Forward as-of join: for each left row, the right row with the
+    SMALLEST ``right_time`` ≥ ``left_time`` within the same ``on`` key
+    (inclusive), NULL-padding misses — the mirror of ``asof_join``
+    ("next event after", escalation/repair/next-restock semantics).
+
+    Same union-window rewrite, mirrored: left rows sort BEFORE right
+    rows at equal timestamps (side 0 < 1) so the boundary stays
+    inclusive, and the carried value is ``first(..., ignorenulls)`` over
+    the current-row→unbounded-FOLLOWING frame. Ties among right rows on
+    (key, right_time) break by the value tuple ascending, so the
+    smallest value tuple wins deterministically.
+    """
+    lcols = left.columns
+    tagged_l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(c) for c in lcols],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}")
+            for c in value_cols
+        ],
+    )
+    tagged_r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side", *[f"__v_{c}" for c in value_cols])
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    u = tagged_l.unionByName(tagged_r).select(
+        "__side",
+        *lcols,
+        *[
+            F.first(f"__v_{c}", ignorenulls=True).over(w).alias(f"__v_{c}")
+            for c in value_cols
+        ],
+    )
+    return u.filter(F.col("__side") == 0).select(
+        *lcols, *[F.col(f"__v_{c}").alias(f"asof_{c}") for c in value_cols]
+    )
+
+
+PURCHASE_ERROR_TOLERANCE_SEC = 3600
+
+
+def purchase_next_error_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance: for every purchase, the same user's
+    NEXT 'error' event within one hour (NULL past the tolerance — "did
+    this purchase hit a failure right after?"). The tolerance is an
+    integer epoch-second comparison applied AFTER the as-of resolve, so
+    the matched row is always the nearest-following one, not the
+    nearest-within-window one — ASOF semantics, identical in the DuckDB
+    oracle's native ASOF JOIN + CASE."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("error_ts")
+    )
+    joined = asof_join_forward(
+        purchases,
+        errors,
+        on="user_id",
+        left_time="ts",
+        right_time="error_ts",
+        value_cols=["error_ts"],
+    )
+    within = (
+        F.col("asof_error_ts").cast("long") - F.col("ts").cast("long")
+        <= PURCHASE_ERROR_TOLERANCE_SEC
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(within, F.col("asof_error_ts")).alias("next_error_ts"),
+    )
+
+
+PURCHASE_NEXT_ERROR_SQL = f"""
+SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+       CASE WHEN CAST(epoch(x.ts) AS BIGINT)
+                 - CAST(epoch(p.ts) AS BIGINT)
+                 <= {PURCHASE_ERROR_TOLERANCE_SEC}
+            THEN CAST(x.ts AS TIMESTAMP) END AS next_error_ts
+FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN
+     (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'error') x
+  ON p.user_id = x.user_id AND x.ts >= p.ts
+"""
+
+
+def order_value_distribution_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Windowed distribution profile completing the ranking-function
+    surface (§2.8): per (priority, quartile) — quartile by NTILE(4) over
+    o_totalprice within each o_orderpriority — the row count and the
+    min/max percent_rank and cume_dist (rounded to 6). Orders within a
+    window sort by (o_totalprice, o_orderkey): the unique key tie-break
+    makes every rank function deterministic and engine-identical."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    ranked = orders.select(
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return ranked.groupBy("o_orderpriority", "quartile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("pr"), 6).alias("min_pct_rank"),
+        F.round(F.max("pr"), 6).alias("max_pct_rank"),
+        F.round(F.max("cd"), 6).alias("max_cume_dist"),
+    )
+
+
+ORDER_VALUE_DISTRIBUTION_SQL = """
+WITH ranked AS (
+  SELECT o_orderpriority,
+         ntile(4) OVER w AS quartile,
+         percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey))
+SELECT o_orderpriority, quartile, count(*) AS n_orders,
+       round(min(pr), 6) AS min_pct_rank,
+       round(max(pr), 6) AS max_pct_rank,
+       round(max(cd), 6) AS max_cume_dist
+FROM ranked
+GROUP BY 1, 2
+"""

@@ -2145,6 +2145,19 @@ LIMIT {O.HOTSPOT_TOPK}
 
 
 register("grid_density_hotspots", _grid_hotspots, _grid_hotspots_oracle())
+# Forward as-of with tolerance (mirror of events_last_click_asof; the
+# oracle is DuckDB's native forward ASOF JOIN + the same tolerance CASE)
+register(
+    "purchase_next_error_asof",
+    R.purchase_next_error_asof,
+    R.PURCHASE_NEXT_ERROR_SQL,
+)
+# Ranking-function completion (§2.8): NTILE / percent_rank / cume_dist
+register(
+    "order_value_distribution",
+    R.order_value_distribution_profile,
+    R.ORDER_VALUE_DISTRIBUTION_SQL,
+)
 
 
 # ---------------------------------------------------------------------------

@@ -485,6 +485,40 @@ def test_grid_hotspots_hand_case(spark):
     assert out[0].ratio == 10.0
 
 
+def test_forward_asof_hand_case(spark):
+    from datetime import datetime
+
+    from bigdata_hwk_spark.plans.relational import asof_join_forward
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, datetime(2024, 1, 1, 0, 0, 0)),
+            (2, 10, datetime(2024, 1, 1, 2, 0, 0)),  # no later right row
+            (3, 20, datetime(2024, 1, 1, 1, 0, 0)),  # equal-ts: inclusive
+        ],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, datetime(2024, 1, 1, 0, 30, 0)),
+            (10, datetime(2024, 1, 1, 1, 0, 0)),
+            (20, datetime(2024, 1, 1, 1, 0, 0)),
+            (20, datetime(2024, 1, 1, 0, 0, 0)),  # earlier: never matches 3
+        ],
+        "user_id bigint, rts timestamp",
+    )
+    got = {
+        r.event_id: r.asof_rts
+        for r in asof_join_forward(
+            left, right, on="user_id", left_time="ts", right_time="rts",
+            value_cols=["rts"],
+        ).collect()
+    }
+    assert got[1] == datetime(2024, 1, 1, 0, 30, 0)  # nearest following
+    assert got[2] is None                            # nothing follows
+    assert got[3] == datetime(2024, 1, 1, 1, 0, 0)   # boundary inclusive
+
+
 def test_assoc_rules_rank_is_dense_and_deterministic(spark):
     df = _baskets_df(spark)
     a = ARL.association_rules_topk(df, min_pair_count=1, topk=10).collect()
