@@ -1772,3 +1772,69 @@ SELECT o_orderpriority, quartile, count(*) AS n_orders,
 FROM ranked
 GROUP BY 1, 2
 """
+
+
+def revenue_gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment Gini coefficient of customer spend — the
+    inequality/concentration audit ("how head-heavy is this segment?"):
+    the same question a data curator asks of source or domain token
+    shares before fixing mixture weights.
+
+    Exact and order-independent: spend is integer cents (per-row round
+    THEN sum — the ``customer_value_skyline`` device), ranks come from a
+    per-segment window ordered by (spend_cents, custkey) (unique key ⇒
+    deterministic), and the classic identity
+    ``G = (2·Σ rank·x) / (n·Σx) − (n+1)/n`` is evaluated from three
+    integer sums per segment, rounded to 6 at the very end. One
+    customer-keyed aggregate + one segment-keyed window/aggregate pair;
+    zero-spend customers (no orders) are excluded by the inner join —
+    documented contract (Gini over BUYERS, not the population)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    spend = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+        ).alias("cents")
+    )
+    pts = spend.join(
+        customer.select("c_custkey", "c_mktsegment"), "c_custkey"
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("cents").asc(), F.col("c_custkey").asc()
+    )
+    ranked = pts.select(
+        "c_mktsegment",
+        "cents",
+        F.row_number().over(w).alias("rk"),
+    )
+    return ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_buyers"),
+        F.sum("cents").alias("total_cents"),
+        F.round(
+            F.lit(2.0)
+            * F.sum(F.col("rk") * F.col("cents"))
+            / (F.count(F.lit(1)) * F.sum("cents"))
+            - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
+
+
+REVENUE_GINI_SQL = """
+WITH spend AS (
+  SELECT o_custkey AS c_custkey,
+         SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+ranked AS (
+  SELECT c.c_mktsegment, s.cents,
+         row_number() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY s.cents, s.c_custkey) AS rk
+  FROM spend s JOIN customer c USING (c_custkey))
+SELECT c_mktsegment,
+       count(*) AS n_buyers,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       round(2.0 * sum(rk * cents) / (count(*) * CAST(sum(cents) AS DOUBLE))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM ranked
+GROUP BY 1
+"""

@@ -2158,6 +2158,12 @@ register(
     R.order_value_distribution_profile,
     R.ORDER_VALUE_DISTRIBUTION_SQL,
 )
+# Concentration audit: per-segment Gini over integer-cent buyer spend
+register(
+    "revenue_gini_by_segment",
+    R.revenue_gini_by_segment,
+    R.REVENUE_GINI_SQL,
+)
 
 
 # ---------------------------------------------------------------------------

@@ -519,6 +519,49 @@ def test_forward_asof_hand_case(spark):
     assert got[3] == datetime(2024, 1, 1, 1, 0, 0)   # boundary inclusive
 
 
+def test_gini_closed_form_cases(spark):
+    """Perfect equality → 0; one-buyer-takes-all approaches 1 − 1/n; the
+    identity is checked against a literal Lorenz-style recompute."""
+    from bigdata_hwk_spark import registry
+    from bigdata_hwk_spark.plans.relational import revenue_gini_by_segment
+
+    import pandas as pd
+
+    # equality: 4 buyers, identical spend → gini 0 exactly
+    orders = spark.createDataFrame(
+        [(i, i % 4, 100.0) for i in range(8)],
+        "o_orderkey bigint, o_custkey bigint, o_totalprice double",
+    )
+    customer = spark.createDataFrame(
+        [(i, "SEG") for i in range(4)],
+        "c_custkey bigint, c_mktsegment string",
+    )
+    import tempfile, os
+
+    d = tempfile.mkdtemp(prefix="gini_fixture_")
+    orders.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    customer.write.mode("overwrite").parquet(f"{d}/customer.parquet")
+    r = revenue_gini_by_segment(spark, d).collect()[0]
+    assert r.gini == 0.0 and r.n_buyers == 4
+
+    # winner-takes-all: spends (0.01, 0.01, 0.01, 10000) → G near 0.75·…
+    orders2 = spark.createDataFrame(
+        [(1, 0, 0.01), (2, 1, 0.01), (3, 2, 0.01), (4, 3, 10000.0)],
+        "o_orderkey bigint, o_custkey bigint, o_totalprice double",
+    )
+    orders2.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    r2 = revenue_gini_by_segment(spark, d).collect()[0]
+    # literal recompute: x sorted asc, G = 2*Σ(i·x)/(n·Σx) − (n+1)/n
+    xs = sorted([1, 1, 1, 1000000])
+    n = len(xs)
+    want = round(
+        2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * sum(xs))
+        - (n + 1) / n,
+        6,
+    )
+    assert r2.gini == want
+
+
 def test_assoc_rules_rank_is_dense_and_deterministic(spark):
     df = _baskets_df(spark)
     a = ARL.association_rules_topk(df, min_pair_count=1, topk=10).collect()
