@@ -150,3 +150,79 @@ SELECT "constraint", CAST(COALESCE(violations, 0) AS BIGINT) AS violations,
        COALESCE(violations, 0) = 0 AS passed
 FROM raw ORDER BY "constraint"
 """
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency audit
+# ---------------------------------------------------------------------------
+
+# (fd name, lhs column, rhs column) over the documents table: doc_id is a
+# key so doc_id→lang must HOLD (zero violating groups certifies the check
+# itself); source→lang is genuinely violated in the fixture (sources mix
+# languages), so the report carries non-trivial counts in both states.
+DOCUMENT_FDS: list[tuple[str, str, str]] = [
+    ("doc_id_determines_lang", "doc_id", "lang"),
+    ("source_determines_lang", "source", "lang"),
+]
+
+
+def functional_dependency_audit(
+    documents: DataFrame,
+    fds: list[tuple[str, str, str]] = DOCUMENT_FDS,
+) -> DataFrame:
+    """FD conformance report: for each candidate dependency lhs → rhs,
+    (fd, n_lhs_groups, n_violating_groups, n_rows_in_violation, holds) —
+    a violating group is an lhs value mapping to >1 distinct rhs, and
+    rows-in-violation counts EVERY row of such groups (the repair
+    surface a cleaner would have to touch).
+
+    The schema-profiling face of the Deequ-style audit: uniqueness and
+    ranges say "is each row sane"; FDs say "is the table's SHAPE sane"
+    (an id that stops determining its attributes is how silent join
+    fan-outs and bad backfills surface). One map-side-combined
+    (lhs, rhs)-distinct aggregate per FD, folded to per-lhs group stats,
+    then to one row — never a self-join."""
+    spark = documents.sparkSession
+    out = None
+    for name, lhs, rhs in fds:
+        groups = (
+            documents.groupBy(F.col(lhs).alias("k"))
+            .agg(
+                F.countDistinct(F.col(rhs)).alias("n_rhs"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+        row = groups.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).alias("n_lhs_groups"),
+            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0)).alias(
+                "n_violating_groups"
+            ),
+            F.sum(
+                F.when(F.col("n_rhs") > 1, F.col("n_rows")).otherwise(0)
+            ).alias("n_rows_in_violation"),
+            (F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0)) == 0).alias(
+                "holds"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def functional_dependency_audit_sql(
+    fds: list[tuple[str, str, str]] = DOCUMENT_FDS,
+) -> str:
+    parts = []
+    for name, lhs, rhs in fds:
+        parts.append(f"""
+SELECT '{name}' AS fd,
+       count(*) AS n_lhs_groups,
+       CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(sum(CASE WHEN n_rhs > 1 THEN n_rows ELSE 0 END) AS BIGINT)
+         AS n_rows_in_violation,
+       sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM (SELECT {lhs} AS k, count(DISTINCT {rhs}) AS n_rhs,
+             count(*) AS n_rows
+      FROM documents GROUP BY 1)""")
+    return "\nUNION ALL\n".join(parts)

@@ -2164,6 +2164,13 @@ register(
     R.revenue_gini_by_segment,
     R.REVENUE_GINI_SQL,
 )
+# Functional-dependency audit (table-SHAPE validation next to the
+# row/key/FK checks): one held FD + one genuinely violated FD reported
+register(
+    "document_fd_audit",
+    lambda spark, sf: AU.functional_dependency_audit(_docs(spark, sf)),
+    AU.functional_dependency_audit_sql(),
+)
 
 
 # ---------------------------------------------------------------------------

@@ -562,6 +562,32 @@ def test_gini_closed_form_cases(spark):
     assert r2.gini == want
 
 
+def test_fd_audit_partial_violation(spark):
+    from bigdata_hwk_spark.operators.audit import functional_dependency_audit
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "en"), (2, "a", "en"),        # group a: holds (2 rows)
+            (3, "b", "en"), (4, "b", "de"),        # group b: violates (2 rows)
+            (5, "c", "fr"), (6, "c", "fr"), (7, "c", "de"),  # violates (3)
+        ],
+        "doc_id bigint, source string, lang string",
+    )
+    out = {
+        r.fd: r
+        for r in functional_dependency_audit(
+            df, fds=[("src_lang", "source", "lang"), ("id_lang", "doc_id", "lang")]
+        ).collect()
+    }
+    v = out["src_lang"]
+    assert (v.n_lhs_groups, v.n_violating_groups, v.n_rows_in_violation) == (
+        3, 2, 5,
+    )
+    assert v.holds is False
+    h = out["id_lang"]
+    assert h.holds is True and h.n_rows_in_violation == 0
+
+
 def test_assoc_rules_rank_is_dense_and_deterministic(spark):
     df = _baskets_df(spark)
     a = ARL.association_rules_topk(df, min_pair_count=1, topk=10).collect()
