@@ -348,6 +348,19 @@ HEAVY_QUERIES = [
     # scheduled jobs) amortizing away, i.e. exponent well below 1 at 8×
     # should RISE toward the linear per-edge cost at 64×, not past it
     "part_copurchase_pagerank",
+    # SymSpell ed≤1 linkage (round 10b): the heaviest new query of the
+    # batch (8× exponent 0.84) — the claim under test is candidate
+    # volume ∝ records (deletion-key buckets stay ~20-bounded as
+    # custkeys grow), so the 64× exponent should hold near the 8× fit,
+    # not knee past 1
+    "fuzzy_link_summary",
+    # d-D skyline (round 10b): replication multiplies all-coordinate
+    # TIES (each replica repeats the same frontier), growing both the
+    # local-survivor union and the single-partition global prune's
+    # kept-list — the worst benign case for the O(n·s) kernel; the 64×
+    # point tests that the coalesce(1) stage stays off the critical
+    # path for real (tie-heavy) frontiers
+    "customer_value_skyline",
 ]
 
 # Inline justifications for the second-decade entries whose exponents
