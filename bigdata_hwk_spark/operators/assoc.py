@@ -55,7 +55,15 @@ def association_rules_topk(
     cnt(consequent), both rounded to 6. Ties break by (antecedent,
     consequent) so the listing is deterministic.
     """
-    li = basket_items(lineitem)
+    from ..session import persist_once
+
+    # The distinct basket-item table feeds FOUR consumers (both sides of
+    # the pair self-join, the item counts, the basket total); persist it
+    # so the lineitem scan + distinct run once, not four times. The
+    # result stays LAZY, so this must be the session-lifetime
+    # ``persist_once`` (CacheManager-deduplicated across repeated
+    # invocations), not a scoped persist released before execution.
+    li = persist_once(basket_items(lineitem))
     a = li.alias("a")
     b = li.alias("b")
     # Unordered pair counts once (a.pk < b.pk); both rule directions are
