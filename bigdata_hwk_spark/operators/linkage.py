@@ -55,25 +55,41 @@ _DELETION_KEYS_EXPR = (
     "i -> concat(substring({s}, 1, i - 1), substring({s}, i + 1, length({s})))))"
 )
 
+# depth-2 neighborhood: the 1-deletions plus every deletion OF a
+# 1-deletion, flattened and deduplicated. Key count is O(len²/2) per
+# record — the standard SymSpell space/verify tradeoff for ed ≤ 2.
+_DELETION_KEYS2_EXPR = (
+    "array_distinct(flatten(transform("
+    + _DELETION_KEYS_EXPR
+    + ", d -> array_union(array(d), transform(sequence(1, length(d)), "
+    "j -> concat(substring(d, 1, j - 1), substring(d, j + 1, length(d))))))))"
+)
 
-def _with_keys(df: DataFrame, name_col: str) -> DataFrame:
+
+def _with_keys(df: DataFrame, name_col: str, max_ed: int = 1) -> DataFrame:
+    if max_ed not in (1, 2):
+        raise ValueError(f"deletion blocking supports max_ed 1 or 2, got {max_ed}")
+    expr = _DELETION_KEYS_EXPR if max_ed == 1 else _DELETION_KEYS2_EXPR
     return df.withColumn(
-        "bkey",
-        F.explode(F.expr(_DELETION_KEYS_EXPR.format(s=name_col))),
+        "bkey", F.explode(F.expr(expr.format(s=name_col)))
     )
 
 
-def fuzzy_link_summary(customer: DataFrame) -> DataFrame:
+def fuzzy_link_summary(customer: DataFrame, max_ed: int = 1) -> DataFrame:
     """Histogram of the linkage outcome: for each dirty record count its
-    verified ed≤1 canonical candidates; report (n_candidates → n_dirty,
-    n_self_matched). Self-recovery must be total by construction."""
+    verified ed≤``max_ed`` canonical candidates; report (n_candidates →
+    n_dirty, n_self_matched). Self-recovery must be total by
+    construction. ``max_ed`` ∈ {1, 2}: depth-2 deletion neighborhoods
+    are the published SymSpell recipe for ed ≤ 2 (every double edit is
+    covered by a shared ≤2-deletion key; the levenshtein verify keeps
+    the output exact either way)."""
     dirty = customer.select(
         F.col("c_custkey").alias("dirty_id"),
         F.expr(_DIRTY_EXPR).alias("dirty_name"),
     )
-    dkeys = _with_keys(dirty, "dirty_name")
+    dkeys = _with_keys(dirty, "dirty_name", max_ed)
     ckeys = _with_keys(
-        customer.select("c_custkey", "c_name"), "c_name"
+        customer.select("c_custkey", "c_name"), "c_name", max_ed
     )
     candidates = (
         dkeys.join(ckeys, "bkey")
@@ -81,7 +97,7 @@ def fuzzy_link_summary(customer: DataFrame) -> DataFrame:
         .distinct()
     )
     matches = candidates.filter(
-        F.levenshtein(F.col("dirty_name"), F.col("c_name")) <= 1
+        F.levenshtein(F.col("dirty_name"), F.col("c_name")) <= max_ed
     )
     per_dirty = matches.groupBy("dirty_id").agg(
         F.count(F.lit(1)).alias("n_candidates"),
@@ -95,7 +111,10 @@ def fuzzy_link_summary(customer: DataFrame) -> DataFrame:
     )
 
 
-FUZZY_LINK_SUMMARY_SQL = """
+def fuzzy_link_summary_sql(max_ed: int = 1) -> str:
+    """Literal length-banded levenshtein join — equality proves the
+    (depth-``max_ed``) deletion blocking lossless."""
+    return f"""
 WITH dirty AS (
   SELECT c_custkey AS dirty_id,
          substr(c_name, 1, c_custkey % length(c_name)) ||
@@ -104,8 +123,8 @@ WITH dirty AS (
 m AS (
   SELECT d.dirty_id, c.c_custkey
   FROM dirty d JOIN customer c
-    ON abs(length(d.dirty_name) - length(c.c_name)) <= 1
-   AND levenshtein(d.dirty_name, c.c_name) <= 1),
+    ON abs(length(d.dirty_name) - length(c.c_name)) <= {max_ed}
+   AND levenshtein(d.dirty_name, c.c_name) <= {max_ed}),
 per AS (
   SELECT dirty_id, count(*) AS n_candidates,
          max(CASE WHEN c_custkey = dirty_id THEN 1 ELSE 0 END) AS selfm
@@ -114,6 +133,9 @@ SELECT n_candidates, count(*) AS n_dirty,
        CAST(sum(selfm) AS BIGINT) AS n_self_matched
 FROM per GROUP BY 1
 """
+
+
+FUZZY_LINK_SUMMARY_SQL = fuzzy_link_summary_sql(1)
 
 
 # ---------------------------------------------------------------------------

@@ -2036,6 +2036,15 @@ register(
     ),
     LK.FUZZY_LINK_SUMMARY_SQL,
 )
+# ed≤2 variant: depth-2 deletion neighborhoods (the published SymSpell
+# recipe); same lossless-blocking proof at the wider radius
+register(
+    "fuzzy_link_summary_ed2",
+    lambda spark, sf: LK.fuzzy_link_summary(
+        load_table(spark, sf, "customer"), max_ed=2
+    ),
+    LK.fuzzy_link_summary_sql(2),
+)
 # Canonical-URL crawl dedup profile (derived messy-URL column, identical
 # canonicalization pipeline spelled in both engines' string/regex fns)
 register(

@@ -170,6 +170,25 @@ def test_fuzzy_linkage_blocking_is_lossless_for_ed1(spark):
     assert got == want
     assert (1, 6) not in got and (6, 1) not in got  # ed-2 excluded
 
+    # depth-2 blocking: the same equivalence at radius 2 (brute force)
+    dk2 = LK._with_keys(dirty, "dirty_name", max_ed=2)
+    ck2 = LK._with_keys(canon, "c_name", max_ed=2)
+    got2 = {
+        (r.dirty_id, r.c_custkey)
+        for r in dk2.join(ck2, "bkey")
+        .select("dirty_id", "dirty_name", "c_custkey", "c_name")
+        .distinct()
+        .filter(F.levenshtein("dirty_name", "c_name") <= 2)
+        .collect()
+    }
+    want2 = {
+        (a.c_custkey, b.c_custkey)
+        for a, b in itertools.product(rows, rows)
+        if ed(a.c_name, b.c_name) <= 2
+    }
+    assert got2 == want2
+    assert (1, 6) in got2  # martha↔mart is ed 2: now found
+
 
 def test_fuzzy_linkage_self_recovery_is_total(spark):
     from bigdata_hwk_spark.operators import linkage as LK
