@@ -426,9 +426,6 @@ def test_ab_report_hand_case_and_determinism(spark):
 
 
 def test_bag_diff_hand_case(spark):
-    from datetime import date
-
-    from bigdata_hwk_spark.plans.relational import returned_month_bag_diff
     from bigdata_hwk_spark import registry
 
     # registry-level: excess + matched must reconcile with raw counts
@@ -555,7 +552,7 @@ def test_gini_closed_form_cases(spark):
         [(i, "SEG") for i in range(4)],
         "c_custkey bigint, c_mktsegment string",
     )
-    import tempfile, os
+    import tempfile
 
     d = tempfile.mkdtemp(prefix="gini_fixture_")
     orders.write.mode("overwrite").parquet(f"{d}/orders.parquet")
