@@ -115,18 +115,21 @@ def fuzzy_link_summary(customer: DataFrame, max_ed: int = 1) -> DataFrame:
     )
 
 
-def fuzzy_link_summary_sql(max_ed: int = 1) -> str:
+def fuzzy_link_summary_sql(max_ed: int = 1, subset_mod: int | None = None) -> str:
     """Literal length-banded levenshtein join — equality proves the
-    (depth-``max_ed``) deletion blocking lossless."""
+    (depth-``max_ed``) deletion blocking lossless. ``subset_mod`` mirrors
+    the registry's custkey-modulus density guard."""
+    where = f" WHERE c_custkey % {subset_mod} = 0" if subset_mod else ""
     return f"""
-WITH dirty AS (
+WITH cust AS (SELECT c_custkey, c_name FROM customer{where}),
+dirty AS (
   SELECT c_custkey AS dirty_id,
          substr(c_name, 1, c_custkey % length(c_name)) ||
          substr(c_name, (c_custkey % length(c_name)) + 2) AS dirty_name
-  FROM customer),
+  FROM cust),
 m AS (
   SELECT d.dirty_id, c.c_custkey
-  FROM dirty d JOIN customer c
+  FROM dirty d JOIN cust c
     ON abs(length(d.dirty_name) - length(c.c_name)) <= {max_ed}
    AND levenshtein(d.dirty_name, c.c_name) <= {max_ed}),
 per AS (

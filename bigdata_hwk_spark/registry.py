@@ -2037,13 +2037,31 @@ register(
     LK.FUZZY_LINK_SUMMARY_SQL,
 )
 # ed≤2 variant: depth-2 deletion neighborhoods (the published SymSpell
-# recipe); same lossless-blocking proof at the wider radius
+# recipe); same lossless-blocking proof at the wider radius. The registry
+# row runs on a custkey-modulus SUBSET (the triangle/pagerank guard):
+# near-sequential synthetic ids make depth-2 keys collide by the hundreds
+# (delete any 2 digits of a zero-padded number), a candidate-DENSITY
+# physics of this fixture, not of the plan — measured 35 s at sf0.1 full
+# vs ~2 s on the subset with the identical plan; the oracle subsets
+# identically so the lossless-blocking proof is unchanged.
+FUZZY_ED2_SUBSET_MOD = 5
+
+
+def _fuzzy_ed2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return LK.fuzzy_link_summary(
+        load_table(spark, sf_dir, "customer").filter(
+            F.col("c_custkey") % FUZZY_ED2_SUBSET_MOD == 0
+        ),
+        max_ed=2,
+    )
+
+
 register(
     "fuzzy_link_summary_ed2",
-    lambda spark, sf: LK.fuzzy_link_summary(
-        load_table(spark, sf, "customer"), max_ed=2
-    ),
-    LK.fuzzy_link_summary_sql(2),
+    _fuzzy_ed2,
+    LK.fuzzy_link_summary_sql(2, subset_mod=FUZZY_ED2_SUBSET_MOD),
 )
 # Canonical-URL crawl dedup profile (derived messy-URL column, identical
 # canonicalization pipeline spelled in both engines' string/regex fns)
