@@ -169,3 +169,72 @@ final AS (
   FROM latest_all a WHERE a.rn = 1 AND a.event_type <> '{TOMBSTONE}')
 SELECT user_id, state_type, state_value, updated_at, action FROM final
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance (delta-folded aggregate)
+# ---------------------------------------------------------------------------
+
+IVM_N_BATCHES = 6
+
+
+def ivm_revenue_by_flag(
+    lineitem: DataFrame, n_batches: int = IVM_N_BATCHES
+) -> DataFrame:
+    """A maintained materialized aggregate: per (l_returnflag,
+    l_linestatus) — row count and revenue in integer cents — built by
+    folding ``n_batches`` disjoint DELTA batches into a running state
+    instead of scanning the full table once.
+
+    The IVM contract (classic view-maintenance algebra: SUM/COUNT
+    aggregates are self-maintainable under inserts): fold(state, Δ) =
+    group-merge of two aggregate tables, so applying the batches in any
+    order lands on EXACTLY the direct aggregate — which is the DuckDB
+    oracle, making the registry hash-match the proof that the
+    incremental path loses nothing. Revenue rounds each row to cents
+    BEFORE the integer sum (the ``customer_value_skyline`` device), so
+    neither the batch split nor the fold order can move a float ulp.
+
+    Per batch: one map-side-combined aggregate over the batch's rows +
+    one ≤|groups|-row merge with the state, ``localCheckpoint``-ed (the
+    CDC-loop lineage discipline). Batch assignment is deterministic
+    (``l_orderkey % n_batches`` — a stand-in for arrival chunks; the
+    algebra is assignment-independent and tests exercise a second
+    split)."""
+    state: DataFrame | None = None
+    for b in range(n_batches):
+        delta = lineitem.filter(
+            F.col("l_orderkey") % n_batches == b
+        )
+        agg = delta.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+                    0,
+                ).cast("bigint")
+            ).alias("revenue_cents"),
+        )
+        if state is None:
+            state = agg.localCheckpoint()
+        else:
+            state = (
+                state.unionByName(agg)
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(
+                    F.sum("n_rows").alias("n_rows"),
+                    F.sum("revenue_cents").alias("revenue_cents"),
+                )
+                .localCheckpoint()
+            )
+    return state
+
+
+IVM_REVENUE_BY_FLAG_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+GROUP BY 1, 2
+"""

@@ -2198,6 +2198,13 @@ register(
     lambda spark, sf: AU.functional_dependency_audit(_docs(spark, sf)),
     AU.functional_dependency_audit_sql(),
 )
+# Incremental view maintenance: the delta-folded aggregate's oracle is
+# the DIRECT one-scan aggregate — hash equality proves the fold exact
+register(
+    "ivm_revenue_by_flag",
+    lambda spark, sf: CDC.ivm_revenue_by_flag(_li(spark, sf)),
+    CDC.IVM_REVENUE_BY_FLAG_SQL,
+)
 
 
 # ---------------------------------------------------------------------------
