@@ -206,7 +206,8 @@ def customer_value_skyline(
 CUSTOMER_VALUE_SKYLINE_SQL = """
 WITH agg AS (
   SELECT o_custkey AS c_custkey,
-         SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS spend_cents,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS spend_cents,
          count(*) AS n_orders
   FROM orders GROUP BY 1),
 pts AS (
