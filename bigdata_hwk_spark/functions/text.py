@@ -1204,6 +1204,204 @@ FROM per
 
 
 # ---------------------------------------------------------------------------
+# Trigram stupid-backoff scoring (held-out LM cross-entropy)
+# ---------------------------------------------------------------------------
+
+# Backoff discount 0.4 (Brants et al. 2007, "Large Language Models in
+# Machine Translation") expressed as ln(2) - ln(5): ln of exact small
+# integers is the only transcendental shape the oracle sweep has proven
+# bit-stable across engines, so the discount never introduces a literal
+# whose ln both engines must round identically.
+_SB_DISCOUNT_NUM = 2
+_SB_DISCOUNT_DEN = 5
+
+
+def trigram_backoff_scores(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_trigrams, n_backoff_bi, n_backoff_uni,
+    avg_neg_logprob): held-out cross-entropy under a trigram
+    stupid-backoff model (Brants et al. 2007) — the top rung of the
+    CCNet-style n-gram ladder (`unigram_surprise_scores`,
+    `bigram_surprise_scores` are the lower rungs). The model trains on
+    even doc_ids and scores odd doc_ids, so unseen n-grams genuinely
+    occur and the backoff is exercised (self-scoring would make every
+    trigram count positive and the backoff dead code).
+
+    Score per trigram position (w1 w2 w3):
+
+    * trigram hit:    ln c(w1w2w3) − ln c(w1w2)
+    * bigram backoff: ln(2/5) + ln c(w2w3) − ln c(w2)
+    * unigram floor:  2·ln(2/5) + ln(c(w3)+1) − ln(N+V)  (add-one over
+      the train vocab, so an out-of-vocabulary w3 is finite)
+
+    Invariants that keep the CASE total: a seen trigram's prefix bigram
+    is seen (same positions minus one), and a seen bigram's first word
+    is a seen unigram — so the hit branches never divide by NULL.
+
+    Determinism: words travel as 60-bit md5 hashes; all counts are
+    exact BIGINTs; every ln argument is an exact integer double; the
+    branch constants fold from ln of integer literals; per-doc
+    avg(...) of identical per-row doubles is rounded to 6 (absorbs
+    summation-order reassociation, same contract as the bigram twin).
+
+    Scale shape: two explodes (train positions once for three count
+    tables, test positions once), all count tables are map-side-combined
+    hash aggregations in the distinct-n-gram cardinality class the dedup
+    shingle tables already shuffle; the position table joins each count
+    table on an 8-byte hash equi-key (AQE picks shuffle-hash); the (N,V)
+    scalar is a one-row broadcast; the finale is one per-doc aggregate.
+    No Python row path, nothing driver-side.
+    """
+    from ..functions.hashing import md5_hash64
+
+    toks = documents.select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    )
+    train = toks.filter(F.col("doc_id") % 2 == 0)
+    test = toks.filter((F.col("doc_id") % 2 == 1) & (F.size("ws") >= 3))
+
+    tr_pos = train.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws)), i -> struct("
+                "element_at(ws, i) AS w1, "
+                "CASE WHEN i + 1 <= size(ws) THEN element_at(ws, i + 1) END AS w2, "
+                "CASE WHEN i + 2 <= size(ws) THEN element_at(ws, i + 2) END AS w3))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2", "p.w3")
+    cu = tr_pos.groupBy(md5_hash64(F.col("w1")).alias("uh")).agg(
+        F.count(F.lit(1)).alias("cu")
+    )
+    cb = (
+        tr_pos.filter(F.col("w2").isNotNull())
+        .groupBy(md5_hash64(F.concat_ws(" ", "w1", "w2")).alias("bh"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    ct = (
+        tr_pos.filter(F.col("w3").isNotNull())
+        .groupBy(md5_hash64(F.concat_ws(" ", "w1", "w2", "w3")).alias("th"))
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    nv = tr_pos.agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.countDistinct(md5_hash64(F.col("w1"))).alias("v_train"),
+    )
+
+    pos = test.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 2), i -> struct("
+                "element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2, "
+                "element_at(ws, i + 2) AS w3))"
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        md5_hash64(F.concat_ws(" ", "p.w1", "p.w2", "p.w3")).alias("th"),
+        md5_hash64(F.concat_ws(" ", "p.w1", "p.w2")).alias("b12"),
+        md5_hash64(F.concat_ws(" ", "p.w2", "p.w3")).alias("b23"),
+        md5_hash64(F.col("p.w2")).alias("u2"),
+        md5_hash64(F.col("p.w3")).alias("u3"),
+    )
+    joined = (
+        pos.join(ct, "th", "left")
+        .join(cb.select(F.col("bh").alias("b12"), F.col("cb").alias("cb12")), "b12", "left")
+        .join(cb.select(F.col("bh").alias("b23"), F.col("cb").alias("cb23")), "b23", "left")
+        .join(cu.select(F.col("uh").alias("u2"), F.col("cu").alias("cu2")), "u2", "left")
+        .join(cu.select(F.col("uh").alias("u3"), F.col("cu").alias("cu3")), "u3", "left")
+        .crossJoin(F.broadcast(nv))
+    )
+    disc = F.log(F.lit(float(_SB_DISCOUNT_NUM))) - F.log(
+        F.lit(float(_SB_DISCOUNT_DEN))
+    )
+    lnp = (
+        F.when(F.col("ct").isNotNull(), F.log("ct") - F.log("cb12"))
+        .when(
+            F.col("cb23").isNotNull(),
+            disc + F.log("cb23") - F.log("cu2"),
+        )
+        .otherwise(
+            F.lit(2.0) * disc
+            + F.log(F.coalesce(F.col("cu3"), F.lit(0)) + F.lit(1))
+            - F.log(F.col("n_train") + F.col("v_train"))
+        )
+    )
+    per = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+        F.sum(
+            F.when(F.col("ct").isNull() & F.col("cb23").isNotNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_backoff_bi"),
+        F.sum(
+            F.when(F.col("ct").isNull() & F.col("cb23").isNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_backoff_uni"),
+        F.round(-F.avg(lnp), 6).alias("avg_neg_logprob"),
+    )
+    return per
+
+
+def trigram_backoff_scores_sql() -> str:
+    """Oracle: identical split, hash domain, CASE shape, and
+    avg-then-negate arithmetic."""
+    from ..functions.hashing import md5_hash64_sql
+
+    uh = md5_hash64_sql("w1")
+    bh = md5_hash64_sql("w1 || ' ' || w2")
+    th = md5_hash64_sql("w1 || ' ' || w2 || ' ' || w3")
+    q_th = md5_hash64_sql("w1 || ' ' || w2 || ' ' || w3")
+    q_b12 = md5_hash64_sql("w1 || ' ' || w2")
+    q_b23 = md5_hash64_sql("w2 || ' ' || w3")
+    q_u2 = md5_hash64_sql("w2")
+    q_u3 = md5_hash64_sql("w3")
+    d = f"(ln({_SB_DISCOUNT_NUM}) - ln({_SB_DISCOUNT_DEN}))"
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+tr_ix AS (SELECT l, unnest(generate_series(1, len(l))) AS i
+          FROM toks WHERE doc_id % 2 = 0),
+tr AS (SELECT l[i] AS w1,
+              CASE WHEN i + 1 <= len(l) THEN l[i + 1] END AS w2,
+              CASE WHEN i + 2 <= len(l) THEN l[i + 2] END AS w3
+       FROM tr_ix),
+cu AS (SELECT {uh} AS uh, count(*) AS cu FROM tr GROUP BY 1),
+cb AS (SELECT {bh} AS bh, count(*) AS cb FROM tr
+       WHERE w2 IS NOT NULL GROUP BY 1),
+ct AS (SELECT {th} AS th, count(*) AS ct FROM tr
+       WHERE w3 IS NOT NULL GROUP BY 1),
+nv AS (SELECT count(*) AS n_train, count(DISTINCT {uh}) AS v_train FROM tr),
+te_ix AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+          FROM toks WHERE doc_id % 2 = 1 AND len(l) >= 3),
+te AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2, l[i + 2] AS w3 FROM te_ix),
+pos AS (SELECT doc_id, {q_th} AS th, {q_b12} AS b12, {q_b23} AS b23,
+               {q_u2} AS u2, {q_u3} AS u3 FROM te),
+j AS (SELECT pos.doc_id, ct.ct, cb12.cb AS cb12, cb23.cb AS cb23,
+             cu2.cu AS cu2, cu3.cu AS cu3, nv.n_train, nv.v_train
+      FROM pos
+      LEFT JOIN ct ON pos.th = ct.th
+      LEFT JOIN cb cb12 ON pos.b12 = cb12.bh
+      LEFT JOIN cb cb23 ON pos.b23 = cb23.bh
+      LEFT JOIN cu cu2 ON pos.u2 = cu2.uh
+      LEFT JOIN cu cu3 ON pos.u3 = cu3.uh
+      CROSS JOIN nv)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(sum(CASE WHEN ct IS NULL AND cb23 IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff_bi,
+       CAST(sum(CASE WHEN ct IS NULL AND cb23 IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff_uni,
+       round(-avg(CASE
+         WHEN ct IS NOT NULL THEN ln(ct) - ln(cb12)
+         WHEN cb23 IS NOT NULL THEN {d} + ln(cb23) - ln(cu2)
+         ELSE 2.0 * {d} + ln(coalesce(cu3, 0) + 1)
+              - ln(n_train + v_train) END), 6) AS avg_neg_logprob
+FROM j GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # DSIR importance weights (hashed n-gram domain-matching score)
 # ---------------------------------------------------------------------------
 

@@ -243,3 +243,140 @@ SELECT s.event_type, s.n, s.med, m.mad, s.p25, s.p75,
 FROM vals v JOIN stats s USING (event_type) JOIN mad m USING (event_type)
 GROUP BY s.event_type, s.n, s.med, m.mad, s.p25, s.p75
 """
+
+
+# ---------------------------------------------------------------------------
+# PSI distribution drift (population stability index)
+# ---------------------------------------------------------------------------
+
+PSI_BUCKET_WIDTH = 5.0   # value-histogram bin width
+PSI_BUCKET_CAP = 20      # top bucket absorbs the tail (21 ids: 0..20)
+
+
+def value_drift_psi(events: DataFrame) -> DataFrame:
+    """(event_type, n_ref, n_cur, n_buckets, psi): population stability
+    index of the ``value`` distribution per event type, comparing the
+    stream's first time-half (reference window) against its second
+    (current window) — the standard ML-monitoring drift metric
+    (PSI = Σ_b (p_b − q_b)·ln(p_b/q_b); rule of thumb: < 0.1 stable,
+    > 0.25 shifted). The chi-square audit (`lang_source_independence`)
+    answers "are two CATEGORICALS independent"; PSI answers "did this
+    NUMERIC column's distribution move between two windows", the
+    question a training-data refresh asks before trusting a new crawl
+    snapshot.
+
+    Windowing is data-derived but scalar: the split day is the midpoint
+    of the observed epoch-day span (min + floor(span/2)), one exact
+    integer computed by a one-row aggregate that broadcasts. Buckets are
+    fixed-width value bins (width 5, top bucket capped at id 20), and
+    the PSI sum runs over buckets OBSERVED for the type (in either
+    half); both halves are add-one smoothed over those n_buckets cells,
+    so an empty half-cell contributes a finite term instead of ln(0).
+
+    Cross-engine determinism: bucket ids and the split day are exact
+    integer arithmetic; p and q are single divisions of exact integers;
+    ln arguments are exact integers (c+1, n+B — the proven bit-stable
+    transcendental shape); the per-type fold is ≤ 21 double terms,
+    rounded to 6.
+
+    Scale shape: one scan folds to (type × bucket × half) cells
+    map-side (alphabet-bounded: |types|·21 rows); the split-day scalar
+    is a one-row broadcast; marginals are window sums over the CELLS;
+    the finale is a per-type aggregate of ≤ 21 rows. Nothing
+    corpus-sized ever shuffles.
+    """
+    from pyspark.sql import Window
+
+    ev = events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.floor(F.col("ts").cast("long") / 86400).alias("day"),
+        F.least(
+            F.greatest(
+                F.floor(F.col("value") / PSI_BUCKET_WIDTH), F.lit(0)
+            ),
+            F.lit(PSI_BUCKET_CAP),
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    split = ev.agg(
+        (
+            F.min("day")
+            + F.floor((F.max("day") - F.min("day")) / 2)
+        ).alias("mid_day")
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(split))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum(F.when(F.col("day") <= F.col("mid_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("cr"),
+            F.sum(F.when(F.col("day") > F.col("mid_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("cc"),
+        )
+    )
+    wt = Window.partitionBy("event_type")
+    x = cells.select(
+        "event_type",
+        "cr",
+        "cc",
+        F.sum("cr").over(wt).alias("nr"),
+        F.sum("cc").over(wt).alias("nc"),
+        F.count(F.lit(1)).over(wt).alias("b"),
+    )
+    p = (F.col("cr") + 1).cast("double") / (F.col("nr") + F.col("b")).cast(
+        "double"
+    )
+    q = (F.col("cc") + 1).cast("double") / (F.col("nc") + F.col("b")).cast(
+        "double"
+    )
+    lnr = (
+        F.log(F.col("cr") + 1)
+        - F.log(F.col("nr") + F.col("b"))
+        - F.log(F.col("cc") + 1)
+        + F.log(F.col("nc") + F.col("b"))
+    )
+    return x.groupBy("event_type").agg(
+        F.max("nr").cast("bigint").alias("n_ref"),
+        F.max("nc").cast("bigint").alias("n_cur"),
+        F.max("b").cast("bigint").alias("n_buckets"),
+        F.round(F.sum((p - q) * lnr), 6).alias("psi"),
+    )
+
+
+VALUE_DRIFT_PSI_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(least(greatest(floor(value / {PSI_BUCKET_WIDTH!r}), 0),
+                    {PSI_BUCKET_CAP}) AS INT) AS bucket
+  FROM events WHERE value IS NOT NULL),
+split AS (
+  SELECT min(day) + CAST(floor((max(day) - min(day)) / 2) AS BIGINT)
+           AS mid_day
+  FROM ev),
+cells AS (
+  SELECT event_type, bucket,
+         sum(CASE WHEN day <= (SELECT mid_day FROM split)
+                  THEN 1 ELSE 0 END) AS cr,
+         sum(CASE WHEN day > (SELECT mid_day FROM split)
+                  THEN 1 ELSE 0 END) AS cc
+  FROM ev GROUP BY 1, 2),
+x AS (
+  SELECT event_type, cr, cc,
+         sum(cr) OVER (PARTITION BY event_type) AS nr,
+         sum(cc) OVER (PARTITION BY event_type) AS nc,
+         count(*) OVER (PARTITION BY event_type) AS b
+  FROM cells)
+SELECT event_type,
+       CAST(max(nr) AS BIGINT) AS n_ref,
+       CAST(max(nc) AS BIGINT) AS n_cur,
+       CAST(max(b) AS BIGINT) AS n_buckets,
+       round(sum(
+         ((cr + 1)::DOUBLE / (nr + b)::DOUBLE
+          - (cc + 1)::DOUBLE / (nc + b)::DOUBLE)
+         * (ln(cr + 1) - ln(nr + b) - ln(cc + 1) + ln(nc + b))), 6) AS psi
+FROM x GROUP BY event_type
+"""

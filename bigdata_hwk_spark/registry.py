@@ -883,6 +883,14 @@ register(
     lambda spark, sf: TX.bigram_surprise_scores(_docs(spark, sf)),
     TX.bigram_surprise_scores_sql(),
 )
+# trigram stupid-backoff (Brants et al. 2007): held-out split (train on
+# even doc_ids, score odd), so unseen n-grams exercise the backoff ladder;
+# per-doc cross-entropy plus exact backoff-level tallies
+register(
+    "trigram_backoff_scores",
+    lambda spark, sf: TX.trigram_backoff_scores(_docs(spark, sf)),
+    TX.trigram_backoff_scores_sql(),
+)
 # DSIR (Xie et al. 2023): hashed unigram+bigram features, smoothed
 # target-vs-raw log-likelihood ratio per doc; the distribution table is
 # capped at DSIR_BUCKETS rows so the per-occurrence join broadcasts
@@ -1768,6 +1776,14 @@ register(
     "lang_source_independence",
     lambda spark, sf: RB.lang_source_independence(_docs(spark, sf)),
     RB.LANG_SOURCE_INDEPENDENCE_SQL,
+)
+# PSI drift audit: value-distribution stability between the stream's two
+# time-halves (add-one-smoothed over observed buckets; cells are
+# alphabet-bounded, the split-day scalar is a one-row broadcast)
+register(
+    "value_drift_psi",
+    lambda spark, sf: RB.value_drift_psi(load_table(spark, sf, "events")),
+    RB.VALUE_DRIFT_PSI_SQL,
 )
 # Streaming twin of the skew profiler: per-window key entropy as a
 # CHAINED streaming aggregation (batch body here is the oracle path;

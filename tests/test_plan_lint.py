@@ -38,6 +38,13 @@ BNLJ_ALLOWED = {
                         "folded quantile-threshold row) broadcast "
                         "against the histogram/corpus — the same "
                         "scalar-subquery shape as quality_gated_docs",
+    "value_drift_psi": "ONE-ROW split-day scalar side broadcast against "
+                       "the event scan — the same scalar-subquery shape "
+                       "as unigram_surprise_scores",
+    "trigram_backoff_scores": "ONE-ROW (N, V) train-totals side broadcast "
+                              "against the position table — the same "
+                              "scalar-subquery shape as "
+                              "unigram_surprise_scores",
     "dsir_importance_weights": "ONE-ROW (Nr, Nt) scalar side broadcast "
                                "against the per-doc aggregate — the "
                                "same scalar-subquery shape as "

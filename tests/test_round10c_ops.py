@@ -1,0 +1,87 @@
+"""Round-10c operators: trigram stupid-backoff scoring (and batch-mates
+added later this session). The registry oracle sweep (test_outliers.py)
+proves hash equality vs DuckDB at the gate SFs; these tests pin the
+operator-level semantics on hand-built inputs where every branch of the
+backoff ladder is computed by hand."""
+
+from __future__ import annotations
+
+import math
+
+from bigdata_hwk_spark.functions import text as TX
+
+
+def test_trigram_backoff_hand_case(spark):
+    # train (doc 0): positions N=6, vocab V={a,b,c,d} (4)
+    # trigrams: {a b c, b c a, c a b, a b d}; bigrams: {a b:2, b c, c a, b d}
+    # unigrams: a:2 b:2 c:1 d:1
+    docs = spark.createDataFrame(
+        [(0, "a b c a b d"), (1, "c a b x b d")],
+        "doc_id bigint, text string",
+    )
+    rows = TX.trigram_backoff_scores(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.doc_id == 1
+    # test positions: (c,a,b) tri hit; (a,b,x) uni floor (x unseen);
+    # (b,x,b) uni floor (b seen: c=2); (x,b,d) bigram backoff ("b d" seen)
+    assert r.n_trigrams == 4
+    assert r.n_backoff_bi == 1
+    assert r.n_backoff_uni == 2
+    d = math.log(2) - math.log(5)  # ln(0.4)
+    lnp = [
+        math.log(1) - math.log(1),                     # c(cab)=1 / c(ca)=1
+        2 * d + math.log(0 + 1) - math.log(6 + 4),     # x unseen
+        2 * d + math.log(2 + 1) - math.log(6 + 4),     # c(b)=2
+        d + math.log(1) - math.log(2),                 # c(bd)=1 / c(b)=2
+    ]
+    expect = round(-sum(lnp) / 4, 6)
+    assert r.avg_neg_logprob == expect
+
+
+def test_trigram_backoff_short_and_train_docs_drop(spark):
+    # docs with <3 tokens produce no trigram positions; train (even ids)
+    # never appear in the output
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b"), (3, "a b c")],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in TX.trigram_backoff_scores(docs).collect()}
+    assert set(rows) == {3}
+    assert rows[3].n_trigrams == 1
+
+
+def _psi_events(spark):
+    from pyspark.sql import functions as F
+
+    # days 0..3 -> mid_day = 1 (ref: days 0-1, cur: days 2-3)
+    rows = []
+    # type a: ref all bucket 0 (value 1.0), cur all bucket 1 (value 6.0)
+    for d in (0, 1):
+        rows += [(d * 86400 + 10, "a", 1.0), (d * 86400 + 20, "a", 1.0)]
+    for d in (2, 3):
+        rows += [(d * 86400 + 10, "a", 6.0), (d * 86400 + 20, "a", 6.0)]
+    # type b: identical distribution in both halves -> PSI exactly 0
+    for d in (0, 1, 2, 3):
+        rows.append((d * 86400 + 30, "b", 1.0))
+    df = spark.createDataFrame(rows, "epoch bigint, event_type string, value double")
+    return df.select(
+        F.col("epoch").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+
+
+def test_value_drift_psi_hand_case(spark):
+    import math
+
+    from bigdata_hwk_spark.operators import robust as RB
+
+    got = {r.event_type: r for r in RB.value_drift_psi(_psi_events(spark)).collect()}
+    assert set(got) == {"a", "b"}
+    a, b = got["a"], got["b"]
+    assert (a.n_ref, a.n_cur, a.n_buckets) == (4, 4, 2)
+    # cells (cr, cc): bucket0 (4,0), bucket1 (0,4); add-one over b=2:
+    # term0 = (5/6 - 1/6)·ln(5/1); term1 = (1/6 - 5/6)·ln(1/5) — equal
+    assert a.psi == round(2 * (4 / 6) * math.log(5), 6)
+    # identical halves: p == q in every cell -> every term exactly 0
+    assert (b.n_ref, b.n_cur, b.n_buckets) == (2, 2, 1)
+    assert b.psi == 0.0
