@@ -2188,6 +2188,16 @@ LIMIT {O.HOTSPOT_TOPK}
 
 
 register("grid_density_hotspots", _grid_hotspots, _grid_hotspots_oracle())
+# Grid DBSCAN: density clusters as connected components of 8-adjacent
+# dense cells (the grid family's clustering leg; corpus touched once,
+# everything after runs on the area-bounded dense-cell table)
+from .operators import clustering as CL  # noqa: E402
+
+register(
+    "grid_dbscan_clusters",
+    lambda spark, sf: CL.grid_dbscan_clusters(_points(spark, sf)),
+    CL.grid_dbscan_clusters_sql(POINTS_SQL_BODY),
+)
 # Forward as-of with tolerance (mirror of events_last_click_asof; the
 # oracle is DuckDB's native forward ASOF JOIN + the same tolerance CASE)
 register(

@@ -102,6 +102,10 @@ EXTENSION_ORACLE_QUERIES = [
     "doc_length_bucket_padding",
     "phrase_search_hits",
     "windowed_count_anomalies",
+    # round-10 session-3: n-gram ladder top rung + drift + grid clustering
+    "trigram_backoff_scores",
+    "value_drift_psi",
+    "grid_dbscan_clusters",
 ]
 
 

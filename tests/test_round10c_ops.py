@@ -85,3 +85,39 @@ def test_value_drift_psi_hand_case(spark):
     # identical halves: p == q in every cell -> every term exactly 0
     assert (b.n_ref, b.n_cur, b.n_buckets) == (2, 2, 1)
     assert b.psi == 0.0
+
+
+def test_grid_dbscan_hand_case(spark):
+    from bigdata_hwk_spark.operators import clustering as CL
+
+    def cell_pts(cx, cy, n, side=1.0):
+        # n points strictly inside cell (cx, cy)
+        return [(cx * side + 0.1 + 0.01 * i, cy * side + 0.5) for i in range(n)]
+
+    pts = (
+        cell_pts(0, 0, 3)        # dense, adjacent to (0,1)
+        + cell_pts(0, 1, 3)      # dense -> cluster {(0,0),(0,1)}
+        + cell_pts(5, 5, 4)      # isolated dense -> singleton cluster
+        + cell_pts(2, 8, 2)      # sparse: excluded
+        + cell_pts(10, 10, 3)    # dense, diagonal neighbor of (11,11)
+        + cell_pts(11, 11, 3)    # dense -> diagonal adjacency joins them
+    )
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)], "point_id bigint, x double, y double"
+    )
+    out = CL.grid_dbscan_clusters(df, side=1.0, minpts=3)
+    rows = {r.cluster_id: (r.n_cells, r.n_points) for r in out.collect()}
+    key = lambda cx, cy: cx * (1 << 22) + cy
+    assert rows == {
+        key(0, 0): (2, 6),
+        key(5, 5): (1, 4),
+        key(10, 10): (2, 6),
+    }
+    # partition-layout invariance (labels are min keys, not partition ids)
+    rows_rep = {
+        r.cluster_id: (r.n_cells, r.n_points)
+        for r in CL.grid_dbscan_clusters(
+            df.repartition(7), side=1.0, minpts=3
+        ).collect()
+    }
+    assert rows_rep == rows
