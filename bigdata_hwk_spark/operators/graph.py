@@ -407,3 +407,108 @@ def copurchase_communities(
     return top.withColumn("rnk", F.row_number().over(w)).select(
         "rnk", "community", "n_members"
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS hop distance
+# ---------------------------------------------------------------------------
+
+BFS_SEED_MOD = 101   # seeds: graph nodes with part key % mod == 0
+BFS_MAX_HOPS = 4     # bounded frontier expansion
+
+
+def hop_distances(
+    edges: DataFrame,
+    seed_mod: int = BFS_SEED_MOD,
+    max_hops: int = BFS_MAX_HOPS,
+) -> DataFrame:
+    """(part_id, hops): minimum hop count from ANY seed node (part key
+    ≡ 0 mod ``seed_mod``) to every node reachable within ``max_hops`` —
+    multi-source BFS, the graph family's distance leg next to
+    importance (PageRank), membership (components/LPA) and structure
+    (triangles). The standard big-graph formulation (Pregel-style
+    frontier expansion, public): level-synchronous rounds, each round
+    joining the CURRENT FRONTIER — not the whole graph — against the
+    edge table.
+
+    Unreachable nodes and nodes beyond ``max_hops`` are excluded by
+    construction (documented contract; emitting every node with a NULL
+    distance would make the output |V| regardless of seed placement).
+
+    Scale shape: edges are persisted once and every round is one
+    frontier-keyed equi-join plus one anti-join against the settled set
+    (both shuffle FRONTIER-sized tables, never the corpus); round count
+    is the fixed ``max_hops`` (diameter-bounded work, the device that
+    makes BFS tractable where per-pair shortest-path is not);
+    ``localCheckpoint`` truncates the per-round lineage (the PageRank /
+    connected-components device). The early-exit probe is a one-row
+    count per round — bounded driver traffic.
+
+    Determinism: purely set-algebraic (min-hop level is unique), no
+    floats, no partition-order dependence.
+    """
+    from ..session import persist_once
+
+    e = persist_once(edges.select("src", "dst"))
+    seeds = (
+        e.select(F.col("src").alias("part_id"))
+        .filter(F.col("part_id") % seed_mod == 0)
+        .distinct()
+    )
+    dist = seeds.withColumn("hops", F.lit(0).cast("int")).localCheckpoint()
+    frontier = dist.select("part_id")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.part_id == e.src)
+            .select(F.col("dst").alias("part_id"))
+            .distinct()
+        )
+        new = (
+            nxt.join(dist.select("part_id"), "part_id", "left_anti")
+            .withColumn("hops", F.lit(h).cast("int"))
+            .localCheckpoint()
+        )
+        if new.isEmpty():
+            break
+        dist = dist.union(new).localCheckpoint()
+        frontier = new.select("part_id")
+    return dist
+
+
+def copurchase_hop_distances(
+    lineitem: DataFrame,
+    seed_mod: int = BFS_SEED_MOD,
+    max_hops: int = BFS_MAX_HOPS,
+) -> DataFrame:
+    """BFS hop distances over the part co-purchase graph."""
+    edges = copurchase_edges(lineitem)
+    return hop_distances(edges, seed_mod=seed_mod, max_hops=max_hops)
+
+
+def copurchase_hop_distances_sql(
+    mod: int | None = None,
+    seed_mod: int = BFS_SEED_MOD,
+    max_hops: int = BFS_MAX_HOPS,
+) -> str:
+    """Oracle: identical edge/seed construction; BFS as a recursive CTE
+    whose UNION dedups (pk, hops) rows — accumulation bounded by
+    |V|·max_hops, with min(hops) folding levels to the BFS distance."""
+    subset = f"WHERE l_orderkey % {mod} = 0" if mod else ""
+    return f"""
+WITH RECURSIVE li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+  FROM lineitem {subset}),
+e AS (
+  SELECT DISTINCT a.pk AS src, b.pk AS dst
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+seeds AS (
+  SELECT DISTINCT src AS pk FROM e WHERE src % {seed_mod} = 0),
+bfs(pk, hops) AS (
+  SELECT pk, 0 FROM seeds
+  UNION
+  SELECT e.dst, b.hops + 1
+  FROM bfs b JOIN e ON e.src = b.pk
+  WHERE b.hops < {max_hops})
+SELECT pk AS part_id, CAST(min(hops) AS INT) AS hops
+FROM bfs GROUP BY pk
+"""

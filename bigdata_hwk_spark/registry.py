@@ -2104,6 +2104,25 @@ def _copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("copurchase_communities", _copurchase_communities)
 
 
+# Multi-source BFS hop distances over the same subset graph (the graph
+# family's distance leg; frontier-bounded rounds, fixed max_hops)
+def _copurchase_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return GR.copurchase_hop_distances(
+        load_table(spark, sf_dir, "lineitem").filter(
+            F.col("l_orderkey") % PR_SUBSET_MOD == 0
+        )
+    )
+
+
+register(
+    "copurchase_hop_distances",
+    _copurchase_hops,
+    GR.copurchase_hop_distances_sql(mod=PR_SUBSET_MOD),
+)
+
+
 # Behavioral sequence analytics: Markov transitions + cohort retention
 from .operators import behavior as BH  # noqa: E402
 

@@ -106,6 +106,7 @@ EXTENSION_ORACLE_QUERIES = [
     "trigram_backoff_scores",
     "value_drift_psi",
     "grid_dbscan_clusters",
+    "copurchase_hop_distances",
 ]
 
 

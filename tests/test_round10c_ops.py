@@ -121,3 +121,31 @@ def test_grid_dbscan_hand_case(spark):
         ).collect()
     }
     assert rows_rep == rows
+
+
+def test_bfs_hop_distances_hand_case(spark):
+    from bigdata_hwk_spark.operators import graph as GR
+
+    # chain 0 - 5 - 7 - 9 - 11 - 13 plus a disconnected pair {3, 4};
+    # seeds (pk % 5 == 0): {0, 5}
+    orders = [(1, 0), (1, 5), (2, 5), (2, 7), (3, 7), (3, 9),
+              (4, 9), (4, 11), (5, 11), (5, 13), (6, 3), (6, 4),
+              (2, 7)]  # duplicate line: must not affect distances
+    li = spark.createDataFrame(orders, "l_orderkey bigint, l_partkey bigint")
+    got = {
+        r.part_id: r.hops
+        for r in GR.copurchase_hop_distances(li, seed_mod=5, max_hops=4).collect()
+    }
+    assert got == {0: 0, 5: 0, 7: 1, 9: 2, 11: 3, 13: 4}
+    # early exit: raising max_hops adds nothing once the frontier drains
+    got10 = {
+        r.part_id: r.hops
+        for r in GR.copurchase_hop_distances(li, seed_mod=5, max_hops=10).collect()
+    }
+    assert got10 == got
+    # tighter budget drops the far tail
+    got2 = {
+        r.part_id: r.hops
+        for r in GR.copurchase_hop_distances(li, seed_mod=5, max_hops=2).collect()
+    }
+    assert got2 == {0: 0, 5: 0, 7: 1, 9: 2}
