@@ -898,3 +898,95 @@ counts AS (
 SELECT est.est_join_size, truth.true_join_size, counts.n_a, counts.n_b
 FROM est, truth, counts
 """
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries mergeable heavy hitters
+# ---------------------------------------------------------------------------
+
+MG_K = 64          # counter budget (error ≤ n_dropped / (k+1))
+MG_CHUNK = 4096    # base chunk: event_id // MG_CHUNK
+MG_FANIN = 16      # merge-tree fan-in per round
+
+
+def _mg_compress(cells: DataFrame, k: int) -> DataFrame:
+    """COMPRESS(summary, k): subtract the (k+1)-th largest count from
+    every counter in the chunk and drop non-positives — the mergeable-
+    summaries reduction (Agarwal et al., PODS 2012). Ties order by
+    (cnt desc, item asc) so the subtracted pivot is deterministic.
+    Pure window + filter: whole-stage codegen, no Python."""
+    w = Window.partitionBy("chunk").orderBy(
+        F.col("cnt").desc(), F.col("item").asc()
+    )
+    wc = Window.partitionBy("chunk")
+    ranked = cells.withColumn("rn", F.row_number().over(w))
+    d = F.max(
+        F.when(F.col("rn") == k + 1, F.col("cnt")).otherwise(F.lit(0))
+    ).over(wc)
+    return (
+        ranked.withColumn("d", d)
+        .filter(F.col("cnt") > F.col("d"))
+        .select("chunk", "item", (F.col("cnt") - F.col("d")).alias("cnt"))
+    )
+
+
+def misra_gries_summary(
+    items: DataFrame,
+    item_col: str = "item",
+    seq_col: str = "seq",
+    k: int = MG_K,
+    chunk: int = MG_CHUNK,
+    fanin: int = MG_FANIN,
+) -> DataFrame:
+    """(item, est_count): a ≤ k-row Misra-Gries heavy-hitter summary of
+    the whole stream, built as a MERGEABLE SUMMARY (Agarwal et al.,
+    PODS 2012 — public): exact per-chunk histograms (any exact
+    histogram is a perfect summary) are compressed to k counters, then
+    folded up a deterministic ``fanin``-ary tree keyed by
+    ``seq_col // chunk`` — NOT by partition id, so the result is
+    bit-identical under any data layout, unlike a naive
+    per-partition-then-driver fold.
+
+    Deterministic guarantee (test-pinned, no probability): for every
+    item, ``est ≤ true`` and ``true − est ≤ (n − Σ est)/(k+1)`` — each
+    compress subtracts its pivot d from ≤ all survivors while removing
+    ≥ (k+1)·d total mass, so the per-item deficit telescopes into the
+    dropped-mass bound. Any item with true count > (n − Σ est)/(k+1)
+    is necessarily PRESENT in the summary (the heavy-hitter superset
+    property the sticky/true-frequent family gives only
+    probabilistically).
+
+    Scale shape: the only corpus-sized work is the base (chunk, item)
+    hash aggregate (map-side combined). Every later round operates on
+    ≤ k·n_chunks rows that shrink by ``fanin``× per round —
+    ⌈log_fanin(n/chunk)⌉ rounds total (4 rounds for a trillion-row
+    stream at the defaults), each one small shuffle +
+    ``localCheckpoint``. The per-round driver probe is a one-row count.
+    """
+    base = (
+        items.select(
+            # integer division (no double round-trip: exact past 2^53)
+            F.expr(f"CAST({seq_col} AS BIGINT) div {chunk}").alias("chunk"),
+            F.col(item_col).cast("bigint").alias("item"),
+        )
+        .groupBy("chunk", "item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cur = _mg_compress(base, k).localCheckpoint()
+    while cur.select("chunk").distinct().limit(2).count() > 1:
+        folded = (
+            cur.groupBy(
+                F.expr(f"chunk div {fanin}").alias("chunk"), "item"
+            )
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        cur = _mg_compress(folded, k).localCheckpoint()
+    return cur.select("item", F.col("cnt").cast("bigint").alias("est_count"))
+
+
+def user_heavy_hitters_mg(events: DataFrame, k: int = MG_K) -> DataFrame:
+    """Misra-Gries heavy users over the event stream (item = user_id,
+    chunk sequence = event_id)."""
+    return misra_gries_summary(
+        events, item_col="user_id", seq_col="event_id", k=k
+    )

@@ -1144,6 +1144,15 @@ def _cms_items(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Misra-Gries heavy hitters: deterministic-guarantee sibling of the CMS
+# (rows-only: the merge tree is iterative; the est<=true and dropped-mass
+# bounds are pinned exactly against exact counts in tests)
+register(
+    "user_heavy_hitters_mg",
+    lambda spark, sf: SK.user_heavy_hitters_mg(
+        load_table(spark, sf, "events")
+    ),
+)
 register(
     "cms_item_estimates",
     lambda spark, sf: SK.cms_estimates(

@@ -149,3 +149,61 @@ def test_bfs_hop_distances_hand_case(spark):
         for r in GR.copurchase_hop_distances(li, seed_mod=5, max_hops=2).collect()
     }
     assert got2 == {0: 0, 5: 0, 7: 1, 9: 2}
+
+
+def _mg_stream(spark, items):
+    return spark.createDataFrame(
+        [(i, it) for i, it in enumerate(items)], "seq bigint, item bigint"
+    )
+
+
+def test_misra_gries_hand_case(spark):
+    from bigdata_hwk_spark.operators import sketches as SK
+
+    # chunk0 [1,1,1,2] -> {1:3,2:1} (<=k, no compress)
+    # chunk1 [3,1,2,2] -> {2:2,1:1,3:1} -> pivot d=1 -> {2:1}
+    # merge: {1:3, 2:2}
+    df = _mg_stream(spark, [1, 1, 1, 2, 3, 1, 2, 2])
+    got = {
+        r.item: r.est_count
+        for r in SK.misra_gries_summary(df, k=2, chunk=4, fanin=2).collect()
+    }
+    assert got == {1: 3, 2: 2}
+    # layout invariance: chunking is keyed by seq, not partition
+    got_rep = {
+        r.item: r.est_count
+        for r in SK.misra_gries_summary(
+            df.repartition(5), k=2, chunk=4, fanin=2
+        ).collect()
+    }
+    assert got_rep == got
+
+
+def test_misra_gries_deterministic_bounds_on_fixture(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_hwk_spark.operators import sketches as SK
+    from bigdata_hwk_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    k = 16
+    est = {
+        r.item: r.est_count
+        for r in SK.user_heavy_hitters_mg(ev, k=k).collect()
+    }
+    assert 0 < len(est) <= k
+    true = {
+        r.user_id: r.c
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    n = sum(true.values())
+    bound = (n - sum(est.values())) / (k + 1)
+    for item, e in est.items():
+        assert e <= true[item], (item, e, true[item])
+    for item, t in true.items():
+        assert t - est.get(item, 0) <= bound, (item, t, est.get(item, 0), bound)
+    # superset property: anything heavier than the dropped-mass bound
+    # must be present
+    for item, t in true.items():
+        if t > bound:
+            assert item in est
