@@ -2132,6 +2132,16 @@ register(
 )
 
 
+# Item-item CF neighbors: cosine over the binary user-item matrix with a
+# deterministic per-user cap (bounds the pair fan-out at cap^2 per user)
+from .operators import recsys as CF  # noqa: E402
+
+register(
+    "item_cf_neighbors",
+    lambda spark, sf: CF.item_cf_neighbors(load_table(spark, sf, "events")),
+    CF.item_cf_neighbors_sql(),
+)
+
 # Behavioral sequence analytics: Markov transitions + cohort retention
 from .operators import behavior as BH  # noqa: E402
 

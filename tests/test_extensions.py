@@ -107,6 +107,7 @@ EXTENSION_ORACLE_QUERIES = [
     "value_drift_psi",
     "grid_dbscan_clusters",
     "copurchase_hop_distances",
+    "item_cf_neighbors",
 ]
 
 

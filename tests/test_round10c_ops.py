@@ -207,3 +207,41 @@ def test_misra_gries_deterministic_bounds_on_fixture(spark):
     for item, t in true.items():
         if t > bound:
             assert item in est
+
+
+def _cf_events(spark, interactions):
+    # interactions: list of (user_id, item)
+    rows = [
+        (i, u, '{"k": %d}' % it) for i, (u, it) in enumerate(interactions)
+    ]
+    return spark.createDataFrame(rows, "event_id bigint, user_id bigint, props string")
+
+
+def test_item_cf_neighbors_hand_case(spark):
+    import math
+
+    from bigdata_hwk_spark.operators import recsys as CF
+
+    ev = _cf_events(
+        spark,
+        [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 3),
+         (1, 1)],  # duplicate interaction: distinct'd away
+    )
+    out = {(r.item, r.neighbor): r for r in CF.item_cf_neighbors(ev).collect()}
+    # c1=3, c2=2, c3=1; common(1,2)=2, common(1,3)=1, no (2,3)
+    assert set(out) == {(1, 2), (1, 3), (2, 1), (3, 1)}
+    assert out[(1, 2)].n_common == 2
+    assert out[(1, 2)].cosine == round(2 / math.sqrt(6), 6)
+    assert out[(1, 2)].rnk == 1 and out[(1, 3)].rnk == 2
+    assert out[(1, 3)].cosine == round(1 / math.sqrt(3), 6)
+    assert out[(2, 1)].cosine == out[(1, 2)].cosine  # symmetric score
+
+
+def test_item_cf_user_cap(spark):
+    from bigdata_hwk_spark.operators import recsys as CF
+
+    # one user with 3 items, cap=2: item 3 is cut, so no pair involves it
+    ev = _cf_events(spark, [(1, 1), (1, 2), (1, 3)])
+    out = CF.item_cf_neighbors(ev, cap=2).collect()
+    items = {(r.item, r.neighbor) for r in out}
+    assert items == {(1, 2), (2, 1)}
