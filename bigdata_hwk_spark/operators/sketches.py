@@ -972,7 +972,15 @@ def misra_gries_summary(
         .groupBy("chunk", "item")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    cur = _mg_compress(base, k).localCheckpoint()
+    return mg_tree_fold(_mg_compress(base, k).localCheckpoint(), k, fanin)
+
+
+def mg_tree_fold(leaves: DataFrame, k: int = MG_K, fanin: int = MG_FANIN) -> DataFrame:
+    """Fold compressed per-chunk summaries (chunk, item, cnt) up the
+    deterministic ``fanin``-ary tree; exposed separately so the
+    streaming ingest deployment can run the identical fold over its
+    accumulated leaf state."""
+    cur = leaves
     while cur.select("chunk").distinct().limit(2).count() > 1:
         folded = (
             cur.groupBy(

@@ -814,3 +814,95 @@ def true_frequent_items(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= phi * n)
     )
+
+
+def run_mg_ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    item_col: str = "user_id",
+    seq_col: str = "event_id",
+    k: int | None = None,
+    chunk: int | None = None,
+    fanin: int | None = None,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming deployment of the Misra-Gries mergeable summary
+    (``operators/sketches.py misra_gries_summary``): maintain heavy
+    hitters AT INGEST TIME over a file-replayed event stream.
+
+    State discipline: per-batch cells fold additively into the ACTIVE
+    chunk's exact histogram; chunks strictly below the max chunk seen
+    can no longer grow (the replay source delivers event-id-monotone
+    files — the same contract the CDC MERGE loop rides on) and are
+    COMPRESSED once to ≤ k counters each, exactly the batch path's leaf
+    compress. The final report runs the identical deterministic tree
+    fold over the leaves, so the result is BIT-EQUAL to the batch twin
+    on the same rows regardless of micro-batch chunking — pinned by
+    ``test_mg_ingest_stream_equals_batch``. Driver traffic per batch:
+    one max-chunk row; state lives in two ``localCheckpoint``-ed
+    DataFrames (completed leaves: ≤ k rows per chunk; active: one
+    chunk's histogram). A production loop would additionally fold
+    completed ``fanin``-groups of leaves eagerly (same algebra, the
+    tree is associative over fixed chunk order); at fixture scale the
+    leaf table is small enough to fold once at report time.
+    """
+    from ..operators.sketches import (
+        MG_CHUNK,
+        MG_FANIN,
+        MG_K,
+        _mg_compress,
+        mg_tree_fold,
+    )
+
+    k = k if k is not None else MG_K
+    chunk = chunk if chunk is not None else MG_CHUNK
+    fanin = fanin if fanin is not None else MG_FANIN
+
+    from .cdc_stream import EVENTS_STREAM_SCHEMA
+
+    cells_schema = "chunk bigint, item bigint, cnt bigint"
+    state = {
+        "done": spark.createDataFrame([], cells_schema),
+        "active": spark.createDataFrame([], cells_schema),
+    }
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        cells = (
+            batch_df.select(
+                F.expr(f"CAST({seq_col} AS BIGINT) div {chunk}").alias(
+                    "chunk"
+                ),
+                F.col(item_col).cast("bigint").alias("item"),
+            )
+            .groupBy("chunk", "item")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        merged = (
+            state["active"]
+            .union(cells)
+            .groupBy("chunk", "item")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        hi = merged.agg(F.max("chunk")).first()[0]
+        if hi is None:
+            return
+        complete = _mg_compress(merged.filter(F.col("chunk") < hi), k)
+        state["done"] = state["done"].union(complete).localCheckpoint()
+        state["active"] = merged.filter(
+            F.col("chunk") == hi
+        ).localCheckpoint()
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    query = stream.writeStream.foreachBatch(process_batch).start()
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    leaves = state["done"].union(
+        _mg_compress(state["active"], k)
+    ).localCheckpoint()
+    return mg_tree_fold(leaves, k, fanin)

@@ -245,3 +245,31 @@ def test_item_cf_user_cap(spark):
     out = CF.item_cf_neighbors(ev, cap=2).collect()
     items = {(r.item, r.neighbor) for r in out}
     assert items == {(1, 2), (2, 1)}
+
+
+def test_mg_ingest_stream_equals_batch(spark, tmp_path):
+    """The streaming MG deployment (additive active-chunk state,
+    compress-on-complete leaves, final tree fold) must land bit-equal on
+    the batch twin over the same rows."""
+    from bigdata_hwk_spark.operators import sketches as SK
+    from bigdata_hwk_spark.sources.tables import load_table
+    from bigdata_hwk_spark.streaming.cdc_stream import chunk_events_by_day
+    from bigdata_hwk_spark.streaming.frequent_items import run_mg_ingest_stream
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    n_days = chunk_events_by_day(events, str(tmp_path / "days"))
+    assert n_days > 3
+    k, chunk = 16, 512
+    got = {
+        r.item: r.est_count
+        for r in run_mg_ingest_stream(
+            spark, str(tmp_path / "days"), k=k, chunk=chunk
+        ).collect()
+    }
+    want = {
+        r.item: r.est_count
+        for r in SK.misra_gries_summary(
+            events, item_col="user_id", seq_col="event_id", k=k, chunk=chunk
+        ).collect()
+    }
+    assert got == want and len(got) > 0
