@@ -240,3 +240,112 @@ SELECT n_control, conv_control, n_treatment, conv_treatment,
              - conv_control / CAST(n_control AS DOUBLE), 6) AS uplift_abs
 FROM folded
 """
+
+
+def event_type_daily_trend(events: DataFrame) -> DataFrame:
+    """(event_type, n_days, total_events, slope, intercept, r2): per-type
+    closed-form OLS of daily event count on the day index — the grouped
+    sibling of the global six-sum fits (`zipf_head_fit`/`heaps_law_fit`):
+    the trend screen a telemetry audit reads per stream ("which event
+    types are growing/decaying, and how linearly").
+
+    Exactness: x = day − min(day per type) (window-normalized integer,
+    keeps products small), y = daily count — BOTH exact integers, so all
+    six OLS sums and the slope numerator/denominator are exact BIGINT
+    arithmetic; the only floats are the final divisions, identical
+    single IEEE ops in both engines, rounded to 6. (At a per-day count
+    scale of ~1e12 × multi-year windows the BIGINT num/den would need a
+    DECIMAL promotion; the shapes stay identical.) Degenerate groups
+    (one day, or constant counts — where the r² ratio is 0/0) pin to the
+    exact-fit convention slope 0 / intercept ȳ / r² 1 on an exact
+    integer predicate, the zipf_head_fit device.
+
+    Scale shape: one map-side-combined (type, day) fold, a per-type
+    window min over those CELLS (day-bounded, not corpus-bounded), one
+    per-type six-sum aggregate. Nothing corpus-sized shuffles twice.
+    """
+    daily = events.groupBy(
+        "event_type",
+        F.floor(F.col("ts").cast("long") / 86400).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    wt = Window.partitionBy("event_type")
+    xy = daily.select(
+        "event_type",
+        (F.col("day") - F.min("day").over(wt)).cast("bigint").alias("x"),
+        F.col("y").cast("bigint").alias("y"),
+    )
+    s = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.min("y").alias("y_min"),
+        F.max("y").alias("y_max"),
+    )
+    num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num.cast("double") / den_x.cast("double")
+    degenerate = (F.col("k") == 1) | (F.col("y_min") == F.col("y_max"))
+    return s.select(
+        "event_type",
+        F.col("k").alias("n_days"),
+        F.col("sy").alias("total_events"),
+        F.round(F.when(degenerate, F.lit(0.0)).otherwise(slope), 6).alias(
+            "slope"
+        ),
+        F.round(
+            F.when(
+                degenerate, F.col("sy").cast("double") / F.col("k")
+            ).otherwise(
+                (F.col("sy") - slope * F.col("sx")) / F.col("k")
+            ),
+            6,
+        ).alias("intercept"),
+        F.round(
+            F.when(degenerate, F.lit(1.0)).otherwise(
+                (num * num).cast("double") / (den_x * den_y).cast("double")
+            ),
+            6,
+        ).alias("r2"),
+    )
+
+
+EVENT_TYPE_DAILY_TREND_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+xy AS (
+  SELECT event_type,
+         day - min(day) OVER (PARTITION BY event_type) AS x, y
+  FROM daily),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         min(y) AS y_min, max(y) AS y_max
+  FROM xy GROUP BY event_type)
+SELECT event_type,
+       k AS n_days,
+       sy AS total_events,
+       round(CASE WHEN k = 1 OR y_min = y_max THEN 0.0
+                  ELSE (k * sxy - sx * sy)::DOUBLE
+                       / (k * sxx - sx * sx)::DOUBLE END, 6) AS slope,
+       round(CASE WHEN k = 1 OR y_min = y_max THEN sy::DOUBLE / k
+                  ELSE (sy - (k * sxy - sx * sy)::DOUBLE
+                             / (k * sxx - sx * sx)::DOUBLE * sx) / k
+             END, 6) AS intercept,
+       round(CASE WHEN k = 1 OR y_min = y_max THEN 1.0
+                  ELSE ((k * sxy - sx * sy) * (k * sxy - sx * sy))::DOUBLE
+                       / ((k * sxx - sx * sx) * (k * syy - sy * sy))::DOUBLE
+             END, 6) AS r2
+FROM s
+"""

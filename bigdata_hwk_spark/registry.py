@@ -2159,6 +2159,16 @@ register(
     ),
     BH.USER_RETENTION_COHORTS_SQL,
 )
+# Per-type daily OLS trend: grouped six-sum closed-form fit (all-integer
+# sums, one final division; degenerate groups pin to the exact-fit
+# convention on an integer predicate)
+register(
+    "event_type_daily_trend",
+    lambda spark, sf: BH.event_type_daily_trend(
+        load_table(spark, sf, "events")
+    ),
+    BH.EVENT_TYPE_DAILY_TREND_SQL,
+)
 # Hash-assigned A/B experiment readout (one-row conversion/uplift fold)
 register(
     "ab_test_report",

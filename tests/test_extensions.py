@@ -108,6 +108,7 @@ EXTENSION_ORACLE_QUERIES = [
     "grid_dbscan_clusters",
     "copurchase_hop_distances",
     "item_cf_neighbors",
+    "event_type_daily_trend",
 ]
 
 

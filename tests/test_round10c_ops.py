@@ -273,3 +273,33 @@ def test_mg_ingest_stream_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_event_type_daily_trend_hand_case(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_hwk_spark.operators import behavior as BH
+
+    rows = []
+    def add(t, day, n):
+        rows.extend([(day * 86400 + i, t) for i in range(n)])
+
+    add("up", 0, 1); add("up", 1, 2); add("up", 2, 3)      # perfect line
+    add("flat", 0, 2); add("flat", 1, 2)                   # constant counts
+    add("one", 0, 5)                                       # single day
+    add("noisy", 0, 1); add("noisy", 1, 3); add("noisy", 2, 2)
+    ev = spark.createDataFrame(
+        rows, "epoch bigint, event_type string"
+    ).select(F.col("epoch").cast("timestamp").alias("ts"), "event_type")
+    got = {r.event_type: r for r in BH.event_type_daily_trend(ev).collect()}
+    up = got["up"]
+    assert (up.n_days, up.total_events) == (3, 6)
+    assert (up.slope, up.intercept, up.r2) == (1.0, 1.0, 1.0)
+    flat = got["flat"]
+    assert (flat.slope, flat.intercept, flat.r2) == (0.0, 2.0, 1.0)
+    one = got["one"]
+    assert (one.n_days, one.slope, one.intercept, one.r2) == (1, 0.0, 5.0, 1.0)
+    noisy = got["noisy"]
+    # sums: sx=3 sy=6 sxy=7 sxx=5 syy=14 -> slope 0.5, intercept 1.5,
+    # r2 = 3^2 / (6 * 6) = 0.25
+    assert (noisy.slope, noisy.intercept, noisy.r2) == (0.5, 1.5, 0.25)
