@@ -2132,6 +2132,16 @@ register(
 )
 
 
+# Oracle-checked release funnel: eval cut -> exact dedup -> quality gate
+# -> 8-gram decontamination as ONE hash-checked staged plan
+from . import pipeline as PL  # noqa: E402
+
+register(
+    "release_funnel_report",
+    lambda spark, sf: PL.release_funnel_report(_docs(spark, sf)),
+    PL.release_funnel_report_sql(),
+)
+
 # Item-item CF neighbors: cosine over the binary user-item matrix with a
 # deterministic per-user cap (bounds the pair fan-out at cap^2 per user)
 from .operators import recsys as CF  # noqa: E402

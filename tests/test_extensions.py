@@ -109,6 +109,7 @@ EXTENSION_ORACLE_QUERIES = [
     "copurchase_hop_distances",
     "item_cf_neighbors",
     "event_type_daily_trend",
+    "release_funnel_report",
 ]
 
 

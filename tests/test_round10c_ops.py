@@ -303,3 +303,70 @@ def test_event_type_daily_trend_hand_case(spark):
     # sums: sx=3 sy=6 sxy=7 sxx=5 syy=14 -> slope 0.5, intercept 1.5,
     # r2 = 3^2 / (6 * 6) = 0.25
     assert (noisy.slope, noisy.intercept, noisy.r2) == (0.5, 1.5, 0.25)
+
+
+def test_release_funnel_python_mirror(spark):
+    """Funnel stage counts must equal an independent Python replay of the
+    recipe (exact dup keeper, quality+length gate, 8-gram contamination)."""
+    from bigdata_hwk_spark.pipeline import (
+        RELEASE_EVAL_MOD,
+        RELEASE_MIN_TOKENS,
+        release_funnel_report,
+    )
+
+    long_tail = " ".join(f"tok{i}" for i in range(30))
+    eval_gram = "e1 e2 e3 e4 e5 e6 e7 e8"
+    rows = [
+        (0, f"{eval_gram} {long_tail}"),                    # eval split
+        (1, f"alpha beta {long_tail}"),                     # clean survivor
+        (2, f"dup body {long_tail}"),                       # exact dup keeper
+        (9, f"dup body {long_tail}"),                       # exact dup dropped
+        (3, f"{eval_gram} stolen {long_tail}"),             # contaminated
+        (4, "short doc"),                                   # token-floor cut
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.stage_ord: (r.stage, r.n_docs, r.n_tokens)
+        for r in release_funnel_report(docs).collect()
+    }
+
+    # independent python replay
+    toks = {i: len(t.split(" ")) for i, t in rows}
+    q = {
+        r.doc_id: r.quality_score
+        for r in TX.quality_scores(docs).collect()
+    }
+    corpus = [i for i, _ in rows if i % RELEASE_EVAL_MOD != 0]
+    seen, s2 = set(), []
+    for i in sorted(corpus):
+        t = dict(rows)[i]
+        if t not in seen:
+            seen.add(t)
+            s2.append(i)
+    s3 = [
+        i for i in s2
+        if q[i] >= 0.45 and toks[i] >= RELEASE_MIN_TOKENS
+    ]
+
+    def grams(t, w=8):
+        ws = t.split(" ")
+        return {" ".join(ws[j:j + w]) for j in range(len(ws) - w + 1)}
+
+    eval_sh = set().union(
+        *(grams(t) for i, t in rows if i % RELEASE_EVAL_MOD == 0)
+    )
+    s4 = [i for i in s3 if not (grams(dict(rows)[i]) & eval_sh)]
+
+    def tot(ids):
+        return (len(ids), sum(toks[i] for i in ids))
+
+    assert got[0] == ("ingest", len(rows), sum(toks.values()))
+    assert got[1] == ("train_side",) + tot(corpus)
+    assert got[2] == ("exact_dedup",) + tot(s2)
+    assert got[3] == ("quality_gate",) + tot(s3)
+    assert got[4] == ("decontaminated",) + tot(s4)
+    # the fixture exercises every stage: each cut is non-trivial
+    assert len(corpus) < len(rows)
+    assert len(s2) < len(corpus)
+    assert len(s3) < len(s2)
+    assert len(s4) < len(s3)
