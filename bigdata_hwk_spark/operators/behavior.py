@@ -349,3 +349,60 @@ SELECT event_type,
              END, 6) AS r2
 FROM s
 """
+
+
+DEBOUNCE_SECONDS = 60
+
+
+def event_debounce_stats(
+    events: DataFrame, gap_s: int = DEBOUNCE_SECONDS
+) -> DataFrame:
+    """(event_type, n_events, n_kept, n_dropped): burst-suppression
+    (debounce) audit — an event is DROPPED when the same user emitted
+    the same event type less than ``gap_s`` seconds earlier (lag against
+    the previous RAW event, the stateless form every telemetry pipeline
+    ships; the chained keep-dependent form is a stateful stream op, not
+    a window). The first event of a (user, type) stream is always kept.
+
+    Exactness: the gap compares integer epoch-seconds; order within a
+    (user, type) partition is (ts, event_id) with event_id unique, so
+    ``lag`` is well-defined under any layout. One user-keyed window
+    shuffle plus an alphabet-bounded tally.
+    """
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    kept = gap.isNull() | (gap >= gap_s)
+    return (
+        events.select("event_type", kept.alias("kept"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("kept"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    )
+
+
+def event_debounce_stats_sql(gap_s: int = DEBOUNCE_SECONDS) -> str:
+    return f"""
+WITH g AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN gap IS NULL OR gap >= {gap_s}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN gap IS NULL OR gap >= {gap_s}
+                THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+FROM g GROUP BY event_type
+"""

@@ -512,3 +512,113 @@ bfs(pk, hops) AS (
 SELECT pk AS part_id, CAST(min(hops) AS INT) AS hops
 FROM bfs GROUP BY pk
 """
+
+
+def degree_mixing_profile(edges: DataFrame) -> DataFrame:
+    """One row (n_nodes, n_edges, max_degree, mean_degree, assortativity):
+    degree statistics plus Newman's degree assortativity (Newman 2002,
+    public) over an undirected edge set — the structural diagnostic read
+    before trusting sampled-graph algorithms (hub-hub wiring changes
+    PageRank/LPA convergence behavior).
+
+    Assortativity = Pearson correlation of endpoint degrees over the
+    DIRECTED edge list (both directions present, the standard
+    formulation — symmetric, so Σx = Σy by construction). Exactness:
+    degrees and all correlation sums are exact BIGINTs (the grouped-OLS
+    device); the only floats are one sqrt of an exact integer product
+    (correctly rounded) and two divisions, rounded to 6. Degenerate
+    (regular graph: zero degree variance) pins assortativity to 0.0 on
+    an exact integer predicate.
+
+    Scale shape: one groupBy for degrees (|V| rows), two broadcast-or-
+    shuffle equi-joins hanging endpoint degrees on the edge list, one
+    six-sum fold to a single row.
+    """
+    e = edges.select("src", "dst")
+    deg = e.groupBy("src").agg(
+        F.countDistinct("dst").cast("bigint").alias("d")
+    )
+    du = deg.select(F.col("src"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("src").alias("dst"), F.col("d").alias("dy"))
+    xy = e.join(du, "src").join(dv, "dst")
+    s = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    tot = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.max("d").alias("max_degree"),
+        F.sum("d").alias("sum_d"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    # each variance factor fits BIGINT; their PRODUCT would overflow at
+    # fixture scale already — so the denominator is sqrt(a)·sqrt(b)
+    # (two correctly-rounded sqrts + one multiply, mirrored exactly)
+    den_x = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.crossJoin(F.broadcast(tot)).select(
+        "n_nodes",
+        (F.col("m") / 2).cast("bigint").alias("n_edges"),
+        "max_degree",
+        F.round(
+            F.col("sum_d").cast("double") / F.col("n_nodes"), 6
+        ).alias("mean_degree"),
+        F.round(
+            F.when((den_x == 0) | (den_y == 0), F.lit(0.0)).otherwise(
+                num.cast("double")
+                / (F.sqrt(den_x.cast("double")) * F.sqrt(den_y.cast("double")))
+            ),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+def copurchase_degree_mixing(lineitem: DataFrame) -> DataFrame:
+    """Degree-mixing profile of the part co-purchase graph."""
+    return degree_mixing_profile(copurchase_edges(lineitem))
+
+
+def copurchase_degree_mixing_sql(mod: int | None = None) -> str:
+    """Oracle: identical edge/degree construction and six-sum fold."""
+    subset = f"WHERE l_orderkey % {mod} = 0" if mod else ""
+    return f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+  FROM lineitem {subset}),
+e AS (
+  SELECT DISTINCT a.pk AS src, b.pk AS dst
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+deg AS (
+  SELECT src, CAST(count(DISTINCT dst) AS BIGINT) AS d
+  FROM e GROUP BY src),
+xy AS (
+  SELECT du.d AS dx, dv.d AS dy
+  FROM e JOIN deg du ON du.src = e.src JOIN deg dv ON dv.src = e.dst),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+         CAST(sum(dx * dy) AS BIGINT) AS sxy,
+         CAST(sum(dx * dx) AS BIGINT) AS sxx,
+         CAST(sum(dy * dy) AS BIGINT) AS syy
+  FROM xy),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         max(d) AS max_degree,
+         CAST(sum(d) AS BIGINT) AS sum_d
+  FROM deg)
+SELECT n_nodes,
+       CAST(m / 2 AS BIGINT) AS n_edges,
+       max_degree,
+       round(sum_d::DOUBLE / n_nodes, 6) AS mean_degree,
+       round(CASE WHEN (m * sxx - sx * sx) = 0 OR (m * syy - sy * sy) = 0
+                  THEN 0.0
+                  ELSE (m * sxy - sx * sy)::DOUBLE
+                       / (sqrt((m * sxx - sx * sx)::DOUBLE)
+                          * sqrt((m * syy - sy * sy)::DOUBLE)) END,
+             6) AS assortativity
+FROM s, tot
+"""

@@ -2132,6 +2132,25 @@ register(
 )
 
 
+# Degree histogram moments + Newman assortativity (structural diagnostic
+# for the sampled graph; all-integer six-sum correlation)
+def _copurchase_degree_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return GR.copurchase_degree_mixing(
+        load_table(spark, sf_dir, "lineitem").filter(
+            F.col("l_orderkey") % PR_SUBSET_MOD == 0
+        )
+    )
+
+
+register(
+    "copurchase_degree_mixing",
+    _copurchase_degree_mixing,
+    GR.copurchase_degree_mixing_sql(mod=PR_SUBSET_MOD),
+)
+
+
 # Oracle-checked release funnel: eval cut -> exact dedup -> quality gate
 # -> 8-gram decontamination as ONE hash-checked staged plan
 from . import pipeline as PL  # noqa: E402
@@ -2168,6 +2187,14 @@ register(
         load_table(spark, sf, "events")
     ),
     BH.USER_RETENTION_COHORTS_SQL,
+)
+# Burst-suppression audit: stateless lag-based debounce per (user, type)
+register(
+    "event_debounce_stats",
+    lambda spark, sf: BH.event_debounce_stats(
+        load_table(spark, sf, "events")
+    ),
+    BH.event_debounce_stats_sql(),
 )
 # Per-type daily OLS trend: grouped six-sum closed-form fit (all-integer
 # sums, one final division; degenerate groups pin to the exact-fit

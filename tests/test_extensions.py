@@ -110,6 +110,8 @@ EXTENSION_ORACLE_QUERIES = [
     "item_cf_neighbors",
     "event_type_daily_trend",
     "release_funnel_report",
+    "event_debounce_stats",
+    "copurchase_degree_mixing",
 ]
 
 

@@ -38,6 +38,11 @@ BNLJ_ALLOWED = {
                         "folded quantile-threshold row) broadcast "
                         "against the histogram/corpus — the same "
                         "scalar-subquery shape as quality_gated_docs",
+    "copurchase_degree_mixing": "two ONE-ROW aggregate sides (six-sum "
+                                "correlation row × degree-totals row) "
+                                "cross-joined — the zipf_head_fit "
+                                "scalar-subquery shape; both sides "
+                                "single rows by construction",
     "value_drift_psi": "ONE-ROW split-day scalar side broadcast against "
                        "the event scan — the same scalar-subquery shape "
                        "as unigram_surprise_scores",

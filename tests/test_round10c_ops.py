@@ -370,3 +370,55 @@ def test_release_funnel_python_mirror(spark):
     assert len(s2) < len(corpus)
     assert len(s3) < len(s2)
     assert len(s4) < len(s3)
+
+
+def test_event_debounce_hand_case(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_hwk_spark.operators import behavior as BH
+
+    rows = [
+        # (event_id, epoch, user, type)
+        (0, 0, 1, "a"),     # first -> kept
+        (1, 30, 1, "a"),    # gap 30 < 60 -> dropped
+        (2, 100, 1, "a"),   # gap 70 from the RAW previous -> kept
+        (3, 0, 2, "a"),     # other user independent -> kept
+        (4, 0, 1, "b"),     # other type independent -> kept
+        (5, 59, 1, "b"),    # gap 59 -> dropped
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, epoch bigint, user_id bigint, event_type string"
+    ).select(
+        "event_id", F.col("epoch").cast("timestamp").alias("ts"),
+        "user_id", "event_type",
+    )
+    got = {r.event_type: r for r in BH.event_debounce_stats(ev).collect()}
+    assert (got["a"].n_events, got["a"].n_kept, got["a"].n_dropped) == (4, 3, 1)
+    assert (got["b"].n_events, got["b"].n_kept, got["b"].n_dropped) == (2, 1, 1)
+
+
+def test_degree_mixing_star_graph(spark):
+    from bigdata_hwk_spark.operators import graph as GR
+
+    # star K1,3: center 0 paired with leaves 1..3 (one order per edge)
+    li = spark.createDataFrame(
+        [(1, 0), (1, 1), (2, 0), (2, 2), (3, 0), (3, 3)],
+        "l_orderkey bigint, l_partkey bigint",
+    )
+    r = GR.copurchase_degree_mixing(li).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.max_degree) == (4, 3, 3)
+    assert r.mean_degree == 1.5
+    assert r.assortativity == -1.0  # a star is perfectly disassortative
+
+
+def test_degree_mixing_regular_graph_degenerate(spark):
+    from bigdata_hwk_spark.operators import graph as GR
+
+    # triangle: every degree 2 -> zero variance -> pinned 0.0
+    li = spark.createDataFrame(
+        [(1, 0), (1, 1), (2, 1), (2, 2), (3, 2), (3, 0)],
+        "l_orderkey bigint, l_partkey bigint",
+    )
+    r = GR.copurchase_degree_mixing(li).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.max_degree) == (3, 3, 2)
+    assert r.assortativity == 0.0
