@@ -1259,20 +1259,31 @@ def trigram_backoff_scores(documents: DataFrame) -> DataFrame:
     train = toks.filter(F.col("doc_id") % 2 == 0)
     test = toks.filter((F.col("doc_id") % 2 == 1) & (F.size("ws") >= 3))
 
-    tr_pos = train.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(ws)), i -> struct("
-                "element_at(ws, i) AS w1, "
-                "CASE WHEN i + 1 <= size(ws) THEN element_at(ws, i + 1) END AS w2, "
-                "CASE WHEN i + 2 <= size(ws) THEN element_at(ws, i + 2) END AS w3))"
-            )
-        ).alias("p")
-    ).select("p.w1", "p.w2", "p.w3")
-    cu = tr_pos.groupBy(md5_hash64(F.col("w1")).alias("uh")).agg(
-        F.count(F.lit(1)).alias("cu")
+    from ..session import persist_once
+
+    # the position table feeds four count aggregates and cb/cu are each
+    # probed by two joins: persist both layers once instead of
+    # re-deriving them per consumer (14 scans -> 2 in the static plan;
+    # at extreme scale swap the position persist for recompute — the
+    # count tables are the ones worth keeping)
+    tr_pos = persist_once(
+        train.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws)), i -> struct("
+                    "element_at(ws, i) AS w1, "
+                    "CASE WHEN i + 1 <= size(ws) THEN element_at(ws, i + 1) END AS w2, "
+                    "CASE WHEN i + 2 <= size(ws) THEN element_at(ws, i + 2) END AS w3))"
+                )
+            ).alias("p")
+        ).select("p.w1", "p.w2", "p.w3")
     )
-    cb = (
+    cu = persist_once(
+        tr_pos.groupBy(md5_hash64(F.col("w1")).alias("uh")).agg(
+            F.count(F.lit(1)).alias("cu")
+        )
+    )
+    cb = persist_once(
         tr_pos.filter(F.col("w2").isNotNull())
         .groupBy(md5_hash64(F.concat_ws(" ", "w1", "w2")).alias("bh"))
         .agg(F.count(F.lit(1)).alias("cb"))
