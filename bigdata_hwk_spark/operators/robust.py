@@ -317,6 +317,16 @@ def value_drift_psi(events: DataFrame) -> DataFrame:
             .alias("cc"),
         )
     )
+    return psi_fold(cells)
+
+
+def psi_fold(cells: DataFrame) -> DataFrame:
+    """The PSI window fold over (event_type, bucket, cr, cc) cells —
+    shared by the batch two-half query and the streaming drift monitor
+    (which accumulates the ``cc`` side additively at ingest and freezes
+    ``cr`` from a reference window)."""
+    from pyspark.sql import Window
+
     wt = Window.partitionBy("event_type")
     x = cells.select(
         "event_type",
@@ -344,6 +354,41 @@ def value_drift_psi(events: DataFrame) -> DataFrame:
         F.max("b").cast("bigint").alias("n_buckets"),
         F.round(F.sum((p - q) * lnr), 6).alias("psi"),
     )
+
+
+def psi_value_buckets(events: DataFrame) -> DataFrame:
+    """(event_type, bucket, n): the alphabet-bounded bucket histogram a
+    drift monitor accumulates (same bucketing as ``value_drift_psi``)."""
+    return (
+        events.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.least(
+                F.greatest(
+                    F.floor(F.col("value") / PSI_BUCKET_WIDTH), F.lit(0)
+                ),
+                F.lit(PSI_BUCKET_CAP),
+            )
+            .cast("int")
+            .alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def psi_report(ref_cells: DataFrame, cur_cells: DataFrame) -> DataFrame:
+    """PSI between two frozen (event_type, bucket, n) histograms — the
+    report shape the streaming monitor emits. Identical fold (and thus
+    identical output) to ``value_drift_psi`` when the histograms are the
+    two time-halves, which is how the stream twin is test-pinned."""
+    r = ref_cells.select("event_type", "bucket", F.col("n").alias("cr"))
+    c = cur_cells.select("event_type", "bucket", F.col("n").alias("cc"))
+    joined = (
+        r.join(c, ["event_type", "bucket"], "full_outer")
+        .fillna(0, ["cr", "cc"])
+    )
+    return psi_fold(joined)
 
 
 VALUE_DRIFT_PSI_SQL = f"""

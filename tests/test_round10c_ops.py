@@ -422,3 +422,40 @@ def test_degree_mixing_regular_graph_degenerate(spark):
     r = GR.copurchase_degree_mixing(li).collect()[0]
     assert (r.n_nodes, r.n_edges, r.max_degree) == (3, 3, 2)
     assert r.assortativity == 0.0
+
+
+def test_psi_monitor_stream_equals_batch(spark, tmp_path):
+    """Frozen-reference streaming PSI (additive alphabet-bounded state)
+    must reproduce the batch two-half query exactly."""
+    from pyspark.sql import functions as F
+
+    from bigdata_hwk_spark.operators import robust as RB
+    from bigdata_hwk_spark.sources.tables import load_table
+    from bigdata_hwk_spark.streaming.cdc_stream import chunk_events_by_day
+    from bigdata_hwk_spark.streaming.drift_stream import run_psi_monitor_stream
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    day = F.floor(F.col("ts").cast("long") / 86400)
+    lo, hi = events.agg(F.min(day), F.max(day)).first()
+    mid = lo + (hi - lo) // 2
+    ref = RB.psi_value_buckets(events.filter(day <= mid))
+    # batch twin on the whole table
+    want = {r.event_type: tuple(r) for r in RB.value_drift_psi(events).collect()}
+    # batch psi_report path over the same two halves (refactor pin)
+    cur = RB.psi_value_buckets(events.filter(day > mid))
+    got_batch = {
+        r.event_type: tuple(r) for r in RB.psi_report(ref, cur).collect()
+    }
+    assert got_batch == want
+    # streaming path: replay the second half in day files
+    n_days = chunk_events_by_day(
+        events.filter(day > mid), str(tmp_path / "days")
+    )
+    assert n_days > 2
+    got = {
+        r.event_type: tuple(r)
+        for r in run_psi_monitor_stream(
+            spark, str(tmp_path / "days"), ref
+        ).collect()
+    }
+    assert got == want
