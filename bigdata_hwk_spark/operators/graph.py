@@ -622,3 +622,70 @@ SELECT n_nodes,
              6) AS assortativity
 FROM s, tot
 """
+
+
+KCORE_K = 8
+KCORE_MAX_ITER = 50
+
+
+def kcore_members(
+    edges: DataFrame, k: int = KCORE_K, max_iter: int = KCORE_MAX_ITER
+) -> DataFrame:
+    """(part_id, core_degree): the k-core of the undirected graph — the
+    maximal subgraph where every node keeps degree ≥ k (Seidman 1983,
+    public; the standard "dense cohesive region" extractor that
+    PageRank/LPA consumers use to discard the sparse periphery before
+    expensive passes). ``core_degree`` is the node's degree WITHIN the
+    core.
+
+    Algorithm: synchronous peeling — drop every node whose current
+    degree < k, restrict the edge list to survivors, repeat to fixpoint.
+    Set-algebraic and deterministic under any layout (no tie-breaks:
+    each round's drop set is a pure predicate). Termination: the node
+    set strictly shrinks until fixpoint (≤ |V| rounds in theory; peeling
+    cascades are diameter-ish in practice) — bounded by ``max_iter``
+    with a LOUD failure rather than a silently partial core (the
+    connected-components convergence contract).
+
+    Scale shape: per round one map-side-combined degree aggregate and
+    two survivor semi-joins keyed on the endpoints (each round's edge
+    list only shrinks), ``localCheckpoint`` truncating lineage; the
+    convergence probe is a one-row count.
+    """
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_n = None
+    for _ in range(max_iter):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("src").localCheckpoint()
+        n = keep.count()
+        if n == 0:
+            return keep.select(
+                F.col("src").alias("part_id"), F.lit(0).cast("bigint").alias("core_degree")
+            )
+        if n == prev_n:
+            final = e.groupBy("src").agg(
+                F.count(F.lit(1)).cast("bigint").alias("core_degree")
+            )
+            return final.select(
+                F.col("src").alias("part_id"), "core_degree"
+            )
+        prev_n = n
+        e = (
+            e.join(keep, "src")
+            .join(keep.select(F.col("src").alias("dst")), "dst")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    raise RuntimeError(
+        f"kcore_members: peeling did not converge in {max_iter} rounds"
+    )
+
+
+def copurchase_kcore(lineitem: DataFrame, k: int = KCORE_K) -> DataFrame:
+    """k-core membership of the part co-purchase graph."""
+    return kcore_members(copurchase_edges(lineitem), k=k)

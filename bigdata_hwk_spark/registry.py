@@ -2132,6 +2132,21 @@ register(
 )
 
 
+# k-core membership (rows-only: iterative peeling; invariant + hand-case
+# test-pinned — every member keeps degree >= k within the core)
+def _copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return GR.copurchase_kcore(
+        load_table(spark, sf_dir, "lineitem").filter(
+            F.col("l_orderkey") % PR_SUBSET_MOD == 0
+        )
+    )
+
+
+register("copurchase_kcore", _copurchase_kcore)
+
+
 # Degree histogram moments + Newman assortativity (structural diagnostic
 # for the sampled graph; all-integer six-sum correlation)
 def _copurchase_degree_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -321,6 +321,12 @@ HEAVY_QUERIES = [
     # for the word-histogram compression, while the merge loop's k jobs
     # stay vocab-sized) plus the encode join's broadcast posture
     "bpe_encode_stats",
+    # staged release recipe (round 10, session 3): exact-dedup md5
+    # window + quality gate + 8-gram decontamination composed — the
+    # claim under test is that the funnel's wall tracks its heaviest
+    # single stage (the content window / contamination index join), not
+    # the stage count
+    "release_funnel_report",
     # reconciliation family representative (round 9): per-month split
     # checksums — the claim is one map-side-combined pass per side at
     # ANY scale (the petabyte-reconciliation shape), so the 64× wall

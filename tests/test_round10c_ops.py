@@ -459,3 +459,56 @@ def test_psi_monitor_stream_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_kcore_clique_and_pendant(spark):
+    from bigdata_hwk_spark.operators import graph as GR
+
+    # K4 clique (order 1 holds parts 1..4) + pendant path 4-5-6
+    li = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 3), (1, 4), (2, 4), (2, 5), (3, 5), (3, 6)],
+        "l_orderkey bigint, l_partkey bigint",
+    )
+    got = {
+        r.part_id: r.core_degree
+        for r in GR.copurchase_kcore(li, k=3).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_cascading_peel(spark):
+    from bigdata_hwk_spark.operators import graph as GR
+
+    # triangle 1-2-3 with a tail 3-4-5: k=2 peels 5 then 4 (two rounds)
+    li = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 2), (2, 3), (3, 3), (3, 1),
+         (4, 3), (4, 4), (5, 4), (5, 5)],
+        "l_orderkey bigint, l_partkey bigint",
+    )
+    got = {
+        r.part_id: r.core_degree
+        for r in GR.copurchase_kcore(li, k=2).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
+    # empty core when k exceeds the densest region
+    assert GR.copurchase_kcore(li, k=3).count() == 0
+
+
+def test_kcore_fixture_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_hwk_spark.operators import graph as GR
+    from bigdata_hwk_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").filter(
+        F.col("l_orderkey") % 7 == 0
+    )
+    k = 4
+    core = GR.copurchase_kcore(li, k=k)
+    rows = core.collect()
+    assert len(rows) > 0
+    # invariant: every member's degree WITHIN the core is >= k
+    assert all(r.core_degree >= k for r in rows)
+    # layout invariance
+    rows_rep = GR.copurchase_kcore(li.repartition(9), k=k).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows_rep))
