@@ -164,3 +164,117 @@ FROM scored
 ORDER BY lift DESC, confidence DESC, antecedent, consequent
 LIMIT {topk}
 """
+
+
+# ---------------------------------------------------------------------------
+# Frequent 3-itemsets (the Apriori L3 step)
+# ---------------------------------------------------------------------------
+
+TRIPLE_MIN_COUNT = 2
+TRIPLE_TOPK = 20
+
+
+def frequent_triples_topk(
+    lineitem: DataFrame,
+    min_count: int = TRIPLE_MIN_COUNT,
+    topk: int = TRIPLE_TOPK,
+) -> DataFrame:
+    """(rnk, item_a, item_b, item_c, triple_cnt, support): the top
+    frequent 3-itemsets — the L3 rung of Apriori above the pair rules.
+
+    Scale devices: (1) the 3-way basket self-join fans out by C(basket,3)
+    — bounded by the ≤ ~13-distinct-part basket cap, so candidate volume
+    is O(|lineitem|) with a small constant; (2) the APRIORI PRUNE:
+    candidates are semi-joined against the frequent-PAIR table on all
+    three sub-pairs BEFORE the triple count, so at production basket
+    sizes the count aggregate only sees candidates whose every edge
+    already clears the support cut. The prune is LOSSLESS by the Apriori
+    monotonicity lemma (a triple's support ≤ each sub-pair's support),
+    and the DuckDB oracle counts triples WITHOUT the prune — hash
+    equality proves the losslessness on every run, the
+    ``dedup_prefix_filter`` proof pattern.
+
+    Determinism: counts are exact integers; support is one integer
+    ratio rounded to 6; ordering is (cnt desc, items asc).
+    """
+    from ..session import persist_once
+
+    li = persist_once(basket_items(lineitem))
+    a, b, c = li.alias("a"), li.alias("b"), li.alias("c")
+    fp = persist_once(
+        a.join(b, "ok")
+        .filter(F.col("a.pk") < F.col("b.pk"))
+        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("u", "v")
+    )
+    cand = (
+        a.join(b, "ok")
+        .filter(F.col("a.pk") < F.col("b.pk"))
+        .join(c, "ok")
+        .filter(F.col("b.pk") < F.col("c.pk"))
+        .select(
+            "ok",
+            F.col("a.pk").alias("ia"),
+            F.col("b.pk").alias("ib"),
+            F.col("c.pk").alias("ic"),
+        )
+    )
+    for lo, hi in (("ia", "ib"), ("ib", "ic"), ("ia", "ic")):
+        cand = cand.join(
+            F.broadcast(fp.select(F.col("u").alias(lo), F.col("v").alias(hi))),
+            [lo, hi],
+            "left_semi",
+        )
+    trip = (
+        cand.groupBy("ia", "ib", "ic")
+        .agg(F.count(F.lit(1)).alias("triple_cnt"))
+        .filter(F.col("triple_cnt") >= min_count)
+    )
+    nb = li.agg(F.countDistinct("ok").alias("n_baskets"))
+    scored = trip.crossJoin(F.broadcast(nb)).select(
+        F.col("ia").alias("item_a"),
+        F.col("ib").alias("item_b"),
+        F.col("ic").alias("item_c"),
+        "triple_cnt",
+        F.round(
+            F.col("triple_cnt") / F.col("n_baskets").cast("double"), 6
+        ).alias("support"),
+    )
+    top = scored.orderBy(
+        F.col("triple_cnt").desc(), "item_a", "item_b", "item_c"
+    ).limit(topk)
+    w = Window.orderBy(
+        F.col("triple_cnt").desc(), "item_a", "item_b", "item_c"
+    )
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "rnk", "item_a", "item_b", "item_c", "triple_cnt", "support"
+    )
+
+
+def frequent_triples_topk_sql(
+    min_count: int = TRIPLE_MIN_COUNT, topk: int = TRIPLE_TOPK
+) -> str:
+    """Oracle: triple counts WITHOUT the Apriori prune (hash equality
+    proves the prune lossless), identical support/rank arithmetic."""
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+trip AS (
+  SELECT a.pk AS item_a, b.pk AS item_b, c.pk AS item_c,
+         CAST(count(*) AS BIGINT) AS triple_cnt
+  FROM li a
+  JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  JOIN li c ON b.ok = c.ok AND b.pk < c.pk
+  GROUP BY 1, 2, 3
+  HAVING count(*) >= {min_count}),
+nb AS (SELECT count(DISTINCT ok) AS n_baskets FROM li)
+SELECT CAST(row_number() OVER (
+         ORDER BY triple_cnt DESC, item_a, item_b, item_c
+       ) AS INTEGER) AS rnk,
+       item_a, item_b, item_c, triple_cnt,
+       round(triple_cnt / CAST(nb.n_baskets AS DOUBLE), 6) AS support
+FROM trip CROSS JOIN nb
+ORDER BY triple_cnt DESC, item_a, item_b, item_c
+LIMIT {topk}
+"""

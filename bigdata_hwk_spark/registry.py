@@ -2029,6 +2029,15 @@ register(
     ),
     ARL.association_rules_sql(),
 )
+# Apriori L3: frequent triples with the lossless pair-prune (the oracle
+# counts WITHOUT the prune, so hash equality proves monotonicity pruning)
+register(
+    "assoc_triples_topk",
+    lambda spark, sf: ARL.frequent_triples_topk(
+        load_table(spark, sf, "lineitem")
+    ),
+    ARL.frequent_triples_topk_sql(),
+)
 
 
 # Skyline (Pareto frontier): the 2-D sort-based rewrite and the d-D

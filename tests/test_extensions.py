@@ -112,6 +112,7 @@ EXTENSION_ORACLE_QUERIES = [
     "release_funnel_report",
     "event_debounce_stats",
     "copurchase_degree_mixing",
+    "assoc_triples_topk",
 ]
 
 

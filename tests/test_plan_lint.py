@@ -80,6 +80,9 @@ BNLJ_ALLOWED = {
                                   "counts) cross-joined into the single "
                                   "output row — every side is one row "
                                   "by construction",
+    "assoc_triples_topk": "ONE-ROW basket-total side broadcast against "
+                          "the triple aggregate — the same scalar-"
+                          "subquery shape as assoc_rules_topk",
     "assoc_rules_topk": "ONE-ROW basket-total side broadcast against "
                         "the support-cut pair aggregate — the same "
                         "scalar-subquery shape as pmi_top_bigrams",

@@ -512,3 +512,20 @@ def test_kcore_fixture_invariant(spark):
     # layout invariance
     rows_rep = GR.copurchase_kcore(li.repartition(9), k=k).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows_rep))
+
+
+def test_frequent_triples_hand_case(spark):
+    from bigdata_hwk_spark.operators import assoc as ARL
+
+    li = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 3),
+         (2, 1), (2, 2), (2, 3),
+         (3, 1), (3, 2), (3, 4),
+         (3, 4)],  # duplicate line: distinct'd away
+        "l_orderkey bigint, l_partkey bigint",
+    )
+    rows = ARL.frequent_triples_topk(li, min_count=2, topk=5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.rnk, r.item_a, r.item_b, r.item_c, r.triple_cnt) == (1, 1, 2, 3, 2)
+    assert r.support == round(2 / 3, 6)
