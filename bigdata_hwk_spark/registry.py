@@ -2175,6 +2175,15 @@ register(
 )
 
 
+# Greedy max-coverage selection (rows-only: iterative greedy; the exact
+# trace is pinned by a Python-mirror test and layout invariance)
+from .operators import select as SEL  # noqa: E402
+
+register(
+    "coverage_select_topk",
+    lambda spark, sf: SEL.greedy_coverage_select(_docs(spark, sf)),
+)
+
 # Oracle-checked release funnel: eval cut -> exact dedup -> quality gate
 # -> 8-gram decontamination as ONE hash-checked staged plan
 from . import pipeline as PL  # noqa: E402

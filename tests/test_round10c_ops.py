@@ -529,3 +529,53 @@ def test_frequent_triples_hand_case(spark):
     r = rows[0]
     assert (r.rnk, r.item_a, r.item_b, r.item_c, r.triple_cnt) == (1, 1, 2, 3, 2)
     assert r.support == round(2 / 3, 6)
+
+
+def test_greedy_coverage_python_mirror(spark):
+    """The greedy max-coverage trace must equal an exact Python replay
+    (same shingles, same tie-break), and be layout-invariant."""
+    from bigdata_hwk_spark.operators.select import greedy_coverage_select
+
+    texts = {
+        1: "a b c d e f",        # 4 3-grams
+        2: "a b c d e f",        # exact dup of 1: gain 0 after 1 picked
+        3: "x y z w",            # 2 fresh 3-grams
+        4: "a b c q r s t",      # overlaps 1 on "a b c"
+        5: "m n",                # too short for a 3-gram: never selected
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id bigint, text string"
+    )
+    got = [
+        (r.rnk, r.doc_id, r.marginal_gain, r.covered_total)
+        for r in greedy_coverage_select(docs, k=10, w=3)
+        .orderBy("rnk")
+        .collect()
+    ]
+
+    def grams(t, w=3):
+        ws = t.split(" ")
+        return {" ".join(ws[i:i + w]) for i in range(len(ws) - w + 1)}
+
+    sets = {d: grams(t) for d, t in texts.items() if len(t.split()) >= 3}
+    covered: set = set()
+    want = []
+    for i in range(1, 11):
+        best = max(
+            sorted(sets),
+            key=lambda d: (len(sets[d] - covered), -d),
+        )
+        g = len(sets[best] - covered)
+        if g == 0:
+            break
+        covered |= sets[best]
+        want.append((i, best, g, len(covered)))
+    assert got == want
+    # layout invariance
+    got_rep = [
+        (r.rnk, r.doc_id, r.marginal_gain, r.covered_total)
+        for r in greedy_coverage_select(docs.repartition(7), k=10, w=3)
+        .orderBy("rnk")
+        .collect()
+    ]
+    assert got_rep == want
