@@ -1,8 +1,12 @@
-"""Round-10c operators: trigram stupid-backoff scoring (and batch-mates
-added later this session). The registry oracle sweep (test_outliers.py)
-proves hash equality vs DuckDB at the gate SFs; these tests pin the
-operator-level semantics on hand-built inputs where every branch of the
-backoff ladder is computed by hand."""
+"""Round-10c operators: trigram stupid-backoff, PSI drift (+ streaming
+monitor), grid DBSCAN, BFS hop distances, Misra-Gries (+ streaming
+ingest), item-item CF, per-type daily OLS trend, the oracle-checked
+release funnel, event debounce, degree assortativity, k-core, Apriori
+triples, and greedy coverage selection. The registry oracle sweep
+(test_outliers.py / test_extensions.py) proves hash equality vs DuckDB
+at the gate SFs; these tests pin operator-level semantics on hand-built
+inputs where every branch is computed by hand, plus the
+streaming ≡ batch equality pins."""
 
 from __future__ import annotations
 
