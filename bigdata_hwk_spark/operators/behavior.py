@@ -406,3 +406,98 @@ SELECT event_type,
                 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
 FROM g GROUP BY event_type
 """
+
+
+MULTITOUCH_WINDOW_S = 7 * 86400
+
+
+def multitouch_credit(
+    events: DataFrame, window_s: int = MULTITOUCH_WINDOW_S
+) -> DataFrame:
+    """(campaign, n_touches, n_purchases, credit_micros): linear
+    multi-touch attribution — each purchase's value splits EQUALLY
+    across the same user's clicks in the preceding ``window_s`` (the
+    complement of the last-click as-of and click-count interval joins:
+    those answer "which click/how many", this answers "how much credit
+    does each CAMPAIGN earn"). Campaign = the click's ``props.k``.
+    Purchases with zero in-window clicks have no campaign to credit and
+    drop (documented; the count join keeps them with n=0).
+
+    Integer-exact money: value → cents by per-row round (the
+    skyline/Gini convention), per-touch share = cents·10⁴ div n_touches
+    (micro-cents, floor division — the ≤(n−1)-micro-cent residual per
+    purchase is the documented cost of an integer-exact, order-free
+    fold; a float share would make every campaign sum depend on
+    summation order).
+
+    Plan shape: user-keyed equi-join with the time range as a residual
+    (the `attribute_purchases` shape — per-task work bounded by per-user
+    event counts), one per-purchase count window, one alphabet-bounded
+    campaign aggregate.
+    """
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.get_json_object(F.col("props"), "$.k")
+        .cast("bigint")
+        .alias("campaign"),
+    )
+    j = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (
+            F.col("c_ts").cast("long")
+            >= F.col("p_ts").cast("long") - window_s
+        ),
+    )
+    wp = Window.partitionBy("p_id")
+    credited = j.select(
+        "campaign",
+        "p_id",
+        F.col("cents"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    ).select(
+        "campaign",
+        "p_id",
+        # integer floor division on both engines (a double round-trip
+        # would round-to-nearest in one engine and truncate in the other)
+        F.expr("(cents * 10000) div n").alias("share_micros"),
+    )
+    return credited.groupBy("campaign").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.countDistinct("p_id").cast("bigint").alias("n_purchases"),
+        F.sum("share_micros").cast("bigint").alias("credit_micros"),
+    )
+
+
+def multitouch_credit_sql(window_s: int = MULTITOUCH_WINDOW_S) -> str:
+    return f"""
+WITH p AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id AS c_user, ts AS c_ts,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS campaign
+  FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT campaign, p_id, cents,
+         count(*) OVER (PARTITION BY p_id) AS n
+  FROM p JOIN c
+    ON p.user_id = c.c_user
+   AND c.c_ts <= p.p_ts
+   AND CAST(floor(epoch(c.c_ts)) AS BIGINT)
+       >= CAST(floor(epoch(p.p_ts)) AS BIGINT) - {window_s})
+SELECT campaign,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases,
+       CAST(sum((cents * 10000) // n) AS BIGINT) AS credit_micros
+FROM j GROUP BY campaign
+"""

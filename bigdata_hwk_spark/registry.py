@@ -2221,6 +2221,13 @@ register(
     ),
     BH.USER_RETENTION_COHORTS_SQL,
 )
+# Linear multi-touch attribution: per-purchase value split equally over
+# in-window clicks, credited per campaign in exact integer micro-cents
+register(
+    "multitouch_credit",
+    lambda spark, sf: BH.multitouch_credit(load_table(spark, sf, "events")),
+    BH.multitouch_credit_sql(),
+)
 # Burst-suppression audit: stateless lag-based debounce per (user, type)
 register(
     "event_debounce_stats",

@@ -113,6 +113,7 @@ EXTENSION_ORACLE_QUERIES = [
     "event_debounce_stats",
     "copurchase_degree_mixing",
     "assoc_triples_topk",
+    "multitouch_credit",
 ]
 
 

@@ -583,3 +583,43 @@ def test_greedy_coverage_python_mirror(spark):
         .collect()
     ]
     assert got_rep == want
+
+
+def test_multitouch_credit_hand_case(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_hwk_spark.operators import behavior as BH
+
+    D = 86400
+    rows = [
+        # (event_id, epoch, user, type, value, campaign-or-None)
+        (1, 10, 1, "click", 0.0, 5),
+        (2, 20, 1, "click", 0.0, 7),
+        (3, 100, 1, "purchase", 2.00, None),   # 200c over 2 clicks
+        (4, 50, 1, "purchase", 1.01, None),    # 101c over 2 clicks (floor)
+        (5, 0, 2, "click", 0.0, 5),
+        (6, 8 * D, 2, "purchase", 5.0, None),  # click out of window: drops
+        (7, 1, 3, "click", 0.0, 5),
+        (8, 2, 3, "click", 0.0, 5),
+        (9, 3, 3, "click", 0.0, 7),
+        (10, 10, 3, "purchase", 0.01, None),   # 1c over 3 clicks: 3333 each
+    ]
+    ev = spark.createDataFrame(
+        [
+            (e, t, u, ty, v, '{"k": %d}' % c if c is not None else "{}")
+            for e, t, u, ty, v, c in rows
+        ],
+        "event_id bigint, epoch bigint, user_id bigint, "
+        "event_type string, value double, props string",
+    ).select(
+        "event_id", F.col("epoch").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    got = {r.campaign: r for r in BH.multitouch_credit(ev).collect()}
+    assert set(got) == {5, 7}
+    c5, c7 = got[5], got[7]
+    # camp 5: u1 click credited by both purchases + u3's two clicks
+    assert (c5.n_touches, c5.n_purchases) == (4, 3)
+    assert c5.credit_micros == 1_000_000 + 505_000 + 2 * 3333
+    assert (c7.n_touches, c7.n_purchases) == (3, 3)
+    assert c7.credit_micros == 1_000_000 + 505_000 + 3333
