@@ -43,19 +43,21 @@ def greedy_coverage_select(
     not-yet-covered distinct word-``w``-gram hashes (ties by doc_id);
     stops early when the best marginal gain hits 0."""
     from ..functions.hashing import md5_hash64
-    from ..session import persist_once
     from .dedup import doc_shingles
 
     spark = documents.sparkSession
-    sh = persist_once(
-        doc_shingles(documents, w=w).select(
-            "doc_id", md5_hash64(F.col("sh")).alias("h")
-        )
-    )
-    covered = spark.createDataFrame([], "h bigint")
     trace: list[tuple[int, int, int, int]] = []
     total = 0
-    remaining = sh
+    # `remaining` holds only the NOT-YET-COVERED (doc, shingle) rows and
+    # shrinks every round, so round i anti-joins against the winner's
+    # uncovered shingles only — never the full index against a growing
+    # covered set (the first-cut shape re-scanned the whole index per
+    # round; measured ~2x slower end-to-end)
+    remaining = (
+        doc_shingles(documents, w=w)
+        .select("doc_id", md5_hash64(F.col("sh")).alias("h"))
+        .localCheckpoint()
+    )
     for i in range(1, k + 1):
         gain = (
             remaining.groupBy("doc_id")
@@ -69,9 +71,8 @@ def greedy_coverage_select(
         doc, g = int(gain[0].doc_id), int(gain[0].g)
         total += g
         trace.append((i, doc, g, total))
-        won = sh.filter(F.col("doc_id") == doc).select("h").distinct()
-        covered = covered.union(won).distinct().localCheckpoint()
-        remaining = sh.join(covered, "h", "left_anti").localCheckpoint()
+        won = remaining.filter(F.col("doc_id") == doc).select("h")
+        remaining = remaining.join(won, "h", "left_anti").localCheckpoint()
     return spark.createDataFrame(
         trace,
         "rnk int, doc_id bigint, marginal_gain bigint, covered_total bigint",
