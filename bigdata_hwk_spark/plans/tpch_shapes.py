@@ -1,5 +1,5 @@
 """Decision-support archetypes (TPC-H Q2/Q4/Q7/Q8/Q9/Q10/Q11/Q13/Q14/
-Q16/Q17/Q18/Q20/Q21 shapes) adapted to the fixture star schema.
+Q16/Q17/Q18/Q20/Q21 and the Q6 scan-only shape) adapted to the fixture star schema.
 
 The reference engine has no multi-table relational surface at all
 (SURVEY.md §2.3 — its joins are the spatial grid self-joins); this module
@@ -743,4 +743,57 @@ WHERE supp_qty > 2.0 * (SELECT avg(p2.supp_qty) FROM ps p2
                         WHERE p2.l_partkey = ps.l_partkey)
 GROUP BY s_suppkey, s_name
 ORDER BY n_dominated_parts DESC, s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q6 shape — tight-band scan-only aggregate (the pushdown showcase)
+# ---------------------------------------------------------------------------
+
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6's forecasting-revenue-change shape: one-row sum of
+    extendedprice·discount over a shipdate year × discount band ×
+    quantity ceiling — the canonical scan-only aggregate whose entire
+    predicate PUSHES DOWN to the parquet scan (no join, no shuffle past
+    the partial agg).
+
+    Exact money: revenue folds as cents × discount-percent — two
+    per-row integer roundings (the skyline/Gini convention applied to
+    both factors), so the sum is an exact BIGINT in cent·percent units
+    and the displayed double is a single final division. A float
+    extendedprice·discount sum would be summation-order-dependent.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("2000-01-01"))
+        & (F.col("l_shipdate") < _ts("2001-01-01"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.04)
+        & (F.col("l_quantity") < 24)
+    )
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    pct = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    return li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+        F.coalesce(F.sum(cents * pct), F.lit(0))
+        .cast("bigint")
+        .alias("revenue_cents_pct"),
+        F.round(
+            F.coalesce(F.sum(cents * pct), F.lit(0)) / F.lit(10000.0), 2
+        ).alias("revenue"),
+    )
+
+
+FORECAST_REVENUE_CHANGE_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(coalesce(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                         * CAST(round(l_discount * 100, 0) AS BIGINT)), 0)
+            AS BIGINT) AS revenue_cents_pct,
+       round(coalesce(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                          * CAST(round(l_discount * 100, 0) AS BIGINT)), 0)
+             / 10000.0, 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+  AND l_shipdate < TIMESTAMP '2001-01-01'
+  AND l_discount >= 0.02 AND l_discount <= 0.04
+  AND l_quantity < 24
 """

@@ -322,6 +322,11 @@ register(
 register(
     "dominant_part_suppliers", TQ.dominant_part_suppliers, TQ.DOMINANT_SUPPLIERS_SQL
 )
+register(
+    "forecast_revenue_change",
+    TQ.forecast_revenue_change,
+    TQ.FORECAST_REVENUE_CHANGE_SQL,
+)
 # sketch aggregates: HLL/quantile internals are engine-specific → rows-only;
 # error bounds vs exact answers are property-tested in tests/test_relational.py
 register("approx_event_stats", R.approx_event_stats)

@@ -114,6 +114,7 @@ EXTENSION_ORACLE_QUERIES = [
     "copurchase_degree_mixing",
     "assoc_triples_topk",
     "multitouch_credit",
+    "forecast_revenue_change",
 ]
 
 
