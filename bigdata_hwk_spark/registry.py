@@ -2180,6 +2180,15 @@ register(
 )
 
 
+# Unigram-LM tokenizer training (rows-only: iterative EM; bit-equal to
+# the sequential reference trainer via integer-quantized partials)
+from .operators import unigram_lm as UL  # noqa: E402
+
+register(
+    "unigram_lm_vocab",
+    lambda spark, sf: UL.unigram_lm_vocab(_docs(spark, sf)),
+)
+
 # Greedy max-coverage selection (rows-only: iterative greedy; the exact
 # trace is pinned by a Python-mirror test and layout invariance)
 from .operators import select as SEL  # noqa: E402
