@@ -282,3 +282,75 @@ def _distributed_estep(vocab: DataFrame, probs: dict, max_len: int) -> dict:
         partials.groupBy("piece").agg(F.sum("q").alias("q")).collect()
     )
     return {r.piece: int(r.q) for r in agg}
+
+
+def unigram_lm_encode_stats(
+    documents: DataFrame,
+    seed_size: int = UNI_SEED_SIZE,
+    n_iters: int = UNI_EM_ITERS,
+    max_len: int = UNI_MAX_LEN,
+    keep: int = UNI_KEEP,
+) -> DataFrame:
+    """One row (vocab_size, n_words, n_pieces, avg_pieces_per_word,
+    compression_pct): corpus tokenization statistics under the trained
+    model's VITERBI segmentation — the encode-side consumer that ties
+    the vocabulary to a corpus number (the ``bpe_encode_stats`` twin).
+
+    The corpus is never re-segmented row by row: Viterbi runs once per
+    DISTINCT word (one more Arrow pass over the persisted histogram,
+    trained-prob table in the closure — ``keep``-bounded), and the
+    corpus totals are frequency-weighted integer sums. avg/compression
+    are single divisions of exact BIGINTs, rounded to 6.
+    """
+    from ..session import ensure_package_on_executors, persist_once
+
+    spark = documents.sparkSession
+    ensure_package_on_executors(spark)
+    vocab = persist_once(_word_histogram(documents))
+    seed = _seed_pieces(vocab, seed_size, max_len)
+    probs = _mstep({p: c for p, c in seed})
+    qcounts: dict = {}
+    for _ in range(n_iters):
+        qcounts = _distributed_estep(vocab, probs, max_len)
+        probs = _mstep(qcounts)
+    ranked = _prune_rank(qcounts, keep)
+    final_probs = {p: pr for _, p, pr, _ in ranked}
+    ml = max_len
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n_words = 0
+            n_pieces = 0
+            n_chars = 0
+            for word, f in zip(pdf["word"], pdf["f"]):
+                w, f = str(word), int(f)
+                segs = viterbi_segment(w, final_probs, ml)
+                n_words += f
+                n_pieces += len(segs) * f
+                n_chars += len(w) * f
+            yield pd.DataFrame(
+                {
+                    "n_words": [n_words],
+                    "n_pieces": [n_pieces],
+                    "n_chars": [n_chars],
+                }
+            )
+
+    partials = vocab.mapInPandas(
+        run, "n_words bigint, n_pieces bigint, n_chars bigint"
+    )
+    return partials.agg(
+        F.lit(len(ranked)).cast("bigint").alias("vocab_size"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+        F.round(
+            F.sum("n_pieces") / F.sum("n_words").cast("double"), 6
+        ).alias("avg_pieces_per_word"),
+        F.round(
+            F.lit(100.0)
+            * (F.lit(1.0) - F.sum("n_pieces") / F.sum("n_chars").cast("double")),
+            6,
+        ).alias("compression_pct"),
+    )

@@ -2188,6 +2188,10 @@ register(
     "unigram_lm_vocab",
     lambda spark, sf: UL.unigram_lm_vocab(_docs(spark, sf)),
 )
+register(
+    "unigram_lm_encode_stats",
+    lambda spark, sf: UL.unigram_lm_encode_stats(_docs(spark, sf)),
+)
 
 # Greedy max-coverage selection (rows-only: iterative greedy; the exact
 # trace is pinned by a Python-mirror test and layout invariance)

@@ -714,3 +714,27 @@ def test_unigram_lm_distributed_equals_reference(spark):
         ).orderBy("rnk").collect()
     ]
     assert got_rep == got
+
+
+def test_unigram_lm_encode_stats_matches_python(spark):
+    from bigdata_hwk_spark.operators import unigram_lm as UL
+
+    texts = ["spark scan spark", "sparkle scan table"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    r = UL.unigram_lm_encode_stats(
+        docs, seed_size=64, n_iters=2, max_len=4, keep=32
+    ).collect()[0]
+    # python replay: same train (reference), same viterbi, weighted sums
+    wf = _uni_word_freqs(texts)
+    seed = _uni_seed_ref(wf, 64, 4)
+    ranked = UL.unigram_train_reference(wf, seed, n_iters=2, max_len=4, keep=32)
+    probs = {p: pr for _, p, pr, _ in ranked}
+    n_words = sum(wf.values())
+    n_pieces = sum(len(UL.viterbi_segment(w, probs, 4)) * f for w, f in wf.items())
+    n_chars = sum(len(w) * f for w, f in wf.items())
+    assert r.vocab_size == len(ranked)
+    assert (r.n_words, r.n_pieces) == (n_words, n_pieces)
+    assert r.avg_pieces_per_word == round(n_pieces / n_words, 6)
+    assert r.compression_pct == round(100.0 * (1.0 - n_pieces / n_chars), 6)
