@@ -321,6 +321,10 @@ HEAVY_QUERIES = [
     # for the word-histogram compression, while the merge loop's k jobs
     # stay vocab-sized) plus the encode join's broadcast posture
     "bpe_encode_stats",
+    # k-core peeling (round 10, session 3): the session's highest 8x
+    # ratio (3.63 — denser graph, deeper peel); the 64x point pins
+    # whether the round count ever becomes the knee
+    "copurchase_kcore",
     # staged release recipe (round 10, session 3): exact-dedup md5
     # window + quality gate + 8-gram decontamination composed — the
     # claim under test is that the funnel's wall tracks its heaviest
