@@ -288,6 +288,13 @@ def event_type_daily_trend(events: DataFrame) -> DataFrame:
     den_x = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
     den_y = F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")
     slope = num.cast("double") / den_x.cast("double")
+    # r² = (num/√den_x/√den_y)² in DOUBLE: num·num and den_x·den_y as
+    # raw BIGINTs wrap silently in Spark on large day-count groups while
+    # DuckDB promotes to HUGEINT — the sqrt-factored denominator is the
+    # same cross-engine overflow device degree_mixing_profile uses.
+    r_corr = num.cast("double") / (
+        F.sqrt(den_x.cast("double")) * F.sqrt(den_y.cast("double"))
+    )
     degenerate = (F.col("k") == 1) | (F.col("y_min") == F.col("y_max"))
     return s.select(
         "event_type",
@@ -305,9 +312,7 @@ def event_type_daily_trend(events: DataFrame) -> DataFrame:
             6,
         ).alias("intercept"),
         F.round(
-            F.when(degenerate, F.lit(1.0)).otherwise(
-                (num * num).cast("double") / (den_x * den_y).cast("double")
-            ),
+            F.when(degenerate, F.lit(1.0)).otherwise(r_corr * r_corr),
             6,
         ).alias("r2"),
     )
@@ -344,8 +349,12 @@ SELECT event_type,
                              / (k * sxx - sx * sx)::DOUBLE * sx) / k
              END, 6) AS intercept,
        round(CASE WHEN k = 1 OR y_min = y_max THEN 1.0
-                  ELSE ((k * sxy - sx * sy) * (k * sxy - sx * sy))::DOUBLE
-                       / ((k * sxx - sx * sx) * (k * syy - sy * sy))::DOUBLE
+                  ELSE ((k * sxy - sx * sy)::DOUBLE
+                        / (sqrt((k * sxx - sx * sx)::DOUBLE)
+                           * sqrt((k * syy - sy * sy)::DOUBLE)))
+                       * ((k * sxy - sx * sy)::DOUBLE
+                          / (sqrt((k * sxx - sx * sx)::DOUBLE)
+                             * sqrt((k * syy - sy * sy)::DOUBLE)))
              END, 6) AS r2
 FROM s
 """

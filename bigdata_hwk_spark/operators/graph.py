@@ -446,6 +446,14 @@ def hop_distances(
 
     Determinism: purely set-algebraic (min-hop level is unique), no
     floats, no partition-order dependence.
+
+    Precondition: ``edges`` is a SYMMETRIC edge list — both directions
+    of every undirected edge present (``copurchase_edges`` emits this
+    by construction). Seeds and frontier expansion read the ``src``
+    column only, so a single-direction undirected list would silently
+    miss seeds that occur only as ``dst`` and skip reverse traversals;
+    callers with one-direction lists must union the swap + distinct
+    first. Same contract as ``degree_mixing_profile``/``kcore_members``.
     """
     from ..session import persist_once
 
@@ -646,6 +654,12 @@ def kcore_members(
     cascades are diameter-ish in practice) — bounded by ``max_iter``
     with a LOUD failure rather than a silently partial core (the
     connected-components convergence contract).
+
+    Precondition: ``edges`` is a SYMMETRIC edge list — both directions
+    of every undirected edge present (``copurchase_edges`` emits this
+    by construction); per-round degrees count ``src`` occurrences only,
+    so a single-direction undirected list would undercount every degree
+    by its reverse half. Same contract as ``hop_distances``.
 
     Scale shape: per round one map-side-combined degree aggregate and
     two survivor semi-joins keyed on the endpoints (each round's edge

@@ -112,10 +112,13 @@ def item_cf_neighbors_sql(
     """Oracle: identical cap/pair/cosine/rank arithmetic."""
     return f"""
 WITH ui AS (
-  SELECT DISTINCT user_id,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
-  FROM events
-  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+  -- TRY_CAST + post-cast null filter mirrors the engine, which casts
+  -- first and drops nulls after: a non-numeric '$.k' value must be
+  -- silently skipped on both sides, not error only the oracle.
+  SELECT DISTINCT user_id, item FROM (
+    SELECT user_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+    FROM events) WHERE item IS NOT NULL),
 capped AS (
   SELECT user_id, item FROM (
     SELECT user_id, item,

@@ -190,6 +190,21 @@ def _mstep(qcounts: dict) -> dict:
     return {p: q / total for p, q in qcounts.items() if q > 0}
 
 
+def _floor_seed_chars(qcounts: dict, seed_chars: set) -> dict:
+    """Carry every seed single-character piece through quantization with
+    a floor count of 1. Without this, a rare char whose quantized
+    expected count rounds to 0 vanishes from the model mid-EM, making
+    every word containing it unsegmentable (viterbi returns []) — the
+    coverage guarantee must hold for ALL corpus chars, not just the
+    ones that survived rounding. Applied identically in the sequential
+    reference and the distributed trainer (bit-equality preserved).
+    """
+    for ch in seed_chars:
+        if qcounts.get(ch, 0) < 1:
+            qcounts[ch] = 1
+    return qcounts
+
+
 def unigram_train_reference(
     word_freqs: dict,
     seed: list,
@@ -201,6 +216,7 @@ def unigram_train_reference(
     per-word quantization, integer folds, prune, and renormalize.
     Returns [(rank, piece, prob, q)]."""
     probs = _mstep({p: c for p, c in seed})
+    seed_chars = {p for p, _ in seed if len(p) == 1}
     qcounts: dict = {}
     for _ in range(n_iters):
         qcounts = {}
@@ -209,7 +225,7 @@ def unigram_train_reference(
                 word, int(f), probs, max_len
             ).items():
                 qcounts[piece] = qcounts.get(piece, 0) + q
-        probs = _mstep(qcounts)
+        probs = _mstep(_floor_seed_chars(qcounts, seed_chars))
     return _prune_rank(qcounts, keep)
 
 
@@ -246,10 +262,11 @@ def unigram_lm_vocab(
     vocab = persist_once(_word_histogram(documents))
     seed = _seed_pieces(vocab, seed_size, max_len)
     probs = _mstep({p: c for p, c in seed})
+    seed_chars = {p for p, _ in seed if len(p) == 1}
     qcounts: dict = {}
     for _ in range(n_iters):
         qcounts = _distributed_estep(vocab, probs, max_len)
-        probs = _mstep(qcounts)
+        probs = _mstep(_floor_seed_chars(qcounts, seed_chars))
     rows = _prune_rank(qcounts, keep)
     return spark.createDataFrame(
         [(r, p, round(pr, 12), q) for r, p, pr, q in rows],
@@ -309,10 +326,11 @@ def unigram_lm_encode_stats(
     vocab = persist_once(_word_histogram(documents))
     seed = _seed_pieces(vocab, seed_size, max_len)
     probs = _mstep({p: c for p, c in seed})
+    seed_chars = {p for p, _ in seed if len(p) == 1}
     qcounts: dict = {}
     for _ in range(n_iters):
         qcounts = _distributed_estep(vocab, probs, max_len)
-        probs = _mstep(qcounts)
+        probs = _mstep(_floor_seed_chars(qcounts, seed_chars))
     ranked = _prune_rank(qcounts, keep)
     final_probs = {p: pr for _, p, pr, _ in ranked}
     ml = max_len
@@ -327,6 +345,16 @@ def unigram_lm_encode_stats(
             for word, f in zip(pdf["word"], pdf["f"]):
                 w, f = str(word), int(f)
                 segs = viterbi_segment(w, final_probs, ml)
+                if not segs and w:
+                    # coverage invariant: every corpus char is a seed
+                    # single floored through pruning, so a non-empty
+                    # word can always fall back to char-by-char — an
+                    # empty segmentation means the model lost coverage
+                    # and the stats would silently undercount n_pieces
+                    raise RuntimeError(
+                        f"unsegmentable word under trained vocab: {w!r}"
+                        " — single-char coverage floor violated"
+                    )
                 n_words += f
                 n_pieces += len(segs) * f
                 n_chars += len(w) * f

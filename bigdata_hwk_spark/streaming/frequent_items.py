@@ -833,7 +833,9 @@ def run_mg_ingest_stream(
     State discipline: per-batch cells fold additively into the ACTIVE
     chunk's exact histogram; chunks strictly below the max chunk seen
     can no longer grow (the replay source delivers event-id-monotone
-    files — the same contract the CDC MERGE loop rides on) and are
+    files — the same contract the CDC MERGE loop rides on, and it is
+    ENFORCED: a batch delivering cells for an already-closed chunk
+    raises loudly instead of silently duplicating a leaf) and are
     COMPRESSED once to ≤ k counters each, exactly the batch path's leaf
     compress. The final report runs the identical deterministic tree
     fold over the leaves, so the result is BIT-EQUAL to the batch twin
@@ -864,6 +866,12 @@ def run_mg_ingest_stream(
     state = {
         "done": spark.createDataFrame([], cells_schema),
         "active": spark.createDataFrame([], cells_schema),
+        # highest chunk currently open; every chunk strictly below it is
+        # compressed and closed — a late cell for one of those would
+        # duplicate a leaf and silently diverge from the batch twin, so
+        # the monotone-replay contract is ENFORCED, not assumed (the
+        # kcore-style loud-failure contract).
+        "active_chunk": None,
     }
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -877,20 +885,37 @@ def run_mg_ingest_stream(
             .groupBy("chunk", "item")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
+        span = cells.agg(
+            F.min("chunk").alias("lo"), F.max("chunk").alias("hi")
+        ).first()
+        lo, hi_cells = span["lo"], span["hi"]
+        if lo is None:
+            return
+        if state["active_chunk"] is not None and lo < state["active_chunk"]:
+            raise RuntimeError(
+                f"out-of-order stream delivery: batch {epoch_id} carries "
+                f"cells for chunk {lo}, already compressed (chunks < "
+                f"{state['active_chunk']} are closed) — the MG ingest "
+                "stream requires event-id-monotone file delivery; "
+                "re-run the batch twin (misra_gries_summary) instead"
+            )
+        hi = (
+            max(hi_cells, state["active_chunk"])
+            if state["active_chunk"] is not None
+            else hi_cells
+        )
         merged = (
             state["active"]
             .union(cells)
             .groupBy("chunk", "item")
             .agg(F.sum("cnt").alias("cnt"))
         )
-        hi = merged.agg(F.max("chunk")).first()[0]
-        if hi is None:
-            return
         complete = _mg_compress(merged.filter(F.col("chunk") < hi), k)
         state["done"] = state["done"].union(complete).localCheckpoint()
         state["active"] = merged.filter(
             F.col("chunk") == hi
         ).localCheckpoint()
+        state["active_chunk"] = hi
 
     stream = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)

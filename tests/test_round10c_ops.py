@@ -738,3 +738,68 @@ def test_unigram_lm_encode_stats_matches_python(spark):
     assert (r.n_words, r.n_pieces) == (n_words, n_pieces)
     assert r.avg_pieces_per_word == round(n_pieces / n_words, 6)
     assert r.compression_pct == round(100.0 * (1.0 - n_pieces / n_chars), 6)
+
+
+def test_mg_ingest_stream_rejects_out_of_order_chunks(spark, tmp_path):
+    """The streaming MG twin's bit-equality with the batch path rides on
+    event-id-monotone file delivery; that contract is ENFORCED — a late
+    batch carrying cells for an already-closed chunk must raise loudly
+    (duplicate leaf = silent divergence), not diverge silently."""
+    import os
+    import time
+
+    import pytest
+
+    from bigdata_hwk_spark.streaming.frequent_items import run_mg_ingest_stream
+
+    chunk = 512
+    src = tmp_path / "ooo"
+    os.makedirs(src)
+
+    def write_file(name, ids, mtime):
+        df = spark.createDataFrame(
+            [(int(i), None, int(i) % 7, "t", 0.0, None) for i in ids],
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
+        )
+        staging = str(tmp_path / "staging")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+        dst = str(src / name)
+        os.rename(os.path.join(staging, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    base = time.time() - 3600
+    # file 0 (delivered first): events in chunk 5; file 1 (later mtime,
+    # second micro-batch): a LATE event for chunk 1 — already closed.
+    write_file("0000.parquet", range(5 * chunk, 5 * chunk + 20), base)
+    write_file("0001.parquet", range(1 * chunk, 1 * chunk + 20), base + 1)
+
+    with pytest.raises(Exception, match="out-of-order stream delivery"):
+        run_mg_ingest_stream(spark, str(src), k=8, chunk=chunk)
+
+
+def test_unigram_seed_char_coverage_floor():
+    """A single char whose quantized expected count rounds to 0 must NOT
+    vanish from the vocabulary: every seed single-char piece is carried
+    through pruning with a floor count of 1, so every corpus word stays
+    segmentable (char-by-char fallback always exists)."""
+    from bigdata_hwk_spark.operators import unigram_lm as UL
+
+    # planted: 'z' occurs once in a corpus dominated by a huge-count
+    # word, and its seed count is adversarially tiny relative to _SCALE
+    # quantization — the pre-fix path drops it when EM mass concentrates.
+    qcounts = {"ab": 100, "a": 50, "b": 40}          # 'z' absent entirely
+    seed_chars = {"a", "b", "z"}
+    floored = UL._floor_seed_chars(dict(qcounts), seed_chars)
+    assert floored["z"] == 1 and floored["a"] == 50
+
+    # end-to-end: train on a corpus containing one 'z'; the trained
+    # vocab must contain 'z' and Viterbi must segment 'za'.
+    wf = {"aaaa": 1000, "aab": 500, "za": 1}
+    seed = [("aa", 3000), ("a", 4500), ("b", 500), ("z", 1)]
+    out = UL.unigram_train_reference(wf, seed, n_iters=3, max_len=4, keep=3)
+    pieces = {p for _, p, _, _ in out}
+    assert "z" in pieces and "a" in pieces and "b" in pieces
+    probs = {p: pr for _, p, pr, _ in out}
+    assert UL.viterbi_segment("za", probs, 4) != []
