@@ -7,19 +7,33 @@ next to this script instead):
   {"metric": ..., "value": total_sec, "unit": "sec", "sf": sf,
    "n_queries": N, "queries": {top-5 slowest only}, "mrfft_*_ms": ...}
 
-The line is printed as the absolute last action, after ``spark.stop()``
-and a forced ``gc.collect()``, so no finalizer traceback can land after
-it (BENCH_r01–r04 were all unparseable: the 3 KB line overflowed the tail
-capture and a post-stop Py4J NPE clobbered what remained).
+ISOLATION (round-10 VERDICT item 1): the one-JVM suite measurably
+contaminated its own per-query walls as it grew — the 135 queries shared
+between r9 and r10 inflated +22.8 % on untouched code, and regressions
+could only be adjudicated via ad-hoc isolated A/Bs. The suite now runs
+in BATCHES of ``SPARK_GRAFT_BATCH`` queries (default 16), each batch in
+a FRESH subprocess JVM: per-query walls depend on at most batch_size−1
+predecessors instead of the whole (growing) suite, and the JVM's
+heap/code-cache/page pressure resets at every batch boundary. Within a
+batch the warm/timed pair per query is preserved (warmup pass first,
+then the timed pass, with ``spark.catalog.clearCache()`` between timed
+queries), so the reported walls stay warm-JIT numbers. The canary and
+MRFFT legs run in their own subprocess JVMs for the same reason.
+``BENCH_DETAIL.json`` records the isolation parameters so cross-round
+diffs (scripts/bench_diff.py) can tell like-for-like from
+methodology-change rounds.
+
+The final line is printed as the absolute last action of the PARENT
+process, which never starts a JVM — no finalizer traceback can land
+after it (BENCH_r01–r04 were all unparseable: a post-stop Py4J NPE
+clobbered the tail).
 
 Each query is forced end-to-end with the noop sink (full materialization,
-no driver collect); the row count comes from an ``Observation`` attached to
-the same materialization, so nothing executes twice. By default the whole
-suite runs once untimed to warm JIT/page-cache/Python workers and the
-SECOND pass is reported (run-to-run variance on the ANN queries was
-measured at up to 3× cold vs warm); set SPARK_GRAFT_WARM=0 for a
-single-pass cold run. Env: SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1), SPARK_GRAFT_CPUS (default 32).
+no driver collect); the row count comes from an ``Observation`` attached
+to the same materialization, so nothing executes twice. Set
+SPARK_GRAFT_WARM=0 to skip the per-batch warmup pass (cold walls).
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BATCH (default 16).
 """
 
 from __future__ import annotations
@@ -27,22 +41,34 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
+import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_DIR)
 
-from pyspark.sql import Observation  # noqa: E402
-from pyspark.sql import functions as F  # noqa: E402
-
-from bigdata_hwk_spark import registry  # noqa: E402
-from bigdata_hwk_spark.session import get_spark  # noqa: E402
+DEFAULT_BATCH = 16
 
 
-def run_suite(spark, sf_dir: str, label: str) -> tuple[dict[str, float], dict[str, int]]:
+# ---------------------------------------------------------------------------
+# Shared helpers (worker side; also unit-pinned by tests/test_bench_gate.py)
+# ---------------------------------------------------------------------------
+
+def run_suite(
+    spark, sf_dir: str, label: str, names: list[str] | None = None,
+    clear_cache: bool = False,
+) -> tuple[dict[str, float], dict[str, int]]:
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from bigdata_hwk_spark import registry
+
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
-    for name, fn in registry.QUERIES.items():
+    for name in names if names is not None else list(registry.QUERIES):
+        fn = registry.QUERIES[name]
         t0 = time.perf_counter()
         obs = Observation()
         # noop sink: full end-to-end materialization of every output column.
@@ -56,6 +82,11 @@ def run_suite(spark, sf_dir: str, label: str) -> tuple[dict[str, float], dict[st
             f"# [{label}] {name}: {timings[name]:.3f}s rows={rows[name]}",
             file=sys.stderr,
         )
+        if clear_cache:
+            # inter-query hygiene: a query's scoped persists are released
+            # by the query itself; this drops anything that slipped, so
+            # query N+1's wall can't ride on (or pay for) N's residue
+            spark.catalog.clearCache()
     return timings, rows
 
 
@@ -64,8 +95,6 @@ def _tee_stderr(log_path: str):
     lines (which bypass Python's sys.stderr entirely) are captured for
     the post-run cache-health scan while still streaming to the console.
     Must run BEFORE the JVM launches (it inherits fd 2)."""
-    import subprocess
-
     proc = subprocess.Popen(
         ["tee", log_path], stdin=subprocess.PIPE, stdout=sys.stderr.fileno()
     )
@@ -116,65 +145,77 @@ def scan_cache_warnings(log_path: str) -> list[str]:
         return []
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    warm = os.environ.get("SPARK_GRAFT_WARM", "1") != "0"
-    # Cache-health gate (round-8 VERDICT item 6): a persist regression
-    # (double-persist, eviction churn) surfaces as `WARN CacheManager` /
-    # `WARN MemoryStore` lines in the JVM's stderr. Capture stderr for
-    # the whole run and REFUSE to emit the metric line if any appear, so
-    # a future regression is caught by the missing artifact — loudly —
-    # instead of by a judge reading the tail.
-    stderr_log = os.path.join("/tmp", f"bench_stderr_{os.getpid()}.log")
+# ---------------------------------------------------------------------------
+# Worker: one fresh JVM per invocation (a query batch, the canary, or MRFFT)
+# ---------------------------------------------------------------------------
+
+def _worker(spec_path: str) -> int:
+    with open(spec_path, encoding="utf-8") as fh:
+        spec = json.load(fh)
+    stderr_log = spec["stderr_log"]
     _tee_stderr(stderr_log)
-    m = re.search(r"sf(\d+(?:\.\d+)?)", sf_dir)
-    sf = float(m.group(1)) if m else None
+
+    from bigdata_hwk_spark import registry
+    from bigdata_hwk_spark.session import get_spark
 
     spark = get_spark(
-        app_name="bigdata_hwk_spark-bench",
-        master=f"local[{cpus}]",
-        shuffle_partitions=int(cpus),
+        app_name=f"bigdata_hwk_spark-bench-{spec['label']}",
+        master=f"local[{spec['cpus']}]",
+        shuffle_partitions=int(spec["cpus"]),
     )
+    sf_dir = spec["sf_dir"]
+    out: dict = {"label": spec["label"]}
 
-    def canary() -> float:
-        # min-of-3 warm tpch_q1: a scan-bound box-health probe bracketing
-        # the timed pass, so cross-round diffs (scripts/bench_diff.py) can
-        # tell a real regression from thermal/co-tenant host drift — the
-        # same discipline the scale-stress sweeps use.
+    if spec["mode"] == "queries":
+        names = spec["names"]
+        if spec["warm"]:
+            run_suite(spark, sf_dir, f"warmup:{spec['label']}", names)
+        timings, rows = run_suite(
+            spark, sf_dir, f"timed:{spec['label']}", names, clear_cache=True
+        )
+        out["timings"], out["rows"] = timings, rows
+    elif spec["mode"] == "canary":
+        # min-of-3 warm tpch_q1 (one untimed warm run first): a
+        # scan-bound box-health probe bracketing the whole run, so
+        # cross-round diffs can tell a real regression from
+        # thermal/co-tenant host drift
+        fn = registry.QUERIES["tpch_q1"]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            registry.QUERIES["tpch_q1"](spark, sf_dir).write.format(
-                "noop"
-            ).mode("overwrite").save()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
-        return round(best, 3)
+        out["canary_sec"] = round(best, 3)
+    elif spec["mode"] == "mrfft":
+        # per-round MRFFT wall-clock, comparable to BASELINE.md's
+        # per-round table (the reference prints R1/R2/R3 ms —
+        # HWK_2/G029HW2.py:83-105). fan_out BEFORE caching: the narrow
+        # fixture scan would otherwise cache as 1-3 partitions and every
+        # round would pay a repartition — R1/R3 should time the rounds'
+        # compute, as the reference's cluster runs do.
+        from bigdata_hwk_spark.operators import kcenter as KC
+        from bigdata_hwk_spark.sources.tables import fan_out
 
-    if warm:
-        run_suite(spark, sf_dir, "warmup")
-    canary_start = canary()
-    timings, rows = run_suite(spark, sf_dir, "timed")
-    canary_end = canary()
+        pts = fan_out(registry._points(spark, sf_dir)).cache()
+        pts.count()
+        if spec["warm"]:
+            # warm pass: this worker's JVM is fresh (isolation), so the
+            # first MRFFT run pays JIT/codegen — the reported per-round
+            # ms should measure the rounds, as the suite-warmed JVM
+            # used to
+            KC.mrfft_timed(pts, registry.FFT_K, registry.FFT_L)
+        _, _, mr = KC.mrfft_timed(pts, registry.FFT_K, registry.FFT_L)
+        pts.unpersist()
+        print(f"# mrfft rounds: {mr}", file=sys.stderr)
+        out["mrfft"] = mr
+    else:  # pragma: no cover - spec is written by main() below
+        raise SystemExit(f"unknown worker mode: {spec['mode']}")
 
-    # per-round MRFFT wall-clock, comparable to BASELINE.md's per-round
-    # table (the reference prints R1/R2/R3 ms — HWK_2/G029HW2.py:83-105)
-    from bigdata_hwk_spark.operators import kcenter as KC  # noqa: E402
-
-    from bigdata_hwk_spark.sources.tables import fan_out  # noqa: E402
-
-    # fan_out BEFORE caching: the narrow fixture scan would otherwise cache
-    # as 1-3 partitions and every round would pay a repartition — R1/R3
-    # should time the rounds' compute, as the reference's cluster runs do
-    pts = fan_out(registry._points(spark, sf_dir)).cache()
-    pts.count()  # materialize the cache so R1/R3 time the rounds, not the scan
-    _, _, mr = KC.mrfft_timed(pts, registry.FFT_K, registry.FFT_L)
-    pts.unpersist()
-    print(f"# mrfft rounds: {mr}", file=sys.stderr)
-
-    # cache-health gate: scan the captured stderr BEFORE writing any
-    # artifact, after a deterministic sentinel-based drain of the tee
-    # pipe (a WARN that slipped past the scan would defeat the gate).
+    # cache-health gate (round-8 VERDICT item 6): scan the captured
+    # stderr BEFORE writing the result, after a deterministic
+    # sentinel-based drain of the tee pipe. A failed gate writes the
+    # offenders and exits 2 — the parent refuses to emit the metric line.
     if not _drain_tee(stderr_log):
         print(
             "# CACHE-HEALTH GATE: stderr drain sentinel not observed "
@@ -182,16 +223,106 @@ def main() -> None:
             file=sys.stderr,
         )
     bad = scan_cache_warnings(stderr_log)
+    spark.stop()
     if bad:
+        out["cache_gate_failed"] = bad[:20]
+        with open(spec["out"], "w") as fh:
+            json.dump(out, fh)
+        return 2
+    with open(spec["out"], "w") as fh:
+        json.dump(out, fh)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# Parent orchestrator (never starts a JVM)
+# ---------------------------------------------------------------------------
+
+def _spawn(spec: dict, tmpdir: str) -> dict:
+    """Run one worker subprocess; return its result JSON. Exits the
+    parent (without a metric line) if the worker's cache gate fails or
+    the worker dies."""
+    spec_path = os.path.join(tmpdir, f"spec_{spec['label']}.json")
+    spec["out"] = os.path.join(tmpdir, f"out_{spec['label']}.json")
+    spec["stderr_log"] = os.path.join(tmpdir, f"stderr_{spec['label']}.log")
+    with open(spec_path, "w") as fh:
+        json.dump(spec, fh)
+    t0 = time.perf_counter()
+    # worker stdout → parent stderr: the parent's stdout must carry
+    # exactly one JSON line at the very end, nothing else
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--worker", spec_path],
+        stdout=sys.stderr,
+        cwd=REPO_DIR,
+    )
+    wall = time.perf_counter() - t0
+    result = None
+    try:
+        with open(spec["out"], encoding="utf-8") as fh:
+            result = json.load(fh)
+    except (OSError, ValueError):
+        pass
+    if proc.returncode == 2 and result and result.get("cache_gate_failed"):
         print(
-            f"# CACHE-HEALTH GATE FAILED: {len(bad)} cache warnings — "
-            "refusing to emit the metric line. First offenders:",
+            f"# CACHE-HEALTH GATE FAILED in {spec['label']}: refusing to "
+            "emit the metric line. First offenders:",
             file=sys.stderr,
         )
-        for ln in bad[:10]:
+        for ln in result["cache_gate_failed"][:10]:
             print(f"#   {ln}", file=sys.stderr)
-        spark.stop()
         raise SystemExit(2)
+    if proc.returncode != 0 or result is None:
+        print(
+            f"# worker {spec['label']} failed (rc={proc.returncode}) — "
+            "refusing to emit the metric line",
+            file=sys.stderr,
+        )
+        raise SystemExit(proc.returncode or 1)
+    print(
+        f"# [{spec['label']}] worker wall {wall:.1f}s", file=sys.stderr
+    )
+    return result
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    warm = os.environ.get("SPARK_GRAFT_WARM", "1") != "0"
+    batch_size = int(os.environ.get("SPARK_GRAFT_BATCH", str(DEFAULT_BATCH)))
+    m = re.search(r"sf(\d+(?:\.\d+)?)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    # registry import only enumerates query names — no JVM in the parent
+    from bigdata_hwk_spark import registry
+
+    names = list(registry.QUERIES)
+    batches = [
+        names[i : i + batch_size] for i in range(0, len(names), batch_size)
+    ]
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    with tempfile.TemporaryDirectory(prefix="bench_iso_") as tmpdir:
+        base = {"sf_dir": sf_dir, "cpus": cpus, "warm": warm}
+        canary_start = _spawn(
+            dict(base, mode="canary", label="canary-start"), tmpdir
+        )["canary_sec"]
+        for i, chunk in enumerate(batches):
+            res = _spawn(
+                dict(
+                    base,
+                    mode="queries",
+                    names=chunk,
+                    label=f"batch{i:02d}",
+                ),
+                tmpdir,
+            )
+            timings.update(res["timings"])
+            rows.update(res["rows"])
+        mr = _spawn(dict(base, mode="mrfft", label="mrfft"), tmpdir)["mrfft"]
+        canary_end = _spawn(
+            dict(base, mode="canary", label="canary-end"), tmpdir
+        )["canary_sec"]
 
     total = round(sum(timings.values()), 3)
     top5 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
@@ -205,6 +336,12 @@ def main() -> None:
         "mrfft_r1_ms": mr["r1_ms"],
         "mrfft_r2_ms": mr["r2_ms"],
         "mrfft_r3_ms": mr["r3_ms"],
+        "isolation": {
+            "mode": "fresh-jvm-per-batch",
+            "batch_size": batch_size,
+            "n_batches": len(batches),
+            "clear_cache_between_queries": True,
+        },
         "canary": {
             "query": "tpch_q1",
             "runs": 3,
@@ -213,8 +350,7 @@ def main() -> None:
             "drift_ratio": round(canary_end / max(canary_start, 1e-3), 2),
         },
     }
-    repo_dir = os.path.dirname(os.path.abspath(__file__))
-    detail_path = os.path.join(repo_dir, "BENCH_DETAIL.json")
+    detail_path = os.path.join(REPO_DIR, "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     # round-keyed copy for the repo history (BENCH_DETAIL.json is
@@ -223,19 +359,19 @@ def main() -> None:
     # source the registry's gate rotation uses); fallback to inferring
     # from the driver's BENCH_r{N}.json artifacts.
     try:
-        with open(os.path.join(repo_dir, "ROUND"), encoding="utf-8") as fh:
+        with open(os.path.join(REPO_DIR, "ROUND"), encoding="utf-8") as fh:
             round_no = int(fh.read().strip())
     except (OSError, ValueError):
         rounds = [
-            int(m.group(1))
-            for f_ in os.listdir(repo_dir)
-            if (m := re.match(r"BENCH_r(\d+)\.json$", f_))
+            int(mm.group(1))
+            for f_ in os.listdir(REPO_DIR)
+            if (mm := re.match(r"BENCH_r(\d+)\.json$", f_))
         ]
         round_no = (max(rounds) + 1) if rounds else 1
     # Only round-stamp runs at the driver's SF (0.1): a local smoke at
     # another SF must not clobber the committed per-round history (it
     # did, twice, in round 9 — each needed a git checkout to repair).
-    round_detail = os.path.join(repo_dir, f"BENCH_DETAIL_r{round_no:02d}.json")
+    round_detail = os.path.join(REPO_DIR, f"BENCH_DETAIL_r{round_no:02d}.json")
     if sf == 0.1 or not os.path.exists(round_detail):
         with open(round_detail, "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)
@@ -253,21 +389,10 @@ def main() -> None:
             "canary_drift": round(canary_end / max(canary_start, 1e-3), 2),
         }
     )
-
-    # Flush any pending broadcast/persist finalizers while their guard can
-    # still see the stopped context, THEN emit the one parseable line. The
-    # print must run even if stop() raises (a dead JVM after a long run
-    # would otherwise cost the round's only parseable metric line).
-    try:
-        spark.stop()
-        import gc
-
-        gc.collect()
-        sys.stderr.flush()
-    except Exception as exc:  # pragma: no cover - JVM teardown failure
-        print(f"# teardown failed: {exc!r}", file=sys.stderr)
     print(line, flush=True)
 
 
 if __name__ == "__main__":
+    if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
+        raise SystemExit(_worker(sys.argv[2]))
     main()

@@ -13,6 +13,8 @@ content fingerprinting (md5; portable across engines).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
+
+from ..session import bounded_window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the heuristic language-ID scorer.
@@ -911,7 +913,7 @@ def quality_percentile_gate(
         .withColumn(
             "cum",
             F.sum("c").over(
-                Window.orderBy("quality_score").rowsBetween(
+                bounded_window("quality_score").rowsBetween(
                     Window.unboundedPreceding, 0
                 )
             ),
@@ -1050,7 +1052,7 @@ def curriculum_tiers(
         hist.crossJoin(F.broadcast(tot)).withColumn(
             "cum",
             F.sum("c").over(
-                Window.orderBy("quality_score").rowsBetween(
+                bounded_window("quality_score").rowsBetween(
                     Window.unboundedPreceding, 0
                 )
             ),
@@ -1641,7 +1643,7 @@ def dsir_resample_counts(
         .withColumn(
             "cum",
             F.sum("c").over(
-                Window.orderBy("dsir_logratio").rowsBetween(
+                bounded_window("dsir_logratio").rowsBetween(
                     Window.unboundedPreceding, 0
                 )
             ),
@@ -1871,7 +1873,7 @@ def zipf_head_fit(documents: DataFrame, top_k: int = ZIPF_HEAD_K) -> DataFrame:
     ranked = head.select(
         F.log(
             F.row_number()
-            .over(Window.orderBy(F.desc("c"), "wh"))
+            .over(bounded_window(F.desc("c"), "wh"))
             .cast("double")
         ).alias("x"),
         F.log(F.col("c").cast("double")).alias("y"),
@@ -2217,7 +2219,7 @@ def pmi_top_bigrams(
         .orderBy(F.desc("__ratio"), "lh", "rh")
         .limit(k)
     )
-    w = Window.orderBy(F.desc("__ratio"), "lh", "rh")
+    w = bounded_window(F.desc("__ratio"), "lh", "rh")
     return scored.select(
         F.row_number().over(w).cast("bigint").alias("rank"),
         "left_word",

@@ -27,6 +27,8 @@ surviving rows only (the ``part_pagerank_topk`` device at graph.py).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
+
+from ..session import bounded_window
 from pyspark.sql import functions as F
 
 ASSOC_MIN_PAIR_COUNT = 3
@@ -119,7 +121,7 @@ def association_rules_topk(
         F.col("antecedent").asc(),
         F.col("consequent").asc(),
     ).limit(topk)
-    w = Window.orderBy(
+    w = bounded_window(
         F.col("lift").desc(),
         F.col("confidence").desc(),
         F.col("antecedent").asc(),
@@ -245,7 +247,7 @@ def frequent_triples_topk(
     top = scored.orderBy(
         F.col("triple_cnt").desc(), "item_a", "item_b", "item_c"
     ).limit(topk)
-    w = Window.orderBy(
+    w = bounded_window(
         F.col("triple_cnt").desc(), "item_a", "item_b", "item_c"
     )
     return top.withColumn("rnk", F.row_number().over(w)).select(

@@ -55,6 +55,8 @@ import logging
 from collections import Counter
 
 from pyspark.sql import DataFrame, Window
+
+from ..session import bounded_window
 from pyspark.sql import functions as F
 
 from ..session import persist_scoped
@@ -155,7 +157,7 @@ def bpe_pair_stats(
         .groupBy("left_sym", "right_sym")
         .agg(F.sum("f").alias("pair_count"))
     )
-    w = Window.orderBy(
+    w = bounded_window(
         F.desc("pair_count"), "left_sym", "right_sym"
     )
     return (

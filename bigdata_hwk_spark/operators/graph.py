@@ -39,6 +39,8 @@ BM25/TF-IDF device), ties break by part key.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from ..session import bounded_window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -161,7 +163,7 @@ def part_pagerank_topk(
     top = scored.orderBy(
         F.col("rank_x_n").desc(), F.col("part").asc()
     ).limit(topk)
-    w = Window.orderBy(F.col("rank_x_n").desc(), F.col("part").asc())
+    w = bounded_window(F.col("rank_x_n").desc(), F.col("part").asc())
     return top.withColumn("rnk", F.row_number().over(w)).select(
         "part", "rnk", "rank_x_n"
     )
@@ -403,7 +405,7 @@ def copurchase_communities(
     top = sizes.orderBy(
         F.col("n_members").desc(), F.col("community").asc()
     ).limit(topk)
-    w = Window.orderBy(F.col("n_members").desc(), F.col("community").asc())
+    w = bounded_window(F.col("n_members").desc(), F.col("community").asc())
     return top.withColumn("rnk", F.row_number().over(w)).select(
         "rnk", "community", "n_members"
     )

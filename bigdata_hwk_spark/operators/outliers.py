@@ -35,6 +35,8 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import DataFrame
+
+from ..session import bounded_window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -317,7 +319,7 @@ def grid_hotspots(
     )
     order = [F.col("cell_cnt").desc(), F.col("cx").asc(), F.col("cy").asc()]
     top = hot.orderBy(*order).limit(topk)
-    w = Window.orderBy(*order)
+    w = bounded_window(*order)
     return top.withColumn("rnk", F.row_number().over(w)).select(
         "rnk", "cx", "cy", "cell_cnt", "nbr_cells", "nbr_sum", "ratio"
     )

@@ -50,6 +50,8 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window
+
+from ..session import bounded_window
 from pyspark.sql import functions as F
 
 
@@ -68,7 +70,7 @@ def price_size_skyline(part: DataFrame) -> DataFrame:
     per_size = part.groupBy("p_size").agg(
         F.min("p_retailprice").alias("size_min_price")
     )
-    w = Window.orderBy(F.col("p_size").desc()).rowsBetween(
+    w = bounded_window(F.col("p_size").desc()).rowsBetween(
         Window.unboundedPreceding, -1
     )
     frontier_sizes = per_size.withColumn(

@@ -2201,6 +2201,15 @@ register(
     "coverage_select_topk",
     lambda spark, sf: SEL.greedy_coverage_select(_docs(spark, sf)),
 )
+# Lazy-greedy twin (Minoux 1978): bit-identical trace by construction
+# (strict-dominance acceptance), candidate-pruned per-round work — the
+# scale path greedy_coverage_select auto-gates to above
+# COVERAGE_LAZY_GATE_K. Registered so the bench/stress sweeps measure
+# its growth exponent next to the exact path's.
+register(
+    "coverage_select_topk_lazy",
+    lambda spark, sf: SEL.lazy_greedy_coverage_select(_docs(spark, sf)),
+)
 
 # Oracle-checked release funnel: eval cut -> exact dedup -> quality gate
 # -> 8-gram decontamination as ONE hash-checked staged plan

@@ -135,3 +135,23 @@ def persist_scoped(df, storage_level=None):
         return df, (lambda: None)
     persisted = persist_once(df, storage_level)
     return persisted, (lambda: persisted.unpersist())
+
+
+def bounded_window(*cols):
+    """A GLOBAL (unpartitioned) ordering window — legal ONLY over a
+    BOUNDED tiny table: post-``limit(k)`` survivors, an alphabet/
+    dictionary-bounded histogram, or a driver-sized artifact table.
+
+    WindowExec warns ("No Partition Defined ... moving all data to a
+    single partition") at every such site; this helper is the single
+    place that warning is allowed to originate, so a bench-tail warning
+    always traces to a site whose input is ≤ a few thousand rows BY
+    CONSTRUCTION. Every unpartitioned ``Window.orderBy`` in the engine
+    must route through here — pinned by the plan-lint grep sweep
+    (tests/test_plan_lint.py::test_global_windows_only_via_bounded_window).
+    Chain ``.rowsBetween(...)`` on the returned spec where a frame is
+    needed.
+    """
+    from pyspark.sql import Window
+
+    return Window.orderBy(*cols)

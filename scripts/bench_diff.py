@@ -182,10 +182,16 @@ def main() -> None:
         with open(path) as f:
             return json.load(f).get("canary")
 
+    def _isolation(path):
+        with open(path) as f:
+            return json.load(f).get("isolation")
+
+    iso_prev, iso_cur = _isolation(prev_path), _isolation(cur_path)
     payload = {
         "prev_file": os.path.basename(prev_path),
         "cur_file": os.path.basename(cur_path),
         "canaries": {"prev": _canary(prev_path), "cur": _canary(cur_path)},
+        "isolation": {"prev": iso_prev, "cur": iso_cur},
         "median_shift": median_shift,
         "host_drift_suspected": abs(median_shift - 1.0) > VARIANCE_REL,
         "n_shared": len(shared),
@@ -200,6 +206,16 @@ def main() -> None:
         "flagged_outside_band": flagged,
         "diff": diff,
     }
+    if iso_prev != iso_cur:
+        payload["methodology_change"] = (
+            "the two details were produced under DIFFERENT bench "
+            "methodologies (isolation params differ) — per-query deltas "
+            "compare a suite-contaminated wall against an isolated one "
+            "and are NOT evidence of code-level regressions or "
+            "improvements; see the round's BENCH_BRIDGE_NOTES for the "
+            "one-time old->new mapping. Flags below should be read as "
+            "informational until the next same-methodology round."
+        )
     out_path = os.path.join(
         _repo_dir(), f"BENCH_REGRESSION_NOTES_r{round_no:02d}.json"
     )

@@ -371,6 +371,42 @@ HEAVY_QUERIES = [
     # point tests that the coalesce(1) stage stays off the critical
     # path for real (tie-heavy) frontiers
     "customer_value_skyline",
+    # --- round-11 additions (round-10 VERDICT item 3): the heaviest
+    # r10 families that had 8× entries but no 64× point ---
+    # hashed-BoW ridge classifier train+eval: the claim is one Arrow
+    # pass for the Gram aggregates (≤(dim+1)² cells) + a fixed d³
+    # driver solve, so wall ∝ corpus with the solve amortizing away
+    "doc_classifier_eval",
+    # LPA communities: fixed-iteration label joins over the persisted
+    # co-purchase edge table — the claim is wall ∝ edge volume like
+    # PageRank's (same walk table), with the per-round argmax-by-label
+    # aggregate staying frontier-proportional
+    "copurchase_communities",
+    # degree-ordered triangle counting: the oriented wedge join is the
+    # quadratic-risk stage — per-replica alphabet permutations keep
+    # co-purchase degree distributions constant, so wedge volume should
+    # scale ∝ edges and the 64× exponent should hold near the 8× fit
+    "copurchase_triangle_stats",
+    # exact greedy coverage selection: k sequential full-index rounds —
+    # the O(k·corpus) shape round-10 flagged as weak; measured here
+    # NEXT TO its lazy twin so the committed artifact carries the
+    # shape comparison, not just the claim
+    "coverage_select_topk",
+    # lazy-greedy twin (round-10 VERDICT item 2): bit-identical trace,
+    # candidate-pruned rounds — the claim is a LOWER growth exponent
+    # than the exact path's (per-round aggregation over candidate
+    # postings instead of the whole index)
+    "coverage_select_topk_lazy",
+    # Unigram-LM EM training: the corpus-scale work is the word
+    # histogram collapse; EM itself is Arrow passes over the DISTINCT-
+    # word table, so the Heaps-law vocab compression is the claim —
+    # same shape bpe_encode_stats already validates at 64×
+    "unigram_lm_vocab",
+    # SymSpell ed≤2 linkage: the r10 8× sweep's worst in-budget ratio
+    # (0.73 of budget) — deletion-key bucket fan-out grows quadratically
+    # in bucket occupancy, so the 64× point is exactly where a knee
+    # would show; subset-guard conventions per the ed2 oracle notes
+    "fuzzy_link_summary_ed2",
 ]
 
 # Inline justifications for the second-decade entries whose exponents

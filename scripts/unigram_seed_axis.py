@@ -1,0 +1,115 @@
+"""Seed-vocab / EM-iteration axis sweep for the Unigram-LM trainer
+(round-10 VERDICT item 4 — the exact playbook that closed BPE's merge
+axis in round 10).
+
+The corpus-axis stress (SCALE_STRESS.json main sweep, 8× ratio 1.28)
+already shows ``unigram_lm_vocab`` flat-ish in corpus size — the word
+histogram collapses the corpus and EM runs over DISTINCT words. The
+unmeasured axes were (a) SEED-VOCAB SIZE: candidate-piece count drives
+the substring-explode seeding aggregate, the per-task closure shipped
+to every Arrow batch, the per-position piece-membership hit rate inside
+forward-backward, and the O(seed)-row driver fold per iteration; and
+(b) EM ITERATIONS: each is one full Arrow pass over the histogram.
+
+Like the BPE sweep, the fixture's own vocabulary (~31 distinct words)
+saturates instantly, so the sweep reuses the SAME vocab-enriched
+derived corpus (deterministic per-occurrence hash suffixes → ~30k
+distinct words, corpus size and char distribution anchored to the
+fixture — ``scripts/bpe_merge_axis.build_enriched_corpus``).
+
+Writes the section ``unigram_seed_axis`` into SCALE_STRESS.json via the
+same read-modify-write helper the other deep sweeps use.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), UNI_AXIS_WORKDIR, UNI_AXIS_BUDGET_SEC
+(per-point wall budget before the seed escalation stops, default 300).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from bigdata_hwk_spark.operators import unigram_lm as UL  # noqa: E402
+from bigdata_hwk_spark.session import get_spark  # noqa: E402
+from scripts.bpe_merge_axis import build_enriched_corpus  # noqa: E402
+from scripts.scale_stress import _merge_into_artifact  # noqa: E402
+
+SEED_SIZES = [2048, 8192, 32768, 131072]
+ITER_AXIS = [1, 2, 4, 8]
+ITER_AXIS_SEED = 8192
+KEEP = 512  # fixture default — the axis under test is seeding/EM cost
+
+
+def timed_vocab(docs, seed_size: int, n_iters: int) -> tuple[float, int]:
+    t0 = time.perf_counter()
+    n_rows = UL.unigram_lm_vocab(
+        docs, seed_size=seed_size, n_iters=n_iters, keep=KEEP
+    ).count()
+    return round(time.perf_counter() - t0, 3), n_rows
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    work = os.environ.get("UNI_AXIS_WORKDIR", "/tmp/bpe_merge_axis")
+    budget = float(os.environ.get("UNI_AXIS_BUDGET_SEC", "300"))
+    spark = get_spark(
+        app_name="bigdata_hwk_spark-unigram-seed-axis",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus_path = os.path.join(work, "enriched_documents.parquet")
+    docs = build_enriched_corpus(spark, sf_dir, corpus_path)
+    vocab_rows = UL._word_histogram(docs).count()
+    print(f"# enriched vocab: {vocab_rows} distinct words", file=sys.stderr)
+    docs.count()  # warm the scan
+
+    out: dict = {
+        "base_sf_dir": sf_dir,
+        "vocab_rows": vocab_rows,
+        "keep": KEEP,
+        "seed_axis": {},
+        "iter_axis": {},
+    }
+    # warm point: JIT + Python workers, smallest config, untimed
+    timed_vocab(docs, SEED_SIZES[0], 1)
+
+    stopped_at = None
+    for s in SEED_SIZES:
+        wall, n_rows = timed_vocab(docs, s, UL.UNI_EM_ITERS)
+        out["seed_axis"][str(s)] = {"wall_sec": wall, "vocab_rows": n_rows}
+        print(f"# seed={s}: {wall}s ({n_rows} pieces)", file=sys.stderr)
+        if wall > budget:
+            stopped_at = s
+            break
+    if stopped_at:
+        out["seed_axis_stopped_at"] = stopped_at
+
+    for it in ITER_AXIS:
+        wall, n_rows = timed_vocab(docs, ITER_AXIS_SEED, it)
+        out["iter_axis"][str(it)] = {"wall_sec": wall, "vocab_rows": n_rows}
+        print(f"# iters={it}: {wall}s ({n_rows} pieces)", file=sys.stderr)
+
+    # marginal per-iteration cost: the slope of the iter axis (the
+    # fixed seeding cost cancels between consecutive points)
+    walls = [out["iter_axis"][str(i)]["wall_sec"] for i in ITER_AXIS]
+    out["iter_marginal_sec"] = [
+        round(b - a, 3) for a, b in zip(walls, walls[1:])
+    ]
+    path = _merge_into_artifact("unigram_seed_axis", out)
+    print(f"# wrote {path}", file=sys.stderr)
+    import json
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

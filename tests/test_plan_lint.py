@@ -127,3 +127,36 @@ def test_filters_reach_the_scan_and_columns_prune(spark, name):
     )
     assert frag in plan, f"{name}: filter not pushed to the scan"
     assert pruned_col not in plan, f"{name}: scan reads unused column {pruned_col}"
+
+
+def test_global_windows_only_via_bounded_window():
+    """Every unpartitioned ``Window.orderBy`` must route through
+    ``session.bounded_window`` — the single annotated origin for
+    WindowExec's move-all-data-to-one-partition warning, whose contract
+    is a bounded (post-limit / histogram-sized) input. A raw global
+    window anywhere else is either an unaudited scale bug or an
+    unannotated bounded site; both fail here."""
+    import os
+    import re
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bigdata_hwk_spark",
+    )
+    offenders = []
+    for root, _, files in os.walk(pkg):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            rel = os.path.relpath(path, pkg)
+            with open(path, encoding="utf-8") as fh:
+                for lineno, line in enumerate(fh, start=1):
+                    if re.search(r"\bWindow\.orderBy\(", line):
+                        if rel == "session.py":  # the helper itself
+                            continue
+                        offenders.append(f"{rel}:{lineno}: {line.strip()}")
+    assert offenders == [], (
+        "raw global Window.orderBy outside session.bounded_window:\n"
+        + "\n".join(offenders)
+    )
