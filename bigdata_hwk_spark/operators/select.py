@@ -31,6 +31,19 @@ whole corpus; the full-index groupBy happens exactly once (round-1
 bound seeding, which exact greedy also pays). ``greedy_coverage_select``
 auto-delegates above ``COVERAGE_LAZY_GATE_K``.
 
+Measured regime boundary (SCALE_STRESS ``coverage_k_axis``, 64×
+fixture): at single-box fixture scale the two paths TIE on per-round
+marginal wall (~1.7 s/round both — the shared covered-set checkpoint
+and job scheduling dominate, hiding exact's per-round full-aggregate
+cost), and the replicated fixture is lazy's adversarial case (every
+gain is a ≥64-way tie across alphabet-permuted replica twins, so
+strict dominance recomputes whole tie classes — degrading soundly to
+exact rounds, never to a wrong trace). The lazy win needs
+differentiated gains and a document count where exact's per-round
+O(|docs|)-group shuffle dominates — the billion-doc regime, where the
+``index_dir`` doc-pruned parquet artifact also makes recompute I/O
+candidate-proportional.
+
 Determinism: gains are exact integer counts; ties break by doc_id; the
 greedy trace is therefore bit-identical under any layout — pinned by an
 exact Python-mirror test (both paths).
@@ -48,6 +61,11 @@ COVERAGE_SHINGLE_W = 3
 # output, candidate-pruned per-round work)
 COVERAGE_LAZY_GATE_K = 32
 LAZY_PROBE_BATCH = 64
+# range partitions for the doc-sorted parquet index (index_dir mode):
+# enough files that a candidate IN-filter skips most of them via
+# row-group doc_id stats, few enough that the build's range shuffle
+# stays one healthy stage
+INDEX_RANGE_PARTITIONS = 64
 
 
 def greedy_coverage_select(
@@ -112,6 +130,7 @@ def lazy_greedy_coverage_select(
     w: int = COVERAGE_SHINGLE_W,
     probe_batch: int = LAZY_PROBE_BATCH,
     stats: dict | None = None,
+    index_dir: str | None = None,
 ) -> DataFrame:
     """Lazy greedy (Minoux 1978, public) — BIT-IDENTICAL trace to
     ``greedy_coverage_select``, candidate-pruned per-round work.
@@ -142,13 +161,16 @@ def lazy_greedy_coverage_select(
 
     Scale shape: the full-index groupBy runs ONCE (bound seeding —
     exact greedy pays the same round-1 aggregate); every later round
-    shuffles only candidate postings. The per-round index SCAN remains
-    (the ``isin`` prunes post-scan here); a production deployment
-    bucket-partitions the index by doc_id so the candidate filter
-    prunes at the file level too — the aggregation/shuffle saving is
-    what changes the growth exponent (SCALE_STRESS
-    ``coverage_lazy_axis``). Driver traffic: (B+1) probe rows + one
-    winner row per round; the bounds table itself never collects.
+    shuffles only candidate postings. With the default in-memory index
+    the per-round SCAN remains (the ``isin`` prunes post-scan); pass
+    ``index_dir`` to persist the index as a doc_id-RANGE-SORTED parquet
+    artifact instead — then every candidate recompute is a pushed-down
+    ``doc_id IN (...)`` parquet read whose row-group min/max stats SKIP
+    the non-candidate ranges, so per-round I/O is candidate-sized too
+    (the production posture; measured against the exact path on the
+    64× fixture in SCALE_STRESS ``coverage_k_axis``). Driver traffic:
+    (B+1) probe rows + one winner row per round; the bounds table
+    itself never collects.
 
     ``stats`` (optional) receives {"recomputes": int, "probes": int,
     "rounds": int, "escalations": int} — the laziness evidence the
@@ -158,11 +180,23 @@ def lazy_greedy_coverage_select(
     from .dedup import doc_shingles
 
     spark = documents.sparkSession
-    sh = (
-        doc_shingles(documents, w=w)
-        .select("doc_id", md5_hash64(F.col("sh")).alias("h"))
-        .localCheckpoint()
+    sh_plan = doc_shingles(documents, w=w).select(
+        "doc_id", md5_hash64(F.col("sh")).alias("h")
     )
+    if index_dir is not None:
+        # build-once doc-pruned index: range-partitioned and sorted by
+        # doc_id so every file/row-group carries tight doc_id min/max
+        # stats — a candidate IN-filter then reads only candidate
+        # row groups (ParquetScan PushedFilters: In(doc_id, ...))
+        (
+            sh_plan.repartitionByRange(INDEX_RANGE_PARTITIONS, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(index_dir)
+        )
+        sh = spark.read.parquet(index_dir)
+    else:
+        sh = sh_plan.localCheckpoint()
     # round-1 bound seeding == exact greedy's first gain aggregate
     bounds = (
         sh.groupBy("doc_id")

@@ -393,9 +393,12 @@ HEAVY_QUERIES = [
     # shape comparison, not just the claim
     "coverage_select_topk",
     # lazy-greedy twin (round-10 VERDICT item 2): bit-identical trace,
-    # candidate-pruned rounds — the claim is a LOWER growth exponent
-    # than the exact path's (per-round aggregation over candidate
-    # postings instead of the whole index)
+    # candidate-pruned rounds. MEASURED OUTCOME (see coverage_k_axis +
+    # the second_decade annotation): on this fixture the corpus-axis
+    # exponent is ABOVE the exact path's — the replication transform is
+    # lazy greedy's adversarial tie-factory and both paths are
+    # scheduling-bound at fixture doc counts; the entry stays as the
+    # honest record of that regime boundary
     "coverage_select_topk_lazy",
     # Unigram-LM EM training: the corpus-scale work is the word
     # histogram collapse; EM itself is Arrow passes over the DISTINCT-
@@ -412,6 +415,22 @@ HEAVY_QUERIES = [
 # Inline justifications for the second-decade entries whose exponents
 # need interpretation (same discipline as the full sweep's annotations).
 SECOND_DECADE_ANNOTATIONS = {
+    "coverage_select_topk_lazy": (
+        "exponent above the exact twin's (0.30 vs 0.084) is the honest "
+        "record of a regime boundary, not a defect: the replication "
+        "transform is lazy greedy's adversarial case (each replica "
+        "carries the same documents over disjoint permuted alphabets, "
+        "so every marginal gain is a >=64-way tie and strict-dominance "
+        "acceptance recomputes whole tie classes — sound degradation "
+        "to exact-greedy rounds, bit-identical trace asserted), while "
+        "at fixture doc counts BOTH paths are bound by per-round "
+        "scheduling + the covered-set checkpoint (coverage_k_axis: "
+        "equal 1.7 s/round marginal for exact and lazy at k=8->32 on "
+        "the 64x dir). The lazy path's saving targets exact's per-round "
+        "O(|docs|)-group gain shuffle — invisible below ~millions of "
+        "docs; greedy_coverage_select therefore keeps exact as the "
+        "default below COVERAGE_LAZY_GATE_K."
+    ),
     "ann_lsh_pairs_bits_scaled": (
         "output-volume regime, not an engine knee: in 64-dim space "
         "P(cos≥0.4) ≈ 5e-4 for UNRELATED vectors (measured on the fixture "

@@ -905,3 +905,33 @@ def test_greedy_coverage_gate_delegates_to_lazy(spark, monkeypatch):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
     assert SEL.greedy_coverage_select(docs, k=SEL.COVERAGE_LAZY_GATE_K + 1) == "LAZY"
     assert called["k"] == SEL.COVERAGE_LAZY_GATE_K + 1
+
+
+def test_lazy_greedy_pruned_index_trace_and_pushdown(spark, tmp_path):
+    """index_dir mode: the doc-sorted parquet index must (a) leave the
+    trace bit-identical, and (b) push the candidate doc_id IN-filter
+    into the parquet scan so row-group stats can prune I/O."""
+    from pyspark.sql import functions as F
+
+    from bigdata_hwk_spark.operators.select import (
+        greedy_coverage_select,
+        lazy_greedy_coverage_select,
+    )
+    from bigdata_hwk_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    want = _coverage_trace(greedy_coverage_select(docs, k=6, w=3))
+    idx = str(tmp_path / "cov_index")
+    got = _coverage_trace(
+        lazy_greedy_coverage_select(docs, k=6, w=3, index_dir=idx)
+    )
+    assert got == want and len(got) == 6
+    # the pruned-read shape: an IN(doc_id ...) filter must reach the scan
+    plan = (
+        spark.read.parquet(idx)
+        .filter(F.col("doc_id").isin([1, 2, 3]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [In(doc_id" in plan, plan
