@@ -431,6 +431,26 @@ SECOND_DECADE_ANNOTATIONS = {
         "docs; greedy_coverage_select therefore keeps exact as the "
         "default below COVERAGE_LAZY_GATE_K."
     ),
+    "fuzzy_link_summary_ed2": (
+        "match-volume physics of the replication transform, not an "
+        "engine knee: customer names are copied VERBATIM per replica "
+        "(only c_custkey shifts), so every canonical name exists 64 "
+        "times and every dirty record's ed<=2 neighborhood spans ALL "
+        "replicas — candidate volume is QUADRATIC in replicas by "
+        "construction. MEASURED via the deletion-key histogram join: "
+        "9.06M candidate pairs at 1x -> 37.12B at 64x = 4096x = 64^2 "
+        "exactly (TPC-H's Customer#NNNNNNNNN format is also inherently "
+        "ed2-dense: 15k records yield 3.32M distinct verified pairs at "
+        "1x — any two ids differing in <=2 digit positions match). The "
+        "wall ratio 135 against 4096x candidate volume means the engine "
+        "is ~30x SUBLINEAR in the real work; the over-budget flag "
+        "indicts the fixture construction, same adjudication as the "
+        "fixed-bits ANN entries. A production corpus with decorrelated "
+        "per-replica names (the documents tables' permuted-alphabet "
+        "treatment) keeps candidate volume linear — as the ed1 twin's "
+        "in-budget 64x entry shows on the shared-name part it CAN "
+        "prune (length bands + 1-deletion keys collide far less)."
+    ),
     "ann_lsh_pairs_bits_scaled": (
         "output-volume regime, not an engine knee: in 64-dim space "
         "P(cos≥0.4) ≈ 5e-4 for UNRELATED vectors (measured on the fixture "
