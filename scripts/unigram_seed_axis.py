@@ -98,12 +98,31 @@ def main() -> None:
         out["iter_axis"][str(it)] = {"wall_sec": wall, "vocab_rows": n_rows}
         print(f"# iters={it}: {wall}s ({n_rows} pieces)", file=sys.stderr)
 
-    # marginal per-iteration cost: the slope of the iter axis (the
-    # fixed seeding cost cancels between consecutive points)
+    # marginal per-ITERATION cost: consecutive wall deltas divided by
+    # the iteration-count spans (the fixed seeding cost cancels) — a
+    # flat sequence means EM cost is linear in iterations, no knee
     walls = [out["iter_axis"][str(i)]["wall_sec"] for i in ITER_AXIS]
-    out["iter_marginal_sec"] = [
-        round(b - a, 3) for a, b in zip(walls, walls[1:])
+    out["per_iteration_marginal_sec"] = [
+        round((wb - wa) / (ib - ia), 3)
+        for (ia, wa), (ib, wb) in zip(
+            zip(ITER_AXIS, walls), zip(ITER_AXIS[1:], walls[1:])
+        )
     ]
+    out["notes"] = (
+        "Both axes measured on the 30.9k-distinct-word enriched corpus "
+        "(the BPE sweep's derived fixture). SEED AXIS: near-flat — 64x "
+        "the seed size (2048 -> 131072 candidate pieces) costs 1.34x "
+        "wall, because per-word forward-backward enumerates substring "
+        "windows (O(len x max_len) dict probes) independent of seed "
+        "cardinality; seed size only grows the seeding top-K aggregate, "
+        "the shipped closure, and the O(seed)-row driver fold. ITER "
+        "AXIS: per-iteration marginal is constant (~0.93 s/EM pass on "
+        "this corpus) — linear in iterations, each one Arrow pass over "
+        "the distinct-word histogram. NO KNEE on either axis at "
+        "production-shaped vocab; no gate needed (contrast "
+        "bpe_merge_axis, where the codegen path's quadratic merge axis "
+        "forced BPE_CODEGEN_MAX_MERGES=64)."
+    )
     path = _merge_into_artifact("unigram_seed_axis", out)
     print(f"# wrote {path}", file=sys.stderr)
     import json
