@@ -254,20 +254,34 @@ def lazy_greedy_coverage_select(
         doc, g = winner
         total += g
         trace.append((i, doc, g, total))
-        won = sh.filter(F.col("doc_id") == doc).select("h")
-        covered = covered.union(won).distinct().localCheckpoint()
-        # fold recomputed truths back as the new stale bounds; the
-        # winner leaves the pool, zero-gain docs can never win
-        updates = [(d, g2) for d, g2 in truth.items() if d != doc and g2 > 0]
-        stale_drop = list(truth.keys())
-        bounds = bounds.filter(
-            ~F.col("doc_id").isin(stale_drop)
+        # disjoint-union covered extension (no per-round distinct
+        # shuffle — the exact path's device)
+        won = (
+            sh.filter(F.col("doc_id") == doc)
+            .select("h")
+            .join(F.broadcast(covered), "h", "left_anti")
         )
-        if updates:
-            bounds = bounds.union(
-                spark.createDataFrame(updates, "doc_id bigint, g bigint")
+        covered = covered.union(won).localCheckpoint()
+        if fresh_round:
+            # seeding round: the probe read TRUE gains straight from the
+            # freshly aggregated bounds — re-folding them back would be
+            # a no-op rebuild; only the winner leaves the pool
+            bounds = bounds.filter(F.col("doc_id") != doc).localCheckpoint()
+        else:
+            # fold recomputed truths back as the new stale bounds; the
+            # winner leaves the pool, zero-gain docs can never win
+            updates = [
+                (d, g2) for d, g2 in truth.items() if d != doc and g2 > 0
+            ]
+            stale_drop = list(truth.keys())
+            bounds = bounds.filter(
+                ~F.col("doc_id").isin(stale_drop)
             )
-        bounds = bounds.localCheckpoint()
+            if updates:
+                bounds = bounds.union(
+                    spark.createDataFrame(updates, "doc_id bigint, g bigint")
+                )
+            bounds = bounds.localCheckpoint()
         fresh_round = 0
     if stats is not None:
         stats.update(
