@@ -115,6 +115,96 @@ FROM ranked WHERE rk <= {k}
 """
 
 
+def hard_negative_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    pos_tau: float = 0.6,
+    neg_lo: float = 0.05,
+) -> DataFrame:
+    """Hard-negative mining for embedding/retriever training (the DPR
+    recipe — Karpukhin et al. 2020, public): for each anchor, the top-k
+    most-similar neighbors whose cosine falls in [``neg_lo``,
+    ``pos_tau``) — similar enough to be confusable (that is what makes
+    the negative HARD and the contrastive gradient informative), but
+    below the positive/near-duplicate threshold so true duplicates are
+    never labeled negative. Neighbors at cosine ≥ ``pos_tau`` are the
+    positive set and are excluded; neighbors below ``neg_lo`` are easy
+    negatives random sampling already provides.
+
+    Plan shape = ``cosine_topk_bruteforce`` (tiny broadcast anchor side,
+    corpus side never shuffles, per-anchor window over the band
+    survivors only) with the band filter pushed below the rank window.
+    This is the oracle-checked baseline; at corpus scale the anchor
+    set stays small (training batches), so the broadcast shape IS the
+    production shape — for all-anchors mining compose the band filter
+    over the ``ann_lsh_pairs`` candidate table instead.
+
+    Determinism: band predicate and ranking run on the RAW double
+    cosine (identical IEEE expression in both engines), ties by
+    neighbor_id; the emitted cosine is rounded to 4 after ranking.
+    """
+    emb = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).filter(_dot(F.col("v"), F.col("v")) > 0)
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine(F.col("qv"), F.col("v")).alias("cos_raw"),
+        )
+        .filter(
+            (F.col("cos_raw") >= neg_lo) & (F.col("cos_raw") < pos_tau)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 4).alias("cosine"),
+            "rk",
+        )
+    )
+
+
+def hard_negative_topk_sql(
+    n_queries: int = 5,
+    k: int = 10,
+    pos_tau: float = 0.6,
+    neg_lo: float = 0.05,
+) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         list_dot_product(qv, v)
+           / sqrt(list_dot_product(qv, qv) * list_dot_product(v, v)) AS cos_raw
+  FROM e CROSS JOIN q WHERE e.vec_id <> query_id),
+banded AS (
+  SELECT * FROM scored
+  WHERE cos_raw >= {neg_lo} AND cos_raw < {pos_tau}),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id) AS rk
+  FROM banded)
+SELECT query_id, neighbor_id, round(cos_raw, 4) AS cosine, rk
+FROM ranked WHERE rk <= {k}
+"""
+
+
 # Hard corpus-size gate for the exact all-pairs path. Above it, the O(N²)
 # flops and the O(N·dim) driver/executor matrix are both off the table and
 # similar_pairs_threshold routes to the sub-quadratic LSH plan instead

@@ -1021,6 +1021,14 @@ register(
     lambda spark, sf: SIM.cosine_topk_bruteforce(_embs(spark, sf)),
     SIM.cosine_topk_sql(),
 )
+# hard-negative mining (DPR recipe): per anchor, top-k neighbors inside
+# the confusable band [neg_lo, pos_tau) — the contrastive-training data
+# prep leg of the similarity family; same broadcast-anchor plan as knn
+register(
+    "hard_negative_topk",
+    lambda spark, sf: SIM.hard_negative_topk(_embs(spark, sf)),
+    SIM.hard_negative_topk_sql(),
+)
 register(
     "embedding_similar_pairs",
     lambda spark, sf: _emb_pairs_shared(spark, sf),

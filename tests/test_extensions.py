@@ -115,6 +115,8 @@ EXTENSION_ORACLE_QUERIES = [
     "assoc_triples_topk",
     "multitouch_credit",
     "forecast_revenue_change",
+    # round-11: contrastive-training data prep
+    "hard_negative_topk",
 ]
 
 

@@ -23,6 +23,10 @@ SF = "/root/testdata/sf0.001"
 BNLJ_ALLOWED = {
     "knn_cosine_topk": "Q fixed query vectors broadcast against the corpus "
                        "(correctness baseline; scale path is ann_*)",
+    "hard_negative_topk": "same shape as knn_cosine_topk: Q fixed anchor "
+                          "vectors broadcast against the corpus (band "
+                          "filter below the rank window; all-anchors "
+                          "mining composes over ann_lsh_pairs instead)",
     "windowed_counts_gapfilled": "generated hour spine × 5-row type "
                                  "dictionary — two tiny generated sides, "
                                  "no fact data in the cross join",

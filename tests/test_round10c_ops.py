@@ -935,3 +935,35 @@ def test_lazy_greedy_pruned_index_trace_and_pushdown(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [In(doc_id" in plan, plan
+
+
+def test_hard_negative_topk_hand_case(spark):
+    """Band semantics by hand: positives (cos >= pos_tau) and easy
+    negatives (cos < neg_lo) are excluded; survivors rank by cosine
+    desc with neighbor_id ties."""
+    from bigdata_hwk_spark.operators import similarity as SIM
+
+    rows = [
+        (0, [1.0, 0.0]),    # anchor
+        (1, [1.0, 0.0]),    # duplicate: cos=1.0 -> positive, excluded
+        (2, [1.0, 0.2]),    # cos~0.981 -> positive (>= 0.6), excluded
+        (3, [1.0, 1.0]),    # cos~0.707 -> positive, excluded
+        (4, [1.0, 2.0]),    # cos~0.447 -> hard negative
+        (5, [2.0, 4.0]),    # cos~0.447 (same) -> tie by neighbor_id
+        (6, [0.1, 1.0]),    # cos~0.0995 -> hard negative (lower rank)
+        (7, [0.0, 1.0]),    # cos=0.0 -> below neg_lo, excluded
+        (8, [-1.0, 0.0]),   # cos=-1 -> excluded
+        (9, [0.0, 0.0]),    # zero norm -> excluded up front
+    ]
+    embs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = [
+        (r.query_id, r.neighbor_id, r.cosine, r.rk)
+        for r in SIM.hard_negative_topk(
+            embs, n_queries=1, k=10, pos_tau=0.6, neg_lo=0.05
+        ).orderBy("rk").collect()
+    ]
+    import math
+
+    c45 = round(1 / math.sqrt(5), 4)
+    c6 = round(0.1 / math.sqrt(0.1 ** 2 + 1.0), 4)
+    assert got == [(0, 4, c45, 1), (0, 5, c45, 2), (0, 6, c6, 3)]
