@@ -510,3 +510,102 @@ SELECT campaign,
        CAST(sum((cents * 10000) // n) AS BIGINT) AS credit_micros
 FROM j GROUP BY campaign
 """
+
+
+BURST_TRAIL_DAYS = 7
+BURST_SIGMAS = 3
+
+
+def event_type_bursts(
+    events: DataFrame,
+    w: int = BURST_TRAIL_DAYS,
+    sigmas: int = BURST_SIGMAS,
+) -> DataFrame:
+    """(event_type, day, y, trail_sum, trail_sumsq, burst): trailing-
+    window burst detection per event type — the volume-anomaly screen a
+    telemetry pipeline runs before trusting a day's data (a crawler
+    loop, a replayed shard, a bot flood all show as bursts). A day is a
+    BURST when its count exceeds the trailing ``w``-day mean by more
+    than ``sigmas`` trailing population standard deviations; days with
+    fewer than ``w`` prior days are excluded (no partial baselines).
+
+    Exactness — the integer-exact-decision device: with n=w, s=Σy,
+    ss=Σy² over the trailing frame (exact BIGINTs from a ROWS window),
+
+        y > s/n + σ·sqrt((n·ss − s²)/n²)
+      ⇔ (y·n − s) > 0  AND  (y·n − s)² > σ²·(n·ss − s²)
+
+    — every quantity in the rewritten predicate is an exact BIGINT, so
+    the burst flag cannot flap on float rounding in either engine (the
+    same algebra degree_mixing/zipf pin for their degenerate guards).
+    At per-day counts ~1e9 the squares approach the BIGINT edge and the
+    shapes promote to DECIMAL; the fixture scale has 1e6 of headroom.
+
+    Scale shape: one map-side-combined (type, day) fold (the
+    ``event_type_daily_trend`` input), then a per-type ROWS window over
+    DAY CELLS (alphabet × days, not corpus rows) — nothing corpus-sized
+    shuffles twice.
+    """
+    daily = events.groupBy(
+        "event_type",
+        F.floor(F.col("ts").cast("long") / 86400).cast("bigint").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    trail = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-w, -1)
+    )
+    scored = daily.select(
+        "event_type",
+        "day",
+        "y",
+        F.count(F.lit(1)).over(trail).cast("bigint").alias("n"),
+        F.sum("y").over(trail).cast("bigint").alias("trail_sum"),
+        F.sum(F.col("y") * F.col("y")).over(trail).cast("bigint").alias(
+            "trail_sumsq"
+        ),
+    ).filter(F.col("n") == w)
+    dev = F.col("y") * F.col("n") - F.col("trail_sum")
+    var_n2 = (
+        F.col("n") * F.col("trail_sumsq")
+        - F.col("trail_sum") * F.col("trail_sum")
+    )
+    return scored.select(
+        "event_type",
+        "day",
+        "y",
+        "trail_sum",
+        "trail_sumsq",
+        F.when(
+            (dev > 0) & (dev * dev > sigmas * sigmas * var_n2), 1
+        ).otherwise(0).cast("int").alias("burst"),
+    )
+
+
+def event_type_bursts_sql(
+    w: int = BURST_TRAIL_DAYS, sigmas: int = BURST_SIGMAS
+) -> str:
+    """Oracle: identical daily fold, trailing ROWS frame, and the same
+    integer-exact squared-deviation predicate."""
+    return f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+trail AS (
+  SELECT event_type, day, y,
+         CAST(count(*) OVER f AS BIGINT) AS n,
+         CAST(sum(y) OVER f AS BIGINT) AS s,
+         CAST(sum(y * y) OVER f AS BIGINT) AS ss
+  FROM daily
+  WINDOW f AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {w} PRECEDING AND 1 PRECEDING))
+SELECT event_type, day, y,
+       s AS trail_sum, ss AS trail_sumsq,
+       CAST(CASE WHEN (y * n - s) > 0
+                  AND (y * n - s) * (y * n - s)
+                      > {sigmas * sigmas} * (n * ss - s * s)
+             THEN 1 ELSE 0 END AS INT) AS burst
+FROM trail WHERE n = {w}
+"""

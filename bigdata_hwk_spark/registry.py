@@ -2263,6 +2263,13 @@ register(
     lambda spark, sf: BH.multitouch_credit(load_table(spark, sf, "events")),
     BH.multitouch_credit_sql(),
 )
+# Trailing-window burst detection: integer-exact squared-deviation
+# predicate over per-type day cells — the volume-anomaly screen
+register(
+    "event_type_bursts",
+    lambda spark, sf: BH.event_type_bursts(load_table(spark, sf, "events")),
+    BH.event_type_bursts_sql(),
+)
 # Burst-suppression audit: stateless lag-based debounce per (user, type)
 register(
     "event_debounce_stats",

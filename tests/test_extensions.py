@@ -115,8 +115,9 @@ EXTENSION_ORACLE_QUERIES = [
     "assoc_triples_topk",
     "multitouch_credit",
     "forecast_revenue_change",
-    # round-11: contrastive-training data prep
+    # round-11: contrastive-training data prep + burst screen
     "hard_negative_topk",
+    "event_type_bursts",
 ]
 
 

@@ -967,3 +967,58 @@ def test_hard_negative_topk_hand_case(spark):
     c45 = round(1 / math.sqrt(5), 4)
     c6 = round(0.1 / math.sqrt(0.1 ** 2 + 1.0), 4)
     assert got == [(0, 4, c45, 1), (0, 5, c45, 2), (0, 6, c6, 3)]
+
+
+def test_event_type_bursts_hand_case(spark):
+    """Integer-exact burst predicate by hand: flat baseline then a
+    spike; warmup days (< w trailing days) excluded; a mild bump below
+    3 sigma stays unflagged."""
+    from pyspark.sql import functions as F
+
+    from bigdata_hwk_spark.operators import behavior as BH
+
+    rows = []
+    def day(d, n, t="a"):
+        rows.extend([(d * 86400 + i, t) for i in range(n)])
+
+    # type a: 3-day trail (w=3): days 0-2 = 10 each; day 3 = 10 (no
+    # burst, dev=0); day 4 = 11 (dev=1*3-(10+10+11)=... compute below);
+    # day 5 = 40 (clear burst)
+    for d in range(3):
+        day(d, 10)
+    day(3, 10); day(4, 11); day(5, 40)
+    df = spark.createDataFrame(rows, "epoch bigint, event_type string").select(
+        F.col("epoch").cast("timestamp").alias("ts"),
+        "event_type",
+        F.lit(0).alias("user_id"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+        F.monotonically_increasing_id().alias("event_id"),
+    )
+    got = {
+        r.day: (r.y, r.trail_sum, r.burst)
+        for r in BH.event_type_bursts(df, w=3, sigmas=3).collect()
+    }
+    # days 0-2 excluded (fewer than 3 trailing days)
+    assert set(got) == {3, 4, 5}
+    # day 3: trail {10,10,10}: dev = 10*3-30 = 0 -> no burst
+    assert got[3] == (10, 30, 0)
+    # day 4: trail {10,10,10}: dev = 11*3-30 = 3; var_n2 = 3*300-900 = 0
+    #        -> 9 > 9*0 -> burst (any rise over a ZERO-variance baseline)
+    assert got[4] == (11, 30, 1)
+    # day 5: trail {10,10,11}: s=31, ss=321; dev = 40*3-31 = 89;
+    #        var_n2 = 3*321-961 = 2; 89^2=7921 > 9*2 -> burst
+    assert got[5] == (40, 31, 1)
+
+    # mild bump below 3 sigma: noisy trail {8,12,10}: s=30, ss=308,
+    # var_n2 = 3*308-900 = 24; day value 12: dev = 36-30 = 6; 36 <= 216?
+    # 36 <= 9*24=216 -> NOT a burst
+    rows2 = []
+    def day2(d, n):
+        rows2.extend([(d * 86400 + i, "b") for i in range(n)])
+    day2(0, 8); day2(1, 12); day2(2, 10); day2(3, 12)
+    df2 = spark.createDataFrame(rows2, "epoch bigint, event_type string").select(
+        F.col("epoch").cast("timestamp").alias("ts"), "event_type"
+    )
+    got2 = {r.day: r.burst for r in BH.event_type_bursts(df2, w=3).collect()}
+    assert got2 == {3: 0}
