@@ -1,5 +1,6 @@
-"""Decision-support archetypes (TPC-H Q2/Q4/Q7/Q8/Q9/Q10/Q11/Q13/Q14/
-Q16/Q17/Q18/Q20/Q21 and the Q6 scan-only shape) adapted to the fixture star schema.
+"""Decision-support archetypes (TPC-H Q2/Q3/Q4/Q5/Q7/Q8/Q9/Q10/Q11/Q13/
+Q14/Q16/Q17/Q18/Q19/Q20/Q21 and the Q6 scan-only shape) adapted to the
+fixture star schema.
 
 The reference engine has no multi-table relational surface at all
 (SURVEY.md §2.3 — its joins are the spatial grid self-joins); this module
@@ -13,6 +14,9 @@ expressed DataFrame-first so Catalyst plans the join strategy:
 * conditional-ratio aggregates      → one-pass CASE sums (Q8/Q14)
 * global-scalar threshold           → one-row broadcast scalar subquery (Q11)
 * symmetric pair joins              → pre-filtered dimension pushdown (Q7)
+* multi-fact top-k                  → pruned scans + TakeOrdered (Q3)
+* join-order chains                 → region sliver broadcast-first (Q5)
+* OR-of-ANDs disjunctions           → band predicate post-equi-join (Q19)
 
 Fixture adaptations (the driver schema has no partsupp table and no
 l_commitdate / l_receiptdate / l_shipmode columns):
@@ -796,4 +800,182 @@ WHERE l_shipdate >= TIMESTAMP '2000-01-01'
   AND l_shipdate < TIMESTAMP '2001-01-01'
   AND l_discount >= 0.02 AND l_discount <= 0.04
   AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q3 shape — shipping-priority top-k: two fact joins + TakeOrdered
+# ---------------------------------------------------------------------------
+
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 10 unshipped-revenue orders for one market segment at a
+    cutoff date: orders placed BEFORE the cutoff with lineitems shipped
+    AFTER it. Both date predicates and the segment predicate are
+    single-table and push to the scans (the segment filter prunes
+    customer before the join; the two date slivers prune both facts);
+    the revenue ranking plans TakeOrderedAndProject — per-partition
+    heaps, no global sort."""
+    cutoff = _ts("1997-03-15")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < cutoff
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-03-15'
+  AND l_shipdate > TIMESTAMP '1997-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q5 shape — local-supplier volume: the classic join-ordering stress
+# ---------------------------------------------------------------------------
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from orders where the CUSTOMER and the SUPPLIER sit in
+    the same nation, per nation of one region and one order year — the
+    six-table chain whose join ORDER is the whole game. The region →
+    nation sliver broadcasts into both entity dims BEFORE the fact
+    joins (pruning customer and supplier to one region's nations); the
+    same-nation equality (c_nationkey = s_nationkey) rides INSIDE the
+    supplier join condition, not as a post-join filter, so mismatched
+    pairs never materialize."""
+    nations = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "ASIA"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(nations), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_nationkey", "n_name")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+LOCAL_SUPPLIER_VOLUME_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape — disjunction of conjunctive bands (OR-of-ANDs pushdown)
+# ---------------------------------------------------------------------------
+
+def brand_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row discounted revenue over an OR of three (brand, size,
+    quantity-band) conjunctions — the disjunctive-predicate shape. The
+    part-side conjuncts (brand, size) evaluate on the broadcast-joined
+    dimension and the quantity band on the fact, so the OR never blocks
+    the equi-join itself; common conjunct factoring (size >= 1) stays
+    with the optimizer. Fixture adaptation: no p_container, so the
+    bands pair brand with a size range instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(band).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+BRAND_BAND_REVENUE_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
 """

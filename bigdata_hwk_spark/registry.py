@@ -290,6 +290,21 @@ register(
     TQ.ORDER_PRIORITY_LATE_SQL,
 )
 register(
+    "shipping_priority_topk",
+    TQ.shipping_priority_topk,
+    TQ.SHIPPING_PRIORITY_SQL,
+)
+register(
+    "local_supplier_volume",
+    TQ.local_supplier_volume,
+    TQ.LOCAL_SUPPLIER_VOLUME_SQL,
+)
+register(
+    "brand_band_revenue",
+    TQ.brand_band_revenue,
+    TQ.BRAND_BAND_REVENUE_SQL,
+)
+register(
     "small_quantity_part_revenue",
     TQ.small_quantity_part_revenue,
     TQ.SMALL_QTY_REVENUE_SQL,

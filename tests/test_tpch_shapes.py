@@ -35,6 +35,10 @@ TPCH_SHAPES = [
     "late_sole_supplier_orders",
     "part_supplier_breadth",
     "dominant_part_suppliers",
+    # round-11: Q3 / Q5 / Q19 shapes
+    "shipping_priority_topk",
+    "local_supplier_volume",
+    "brand_band_revenue",
 ]
 
 
@@ -149,3 +153,27 @@ def test_q18_threshold_filters_raw_sum_not_rounded(spark):
 
     src = inspect.getsource(TQ.large_volume_customers)
     assert src.index('filter(F.col("raw_qty")') < src.index('round("raw_qty"')
+
+
+def test_q3_topk_plans_take_ordered(spark):
+    """The Q3 revenue ranking must plan TakeOrderedAndProject
+    (per-partition heaps), never a global sort of all groups."""
+    plan = _plan(spark, "shipping_priority_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q5_same_nation_rides_in_join_condition(spark):
+    """The c_nationkey = s_nationkey equality must be part of the
+    supplier join's key set (mismatched pairs never materialize) — the
+    plan shows a hash join keyed on BOTH suppkey and nationkey, and no
+    post-join nationkey filter."""
+    plan = _plan(spark, "local_supplier_volume")
+    import re
+
+    joins = [
+        ln for ln in plan.splitlines()
+        if "HashJoin" in ln or "SortMergeJoin" in ln
+    ]
+    assert any(
+        "s_suppkey" in ln and "s_nationkey" in ln for ln in joins
+    ), plan
