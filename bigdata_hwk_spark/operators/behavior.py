@@ -546,10 +546,27 @@ def event_type_bursts(
     DAY CELLS (alphabet × days, not corpus rows) — nothing corpus-sized
     shuffles twice.
     """
-    daily = events.groupBy(
+    return bursts_from_daily(burst_daily_counts(events), w=w, sigmas=sigmas)
+
+
+def burst_daily_counts(events: DataFrame) -> DataFrame:
+    """(event_type, day, y): the alphabet-x-days daily fold — exact
+    integers, map-side combined, ADDITIVE across row subsets (the
+    property the streaming monitor's per-batch fold rides on)."""
+    return events.groupBy(
         "event_type",
         F.floor(F.col("ts").cast("long") / 86400).cast("bigint").alias("day"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+
+
+def bursts_from_daily(
+    daily: DataFrame,
+    w: int = BURST_TRAIL_DAYS,
+    sigmas: int = BURST_SIGMAS,
+) -> DataFrame:
+    """The scoring leg of ``event_type_bursts`` over an already-folded
+    daily table — shared verbatim by the batch query and the streaming
+    monitor, so their equality reduces to the daily fold's additivity."""
     trail = (
         Window.partitionBy("event_type")
         .orderBy("day")

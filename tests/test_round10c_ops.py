@@ -1022,3 +1022,29 @@ def test_event_type_bursts_hand_case(spark):
     )
     got2 = {r.day: r.burst for r in BH.event_type_bursts(df2, w=3).collect()}
     assert got2 == {3: 0}
+
+
+def test_burst_monitor_stream_equals_batch(spark, tmp_path):
+    """The streaming burst monitor (additive daily state + the shared
+    scoring leg) must reproduce the batch query BIT-EQUAL on the same
+    rows, regardless of micro-batch chunking."""
+    from bigdata_hwk_spark.operators import behavior as BH
+    from bigdata_hwk_spark.sources.tables import load_table
+    from bigdata_hwk_spark.streaming.burst_stream import run_burst_monitor_stream
+    from bigdata_hwk_spark.streaming.cdc_stream import chunk_events_by_day
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    want = {
+        (r.event_type, r.day): tuple(r)
+        for r in BH.event_type_bursts(events).collect()
+    }
+    assert len(want) > 0
+    n_days = chunk_events_by_day(events, str(tmp_path / "days"))
+    assert n_days > 3
+    got = {
+        (r.event_type, r.day): tuple(r)
+        for r in run_burst_monitor_stream(
+            spark, str(tmp_path / "days")
+        ).collect()
+    }
+    assert got == want
