@@ -696,3 +696,159 @@ SELECT doc_id,
                           ORDER BY hk, doc_id) AS pos
 FROM t
 """
+
+
+# ---------------------------------------------------------------------------
+# Neyman-allocated stratified sampling design
+# ---------------------------------------------------------------------------
+
+NEYMAN_TOTAL = 1000
+# weight quantization: one correctly-rounded sqrt per stratum, floored to
+# integer micro-units BEFORE the cross-strata sum — the _MIX_QUANT device:
+# partial-sum order can never flip a double bit because nothing sums doubles
+_NEYMAN_QUANT = 1_000_000
+
+
+def neyman_stratified_allocation(
+    documents: DataFrame,
+    total_n: int = NEYMAN_TOTAL,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """(stratum, n_docs, weight_q, alloc): optimal (Neyman 1934, public)
+    sample-size allocation across strata — n_h ∝ N_h·S_h, so variable
+    strata get proportionally more of the ``total_n`` budget than
+    uniform ones; the design every survey/eval-set sampler uses when
+    per-stratum measurement cost is equal.
+
+    Integer-exact allocation (no float flap): per stratum the exact
+    BIGINT six-sums give var_num_h = N_h·Σv² − (Σv)², and N_h·S_h =
+    sqrt(var_num_h) — ONE correctly-rounded sqrt — which is floored to
+    ``_NEYMAN_QUANT`` micro-units (weight_q, min 1 so zero-variance
+    strata stay allocatable and the total weight is never 0). The
+    split of ``total_n`` is then Hamilton's largest-remainder method in
+    pure BIGINT arithmetic: base_h = (total·wq_h) div W, and the
+    leftover seats go to the largest exact remainders (total·wq_h −
+    base_h·W), ties by stratum — bit-identical in both engines by
+    construction. Capping at N_h (true Neyman redistributes iteratively)
+    is deliberately NOT applied: the report is the design, and a stratum
+    allocated past its size is visible as alloc > n_docs.
+
+    Scale shape: one map-side-combined six-sum fold to |strata| rows,
+    one broadcast-back one-row total, one bounded window for the
+    remainder ranking — nothing corpus-sized after the first fold.
+    """
+    per = documents.groupBy(F.col(group_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col(value_col).cast("bigint")).alias("s"),
+        F.sum(
+            F.col(value_col).cast("bigint") * F.col(value_col).cast("bigint")
+        ).alias("ss"),
+    )
+    wq = F.greatest(
+        F.floor(
+            F.sqrt(
+                (F.col("n_docs") * F.col("ss") - F.col("s") * F.col("s"))
+                .cast("double")
+            )
+            * _NEYMAN_QUANT
+        ).cast("bigint"),
+        F.lit(1).cast("bigint"),
+    )
+    weighted = per.select("stratum", "n_docs", wq.alias("weight_q"))
+    tot = weighted.agg(
+        F.sum("weight_q").alias("w_total"),
+    )
+    based = (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            "n_docs",
+            "weight_q",
+            (F.lit(total_n) * F.col("weight_q"))
+            .cast("bigint")
+            .alias("num"),
+            "w_total",
+        )
+        .select(
+            "stratum",
+            "n_docs",
+            "weight_q",
+            # `div`, not `/`: Spark's true division on BIGINTs routes
+            # through DOUBLE and num exceeds 2^53 here — a rounded
+            # quotient truncates to the WRONG integer near boundaries;
+            # `div` is exact 64-bit integer division (the oracle's `//`)
+            F.expr("num div w_total").alias("base"),
+            (
+                F.col("num")
+                - F.expr("num div w_total") * F.col("w_total")
+            ).alias("rem"),
+        )
+    )
+    # leftover seats: total_n − Σ base, assigned to the largest exact
+    # remainders (ties by stratum) — |strata| rows, bounded window
+    from ..session import bounded_window
+
+    wsum = based.agg(F.sum("base").alias("base_total"))
+    wrk = bounded_window(F.col("rem").desc(), F.col("stratum").asc())
+    return (
+        based.crossJoin(F.broadcast(wsum))
+        .withColumn("rk", F.row_number().over(wrk))
+        .select(
+            "stratum",
+            "n_docs",
+            "weight_q",
+            (
+                F.col("base")
+                + F.when(
+                    F.col("rk") <= F.lit(total_n) - F.col("base_total"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("alloc"),
+        )
+    )
+
+
+def neyman_stratified_allocation_sql(
+    total_n: int = NEYMAN_TOTAL,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+) -> str:
+    """Oracle: identical six-sums, quantized sqrt weight, and BIGINT
+    largest-remainder split. Spark's ``CAST(num/den AS BIGINT)`` on two
+    BIGINTs is integer division (truncation); DuckDB's ``/`` promotes to
+    double, so the oracle uses ``//`` (floor division — equal for the
+    non-negative operands here)."""
+    return f"""
+WITH per AS (
+  SELECT {group_col} AS stratum,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum({value_col}) AS BIGINT) AS s,
+         CAST(sum(CAST({value_col} AS BIGINT) * {value_col}) AS BIGINT) AS ss
+  FROM documents GROUP BY 1),
+weighted AS (
+  SELECT stratum, n_docs,
+         greatest(CAST(floor(sqrt(CAST(n_docs * ss - s * s AS DOUBLE))
+                             * {_NEYMAN_QUANT}) AS BIGINT),
+                  1) AS weight_q
+  FROM per),
+based AS (
+  SELECT stratum, n_docs, weight_q,
+         ({total_n} * weight_q) // (SELECT sum(weight_q) FROM weighted)
+           AS base,
+         ({total_n} * weight_q)
+           - (({total_n} * weight_q)
+              // (SELECT sum(weight_q) FROM weighted))
+             * (SELECT sum(weight_q) FROM weighted) AS rem
+  FROM weighted),
+ranked AS (
+  SELECT stratum, n_docs, weight_q, base, rem,
+         row_number() OVER (ORDER BY rem DESC, stratum) AS rk,
+         (SELECT sum(base) FROM based) AS base_total
+  FROM based)
+SELECT stratum, n_docs, weight_q,
+       CAST(base + CASE WHEN rk <= {total_n} - base_total
+                        THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM ranked
+"""

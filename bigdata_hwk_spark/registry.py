@@ -840,6 +840,13 @@ register(
     lambda spark, sf: SP.stratified_sample(_docs(spark, sf)),
     SP.stratified_sample_sql(),
 )
+# Neyman-optimal sample-size allocation: integer-exact largest-remainder
+# split of the budget by per-stratum N_h*S_h weights
+register(
+    "neyman_allocation",
+    lambda spark, sf: SP.neyman_stratified_allocation(_docs(spark, sf)),
+    SP.neyman_stratified_allocation_sql(),
+)
 register(
     "training_shard_manifest",
     lambda spark, sf: SP.training_shard_manifest(_docs(spark, sf)),

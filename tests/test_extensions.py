@@ -115,9 +115,10 @@ EXTENSION_ORACLE_QUERIES = [
     "assoc_triples_topk",
     "multitouch_credit",
     "forecast_revenue_change",
-    # round-11: contrastive-training data prep + burst screen
+    # round-11: contrastive-training data prep + burst screen + Neyman
     "hard_negative_topk",
     "event_type_bursts",
+    "neyman_allocation",
 ]
 
 

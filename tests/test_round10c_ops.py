@@ -1048,3 +1048,32 @@ def test_burst_monitor_stream_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_neyman_allocation_hand_case(spark):
+    """Largest-remainder arithmetic by hand: two strata with known
+    variances; allocations sum exactly to the budget; the zero-variance
+    stratum floors at weight 1 (allocatable, near-zero share)."""
+    from bigdata_hwk_spark.operators import splits as SP
+
+    rows = []
+    # stratum 'a': values 0, 10 repeated 4x -> var_num = 8*200-40^2=0?
+    # values [0,10,0,10,0,10,0,10]: n=8 s=40 ss=400 -> 8*400-1600=1600
+    rows += [(i, "a", v) for i, v in enumerate([0, 10] * 4)]
+    # stratum 'b': constant 7 -> var_num = 0 -> weight floors at 1
+    rows += [(100 + i, "b", 7) for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string, n_chars bigint")
+    got = {
+        r.stratum: (r.n_docs, r.weight_q, r.alloc)
+        for r in SP.neyman_stratified_allocation(docs, total_n=10).collect()
+    }
+    # a: sqrt(1600)=40 -> wq = 40_000_000; b: wq = 1
+    W = 40_000_000 + 1
+    base_a, rem_a = (10 * 40_000_000) // W, (10 * 40_000_000) % W
+    base_b, rem_b = 10 // W, 10 % W
+    leftover = 10 - base_a - base_b
+    # remainder ranking: rem_a vs rem_b
+    alloc_a = base_a + (1 if (rem_a, "a") >= (rem_b, "b") and leftover >= 1 else 0)
+    alloc_b = 10 - alloc_a
+    assert got == {"a": (8, 40_000_000, alloc_a), "b": (4, 1, alloc_b)}
+    assert sum(v[2] for v in got.values()) == 10
