@@ -2285,6 +2285,15 @@ register(
     lambda spark, sf: BH.multitouch_credit(load_table(spark, sf, "events")),
     BH.multitouch_credit_sql(),
 )
+# k-anonymity release audit: per-type equivalence-class census of the
+# (type, day, value-bucket) projection — distinct-user violations
+from .operators import privacy as PV  # noqa: E402
+
+register(
+    "k_anonymity_audit",
+    lambda spark, sf: PV.k_anonymity_audit(load_table(spark, sf, "events")),
+    PV.k_anonymity_audit_sql(),
+)
 # Trailing-window burst detection: integer-exact squared-deviation
 # predicate over per-type day cells — the volume-anomaly screen
 register(

@@ -119,6 +119,7 @@ EXTENSION_ORACLE_QUERIES = [
     "hard_negative_topk",
     "event_type_bursts",
     "neyman_allocation",
+    "k_anonymity_audit",
 ]
 
 

@@ -1077,3 +1077,39 @@ def test_neyman_allocation_hand_case(spark):
     alloc_b = 10 - alloc_a
     assert got == {"a": (8, 40_000_000, alloc_a), "b": (4, 1, alloc_b)}
     assert sum(v[2] for v in got.values()) == 10
+
+
+def test_k_anonymity_audit_hand_case(spark):
+    """Violation census by hand: distinct USERS decide (one chatty user
+    is still one person), rows-at-risk counts rows."""
+    from pyspark.sql import functions as F
+
+    from bigdata_hwk_spark.operators import privacy as PV
+
+    rows = []
+    # type 'a', day 0, bucket 0: users 1,2,3 (k=3 distinct) -> safe at k=3
+    rows += [(10 + i, 0, "a", 1.0, u) for i, u in enumerate([1, 2, 3])]
+    # type 'a', day 0, bucket 1 (value 6.0): user 9 five times -> 1
+    # distinct user, 5 rows -> violating, all 5 rows at risk
+    rows += [(20 + i, 0, "a", 6.0, 9) for i in range(5)]
+    # type 'b', day 1, bucket 0: users 1,2 -> violating at k=3
+    rows += [(30 + i, 86400, "b", 2.0, u) for i, u in enumerate([1, 2])]
+    df = spark.createDataFrame(
+        [(e, t, ty, v, u) for e, t, ty, v, u in rows],
+        "event_id bigint, epoch bigint, event_type string, value double, user_id bigint",
+    ).select(
+        "event_id",
+        F.col("epoch").cast("timestamp").alias("ts"),
+        "event_type", "value", "user_id",
+    )
+    got = {
+        r.event_type: (
+            r.n_cells, r.n_violating_cells, r.n_rows, r.n_rows_at_risk,
+            r.risk_pct,
+        )
+        for r in PV.k_anonymity_audit(df, k=3).collect()
+    }
+    assert got == {
+        "a": (2, 1, 8, 5, 62.5),
+        "b": (1, 1, 2, 2, 100.0),
+    }
