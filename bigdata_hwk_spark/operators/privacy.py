@@ -38,20 +38,44 @@ def k_anonymity_audit(events: DataFrame, k: int = K_ANON) -> DataFrame:
     it contains fewer than ``k`` distinct users — distinct, not rows:
     one chatty user filling a cell is still one re-identifiable person.
     ``risk_pct`` = share of rows in violating cells, rounded to 6."""
-    qi = events.filter(F.col("value").isNotNull()).select(
-        "event_type",
-        F.floor(F.col("ts").cast("long") / 86400).cast("bigint").alias("day"),
-        F.least(
-            F.greatest(F.floor(F.col("value") / PSI_BUCKET_WIDTH), F.lit(0)),
-            F.lit(PSI_BUCKET_CAP),
+    return census_from_user_cells(qi_user_cells(events), k=k)
+
+
+def qi_user_cells(events: DataFrame) -> DataFrame:
+    """(event_type, day, bucket, user_id, n_rows): the per-user QI-cell
+    fold. ADDITIVE on n_rows across row subsets — the granularity the
+    streaming monitor accumulates, because distinct-user counts are NOT
+    additive (the same user in two micro-batches is still one person)."""
+    return (
+        events.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("ts").cast("long") / 86400)
+            .cast("bigint")
+            .alias("day"),
+            F.least(
+                F.greatest(
+                    F.floor(F.col("value") / PSI_BUCKET_WIDTH), F.lit(0)
+                ),
+                F.lit(PSI_BUCKET_CAP),
+            )
+            .cast("int")
+            .alias("bucket"),
+            "user_id",
         )
-        .cast("int")
-        .alias("bucket"),
-        "user_id",
+        .groupBy("event_type", "day", "bucket", "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     )
-    cells = qi.groupBy("event_type", "day", "bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+
+
+def census_from_user_cells(
+    user_cells: DataFrame, k: int = K_ANON
+) -> DataFrame:
+    """The scoring leg over the per-user cell table — shared verbatim by
+    the batch audit and the streaming monitor."""
+    cells = user_cells.groupBy("event_type", "day", "bucket").agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
     )
     viol = F.col("n_users") < k
     return (

@@ -1113,3 +1113,31 @@ def test_k_anonymity_audit_hand_case(spark):
         "a": (2, 1, 8, 5, 62.5),
         "b": (1, 1, 2, 2, 100.0),
     }
+
+
+def test_k_anonymity_monitor_stream_equals_batch(spark, tmp_path):
+    """The streaming k-anonymity monitor (additive per-user cell state —
+    distinct users are NOT additive, so the state carries the user
+    granularity — plus the batch scoring leg) must reproduce the batch
+    audit bit-equal on the same rows."""
+    from bigdata_hwk_spark.operators import privacy as PV
+    from bigdata_hwk_spark.sources.tables import load_table
+    from bigdata_hwk_spark.streaming.cdc_stream import chunk_events_by_day
+    from bigdata_hwk_spark.streaming.privacy_stream import (
+        run_k_anonymity_monitor_stream,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    want = {
+        r.event_type: tuple(r) for r in PV.k_anonymity_audit(events).collect()
+    }
+    assert len(want) > 0
+    n_days = chunk_events_by_day(events, str(tmp_path / "days"))
+    assert n_days > 3  # users recur across day files: additivity is exercised
+    got = {
+        r.event_type: tuple(r)
+        for r in run_k_anonymity_monitor_stream(
+            spark, str(tmp_path / "days")
+        ).collect()
+    }
+    assert got == want
