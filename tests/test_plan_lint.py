@@ -27,6 +27,11 @@ BNLJ_ALLOWED = {
                           "vectors broadcast against the corpus (band "
                           "filter below the rank window; all-anchors "
                           "mining composes over ann_lsh_pairs instead)",
+    "neyman_allocation": "two ONE-ROW scalar sides (total weight, total "
+                         "base allocation) broadcast against the "
+                         "|strata|-row table — the scalar-subquery "
+                         "shape; both build sides are a single row by "
+                         "construction",
     "windowed_counts_gapfilled": "generated hour spine × 5-row type "
                                  "dictionary — two tiny generated sides, "
                                  "no fact data in the cross join",
