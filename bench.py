@@ -12,16 +12,18 @@ contaminated its own per-query walls as it grew — the 135 queries shared
 between r9 and r10 inflated +22.8 % on untouched code, and regressions
 could only be adjudicated via ad-hoc isolated A/Bs. The suite now runs
 in BATCHES of ``SPARK_GRAFT_BATCH`` queries (default 16), each batch in
-a FRESH subprocess JVM: per-query walls depend on at most batch_size−1
-predecessors instead of the whole (growing) suite, and the JVM's
-heap/code-cache/page pressure resets at every batch boundary. Within a
-batch the warm/timed pair per query is preserved (warmup pass first,
-then the timed pass, with ``spark.catalog.clearCache()`` between timed
-queries), so the reported walls stay warm-JIT numbers. The canary and
-MRFFT legs run in their own subprocess JVMs for the same reason.
-``BENCH_DETAIL.json`` records the isolation parameters so cross-round
-diffs (scripts/bench_diff.py) can tell like-for-like from
-methodology-change rounds.
+a FRESH subprocess JVM, and inside a batch every query runs as a
+(clearCache → warm-own → time) triple: the clear equalizes the starting
+cache state regardless of batch membership, the untimed warm run
+rebuilds the query's OWN inputs, and the timed run reports the query's
+warm steady-state — the same per-query discipline the scale-stress pair
+sweep uses, so bench walls and stress/drift floors are finally the same
+quantity. (The first isolated cut cleared AFTER each timed query
+instead; batch-order reshuffles still swung individual walls 2-4× —
+see run_suite.) The canary and MRFFT legs run in their own subprocess
+JVMs for the same reason. ``BENCH_DETAIL.json`` records the isolation
+parameters so cross-round diffs (scripts/bench_diff.py) can tell
+like-for-like from methodology-change rounds.
 
 The final line is printed as the absolute last action of the PARENT
 process, which never starts a JVM — no finalizer traceback can land
@@ -58,8 +60,23 @@ DEFAULT_BATCH = 16
 
 def run_suite(
     spark, sf_dir: str, label: str, names: list[str] | None = None,
-    clear_cache: bool = False,
+    warm: bool = True,
 ) -> tuple[dict[str, float], dict[str, int]]:
+    """Per-query (clearCache → warm-own → time) triples.
+
+    The clear makes every query's starting cache state IDENTICAL (empty)
+    regardless of which 15 neighbors share its batch JVM — the first cut
+    of the isolated bench cleared AFTER each timed query instead, which
+    left each batch's FIRST timed query riding the whole warmup pass's
+    caches while the rest ran fully cold, and walls still swung 2-4×
+    when the registry order reshuffled batch membership (measured on
+    dedup_prefix_filter: 5.5 s vs 13 s across orderings). The untimed
+    warm run then rebuilds the query's OWN inputs (shared-memo tables,
+    JIT, page cache), so the timed wall is the query's warm steady-state
+    with nobody else's state — the same per-query discipline the
+    scale-stress pair sweep and the drift_ab isolated A/Bs use, and the
+    number their floors are quoted in.
+    """
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
@@ -69,6 +86,9 @@ def run_suite(
     rows: dict[str, int] = {}
     for name in names if names is not None else list(registry.QUERIES):
         fn = registry.QUERIES[name]
+        spark.catalog.clearCache()
+        if warm:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
         obs = Observation()
         # noop sink: full end-to-end materialization of every output column.
@@ -82,11 +102,6 @@ def run_suite(
             f"# [{label}] {name}: {timings[name]:.3f}s rows={rows[name]}",
             file=sys.stderr,
         )
-        if clear_cache:
-            # inter-query hygiene: a query's scoped persists are released
-            # by the query itself; this drops anything that slipped, so
-            # query N+1's wall can't ride on (or pay for) N's residue
-            spark.catalog.clearCache()
     return timings, rows
 
 
@@ -168,10 +183,20 @@ def _worker(spec_path: str) -> int:
 
     if spec["mode"] == "queries":
         names = spec["names"]
+        # batch warmup PASS first (one untimed run of every batch query):
+        # a fresh JVM's first executions pay whole-stage-codegen and JIT
+        # compilation that a single per-query warm run does not amortize
+        # — measured: without this pass the batch's first queries read
+        # 4-7x their floors (mr_approx 12.1s vs 1.8s standalone). The
+        # per-query (clearCache → warm-own → time) triples then make the
+        # cache state identical for every query regardless of neighbors.
         if spec["warm"]:
-            run_suite(spark, sf_dir, f"warmup:{spec['label']}", names)
+            run_suite(
+                spark, sf_dir, f"warmup:{spec['label']}", names, warm=False
+            )
         timings, rows = run_suite(
-            spark, sf_dir, f"timed:{spec['label']}", names, clear_cache=True
+            spark, sf_dir, f"timed:{spec['label']}", names,
+            warm=spec["warm"],
         )
         out["timings"], out["rows"] = timings, rows
     elif spec["mode"] == "canary":
@@ -340,7 +365,7 @@ def main() -> None:
             "mode": "fresh-jvm-per-batch",
             "batch_size": batch_size,
             "n_batches": len(batches),
-            "clear_cache_between_queries": True,
+            "per_query": "clearCache -> warm-own -> time",
         },
         "canary": {
             "query": "tpch_q1",
