@@ -35,7 +35,10 @@ no driver collect); the row count comes from an ``Observation`` attached
 to the same materialization, so nothing executes twice. Set
 SPARK_GRAFT_WARM=0 to skip the per-batch warmup pass (cold walls).
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BATCH (default 16).
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BATCH (default 16),
+SPARK_GRAFT_ONLY (comma-separated query subset for verify loops — skips
+the canary/MRFFT legs and all detail/round-stamped files; emits a
+"subset_queries_total_wall" line that can't be mistaken for a round).
 """
 
 from __future__ import annotations
@@ -205,7 +208,11 @@ def _worker(spec_path: str) -> int:
         # cross-round diffs can tell a real regression from
         # thermal/co-tenant host drift
         fn = registry.QUERIES["tpch_q1"]
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        if spec["warm"]:
+            # gate the untimed warm save like the query batches do, so
+            # SPARK_GRAFT_WARM=0 cold rounds keep the canary and the
+            # batch walls on the same methodology (r11 ADVICE)
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
@@ -321,6 +328,16 @@ def main() -> None:
     from bigdata_hwk_spark import registry
 
     names = list(registry.QUERIES)
+    # SPARK_GRAFT_ONLY: comma-separated subset for fast verify loops.
+    # A subset run skips the canary/MRFFT legs and tags the detail JSON
+    # so it can never be mistaken for (or diffed against) a full round.
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        wanted = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in wanted if n not in registry.QUERIES]
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_ONLY unknown queries: {unknown}")
+        names = wanted
     batches = [
         names[i : i + batch_size] for i in range(0, len(names), batch_size)
     ]
@@ -329,9 +346,11 @@ def main() -> None:
     rows: dict[str, int] = {}
     with tempfile.TemporaryDirectory(prefix="bench_iso_") as tmpdir:
         base = {"sf_dir": sf_dir, "cpus": cpus, "warm": warm}
-        canary_start = _spawn(
-            dict(base, mode="canary", label="canary-start"), tmpdir
-        )["canary_sec"]
+        canary_start = canary_end = None
+        if not only:
+            canary_start = _spawn(
+                dict(base, mode="canary", label="canary-start"), tmpdir
+            )["canary_sec"]
         for i, chunk in enumerate(batches):
             res = _spawn(
                 dict(
@@ -344,6 +363,25 @@ def main() -> None:
             )
             timings.update(res["timings"])
             rows.update(res["rows"])
+        if only:
+            # subset verify run: no canary/MRFFT legs, no detail files,
+            # no round stamping — one honest JSON line and out
+            print(
+                json.dumps(
+                    {
+                        "metric": "subset_queries_total_wall",
+                        "value": round(sum(timings.values()), 3),
+                        "unit": "sec",
+                        "sf": sf,
+                        "n_queries": len(timings),
+                        "queries": timings,
+                        "rows": rows,
+                        "subset": True,
+                    }
+                ),
+                flush=True,
+            )
+            return
         mr = _spawn(dict(base, mode="mrfft", label="mrfft"), tmpdir)["mrfft"]
         canary_end = _spawn(
             dict(base, mode="canary", label="canary-end"), tmpdir

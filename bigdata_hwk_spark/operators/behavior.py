@@ -535,11 +535,18 @@ def event_type_bursts(
         y > s/n + σ·sqrt((n·ss − s²)/n²)
       ⇔ (y·n − s) > 0  AND  (y·n − s)² > σ²·(n·ss − s²)
 
-    — every quantity in the rewritten predicate is an exact BIGINT, so
+    — every quantity in the rewritten predicate is an exact integer, so
     the burst flag cannot flap on float rounding in either engine (the
     same algebra degree_mixing/zipf pin for their degenerate guards).
-    At per-day counts ~1e9 the squares approach the BIGINT edge and the
-    shapes promote to DECIMAL; the fixture scale has 1e6 of headroom.
+    The squares are computed in DECIMAL(38,0) (Spark) / HUGEINT
+    (DuckDB), NOT raw BIGINT: at per-day counts ≳1.1e9 a BIGINT Σy²
+    wraps silently in Spark while DuckDB promotes/errors — the exact
+    cross-engine divergence class ``event_type_daily_trend``'s r²
+    already dodges. The decimal device keeps the decision exact to
+    per-day counts ~4.5e17 (where dev² meets the 1e38 decimal edge) —
+    beyond any physical row count, since y is itself a BIGINT row
+    count. Pinned red-before/green-after by
+    ``test_burst_decimal_promotion_big_counts``.
 
     Scale shape: one map-side-combined (type, day) fold (the
     ``event_type_daily_trend`` input), then a per-type ROWS window over
@@ -572,57 +579,97 @@ def bursts_from_daily(
         .orderBy("day")
         .rowsBetween(-w, -1)
     )
+    # Σy² in DECIMAL(38,0), not BIGINT: y² wraps BIGINT at y ≳ 3.04e9
+    # and the window sum at y ≳ 1.1e9 (7-day frame), silently in Spark.
+    y_dec = F.col("y").cast("decimal(19,0)")
     scored = daily.select(
         "event_type",
         "day",
         "y",
         F.count(F.lit(1)).over(trail).cast("bigint").alias("n"),
         F.sum("y").over(trail).cast("bigint").alias("trail_sum"),
-        F.sum(F.col("y") * F.col("y")).over(trail).cast("bigint").alias(
-            "trail_sumsq"
-        ),
+        F.sum((y_dec * y_dec).cast("decimal(38,0)"))
+        .over(trail)
+        .alias("ss_dec"),
     ).filter(F.col("n") == w)
-    dev = F.col("y") * F.col("n") - F.col("trail_sum")
+    # All predicate arithmetic in DECIMAL(38,0): exact (no float flap),
+    # no silent wrap — overflow past 1e38 errors loudly under ANSI,
+    # which would need a per-day count > 4.5e17 (impossible: y counts
+    # rows, itself a BIGINT).
+    dec = "decimal(38,0)"
+    dev = (
+        y_dec * F.col("n").cast("decimal(19,0)")
+        - F.col("trail_sum").cast("decimal(19,0)")
+    ).cast(dec)
     var_n2 = (
-        F.col("n") * F.col("trail_sumsq")
-        - F.col("trail_sum") * F.col("trail_sum")
-    )
+        F.col("n").cast(dec) * F.col("ss_dec")
+        - F.col("trail_sum").cast(dec) * F.col("trail_sum").cast(dec)
+    ).cast(dec)
     return scored.select(
         "event_type",
         "day",
         "y",
         "trail_sum",
-        "trail_sumsq",
+        # diagnostic raw sum: exact-valued BIGINT up to y≈1.1e9/day;
+        # beyond that try_cast nulls (mirrored by the oracle's TRY_CAST)
+        # instead of the old silent wrap — the burst DECISION stays
+        # exact either way because it reads ss_dec, not this cast
+        F.col("ss_dec").try_cast("bigint").alias("trail_sumsq"),
         F.when(
-            (dev > 0) & (dev * dev > sigmas * sigmas * var_n2), 1
+            (dev > F.lit(0).cast(dec))
+            & (
+                dev * dev
+                > F.lit(sigmas * sigmas).cast(dec) * var_n2
+            ),
+            1,
         ).otherwise(0).cast("int").alias("burst"),
     )
+
+
+def bursts_scoring_sql(
+    daily_rel: str, w: int = BURST_TRAIL_DAYS, sigmas: int = BURST_SIGMAS
+) -> str:
+    """The scoring leg as SQL over an already-folded (event_type, day,
+    y) relation — the DuckDB twin of ``bursts_from_daily``. Squares go
+    through HUGEINT (128-bit, exact to 1.7e38), the DuckDB counterpart
+    of the Spark side's DECIMAL(38,0) promotion: raw BIGINT ``y*y``
+    would error in DuckDB past y≈3e9 while Spark wraps — the divergence
+    the promotion closes on both sides. Factored out of
+    ``event_type_bursts_sql`` so the planted big-count test can run the
+    identical predicate over a synthetic daily table."""
+    return f"""
+trail AS (
+  SELECT event_type, day, y,
+         CAST(count(*) OVER f AS BIGINT) AS n,
+         CAST(sum(y) OVER f AS BIGINT) AS s,
+         sum(CAST(y AS HUGEINT) * y) OVER f AS ss
+  FROM {daily_rel}
+  WINDOW f AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {w} PRECEDING AND 1 PRECEDING))
+SELECT event_type, day, y,
+       s AS trail_sum, TRY_CAST(ss AS BIGINT) AS trail_sumsq,
+       CAST(CASE WHEN (CAST(y AS HUGEINT) * n - s) > 0
+                  AND (CAST(y AS HUGEINT) * n - s)
+                      * (CAST(y AS HUGEINT) * n - s)
+                      > {sigmas * sigmas}
+                        * (CAST(n AS HUGEINT) * ss
+                           - CAST(s AS HUGEINT) * s)
+             THEN 1 ELSE 0 END AS INT) AS burst
+FROM trail WHERE n = {w}
+"""
 
 
 def event_type_bursts_sql(
     w: int = BURST_TRAIL_DAYS, sigmas: int = BURST_SIGMAS
 ) -> str:
     """Oracle: identical daily fold, trailing ROWS frame, and the same
-    integer-exact squared-deviation predicate."""
+    HUGEINT-exact squared-deviation predicate (see
+    ``bursts_scoring_sql`` for the promotion rationale)."""
     return f"""
 WITH daily AS (
   SELECT event_type,
          CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
          CAST(count(*) AS BIGINT) AS y
   FROM events GROUP BY 1, 2),
-trail AS (
-  SELECT event_type, day, y,
-         CAST(count(*) OVER f AS BIGINT) AS n,
-         CAST(sum(y) OVER f AS BIGINT) AS s,
-         CAST(sum(y * y) OVER f AS BIGINT) AS ss
-  FROM daily
-  WINDOW f AS (PARTITION BY event_type ORDER BY day
-               ROWS BETWEEN {w} PRECEDING AND 1 PRECEDING))
-SELECT event_type, day, y,
-       s AS trail_sum, ss AS trail_sumsq,
-       CAST(CASE WHEN (y * n - s) > 0
-                  AND (y * n - s) * (y * n - s)
-                      > {sigmas * sigmas} * (n * ss - s * s)
-             THEN 1 ELSE 0 END AS INT) AS burst
-FROM trail WHERE n = {w}
+{bursts_scoring_sql("daily", w=w, sigmas=sigmas)}
 """

@@ -1,0 +1,112 @@
+"""Round-12 operator tests: overflow-class closures and new operators.
+
+Covers the round-11 VERDICT item 4 (burst-predicate DECIMAL promotion,
+red-before/green-after) and the ADVICE items landed this round.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_hwk_spark.operators import behavior as BH
+
+
+def _true_burst(y: int, trail: list[int], sigmas: int = 3) -> int:
+    """Arbitrary-precision Python reference for the burst predicate."""
+    n, s, ss = len(trail), sum(trail), sum(t * t for t in trail)
+    dev = y * n - s
+    return int(dev > 0 and dev * dev > sigmas * sigmas * (n * ss - s * s))
+
+
+def _wrapped_burst(y: int, trail: list[int], sigmas: int = 3) -> int:
+    """The OLD raw-BIGINT semantics (mod-2^64 wrap) — what Spark computed
+    before the DECIMAL(38,0) promotion. Kept so the planted cases are
+    provably divergence-exercising, not just big."""
+    M = 1 << 64
+
+    def wrap(x: int) -> int:
+        x %= M
+        return x - M if x >= (1 << 63) else x
+
+    n = len(trail)
+    s = wrap(sum(trail))
+    ss = wrap(sum(wrap(t * t) for t in trail))
+    dev = wrap(wrap(y * n) - s)
+    var = wrap(wrap(n * ss) - wrap(s * s))
+    return int(dev > 0 and wrap(dev * dev) > wrap(sigmas * sigmas * var))
+
+
+# Two planted cases at per-day counts ~5e9-1e10 (beyond the BIGINT y*y
+# wrap at 3.04e9), one in each direction: the true decision and the old
+# wrapped decision DISAGREE, so this test was red before the promotion.
+BIG_CASES = [
+    # (trail days y0,y1,y2, scored-day y, true burst)
+    ([5847159444, 5442907182, 5383560419], 8028321105, 1),
+    ([7955692390, 7702350753, 5157271462], 10513072689, 0),
+]
+
+
+def test_burst_decimal_promotion_big_counts(spark):
+    """VERDICT r11 item 4: dev² > σ²·(n·ss − s²) computed in raw BIGINT
+    wraps silently at per-day counts ≳1e9; the DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB) promotion keeps the decision exact. Planted counts
+    where wrap and truth disagree, checked on BOTH engines."""
+    for trail, y, want in BIG_CASES:
+        assert _true_burst(y, trail) == want
+        # guard: the planted case genuinely exercises the divergence
+        assert _wrapped_burst(y, trail) != want
+
+    rows = []
+    for i, (trail, y, _) in enumerate(BIG_CASES):
+        t = f"type{i}"
+        for d, v in enumerate(trail + [y]):
+            rows.append((t, d, v))
+    daily = spark.createDataFrame(
+        rows, "event_type string, day bigint, y bigint"
+    )
+    got = {
+        r.event_type: (r.burst, r.trail_sum, r.trail_sumsq)
+        for r in BH.bursts_from_daily(daily, w=3, sigmas=3).collect()
+    }
+    for i, (trail, y, want) in enumerate(BIG_CASES):
+        burst, trail_sum, trail_sumsq = got[f"type{i}"]
+        assert burst == want, f"case {i}: spark burst {burst} != {want}"
+        assert trail_sum == sum(trail)
+        # Σy² ≈ 9e19 exceeds BIGINT: the diagnostic column is NULL (via
+        # try_cast) on both engines, never a silent wrap
+        assert trail_sumsq is None
+
+    # DuckDB twin: identical scoring SQL over the same planted daily
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE daily (event_type VARCHAR, day BIGINT, y BIGINT)"
+    )
+    con.executemany("INSERT INTO daily VALUES (?, ?, ?)", rows)
+    sql = "WITH " + BH.bursts_scoring_sql("daily", w=3, sigmas=3)
+    duck = {
+        r[0]: (r[5], r[3], r[4])
+        for r in con.execute(sql).fetchall()
+    }
+    assert duck == got
+
+
+def test_burst_fixture_rows_unchanged_by_promotion(spark):
+    """The promotion is value-neutral at fixture scale: the hand case
+    from test_event_type_bursts_hand_case still holds bit-for-bit."""
+    rows = []
+    for d, n in [(0, 10), (1, 10), (2, 10), (3, 10), (4, 11), (5, 40)]:
+        rows.extend([(d * 86400 + i, "a") for i in range(n)])
+    df = spark.createDataFrame(
+        rows, "epoch bigint, event_type string"
+    ).select(F.col("epoch").cast("timestamp").alias("ts"), "event_type")
+    got = {
+        r.day: (r.y, r.trail_sum, r.trail_sumsq, r.burst)
+        for r in BH.event_type_bursts(df, w=3, sigmas=3).collect()
+    }
+    assert got == {
+        3: (10, 30, 300, 0),
+        4: (11, 30, 300, 1),
+        5: (40, 31, 321, 1),
+    }
