@@ -722,37 +722,48 @@ def neyman_stratified_allocation(
     per-stratum measurement cost is equal.
 
     Integer-exact allocation (no float flap): per stratum the exact
-    BIGINT six-sums give var_num_h = N_h·Σv² − (Σv)², and N_h·S_h =
+    integer six-sums give var_num_h = N_h·Σv² − (Σv)², and N_h·S_h =
     sqrt(var_num_h) — ONE correctly-rounded sqrt — which is floored to
     ``_NEYMAN_QUANT`` micro-units (weight_q, min 1 so zero-variance
     strata stay allocatable and the total weight is never 0). The
     split of ``total_n`` is then Hamilton's largest-remainder method in
-    pure BIGINT arithmetic: base_h = (total·wq_h) div W, and the
+    exact integer arithmetic: base_h = (total·wq_h) div W, and the
     leftover seats go to the largest exact remainders (total·wq_h −
     base_h·W), ties by stratum — bit-identical in both engines by
     construction. Capping at N_h (true Neyman redistributes iteratively)
     is deliberately NOT applied: the report is the design, and a stratum
     allocated past its size is visible as alloc > n_docs.
 
+    Overflow headroom (r11 ADVICE — the event_type_bursts class): Σv²
+    and N_h·Σv² − (Σv)² are computed in DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB), NOT raw BIGINT — a stratum of 1e9 docs × 1e5
+    chars already puts Σv² at 1e19 > 2^63, where Spark used to wrap
+    silently while DuckDB promoted. Likewise total·wq_h and the
+    remainder arithmetic run in DECIMAL(38,0)/HUGEINT (wq can reach
+    9.2e18, so 1000·wq overflows BIGINT). The one remaining BIGINT
+    bound is weight_q itself: floor(sqrt(var_num)·1e6) ≤ 2^63 ⇔
+    N_h·S_h ≤ 9.2e12 char-units — past that the ANSI cast errors
+    loudly (never wraps), and the quant constant is the knob to drop.
+
     Scale shape: one map-side-combined six-sum fold to |strata| rows,
     one broadcast-back one-row total, one bounded window for the
     remainder ranking — nothing corpus-sized after the first fold.
     """
+    dec = "decimal(38,0)"
+    v_dec = F.col(value_col).cast("decimal(19,0)")
     per = documents.groupBy(F.col(group_col).alias("stratum")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.col(value_col).cast("bigint")).alias("s"),
-        F.sum(
-            F.col(value_col).cast("bigint") * F.col(value_col).cast("bigint")
-        ).alias("ss"),
+        # Σv² in DECIMAL(38,0): BIGINT wraps at stratum char-mass ~3e9²
+        F.sum((v_dec * v_dec).cast(dec)).alias("ss"),
+    )
+    var_num = (
+        F.col("n_docs").cast(dec) * F.col("ss")
+        - F.col("s").cast(dec) * F.col("s").cast(dec)
     )
     wq = F.greatest(
-        F.floor(
-            F.sqrt(
-                (F.col("n_docs") * F.col("ss") - F.col("s") * F.col("s"))
-                .cast("double")
-            )
-            * _NEYMAN_QUANT
-        ).cast("bigint"),
+        F.floor(F.sqrt(var_num.cast("double")) * _NEYMAN_QUANT)
+        .cast("bigint"),
         F.lit(1).cast("bigint"),
     )
     weighted = per.select("stratum", "n_docs", wq.alias("weight_q"))
@@ -765,23 +776,24 @@ def neyman_stratified_allocation(
             "stratum",
             "n_docs",
             "weight_q",
-            (F.lit(total_n) * F.col("weight_q"))
-            .cast("bigint")
+            # DECIMAL(38,0): total·wq overflows BIGINT once wq > 9.2e15
+            (F.lit(total_n).cast(dec) * F.col("weight_q").cast(dec))
+            .cast(dec)
             .alias("num"),
-            "w_total",
+            F.col("w_total").cast(dec).alias("w_total"),
         )
         .select(
             "stratum",
             "n_docs",
             "weight_q",
-            # `div`, not `/`: Spark's true division on BIGINTs routes
-            # through DOUBLE and num exceeds 2^53 here — a rounded
-            # quotient truncates to the WRONG integer near boundaries;
-            # `div` is exact 64-bit integer division (the oracle's `//`)
+            # `div`, not `/`: Spark's true division routes through
+            # DOUBLE and num exceeds 2^53 here — a rounded quotient
+            # truncates to the WRONG integer near boundaries; `div` is
+            # exact integer division on decimals too (the oracle's `//`)
             F.expr("num div w_total").alias("base"),
             (
                 F.col("num")
-                - F.expr("num div w_total") * F.col("w_total")
+                - F.expr("num div w_total").cast(dec) * F.col("w_total")
             ).alias("rem"),
         )
     )
@@ -815,30 +827,33 @@ def neyman_stratified_allocation_sql(
     group_col: str = "lang",
     value_col: str = "n_chars",
 ) -> str:
-    """Oracle: identical six-sums, quantized sqrt weight, and BIGINT
+    """Oracle: identical six-sums, quantized sqrt weight, and exact
     largest-remainder split. Spark's ``CAST(num/den AS BIGINT)`` on two
-    BIGINTs is integer division (truncation); DuckDB's ``/`` promotes to
-    double, so the oracle uses ``//`` (floor division — equal for the
-    non-negative operands here)."""
+    integers is integer division (truncation); DuckDB's ``/`` promotes
+    to double, so the oracle uses ``//`` (floor division — equal for
+    the non-negative operands here). Squares and total·wq go through
+    HUGEINT, the DuckDB twin of the Spark side's DECIMAL(38,0)
+    promotion (see the operator docstring's headroom note)."""
     return f"""
 WITH per AS (
   SELECT {group_col} AS stratum,
          CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum({value_col}) AS BIGINT) AS s,
-         CAST(sum(CAST({value_col} AS BIGINT) * {value_col}) AS BIGINT) AS ss
+         sum(CAST({value_col} AS HUGEINT) * {value_col}) AS ss
   FROM documents GROUP BY 1),
 weighted AS (
   SELECT stratum, n_docs,
-         greatest(CAST(floor(sqrt(CAST(n_docs * ss - s * s AS DOUBLE))
+         greatest(CAST(floor(sqrt(CAST(CAST(n_docs AS HUGEINT) * ss
+                                       - CAST(s AS HUGEINT) * s AS DOUBLE))
                              * {_NEYMAN_QUANT}) AS BIGINT),
                   1) AS weight_q
   FROM per),
 based AS (
   SELECT stratum, n_docs, weight_q,
-         ({total_n} * weight_q) // (SELECT sum(weight_q) FROM weighted)
-           AS base,
-         ({total_n} * weight_q)
-           - (({total_n} * weight_q)
+         (CAST({total_n} AS HUGEINT) * weight_q)
+           // (SELECT sum(weight_q) FROM weighted) AS base,
+         (CAST({total_n} AS HUGEINT) * weight_q)
+           - ((CAST({total_n} AS HUGEINT) * weight_q)
               // (SELECT sum(weight_q) FROM weighted))
              * (SELECT sum(weight_q) FROM weighted) AS rem
   FROM weighted),

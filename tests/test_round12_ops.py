@@ -92,6 +92,67 @@ def test_burst_decimal_promotion_big_counts(spark):
     assert duck == got
 
 
+def test_neyman_big_strata_decimal_promotion(spark):
+    """r11 ADVICE: Σv² and N·Σv² − (Σv)² in raw BIGINT overflow on
+    strata with char-mass ≳3e9 per doc (ANSI error in Spark, HUGEINT
+    promotion in DuckDB — a crash-vs-answer divergence). Planted strata
+    past the old edge must now produce the exact Python-int allocation
+    on BOTH engines."""
+    import math
+
+    from bigdata_hwk_spark.operators import splits as SP
+
+    # stratum "big": 3 docs × ~3.1e9 chars (Σv² ≈ 2.9e19 > 2^63);
+    # stratum "small": ordinary sizes
+    docs = [
+        ("big", 3_100_000_000),
+        ("big", 3_100_000_007),
+        ("big", 2_999_999_999),
+        ("small", 1000),
+        ("small", 4000),
+        ("small", 2500),
+    ]
+    total_n = 100
+
+    # arbitrary-precision reference (same one-sqrt-then-floor device)
+    strata: dict[str, list[int]] = {}
+    for g, v in docs:
+        strata.setdefault(g, []).append(v)
+    wq = {}
+    for g, vs in strata.items():
+        n, s, ss = len(vs), sum(vs), sum(v * v for v in vs)
+        assert g != "big" or ss > (1 << 63)  # guard: exercises the edge
+        wq[g] = max(math.floor(math.sqrt(float(n * ss - s * s)) * 1e6), 1)
+    w_total = sum(wq.values())
+    base = {g: (total_n * q) // w_total for g, q in wq.items()}
+    rem = {g: total_n * q - base[g] * w_total for g, q in wq.items()}
+    leftover = total_n - sum(base.values())
+    order = sorted(wq, key=lambda g: (-rem[g], g))
+    want = {
+        g: (len(strata[g]), wq[g], base[g] + (1 if i < leftover else 0))
+        for i, g in enumerate(order)
+    }
+
+    df = spark.createDataFrame(docs, "lang string, n_chars bigint")
+    got = {
+        r.stratum: (r.n_docs, r.weight_q, r.alloc)
+        for r in SP.neyman_stratified_allocation(df, total_n=total_n).collect()
+    }
+    assert got == want
+    assert sum(a for _, _, a in got.values()) == total_n
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (lang VARCHAR, n_chars BIGINT)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    duck = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            SP.neyman_stratified_allocation_sql(total_n=total_n)
+        ).fetchall()
+    }
+    assert duck == want
+
+
 def test_burst_fixture_rows_unchanged_by_promotion(spark):
     """The promotion is value-neutral at fixture scale: the hand case
     from test_event_type_bursts_hand_case still holds bit-for-bit."""
