@@ -419,10 +419,38 @@ BFS_SEED_MOD = 101   # seeds: graph nodes with part key % mod == 0
 BFS_MAX_HOPS = 4     # bounded frontier expansion
 
 
+def assert_symmetric_sample(edges: DataFrame, sample_n: int = 64) -> None:
+    """Enforce-not-assume probe of the SYMMETRIC-edge-list precondition
+    (r11 ADVICE): take ``sample_n`` edges and require every swapped pair
+    to exist, failing LOUDLY instead of letting a one-direction
+    undirected list silently undercount degrees or miss seeds. Sound
+    (never trips on a truly symmetric list) but sampled, not complete —
+    it catches the systematic mistake (a whole list built one-direction),
+    which is the only way real callers get this wrong. Cost: one
+    ``sample_n``-row broadcast anti-join probe."""
+    sample = edges.select("src", "dst").limit(sample_n)
+    swapped = sample.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    missing = (
+        swapped.join(edges.select("src", "dst"), ["src", "dst"], "left_anti")
+        .limit(1)
+        .collect()
+    )
+    if missing:
+        r = missing[0]
+        raise ValueError(
+            f"edge list is not symmetric: ({r.dst}, {r.src}) is present "
+            f"but its reverse ({r.src}, {r.dst}) is missing — union the "
+            "swapped edges and distinct first (see copurchase_edges)"
+        )
+
+
 def hop_distances(
     edges: DataFrame,
     seed_mod: int = BFS_SEED_MOD,
     max_hops: int = BFS_MAX_HOPS,
+    validate: bool = True,
 ) -> DataFrame:
     """(part_id, hops): minimum hop count from ANY seed node (part key
     ≡ 0 mod ``seed_mod``) to every node reachable within ``max_hops`` —
@@ -455,11 +483,15 @@ def hop_distances(
     column only, so a single-direction undirected list would silently
     miss seeds that occur only as ``dst`` and skip reverse traversals;
     callers with one-direction lists must union the swap + distinct
-    first. Same contract as ``degree_mixing_profile``/``kcore_members``.
+    first. Same contract as ``degree_mixing_profile``/``kcore_members``
+    — ENFORCED by a sampled probe (``assert_symmetric_sample``) unless
+    ``validate=False``.
     """
     from ..session import persist_once
 
     e = persist_once(edges.select("src", "dst"))
+    if validate:
+        assert_symmetric_sample(e)
     seeds = (
         e.select(F.col("src").alias("part_id"))
         .filter(F.col("part_id") % seed_mod == 0)
@@ -639,7 +671,10 @@ KCORE_MAX_ITER = 50
 
 
 def kcore_members(
-    edges: DataFrame, k: int = KCORE_K, max_iter: int = KCORE_MAX_ITER
+    edges: DataFrame,
+    k: int = KCORE_K,
+    max_iter: int = KCORE_MAX_ITER,
+    validate: bool = True,
 ) -> DataFrame:
     """(part_id, core_degree): the k-core of the undirected graph — the
     maximal subgraph where every node keeps degree ≥ k (Seidman 1983,
@@ -661,7 +696,9 @@ def kcore_members(
     of every undirected edge present (``copurchase_edges`` emits this
     by construction); per-round degrees count ``src`` occurrences only,
     so a single-direction undirected list would undercount every degree
-    by its reverse half. Same contract as ``hop_distances``.
+    by its reverse half. Same contract as ``hop_distances`` — ENFORCED
+    by a sampled probe (``assert_symmetric_sample``) unless
+    ``validate=False``.
 
     Scale shape: per round one map-side-combined degree aggregate and
     two survivor semi-joins keyed on the endpoints (each round's edge
@@ -674,6 +711,8 @@ def kcore_members(
         .distinct()
         .localCheckpoint()
     )
+    if validate:
+        assert_symmetric_sample(e)
     prev_n = None
     for _ in range(max_iter):
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))

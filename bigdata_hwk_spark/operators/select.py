@@ -210,6 +210,13 @@ def lazy_greedy_coverage_select(
     fresh_round = 1  # bounds are TRUE gains while covered is empty
     for i in range(1, k + 1):
         b = probe_batch
+        # this round's recomputed TRUE gains, carried ACROSS escalations:
+        # the probe ordering is deterministic, so each doubling's top-b
+        # is a superset of the last — without the carry every escalation
+        # re-recomputed the already-known candidates, doubling wasted
+        # work precisely in the tie-heavy regime where escalations
+        # happen (r11 ADVICE)
+        truth: dict[int, int] = {}
         while True:
             n_probes += 1
             top = (
@@ -228,19 +235,22 @@ def lazy_greedy_coverage_select(
                 truth = {int(r.doc_id): int(r.g) for r in top[:b]}
                 winner = (int(best.doc_id), int(best.g))
                 break
-            truth_rows = (
-                sh.filter(F.col("doc_id").isin(cands))
-                .join(F.broadcast(covered), "h", "left_anti")
-                .groupBy("doc_id")
-                .agg(F.count(F.lit(1)).alias("g"))
-                .collect()
-            )
-            n_recomputes += len(cands)
-            truth = {int(r.doc_id): int(r.g) for r in truth_rows}
-            # candidates with zero uncovered postings vanish from the
-            # aggregate — their true gain is 0
-            for d in cands:
-                truth.setdefault(d, 0)
+            new_cands = [d for d in cands if d not in truth]
+            if new_cands:
+                truth_rows = (
+                    sh.filter(F.col("doc_id").isin(new_cands))
+                    .join(F.broadcast(covered), "h", "left_anti")
+                    .groupBy("doc_id")
+                    .agg(F.count(F.lit(1)).alias("g"))
+                    .collect()
+                )
+                n_recomputes += len(new_cands)
+                for r in truth_rows:
+                    truth[int(r.doc_id)] = int(r.g)
+                # candidates with zero uncovered postings vanish from
+                # the aggregate — their true gain is 0
+                for d in new_cands:
+                    truth.setdefault(d, 0)
             d_star, g_star = min(
                 truth.items(), key=lambda kv: (-kv[1], kv[0])
             )

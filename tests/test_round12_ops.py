@@ -153,6 +153,73 @@ def test_neyman_big_strata_decimal_promotion(spark):
     assert duck == want
 
 
+def test_lazy_greedy_escalation_carries_truth(spark):
+    """r11 ADVICE: escalation (b *= 2) must not re-recompute candidates
+    already recomputed earlier in the same round. On the planted
+    tie-at-threshold fixture the escalating round recomputes doc 3 once
+    (b=1) then ONLY doc 7 at b=2 — total 4 recomputes across all
+    rounds, not the 5 the un-carried version paid."""
+    from bigdata_hwk_spark.operators.select import (
+        greedy_coverage_select,
+        lazy_greedy_coverage_select,
+    )
+
+    texts = {
+        2: "z1 z2 z3 z4 z5 z6 z7 z8",
+        7: "a1 a2 a3 a4 a5",
+        3: "b1 b2 b3 b4 b5",
+        9: "c1 c2 c3",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id bigint, text string"
+    )
+    stats: dict = {}
+    got = [
+        tuple(r)
+        for r in lazy_greedy_coverage_select(
+            docs, k=5, w=3, probe_batch=1, stats=stats
+        ).collect()
+    ]
+    want = [
+        tuple(r) for r in greedy_coverage_select(docs, k=5, w=3).collect()
+    ]
+    assert got == want
+    assert stats["escalations"] == 1
+    # seeding round free; round 2 = {3} then {7 only}; rounds 3,4 = 1 each
+    assert stats["recomputes"] == 4
+
+
+def test_symmetric_edge_probe_rejects_one_direction_list(spark):
+    """r11 ADVICE: hop_distances/kcore_members enforce (not assume) the
+    symmetric-edge-list precondition via a sampled probe — a
+    one-direction undirected list fails loudly instead of silently
+    miscounting degrees / missing seeds."""
+    from bigdata_hwk_spark.operators import graph as G
+
+    one_way = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src bigint, dst bigint"
+    )
+    sym = one_way.union(
+        one_way.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    with pytest.raises(ValueError, match="not symmetric"):
+        G.hop_distances(one_way, seed_mod=1, max_hops=2)
+    with pytest.raises(ValueError, match="not symmetric"):
+        G.kcore_members(one_way, k=1)
+
+    # symmetric lists pass the probe and still compute correctly
+    hops = {
+        r.part_id: r.hops
+        for r in G.hop_distances(sym, seed_mod=2, max_hops=3).collect()
+    }
+    assert hops == {2: 0, 4: 0, 1: 1, 3: 1}
+    core = {
+        r.part_id: r.core_degree
+        for r in G.kcore_members(sym, k=1).collect()
+    }
+    assert core == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
 def test_burst_fixture_rows_unchanged_by_promotion(spark):
     """The promotion is value-neutral at fixture scale: the hand case
     from test_event_type_bursts_hand_case still holds bit-for-bit."""
