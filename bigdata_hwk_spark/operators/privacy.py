@@ -68,15 +68,28 @@ def qi_user_cells(events: DataFrame) -> DataFrame:
     )
 
 
+def cells_census(user_cells: DataFrame) -> DataFrame:
+    """(event_type, day, bucket, n_rows, n_users): collapse the per-user
+    cell table to its cell census. Exactly the information a CLOSED day
+    needs to keep — once no future row can add a user to the cell, the
+    user set is redundant with its count (the streaming monitor's
+    watermark compaction rides on this)."""
+    return user_cells.groupBy("event_type", "day", "bucket").agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    )
+
+
 def census_from_user_cells(
     user_cells: DataFrame, k: int = K_ANON
 ) -> DataFrame:
     """The scoring leg over the per-user cell table — shared verbatim by
     the batch audit and the streaming monitor."""
-    cells = user_cells.groupBy("event_type", "day", "bucket").agg(
-        F.sum("n_rows").cast("bigint").alias("n_rows"),
-        F.count(F.lit(1)).cast("bigint").alias("n_users"),
-    )
+    return census_from_cells(cells_census(user_cells), k=k)
+
+
+def census_from_cells(cells: DataFrame, k: int = K_ANON) -> DataFrame:
+    """Per-type audit fold over an already-censused cell table."""
     viol = F.col("n_users") < k
     return (
         cells.groupBy("event_type")
@@ -102,6 +115,188 @@ def census_from_user_cells(
             ).alias("risk_pct"),
         )
     )
+
+
+# generalization ladder (full-domain recoding, Samarati 2001 — public):
+# L0 = (day, bucket); L1 = (week, bucket); L2 = (week, coarse bucket).
+# Each step is a data-independent integer coarsening, so both engines
+# (and any two runs) generalize identically.
+GEN_WEEK_DAYS = 7
+GEN_BUCKET_COARSE = 4
+GEN_MAX_LEVEL = 2
+
+
+def k_anonymity_enforce(events: DataFrame, k: int = K_ANON) -> DataFrame:
+    """(event_type, level, qi_day, qi_bucket, user_id, n_rows): the
+    RELEASED user-cell table after k-anonymity enforcement — the apply
+    side of ``k_anonymity_audit``, completing the audit→enforce pattern
+    (``pii_scrub``/``crossdoc_span_scrub``).
+
+    Policy — full-domain generalization + cell suppression (Samarati
+    2001; Sweeney 2002 — public): per event type, pick the SMALLEST
+    ladder level at which NO QI cell isolates fewer than ``k`` distinct
+    users (day→week, then bucket→4-wide coarse bucket); a type that
+    still violates at the top level releases at the top level with its
+    violating cells SUPPRESSED (dropped rows, visible as missing
+    cells). Generalizing every row of a type to one common level —
+    rather than per-row minimal recoding — is what makes the invariant
+    checkable: the released cells ARE the census cells at that level,
+    so ``released k-audit ⇒ zero violations`` holds by construction
+    (cells partition rows; suppression never shrinks another cell).
+
+    Determinism & exactness: ladder cut points are fixed integers (no
+    data-dependent quantiles); level choice reads exact BIGINT
+    violation counts; suppression is an exact integer predicate.
+
+    Scale shape: the corpus folds ONCE into the per-user cell table
+    (persisted — it feeds three level censuses plus the release
+    regroup, and is calendar×alphabet×user-bounded, the same size class
+    the streaming monitor holds as state); the censuses, the |types|-row
+    broadcast of chosen levels, the regroup, and the suppression
+    semi-join are all cell-sized. Nothing corpus-sized shuffles twice,
+    nothing driver-side.
+    """
+    from ..session import persist_once
+
+    uc = persist_once(qi_user_cells(events))
+    viols = []
+    for lv in range(GEN_MAX_LEVEL + 1):
+        cells = (
+            uc.select("event_type", *_gen_qi(lv), "user_id")
+            .groupBy("event_type", "qi_day", "qi_bucket")
+            .agg(F.countDistinct("user_id").alias("n_users"))
+        )
+        viols.append(
+            cells.groupBy("event_type").agg(
+                F.sum(F.when(F.col("n_users") < k, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"viol{lv}")
+            )
+        )
+    lv_tab = viols[0].join(viols[1], "event_type").join(viols[2], "event_type")
+    levels = lv_tab.select(
+        "event_type",
+        F.when(F.col("viol0") == 0, 0)
+        .when(F.col("viol1") == 0, 1)
+        .otherwise(GEN_MAX_LEVEL)
+        .cast("int")
+        .alias("level"),
+    )
+    g = uc.join(F.broadcast(levels), "event_type")
+    qi_day = (
+        F.when(F.col("level") == 0, F.col("day"))
+        .otherwise(
+            F.expr(f"day div {GEN_WEEK_DAYS}") * GEN_WEEK_DAYS
+        )
+        .cast("bigint")
+    )
+    qi_bucket = (
+        F.when(F.col("level") < 2, F.col("bucket"))
+        .otherwise(
+            F.expr(f"bucket div {GEN_BUCKET_COARSE}") * GEN_BUCKET_COARSE
+        )
+        .cast("int")
+    )
+    merged = (
+        g.select(
+            "event_type",
+            "level",
+            qi_day.alias("qi_day"),
+            qi_bucket.alias("qi_bucket"),
+            "user_id",
+            "n_rows",
+        )
+        .groupBy("event_type", "level", "qi_day", "qi_bucket", "user_id")
+        .agg(F.sum("n_rows").cast("bigint").alias("n_rows"))
+    )
+    # suppression: merged is one row per (cell, user), so count(*) per
+    # cell IS the distinct-user census; only forced-top-level types can
+    # still have cells below k — drop exactly those
+    ok_cells = (
+        merged.groupBy("event_type", "qi_day", "qi_bucket")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .filter(F.col("n_users") >= k)
+        .select("event_type", "qi_day", "qi_bucket")
+    )
+    return merged.join(
+        ok_cells, ["event_type", "qi_day", "qi_bucket"], "semi"
+    ).select("event_type", "level", "qi_day", "qi_bucket", "user_id", "n_rows")
+
+
+def _gen_qi(level: int):
+    """The ladder's (qi_day, qi_bucket) expressions at ``level``."""
+    day = (
+        F.col("day")
+        if level == 0
+        else F.expr(f"day div {GEN_WEEK_DAYS}") * GEN_WEEK_DAYS
+    )
+    bucket = (
+        F.col("bucket")
+        if level < 2
+        else F.expr(f"bucket div {GEN_BUCKET_COARSE}") * GEN_BUCKET_COARSE
+    )
+    return (
+        day.cast("bigint").alias("qi_day"),
+        bucket.cast("int").alias("qi_bucket"),
+    )
+
+
+def k_anonymity_enforce_sql(k: int = K_ANON) -> str:
+    """Oracle: identical QI fold, per-level censuses, minimal-level
+    choice, generalization, and suppression semi-join."""
+    wk, cb = GEN_WEEK_DAYS, GEN_BUCKET_COARSE
+    return f"""
+WITH qi AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(least(greatest(floor(value / {PSI_BUCKET_WIDTH}), 0),
+                    {PSI_BUCKET_CAP}) AS INT) AS bucket,
+         user_id,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2, 3, 4),
+v0 AS (
+  SELECT event_type,
+         sum(CASE WHEN n_users < {k} THEN 1 ELSE 0 END) AS viol
+  FROM (SELECT event_type, day, bucket,
+               count(DISTINCT user_id) AS n_users
+        FROM qi GROUP BY 1, 2, 3) GROUP BY 1),
+v1 AS (
+  SELECT event_type,
+         sum(CASE WHEN n_users < {k} THEN 1 ELSE 0 END) AS viol
+  FROM (SELECT event_type, (day // {wk}) * {wk} AS qi_day, bucket,
+               count(DISTINCT user_id) AS n_users
+        FROM qi GROUP BY 1, 2, 3) GROUP BY 1),
+v2 AS (
+  SELECT event_type,
+         sum(CASE WHEN n_users < {k} THEN 1 ELSE 0 END) AS viol
+  FROM (SELECT event_type, (day // {wk}) * {wk} AS qi_day,
+               (bucket // {cb}) * {cb} AS qi_bucket,
+               count(DISTINCT user_id) AS n_users
+        FROM qi GROUP BY 1, 2, 3) GROUP BY 1),
+levels AS (
+  SELECT v0.event_type,
+         CAST(CASE WHEN v0.viol = 0 THEN 0
+                   WHEN v1.viol = 0 THEN 1
+                   ELSE {GEN_MAX_LEVEL} END AS INT) AS level
+  FROM v0 JOIN v1 USING (event_type) JOIN v2 USING (event_type)),
+merged AS (
+  SELECT q.event_type, l.level,
+         CAST(CASE WHEN l.level = 0 THEN q.day
+                   ELSE (q.day // {wk}) * {wk} END AS BIGINT) AS qi_day,
+         CAST(CASE WHEN l.level < 2 THEN q.bucket
+                   ELSE (q.bucket // {cb}) * {cb} END AS INT) AS qi_bucket,
+         q.user_id,
+         CAST(sum(q.n_rows) AS BIGINT) AS n_rows
+  FROM qi q JOIN levels l USING (event_type)
+  GROUP BY 1, 2, 3, 4, 5),
+cu AS (
+  SELECT event_type, qi_day, qi_bucket, count(*) AS n_users
+  FROM merged GROUP BY 1, 2, 3)
+SELECT m.event_type, m.level, m.qi_day, m.qi_bucket, m.user_id, m.n_rows
+FROM merged m JOIN cu USING (event_type, qi_day, qi_bucket)
+WHERE cu.n_users >= {k}
+"""
 
 
 def k_anonymity_audit_sql(k: int = K_ANON) -> str:

@@ -2294,6 +2294,14 @@ register(
     lambda spark, sf: PV.k_anonymity_audit(load_table(spark, sf, "events")),
     PV.k_anonymity_audit_sql(),
 )
+# k-anonymity enforcement: full-domain generalization ladder (day→week,
+# bucket→coarse) + top-level cell suppression — the apply side of the
+# audit; released table re-audits to zero violations by construction
+register(
+    "k_anonymity_enforce",
+    lambda spark, sf: PV.k_anonymity_enforce(load_table(spark, sf, "events")),
+    PV.k_anonymity_enforce_sql(),
+)
 # Trailing-window burst detection: integer-exact squared-deviation
 # predicate over per-type day cells — the volume-anomaly screen
 register(

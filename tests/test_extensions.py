@@ -120,6 +120,8 @@ EXTENSION_ORACLE_QUERIES = [
     "event_type_bursts",
     "neyman_allocation",
     "k_anonymity_audit",
+    # round-12: the audit's apply side
+    "k_anonymity_enforce",
 ]
 
 

@@ -220,6 +220,159 @@ def test_symmetric_edge_probe_rejects_one_direction_list(spark):
     assert core == {1: 1, 2: 2, 3: 2, 4: 1}
 
 
+def _mk_events(spark, rows):
+    """rows: (day, event_type, user_id, value) → events-shaped df."""
+    return spark.createDataFrame(
+        [(d * 86400, t, u, v) for d, t, u, v in rows],
+        "epoch bigint, event_type string, user_id bigint, value double",
+    ).select(
+        F.col("epoch").cast("timestamp").alias("ts"),
+        "event_type",
+        "user_id",
+        "value",
+    )
+
+
+def test_k_anonymity_enforce_hand_case(spark):
+    """VERDICT r11 item 6: the generalization ladder by hand, k=3.
+    Type 'ok' satisfies k at L0; type 'wk' violates daily but one
+    day→week step repairs it (the prescribed hand case); type 'sup' is
+    unrepairable at the top level and gets its violating cell
+    suppressed while its full cell survives."""
+    from bigdata_hwk_spark.operators import privacy as PV
+
+    rows = []
+    # 'ok': one day-cell with 3 users
+    rows += [(0, "ok", u, 1.0) for u in (1, 2, 3)]
+    # 'wk': days 0,1,2 of the same week, one distinct user per day in
+    # the same bucket — each day-cell has 1 user (violates), the merged
+    # week-cell has 3 (repaired at L1)
+    rows += [(d, "wk", 10 + d, 1.0) for d in (0, 1, 2)]
+    # 'sup': one user alone in every ladder cell (suppressed at L2) plus
+    # a separate week with 3 users sharing a cell (released at L2)
+    rows += [(0, "sup", 99, 1.0)]
+    rows += [(7, "sup", u, 1.0) for u in (20, 21, 22)]
+    ev = _mk_events(spark, rows)
+
+    got = PV.k_anonymity_enforce(ev, k=3).collect()
+    by_type: dict = {}
+    for r in got:
+        by_type.setdefault(r.event_type, []).append(r)
+
+    # 'ok' released at level 0, day preserved
+    assert {(r.level, r.qi_day) for r in by_type["ok"]} == {(0, 0)}
+    assert {r.user_id for r in by_type["ok"]} == {1, 2, 3}
+    # 'wk' released at level 1: the three days fold into week-start 0
+    assert {(r.level, r.qi_day) for r in by_type["wk"]} == {(1, 0)}
+    assert {r.user_id for r in by_type["wk"]} == {10, 11, 12}
+    # 'sup' released at level 2: user 99's singleton cell is SUPPRESSED,
+    # the 3-user week survives
+    assert {r.user_id for r in by_type["sup"]} == {20, 21, 22}
+    assert {(r.level, r.qi_day) for r in by_type["sup"]} == {(2, 7)}
+
+
+def test_k_anonymity_enforce_invariant_and_oracle(spark):
+    """Post-transform audit shows zero violations at the same k (the
+    invariant the full-domain policy guarantees by construction), on
+    the real fixture; and the DuckDB oracle matches row-for-row."""
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+
+    from bigdata_hwk_spark.operators import privacy as PV
+    from bigdata_hwk_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    rel = PV.k_anonymity_enforce(ev, k=PV.K_ANON)
+    rel.cache()
+    try:
+        assert rel.count() > 0
+        # released user-cell rows are unique per (cell, user), so the
+        # per-cell row count IS the distinct-user census
+        viol = (
+            rel.groupBy("event_type", "qi_day", "qi_bucket")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .filter(F.col("n_users") < PV.K_ANON)
+            .count()
+        )
+        assert viol == 0
+    finally:
+        rel.unpersist()
+
+    assert_matches_oracle(
+        PV.k_anonymity_enforce(ev, k=PV.K_ANON),
+        PV.k_anonymity_enforce_sql(k=PV.K_ANON),
+        SF_SMOKE,
+    )
+
+
+def test_k_anonymity_monitor_compaction_equals_batch(spark, tmp_path):
+    """VERDICT r11 item 7: with late_days set, the monitor collapses
+    closed days' per-user rows to census cells; on a time-monotonic
+    replay the final census stays BIT-EQUAL to the batch audit and the
+    open state is bounded to the watermark window."""
+    from bigdata_hwk_spark.operators import privacy as PV
+    from bigdata_hwk_spark.sources.tables import load_table
+    from bigdata_hwk_spark.streaming.cdc_stream import chunk_events_by_day
+    from bigdata_hwk_spark.streaming.privacy_stream import (
+        run_k_anonymity_monitor_stream,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    want = {
+        r.event_type: tuple(r)
+        for r in PV.k_anonymity_audit(events).collect()
+    }
+    n_days = chunk_events_by_day(events, str(tmp_path / "days"))
+    assert n_days > 4
+    stats: dict = {}
+    got = {
+        r.event_type: tuple(r)
+        for r in run_k_anonymity_monitor_stream(
+            spark, str(tmp_path / "days"), late_days=2, stats=stats
+        ).collect()
+    }
+    assert got == want
+    # state bound: open user-cells span at most late_days+1 days and
+    # most days were actually compacted away into census cells
+    assert stats["open_days"] <= 3
+    assert stats["closed_cells"] > 0
+
+
+def test_privacy_fold_rejects_late_data_past_watermark(spark):
+    """A batch carrying a row for an already-closed day must fail
+    loudly (the MG-ingest monotone-chunk contract), never silently
+    undercount distinct users."""
+    from bigdata_hwk_spark.streaming.privacy_stream import (
+        _CELL_SCHEMA,
+        _UC_SCHEMA,
+        fold_privacy_batch,
+        privacy_monitor_census,
+    )
+
+    state = {
+        "open": spark.createDataFrame([], _UC_SCHEMA),
+        "closed": spark.createDataFrame([], _CELL_SCHEMA),
+        "max_day": None,
+    }
+    uc = "event_type string, day bigint, bucket int, user_id bigint, n_rows bigint"
+    b1 = spark.createDataFrame(
+        [("a", 0, 0, 1, 2), ("a", 5, 0, 2, 1)], uc
+    )
+    fold_privacy_batch(state, b1, late_days=1)
+    # day 0 closed (cutoff = 5-1 = 4): compacted to a census cell
+    assert state["max_day"] == 5
+    assert {r.day for r in state["closed"].collect()} == {0}
+    assert {r.day for r in state["open"].collect()} == {5}
+    # a late row for closed day 3 trips the guard
+    late = spark.createDataFrame([("a", 3, 0, 7, 1)], uc)
+    with pytest.raises(RuntimeError, match="closed watermark"):
+        fold_privacy_batch(state, late, late_days=1)
+    # in-window data still folds and the census sees the closed cell
+    ok = spark.createDataFrame([("a", 6, 0, 8, 1)], uc)
+    fold_privacy_batch(state, ok, late_days=1)
+    cen = {r.event_type: r.n_cells for r in privacy_monitor_census(state).collect()}
+    assert cen == {"a": 3}
+
+
 def test_burst_fixture_rows_unchanged_by_promotion(spark):
     """The promotion is value-neutral at fixture scale: the hand case
     from test_event_type_bursts_hand_case still holds bit-for-bit."""
