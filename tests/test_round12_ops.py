@@ -373,6 +373,82 @@ def test_privacy_fold_rejects_late_data_past_watermark(spark):
     assert cen == {"a": 3}
 
 
+def test_decorrelated_customer_names_linear_linkage(spark):
+    """VERDICT r11 item 3: the stress transform's decorrelated-name
+    variant must (a) never verify a cross-replica pair at ed ≤ 2 (the
+    4-letter Hamming-≥3 suffix guarantees distance ≥ 3) and (b) keep
+    SymSpell candidate volume ~linear in replicas — the properties that
+    make fuzzy_link_summary_ed2_decorrelated measure the engine, not
+    the verbatim-name 64² physics."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from scale_stress import (
+        ID_STRIDE,
+        _replica_codes,
+        decorrelate_customer_names,
+    )
+
+    from bigdata_hwk_spark.operators.linkage import _DIRTY_EXPR, _with_keys
+
+    codes = _replica_codes(64)
+    assert len(set(codes)) == 64
+    assert all(
+        sum(a != b for a, b in zip(c1, c2)) >= 3
+        for i, c1 in enumerate(codes)
+        for c2 in codes[:i]
+    )
+
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/customer.parquet"
+    ).select("c_custkey", "c_name")
+
+    def replicated(n):
+        df = base
+        for r in range(1, n):
+            df = df.union(
+                base.select(
+                    (F.col("c_custkey") + r * ID_STRIDE).alias("c_custkey"),
+                    "c_name",
+                )
+            )
+        return decorrelate_customer_names(df)
+
+    def volume_and_cross(df):
+        dirty = df.select(
+            F.col("c_custkey").alias("dirty_id"),
+            F.expr(_DIRTY_EXPR).alias("dirty_name"),
+        )
+        dk = _with_keys(dirty, "dirty_name", 2).groupBy("bkey").agg(
+            F.count(F.lit(1)).alias("nd")
+        )
+        ck = _with_keys(df, "c_name", 2).groupBy("bkey").agg(
+            F.count(F.lit(1)).alias("nc")
+        )
+        vol = dk.join(ck, "bkey").agg(
+            F.sum(F.col("nd") * F.col("nc"))
+        ).first()[0]
+        cross = (
+            _with_keys(dirty, "dirty_name", 2)
+            .join(_with_keys(df, "c_name", 2), "bkey")
+            .filter(F.levenshtein("dirty_name", "c_name") <= 2)
+            .select("dirty_id", "c_custkey")
+            .distinct()
+            .filter(
+                F.expr(f"dirty_id div {ID_STRIDE}")
+                != F.expr(f"c_custkey div {ID_STRIDE}")
+            )
+            .count()
+        )
+        return vol, cross
+
+    v1, x1 = volume_and_cross(replicated(1))
+    v4, x4 = volume_and_cross(replicated(4))
+    assert x1 == 0 and x4 == 0
+    # linear candidate volume with a small headroom (3.95 measured)
+    assert v4 <= 4.5 * v1
+
+
 def test_burst_fixture_rows_unchanged_by_promotion(spark):
     """The promotion is value-neutral at fixture scale: the hand case
     from test_event_type_bursts_hand_case still holds bit-for-bit."""
