@@ -131,6 +131,7 @@ def lazy_greedy_coverage_select(
     probe_batch: int = LAZY_PROBE_BATCH,
     stats: dict | None = None,
     index_dir: str | None = None,
+    reuse_index: bool = False,
 ) -> DataFrame:
     """Lazy greedy (Minoux 1978, public) — BIT-IDENTICAL trace to
     ``greedy_coverage_select``, candidate-pruned per-round work.
@@ -187,13 +188,21 @@ def lazy_greedy_coverage_select(
         # build-once doc-pruned index: range-partitioned and sorted by
         # doc_id so every file/row-group carries tight doc_id min/max
         # stats — a candidate IN-filter then reads only candidate
-        # row groups (ParquetScan PushedFilters: In(doc_id, ...))
-        (
-            sh_plan.repartitionByRange(INDEX_RANGE_PARTITIONS, "doc_id")
-            .sortWithinPartitions("doc_id")
-            .write.mode("overwrite")
-            .parquet(index_dir)
-        )
+        # row groups (ParquetScan PushedFilters: In(doc_id, ...)).
+        # reuse_index=True honors the build-once contract across calls
+        # (caller asserts the artifact matches this corpus/w).
+        import os
+
+        if not (
+            reuse_index
+            and os.path.isfile(os.path.join(index_dir, "_SUCCESS"))
+        ):
+            (
+                sh_plan.repartitionByRange(INDEX_RANGE_PARTITIONS, "doc_id")
+                .sortWithinPartitions("doc_id")
+                .write.mode("overwrite")
+                .parquet(index_dir)
+            )
         sh = spark.read.parquet(index_dir)
     else:
         sh = sh_plan.localCheckpoint()

@@ -66,7 +66,14 @@ def _load(path: str) -> dict[str, float]:
 def _prev_watchlist(round_no: int) -> dict[str, dict]:
     """Regressions flagged in the previous round's committed notes file:
     each maps to its pre-regression wall (that note's prev_sec) as the
-    revert target. Empty if no notes file exists for round_no - 1."""
+    revert target. Empty if no notes file exists for round_no - 1.
+
+    When the previous round carried a ``methodology_change`` banner, its
+    ``flagged_outside_band`` compares walls across two different bench
+    methodologies — declared informational there, so it must NOT seed
+    new watchlist entries. Instead the previous round's own UNRESOLVED
+    watchlist entries carry forward (marked), so the first
+    like-for-like round adjudicates them (r11 VERDICT item 1)."""
     path = os.path.join(
         _repo_dir(), f"BENCH_REGRESSION_NOTES_r{round_no - 1:02d}.json"
     )
@@ -75,6 +82,16 @@ def _prev_watchlist(round_no: int) -> dict[str, dict]:
     with open(path) as f:
         notes = json.load(f)
     out = {}
+    if "methodology_change" in notes:
+        for q, e in notes.get("watchlist", {}).items():
+            if not e.get("reverted_to_pre_regression_level"):
+                out[q] = {
+                    "source": e.get("source", os.path.basename(path)),
+                    "pre_regression_sec": e["pre_regression_sec"],
+                    "regressed_to_sec": e["regressed_to_sec"],
+                    "floor_is_pre_isolation": True,
+                }
+        return out
     for q, e in notes.get("flagged_outside_band", {}).items():
         if e.get("delta_sec", 0) > 0:  # regressions only, not improvements
             out[q] = {
@@ -176,6 +193,34 @@ def main() -> None:
                 watch[q]["reverted_via_isolated_floor"] = (
                     floors[q]
                     <= targets["pre_regression_sec"] + VARIANCE_ABS_SEC
+                )
+            # adjudication for entries whose floor predates the bench
+            # isolation rewrite: the old one-JVM floor carried suite
+            # subsidies and is not achievable under isolation BY DESIGN
+            # (BENCH_BRIDGE_NOTES_r11.json). If the query's wall is
+            # stable across the first pair of like-for-like isolated
+            # rounds, the isolated wall IS the honest new floor and the
+            # entry RETIRES; if it drifted further, it stays live as a
+            # real regression candidate.
+            if targets.get("floor_is_pre_isolation") and q in prev:
+                band = max(VARIANCE_ABS_SEC, VARIANCE_REL * prev[q])
+                stable = abs(cur[q] - prev[q]) <= band
+                watch[q]["like_for_like_prev_sec"] = prev[q]
+                watch[q]["retired"] = stable
+                watch[q]["retirement_note"] = (
+                    (
+                        "stable across the first like-for-like isolated "
+                        "rounds; the pre-regression floor was quoted "
+                        "under the one-JVM methodology and is superseded "
+                        "by the isolated wall (see "
+                        "BENCH_BRIDGE_NOTES_r11.json)"
+                    )
+                    if stable
+                    else (
+                        "NOT stable under like-for-like isolation — "
+                        "treat as a live regression against the "
+                        "previous isolated wall"
+                    )
                 )
 
     def _canary(path):

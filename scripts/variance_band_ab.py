@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""Re-derive the bench variance band from SAME-METHODOLOGY repeats
+(r11 VERDICT item 1): the band bench_diff.py flags against was sourced
+from r07 one-JVM A/B repeats — stale once bench.py moved to fresh-JVM
+isolation. This script runs a representative query sample through
+bench.py's OWN subset mode (identical per-query clearCache → warm-own →
+time discipline, fresh JVM per run) ``RUNS`` times and reports the
+observed run-to-run spread per query, plus the derived abs/rel band
+(max spread across queries, padded ×1.25 so the band is a ceiling on
+observed noise, not a fit to it).
+
+Writes VARIANCE_BAND_r{N}.json (round from the committed ROUND file).
+The constants in scripts/bench_diff.py are then updated by hand with
+this file cited as source — deliberate: the band is a reviewed
+methodology constant, not something a script silently moves.
+
+Box must be otherwise quiet. Env: SPARK_GRAFT_SF_DIR (default sf0.1),
+VARIANCE_RUNS (default 3), VARIANCE_QUERIES (comma list override).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# the six r11 cross-methodology watchlist queries (the entries this
+# band adjudicates) + the canary + a spread of cheap/heavy shapes
+SAMPLE = [
+    "ann_pq_rerank_topk",
+    "bpe_encode_stats_histogram",
+    "chunk_dedup_docs",
+    "lineitem_checksum",
+    "text_repetition_stats",
+    "text_tfidf_top_terms",
+    "tpch_q1",
+    "mr_approx_cell_stats",
+    "dedup_minhash_lsh",
+    "copurchase_triangle_stats",
+]
+
+
+def _one_run(sf_dir: str, names: list[str]) -> dict[str, float]:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_ONLY=",".join(names),
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    if proc.returncode != 0:
+        raise SystemExit(f"bench subset run failed rc={proc.returncode}")
+    line = proc.stdout.strip().splitlines()[-1]
+    return json.loads(line)["queries"]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("VARIANCE_RUNS", "3"))
+    names = [
+        q.strip()
+        for q in os.environ.get("VARIANCE_QUERIES", ",".join(SAMPLE)).split(
+            ","
+        )
+        if q.strip()
+    ]
+    samples: dict[str, list[float]] = {q: [] for q in names}
+    for i in range(runs):
+        timings = _one_run(sf_dir, names)
+        for q in names:
+            samples[q].append(timings[q])
+        print(f"# run {i + 1}/{runs} done", file=sys.stderr)
+
+    per_query = {}
+    abs_spreads, rel_spreads = [], []
+    for q, ts in samples.items():
+        spread = round(max(ts) - min(ts), 3)
+        med = statistics.median(ts)
+        rel = round(spread / med, 4) if med else 0.0
+        per_query[q] = {
+            "samples_sec": ts,
+            "median_sec": round(med, 3),
+            "abs_spread_sec": spread,
+            "rel_spread": rel,
+        }
+        abs_spreads.append(spread)
+        rel_spreads.append(rel)
+
+    band = {
+        "abs_sec": round(max(abs_spreads) * 1.25, 3),
+        "rel": round(max(rel_spreads) * 1.25, 3),
+        "derivation": (
+            "max observed run-to-run spread across the sample, padded "
+            "x1.25; runs are full bench.py subset invocations (fresh "
+            "JVM, clearCache -> warm-own -> time per query) — the SAME "
+            "methodology the round details are produced under"
+        ),
+    }
+    with open(os.path.join(REPO, "ROUND")) as f:
+        round_no = int(f.read().strip())
+    out = {
+        "sf_dir": sf_dir,
+        "runs": runs,
+        "queries": per_query,
+        "derived_band": band,
+    }
+    path = os.path.join(REPO, f"VARIANCE_BAND_r{round_no:02d}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(json.dumps({"written": path, "derived_band": band}))
+
+
+if __name__ == "__main__":
+    main()
