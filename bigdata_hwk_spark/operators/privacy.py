@@ -299,6 +299,107 @@ WHERE cu.n_users >= {k}
 """
 
 
+L_DIVERSE = 3
+
+
+def l_diversity_audit(events: DataFrame, l_min: int = L_DIVERSE) -> DataFrame:
+    """(day, n_cells, n_violating_cells, n_rows, n_rows_at_risk,
+    risk_pct): distinct l-diversity audit (Machanavajjhala et al. 2006 —
+    public), the attribute-disclosure complement of ``k_anonymity_audit``:
+    k-anonymity stops an attacker from singling a person OUT of a QI
+    cell, but a cell whose rows all share one SENSITIVE value still
+    discloses that value for everyone linkable to the cell. Here the QI
+    is (day, value-bucket) and the sensitive attribute is event_type: a
+    (day, bucket) cell violates when its rows span fewer than ``l_min``
+    distinct event types. Reported per day (the release calendar's
+    review unit).
+
+    Determinism & exactness: same integer QI projection as the k-audit;
+    every census number is an exact BIGINT count.
+
+    Scale shape: one map-side-combined fold to (day, bucket, event_type)
+    cells (calendar×buckets×alphabet-bounded), a cell-level census, one
+    per-day fold. Nothing corpus-sized shuffles twice.
+    """
+    tri = (
+        events.filter(F.col("value").isNotNull())
+        .select(
+            F.floor(F.col("ts").cast("long") / 86400)
+            .cast("bigint")
+            .alias("day"),
+            F.least(
+                F.greatest(
+                    F.floor(F.col("value") / PSI_BUCKET_WIDTH), F.lit(0)
+                ),
+                F.lit(PSI_BUCKET_CAP),
+            )
+            .cast("int")
+            .alias("bucket"),
+            "event_type",
+        )
+        .groupBy("day", "bucket", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+    cells = tri.groupBy("day", "bucket").agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sensitive"),
+    )
+    viol = F.col("n_sensitive") < l_min
+    return (
+        cells.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum(F.when(viol, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_cells"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum(F.when(viol, F.col("n_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("n_rows_at_risk"),
+        )
+        .select(
+            "day",
+            "n_cells",
+            "n_violating_cells",
+            "n_rows",
+            "n_rows_at_risk",
+            F.round(
+                F.col("n_rows_at_risk") / F.col("n_rows").cast("double") * 100,
+                6,
+            ).alias("risk_pct"),
+        )
+    )
+
+
+def l_diversity_audit_sql(l_min: int = L_DIVERSE) -> str:
+    """Oracle: identical QI projection, sensitive census, and predicate."""
+    return f"""
+WITH tri AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(least(greatest(floor(value / {PSI_BUCKET_WIDTH}), 0),
+                    {PSI_BUCKET_CAP}) AS INT) AS bucket,
+         event_type,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2, 3),
+cells AS (
+  SELECT day, bucket,
+         CAST(sum(n_rows) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_sensitive
+  FROM tri GROUP BY 1, 2)
+SELECT day,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(CASE WHEN n_sensitive < {l_min} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_cells,
+       CAST(sum(n_rows) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN n_sensitive < {l_min} THEN n_rows ELSE 0 END)
+            AS BIGINT) AS n_rows_at_risk,
+       round(sum(CASE WHEN n_sensitive < {l_min} THEN n_rows ELSE 0 END)
+             / CAST(sum(n_rows) AS DOUBLE) * 100, 6) AS risk_pct
+FROM cells GROUP BY day
+"""
+
+
 def k_anonymity_audit_sql(k: int = K_ANON) -> str:
     """Oracle: identical QI projection, census, and violation predicate."""
     return f"""

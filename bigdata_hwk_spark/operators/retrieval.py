@@ -331,3 +331,180 @@ def text_index_roundtrip_profile(
         [(meta["n_postings"], len(in_mem), len(from_index & in_mem))],
         "n_postings bigint, topk_rows bigint, n_agree bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal rank fusion of lexical + semantic rankings
+# ---------------------------------------------------------------------------
+
+RRF_C = 60  # the constant from Cormack, Clarke & Buettcher 2009 (public)
+
+
+def rrf_hybrid_topk(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    queries: list[tuple[int, str]] = BM25_QUERIES,
+    topk: int = BM25_TOPK,
+    c: int = RRF_C,
+) -> DataFrame:
+    """(query_id, doc_id, lex_rnk, sem_rnk, rrf, rnk): hybrid retrieval
+    via Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009 —
+    public; the standard way RAG stacks combine BM25 with a dense
+    retriever): each system contributes 1/(c + rank) for the documents
+    it ranked in its top-``topk``; documents seen by only one system
+    get that one term (the other rank is NULL). Fused rank orders by
+    the 6-rounded rrf score desc, doc_id asc.
+
+    Query pairing: query ``qid``'s text probes the lexical side
+    (``bm25_topk``) and the embedding with ``vec_id == qid`` probes the
+    semantic side — the fixture's aligned-id convention (doc_id and
+    vec_id share the id space). The semantic side ranks ALL nonzero-norm
+    corpus vectors (no self-exclusion: the query's own document is a
+    legitimate retrieval hit, exactly as BM25 may return it).
+
+    Exactness: both input ranks are integer row_numbers over
+    round-before-rank scores (BM25's 6-rounded sum; cosine rounded to 6
+    here for the same reason); the fused score is a FIXED two-term sum
+    of exact-integer-denominator reciprocals — one expression, no
+    aggregation order to flap — rounded to 6 before the final rank.
+
+    Scale shape: the lexical side is bm25_topk's plan (postings
+    semi-joined to the tiny query term set); the semantic side is one
+    broadcast-queries corpus scan + per-query window over round-ranked
+    scores; the fusion joins two ≤|queries|·topk tables — driver never
+    sees the corpus.
+    """
+    from .similarity import _as_double, _cosine, _dot
+
+    lex = bm25_topk(documents, queries=queries, topk=topk).select(
+        "query_id", "doc_id", F.col("rnk").alias("lex_rnk")
+    )
+    qids = [qid for qid, _ in queries]
+    emb = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).filter(_dot(F.col("v"), F.col("v")) > 0)
+    qv = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    sem_scored = emb.crossJoin(F.broadcast(qv)).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.round(_cosine(F.col("qv"), F.col("v")), 6).alias("cos6"),
+    )
+    wsem = Window.partitionBy("query_id").orderBy(
+        F.col("cos6").desc(), F.col("doc_id").asc()
+    )
+    sem = (
+        sem_scored.withColumn("sem_rnk", F.row_number().over(wsem))
+        .filter(F.col("sem_rnk") <= topk)
+        .select("query_id", "doc_id", "sem_rnk")
+    )
+    fused = lex.join(sem, ["query_id", "doc_id"], "full_outer")
+    rrf = F.round(
+        F.coalesce(
+            F.lit(1.0) / (F.lit(c) + F.col("lex_rnk")), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(c) + F.col("sem_rnk")), F.lit(0.0)
+        ),
+        6,
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rrf", rrf)
+        .withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= topk)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("lex_rnk").cast("int").alias("lex_rnk"),
+            F.col("sem_rnk").cast("int").alias("sem_rnk"),
+            "rrf",
+            "rnk",
+        )
+    )
+
+
+def rrf_hybrid_topk_sql(
+    queries: list[tuple[int, str]] = BM25_QUERIES,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    topk: int = BM25_TOPK,
+    c: int = RRF_C,
+) -> str:
+    """Oracle: bm25_topk_sql's CTE chain + the identical round-before-
+    rank cosine leg + the same fixed two-term fusion."""
+    q_values = ", ".join(
+        f"({qid}, '{term}')"
+        for qid, qtext in queries
+        for term in qtext.split(" ")
+    )
+    qid_list = ", ".join(str(qid) for qid, _ in queries)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, min(dl) AS dl, count(*) AS tf
+  FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT count(*)::DOUBLE AS n,
+         avg(len(string_split(text, ' '))) AS avgdl
+  FROM documents),
+q(query_id, term) AS (VALUES {q_values}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum(
+           ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * {k1 + 1.0!r})
+             / (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} * tf.dl / s.avgdl))
+         ), 6) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+lex AS (
+  SELECT query_id, doc_id, rnk AS lex_rnk FROM (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+    FROM scores) WHERE rnk <= {topk}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+qv AS (SELECT vec_id AS query_id, v AS qv FROM e
+       WHERE vec_id IN ({qid_list})),
+sem_scored AS (
+  SELECT query_id, e.vec_id AS doc_id,
+         round(list_dot_product(qv, v)
+               / sqrt(list_dot_product(qv, qv) * list_dot_product(v, v)),
+               6) AS cos6
+  FROM e CROSS JOIN qv),
+sem AS (
+  SELECT query_id, doc_id, rk AS sem_rnk FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos6 DESC, doc_id) AS rk
+    FROM sem_scored) WHERE rk <= {topk}),
+fused AS (
+  SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+         coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         lex.lex_rnk, sem.sem_rnk,
+         round(coalesce(1.0 / ({c} + lex.lex_rnk), 0.0)
+               + coalesce(1.0 / ({c} + sem.sem_rnk), 0.0), 6) AS rrf
+  FROM lex FULL OUTER JOIN sem
+    ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id)
+SELECT query_id, doc_id,
+       CAST(lex_rnk AS INT) AS lex_rnk, CAST(sem_rnk AS INT) AS sem_rnk,
+       rrf, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT query_id, doc_id, lex_rnk, sem_rnk, rrf,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk
+  FROM fused)
+WHERE rnk <= {topk}
+"""

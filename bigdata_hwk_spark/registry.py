@@ -1760,6 +1760,14 @@ register(
     lambda spark, sf: RV.bm25_topk(_docs(spark, sf)),
     RV.bm25_topk_sql(),
 )
+# Hybrid retrieval: reciprocal rank fusion of the BM25 lexical ranking
+# with a dense cosine ranking (Cormack et al. 2009) — fixed two-term
+# reciprocal sum over round-before-rank integer ranks, fused top-k
+register(
+    "rrf_hybrid_topk",
+    lambda spark, sf: RV.rrf_hybrid_topk(_docs(spark, sf), _embs(spark, sf)),
+    RV.rrf_hybrid_topk_sql(),
+)
 # Asymmetric shingle containment (quote/subset detection) — shares the
 # per-(session, corpus) persisted shingle index with the Jaccard family
 register(
@@ -2301,6 +2309,13 @@ register(
     "k_anonymity_enforce",
     lambda spark, sf: PV.k_anonymity_enforce(load_table(spark, sf, "events")),
     PV.k_anonymity_enforce_sql(),
+)
+# l-diversity audit: attribute-disclosure complement of the k-audit —
+# per-day census of (day, bucket) cells spanning < l distinct types
+register(
+    "l_diversity_audit",
+    lambda spark, sf: PV.l_diversity_audit(load_table(spark, sf, "events")),
+    PV.l_diversity_audit_sql(),
 )
 # Trailing-window burst detection: integer-exact squared-deviation
 # predicate over per-type day cells — the volume-anomaly screen

@@ -120,8 +120,10 @@ EXTENSION_ORACLE_QUERIES = [
     "event_type_bursts",
     "neyman_allocation",
     "k_anonymity_audit",
-    # round-12: the audit's apply side
+    # round-12: the audit's apply side + hybrid retrieval fusion
     "k_anonymity_enforce",
+    "rrf_hybrid_topk",
+    "l_diversity_audit",
 ]
 
 

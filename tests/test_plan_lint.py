@@ -27,6 +27,11 @@ BNLJ_ALLOWED = {
                           "vectors broadcast against the corpus (band "
                           "filter below the rank window; all-anchors "
                           "mining composes over ann_lsh_pairs instead)",
+    "rrf_hybrid_topk": "the knn_cosine_topk shape (Q fixed query vectors "
+                       "broadcast against the corpus) on the semantic "
+                       "leg plus bm25's ONE-ROW (n, avgdl) scalar side "
+                       "on the lexical leg; the fusion itself joins two "
+                       "|queries|*topk tables hash-wise",
     "neyman_allocation": "two ONE-ROW scalar sides (total weight, total "
                          "base allocation) broadcast against the "
                          "|strata|-row table — the scalar-subquery "

@@ -449,6 +449,77 @@ def test_decorrelated_customer_names_linear_linkage(spark):
     assert v4 <= 4.5 * v1
 
 
+def test_l_diversity_hand_case(spark):
+    """Distinct l-diversity by hand (l=2): a cell whose rows all share
+    one event_type violates even with many users (the disclosure
+    k-anonymity misses); a two-type cell passes."""
+    from bigdata_hwk_spark.operators import privacy as PV
+
+    rows = []
+    # day 0, bucket 0: 4 rows, all type "a" → violates l=2
+    rows += [(0, "a", u, 1.0) for u in range(4)]
+    # day 0, bucket 2: types a+b → diverse
+    rows += [(0, "a", 1, 25.0), (0, "b", 2, 25.0)]
+    # day 1, bucket 0: single row single type → violates
+    rows += [(1, "b", 9, 1.0)]
+    ev = _mk_events(spark, rows)
+    got = {
+        r.day: (r.n_cells, r.n_violating_cells, r.n_rows, r.n_rows_at_risk)
+        for r in PV.l_diversity_audit(ev, l_min=2).collect()
+    }
+    assert got == {0: (2, 1, 6, 4), 1: (1, 1, 1, 1)}
+
+
+def test_rrf_hybrid_fusion_hand_case(spark):
+    """RRF by hand: a document ranked 2nd by BOTH systems must beat one
+    ranked 1st by a single system (2/(c+2) > 1/(c+1) at c=60), and
+    single-system documents carry a NULL rank on the absent side."""
+    from bigdata_hwk_spark.operators import retrieval as RV
+
+    # lexical corpus: doc 10 is the clear bm25 winner for "alpha beta"
+    # (both terms, short), doc 20 has one term, doc 30 has both terms in
+    # a longer doc (rank 2 lexically); doc 40 is lexical noise
+    docs = spark.createDataFrame(
+        [
+            (10, "alpha beta"),
+            (20, "alpha gamma delta epsilon"),
+            (30, "alpha beta filler filler filler"),
+            (40, "zeta eta theta"),
+        ],
+        "doc_id bigint, text string",
+    )
+    # semantic corpus: query vec_id=1; doc 30 is the closest corpus
+    # vector after the query itself... keep it simple: 30 close, 40
+    # exact-duplicate direction (rank 1), 10/20 orthogonal-ish
+    embs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (10, [0.0, 1.0]),
+            (20, [0.1, 1.0]),
+            (30, [0.9, 0.2]),
+            (40, [1.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {
+        (r.query_id, r.rnk): (r.doc_id, r.lex_rnk, r.sem_rnk)
+        for r in RV.rrf_hybrid_topk(
+            docs, embs, queries=[(1, "alpha beta")], topk=3
+        ).collect()
+    }
+    # semantic ranking for query 1: 1 (self, cos 1.0), 40 (cos 1.0 —
+    # tie broken by id: doc 1 first), 30; lexical: 10, 30
+    # doc 30: lex 2 + sem 3 → 1/62 + 1/63 = .032003
+    # doc 1 (self vec): sem 1 → 1/61 = .016393
+    # doc 40: sem 2 → 1/62 = .016129 ; doc 10: lex 1 → 1/61 = .016393
+    assert got[(1, 1)][0] == 30
+    assert got[(1, 1)][1] == 2 and got[(1, 1)][2] == 3
+    # tie at .016393 between doc 1 (sem-only) and doc 10 (lex-only):
+    # doc_id ascending
+    assert got[(1, 2)] == (1, None, 1)
+    assert got[(1, 3)] == (10, 1, None)
+
+
 def test_burst_fixture_rows_unchanged_by_promotion(spark):
     """The promotion is value-neutral at fixture scale: the hand case
     from test_event_type_bursts_hand_case still holds bit-for-bit."""
