@@ -20,9 +20,14 @@ the per-round discipline:
   — so it can never go stale (round-8 ADVICE).
 
 The variance band is taken from the measured run-to-run spread in
-``BENCH_REGRESSION_NOTES_r07.json`` (same-session A/B repeats showed
-~±0.2-0.25s swings on 1.5-3s queries, i.e. ~10-15%): a delta inside the
-band is noise by measurement, not by assertion.
+``VARIANCE_BAND_r12.json`` (scripts/variance_band_ab.py: 3 full
+fresh-JVM bench.py subset runs over a 10-query sample at sf0.1 — the
+SAME methodology the round details are produced under; max observed
+spread 0.965 s / 26.8%, padded ×1.25). Wider than the retired r07
+one-JVM band (±0.25 s / 15%) because isolation re-pays JIT and cache
+state per batch — that spread is real, so flagging tighter than it
+would manufacture regressions out of noise. A delta inside the band is
+noise by measurement, not by assertion.
 
 Usage: python scripts/bench_diff.py [prev.json cur.json] [--round N]
 
@@ -39,8 +44,8 @@ import json
 import os
 import re
 
-VARIANCE_ABS_SEC = 0.25
-VARIANCE_REL = 0.15
+VARIANCE_ABS_SEC = 1.206
+VARIANCE_REL = 0.339
 
 
 def _repo_dir() -> str:
@@ -245,7 +250,10 @@ def main() -> None:
         "variance_band": {
             "abs_sec": VARIANCE_ABS_SEC,
             "rel": VARIANCE_REL,
-            "source": "same-session A/B repeats in BENCH_REGRESSION_NOTES_r07.json",
+            "source": (
+                "same-methodology fresh-JVM repeats in "
+                "VARIANCE_BAND_r12.json (scripts/variance_band_ab.py)"
+            ),
         },
         "watchlist": watch,
         "flagged_outside_band": flagged,
