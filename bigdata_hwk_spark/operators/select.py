@@ -38,11 +38,19 @@ and job scheduling dominate, hiding exact's per-round full-aggregate
 cost), and the replicated fixture is lazy's adversarial case (every
 gain is a ≥64-way tie across alphabet-permuted replica twins, so
 strict dominance recomputes whole tie classes — degrading soundly to
-exact rounds, never to a wrong trace). The lazy win needs
-differentiated gains and a document count where exact's per-round
-O(|docs|)-group shuffle dominates — the billion-doc regime, where the
-``index_dir`` doc-pruned parquet artifact also makes recompute I/O
-candidate-proportional.
+exact rounds, never to a wrong trace).
+
+Measured WORK asymmetry (SCALE_STRESS ``coverage_bytes_axis``, 64×,
+Spark task metrics with bit-identical traces asserted): exact greedy's
+per-round marginal is EXACTLY corpus-linear — 2.80 GB input +
+3.21 MB shuffle per round (input bytes 5.6 GB at k=2 → 28.0 GB at
+k=10) — while lazy+``index_dir`` reads 116.9 MB/round (24× less, the
+pushed-down ``In(doc_id)`` row-group pruning) and shuffles
+14.9 KB/round (215× less), measured under the tie-adversarial worst
+case. The wall-clock crossover still needs a document count where
+those bytes dominate scheduling (~millions of docs, past this box's
+fixture); ``greedy_coverage_select`` therefore keeps exact as the
+default below ``COVERAGE_LAZY_GATE_K``.
 
 Determinism: gains are exact integer counts; ties break by doc_id; the
 greedy trace is therefore bit-identical under any layout — pinned by an

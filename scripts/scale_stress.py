@@ -489,7 +489,12 @@ SECOND_DECADE_ANNOTATIONS = {
         "the 64x dir). The lazy path's saving targets exact's per-round "
         "O(|docs|)-group gain shuffle — invisible below ~millions of "
         "docs; greedy_coverage_select therefore keeps exact as the "
-        "default below COVERAGE_LAZY_GATE_K."
+        "default below COVERAGE_LAZY_GATE_K. The r12 coverage_bytes_axis "
+        "section measures the per-round WORK asymmetry the walls hide: "
+        "exact 2.80 GB input + 3.21 MB shuffle per round (exactly "
+        "corpus-linear) vs lazy+index_dir 116.9 MB + 14.9 KB — 24x/215x "
+        "less, under lazy's tie-adversarial worst case, traces "
+        "bit-identical."
     ),
     "fuzzy_link_summary_ed2": (
         "match-volume physics of the replication transform, not an "
