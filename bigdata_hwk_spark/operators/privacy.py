@@ -321,7 +321,15 @@ def l_diversity_audit(events: DataFrame, l_min: int = L_DIVERSE) -> DataFrame:
     cells (calendar×buckets×alphabet-bounded), a cell-level census, one
     per-day fold. Nothing corpus-sized shuffles twice.
     """
-    tri = (
+    return l_census_from_type_cells(qi_type_cells(events), l_min=l_min)
+
+
+def qi_type_cells(events: DataFrame) -> DataFrame:
+    """(day, bucket, event_type, n_rows): the sensitive-attribute cell
+    fold. FULLY ADDITIVE across row subsets (row counts, no distincts) —
+    so the streaming monitor's accumulated state is exact under any
+    chunking, unlike the k-audit's per-user table."""
+    return (
         events.filter(F.col("value").isNotNull())
         .select(
             F.floor(F.col("ts").cast("long") / 86400)
@@ -340,6 +348,13 @@ def l_diversity_audit(events: DataFrame, l_min: int = L_DIVERSE) -> DataFrame:
         .groupBy("day", "bucket", "event_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     )
+
+
+def l_census_from_type_cells(
+    tri: DataFrame, l_min: int = L_DIVERSE
+) -> DataFrame:
+    """The scoring leg over the (day, bucket, event_type) cell table —
+    shared verbatim by the batch audit and the streaming monitor."""
     cells = tri.groupBy("day", "bucket").agg(
         F.sum("n_rows").cast("bigint").alias("n_rows"),
         F.count(F.lit(1)).cast("bigint").alias("n_sensitive"),

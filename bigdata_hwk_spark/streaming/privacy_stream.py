@@ -166,3 +166,53 @@ def run_k_anonymity_monitor_stream(
     if late_days is None:
         return census_from_user_cells(state["open"], k=k)
     return privacy_monitor_census(state, k=k)
+
+
+def run_l_diversity_monitor_stream(
+    spark: SparkSession,
+    source_dir: str,
+    l_min: int | None = None,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming l-diversity monitor — the deployment form of
+    ``l_diversity_audit``. Unlike the k-monitor, the state here is the
+    (day, bucket, event_type, n_rows) cell table, which is FULLY
+    ADDITIVE (row counts, no distincts): per-batch folds merge with a
+    sum and the accumulated census is bit-equal to the batch audit
+    under ANY chunking, with no watermark needed — the state is
+    calendar×buckets×alphabet-bounded by construction, never
+    user-scaled. Driver traffic per batch: none."""
+    from ..operators.privacy import (
+        L_DIVERSE,
+        l_census_from_type_cells,
+        qi_type_cells,
+    )
+    from .cdc_stream import EVENTS_STREAM_SCHEMA
+
+    if l_min is None:
+        l_min = L_DIVERSE
+    tri_schema = "day bigint, bucket int, event_type string, n_rows bigint"
+    state = {"tri": spark.createDataFrame([], tri_schema)}
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        state["tri"] = (
+            state["tri"]
+            .union(qi_type_cells(batch_df).select(
+                "day", "bucket", "event_type", "n_rows"
+            ))
+            .groupBy("day", "bucket", "event_type")
+            .agg(F.sum("n_rows").cast("bigint").alias("n_rows"))
+            .localCheckpoint()
+        )
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    query = stream.writeStream.foreachBatch(process_batch).start()
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return l_census_from_type_cells(state["tri"], l_min=l_min)

@@ -470,6 +470,33 @@ def test_l_diversity_hand_case(spark):
     assert got == {0: (2, 1, 6, 4), 1: (1, 1, 1, 1)}
 
 
+def test_l_diversity_monitor_stream_equals_batch(spark, tmp_path):
+    """The streaming l-diversity monitor's state is the fully-additive
+    (day, bucket, type) cell table — the accumulated census must be
+    bit-equal to the batch audit under day-chunked replay."""
+    from bigdata_hwk_spark.operators import privacy as PV
+    from bigdata_hwk_spark.sources.tables import load_table
+    from bigdata_hwk_spark.streaming.cdc_stream import chunk_events_by_day
+    from bigdata_hwk_spark.streaming.privacy_stream import (
+        run_l_diversity_monitor_stream,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    want = {
+        r.day: tuple(r) for r in PV.l_diversity_audit(events).collect()
+    }
+    assert len(want) > 3
+    n = chunk_events_by_day(events, str(tmp_path / "days"))
+    assert n > 3
+    got = {
+        r.day: tuple(r)
+        for r in run_l_diversity_monitor_stream(
+            spark, str(tmp_path / "days")
+        ).collect()
+    }
+    assert got == want
+
+
 def test_rrf_hybrid_fusion_hand_case(spark):
     """RRF by hand: a document ranked 2nd by BOTH systems must beat one
     ranked 1st by a single system (2/(c+2) > 1/(c+1) at c=60), and
