@@ -145,6 +145,124 @@ FROM per GROUP BY 1
 FUZZY_LINK_SUMMARY_SQL = fuzzy_link_summary_sql(1)
 
 
+def linkage_blocking_metrics(customer: DataFrame) -> DataFrame:
+    """One row (n_records, n_key_collisions, n_candidate_pairs,
+    n_verified_pairs, reduction_ratio, pair_completeness): the standard
+    blocking-quality evaluation for entity resolution (Christen 2012 —
+    public) applied to the depth-1 deletion blocker:
+
+      * reduction_ratio = 1 − candidates / (n_dirty · n_canonical) —
+        how much of the quadratic comparison space the blocker prunes
+        (the quantity the SCALE_STRESS linkage annotations measure via
+        the key-histogram join, promoted to a first-class report);
+      * pair_completeness = found true pairs / all true pairs — the
+        blocker's recall. Ground truth here is the self pairs: every
+        dirty record is at ed=1 from its own canonical row BY
+        DERIVATION, so completeness < 1.0 would mean the deletion
+        neighborhood dropped a real match (the losslessness the oracle
+        equality proves pairwise, stated as a single auditable number);
+      * n_key_collisions (raw shared-key join rows — what the blocker
+        PAYS) vs n_candidate_pairs (distinct pairs — what the verifier
+        sees): their ratio is the duplicate-key overhead.
+
+    Exactness: all counts exact BIGINTs; the two ratios are single
+    divisions rounded to 6.
+
+    Scale shape: the same explode → key equi-join as the linkage itself,
+    folded to ONE row by map-side-combined aggregates; the distinct pair
+    set is the one real shuffle (8-byte id pairs only).
+    """
+    dirty = customer.select(
+        F.col("c_custkey").alias("dirty_id"),
+        F.expr(_DIRTY_EXPR).alias("dirty_name"),
+    )
+    dkeys = _with_keys(dirty, "dirty_name", 1)
+    ckeys = _with_keys(customer.select("c_custkey", "c_name"), "c_name", 1)
+    joined = dkeys.join(ckeys, "bkey")
+    pairs = (
+        joined.select(
+            "dirty_id",
+            "c_custkey",
+            (F.levenshtein("dirty_name", "c_name") <= 1).alias("ok"),
+        )
+        .groupBy("dirty_id", "c_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.max(F.col("ok").cast("int")).alias("ok"),
+        )
+    )
+    n = customer.count()
+    agg = pairs.agg(
+        F.sum("n_keys").cast("bigint").alias("n_key_collisions"),
+        F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
+        F.sum("ok").cast("bigint").alias("n_verified_pairs"),
+        F.sum(
+            F.when(F.col("dirty_id") == F.col("c_custkey"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_self_found"),
+    )
+    return agg.select(
+        F.lit(n).cast("bigint").alias("n_records"),
+        "n_key_collisions",
+        "n_candidate_pairs",
+        "n_verified_pairs",
+        F.round(
+            F.lit(1.0)
+            - F.col("n_candidate_pairs")
+            / (F.lit(n).cast("double") * F.lit(n)),
+            6,
+        ).alias("reduction_ratio"),
+        F.round(
+            F.col("n_self_found") / F.lit(n).cast("double"), 6
+        ).alias("pair_completeness"),
+    )
+
+
+def linkage_blocking_metrics_sql() -> str:
+    """Oracle: the identical deletion-key generation (DuckDB list
+    comprehension), shared-key join, verify flag, and ratios."""
+    keys = (
+        "list_distinct(list_append("
+        "list_transform(range(1, length({s}) + 1), "
+        "i -> substr({s}, 1, i - 1) || substr({s}, i + 1)), {s}))"
+    )
+    return f"""
+WITH cust AS (SELECT c_custkey, c_name FROM customer),
+dirty AS (
+  SELECT c_custkey AS dirty_id,
+         substr(c_name, 1, c_custkey % length(c_name)) ||
+         substr(c_name, (c_custkey % length(c_name)) + 2) AS dirty_name
+  FROM cust),
+dkeys AS (
+  SELECT dirty_id, dirty_name,
+         unnest({keys.format(s="dirty_name")}) AS bkey
+  FROM dirty),
+ckeys AS (
+  SELECT c_custkey, c_name,
+         unnest({keys.format(s="c_name")}) AS bkey
+  FROM cust),
+pairs AS (
+  SELECT dirty_id, c_custkey,
+         count(*) AS n_keys,
+         max(CASE WHEN levenshtein(dirty_name, c_name) <= 1
+                  THEN 1 ELSE 0 END) AS ok
+  FROM dkeys JOIN ckeys USING (bkey)
+  GROUP BY 1, 2),
+n AS (SELECT count(*) AS n FROM cust)
+SELECT CAST(n.n AS BIGINT) AS n_records,
+       CAST(sum(n_keys) AS BIGINT) AS n_key_collisions,
+       CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+       CAST(sum(ok) AS BIGINT) AS n_verified_pairs,
+       round(1.0 - count(*) / (CAST(n.n AS DOUBLE) * n.n), 6)
+         AS reduction_ratio,
+       round(sum(CASE WHEN dirty_id = c_custkey THEN 1 ELSE 0 END)
+             / CAST(n.n AS DOUBLE), 6) AS pair_completeness
+FROM pairs CROSS JOIN n
+GROUP BY n.n
+"""
+
+
 # ---------------------------------------------------------------------------
 # URL canonicalization (crawl-record linkage)
 # ---------------------------------------------------------------------------

@@ -2113,6 +2113,15 @@ register(
     ),
     LK.FUZZY_LINK_SUMMARY_SQL,
 )
+# Blocking-quality report: reduction ratio / pair completeness / key
+# overhead of the depth-1 deletion blocker (Christen 2012)
+register(
+    "linkage_blocking_metrics",
+    lambda spark, sf: LK.linkage_blocking_metrics(
+        load_table(spark, sf, "customer")
+    ),
+    LK.linkage_blocking_metrics_sql(),
+)
 # ed≤2 variant: depth-2 deletion neighborhoods (the published SymSpell
 # recipe); same lossless-blocking proof at the wider radius. The registry
 # row runs on a custkey-modulus SUBSET (the triangle/pagerank guard):

@@ -124,6 +124,7 @@ EXTENSION_ORACLE_QUERIES = [
     "k_anonymity_enforce",
     "rrf_hybrid_topk",
     "l_diversity_audit",
+    "linkage_blocking_metrics",
 ]
 
 

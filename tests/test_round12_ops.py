@@ -470,6 +470,36 @@ def test_l_diversity_hand_case(spark):
     assert got == {0: (2, 1, 6, 4), 1: (1, 1, 1, 1)}
 
 
+def test_linkage_blocking_metrics_hand_case(spark):
+    """Blocking metrics on a 3-record planted set, every count checked
+    by hand; completeness 1.0 is the blocking-recall invariant."""
+    from bigdata_hwk_spark.operators import linkage as LK
+
+    # names chosen so keys collide across exactly one non-self pair:
+    # "ab" and "abc" share key "ab" (deletion of c). custkey mod len
+    # derivation: 1 % 2 = 1 -> "a"; 2 % 3 = 2 -> "ab"; 9 % 4 = 1 -> "bxcd"?
+    cust = spark.createDataFrame(
+        [(1, "ab"), (2, "abc"), (9, "wxyz")],
+        "c_custkey bigint, c_name string",
+    )
+    r = LK.linkage_blocking_metrics(cust).collect()[0]
+    # dirty names: 1->"a" (del pos 1), 2->"ab" (del pos 2), 9->"wyz"
+    # keys(dirty 1:"a") = {"a", ""}; keys(c 1:"ab") = {"ab","b","a"}
+    # candidate pairs: (1,1) via "a"; (2,1) via dirty "ab" keys
+    # {"ab","b","a"} vs cust1 {"ab","b","a"} (3 shared keys) and vs
+    # cust2 "abc" keys {"abc","bc","ac","ab"} via "ab"; (1,2)? dirty
+    # "a" keys {"a",""} vs cust2 keys -> none; (9,9) via "wyz".
+    assert r.n_records == 3
+    assert r.pair_completeness == 1.0  # every self pair found
+    got_pairs = r.n_candidate_pairs
+    # pairs: (1,1), (2,1), (2,2), (9,9) = 4
+    assert got_pairs == 4
+    # verified: (1,1) ed("a","ab")=1 ok; (2,1) ed("ab","ab")=0 ok;
+    # (2,2) ed("ab","abc")=1 ok; (9,9) ed("wyz","wxyz")=1 ok
+    assert r.n_verified_pairs == 4
+    assert r.reduction_ratio == round(1 - 4 / 9, 6)
+
+
 def test_l_diversity_monitor_stream_equals_batch(spark, tmp_path):
     """The streaming l-diversity monitor's state is the fully-additive
     (day, bucket, type) cell table — the accumulated census must be
