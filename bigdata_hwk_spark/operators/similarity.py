@@ -2159,3 +2159,125 @@ def cluster_balanced_counts(
         )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified reranking
+# ---------------------------------------------------------------------------
+
+MMR_LAMBDA = 0.7
+MMR_POOL = 32
+
+
+def mmr_rerank_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    pool: int = MMR_POOL,
+    lam: float = MMR_LAMBDA,
+) -> DataFrame:
+    """(query_id, doc_id, relevance, mmr_score, rnk): Maximal Marginal
+    Relevance reranking (Carbonell & Goldstein 1998 — public): from each
+    query's top-``pool`` cosine candidates, pick ``k`` iteratively by
+
+        argmax_d  lam * sim(q, d) - (1 - lam) * max_{s in S} sim(d, s)
+
+    so every next pick trades relevance against redundancy with the
+    already-selected set S — the standard de-duplicating reranker a RAG
+    stack runs after retrieval (near-identical chunks waste context).
+
+    Determinism: all similarities are rounded to 6 BEFORE selection and
+    ties break by doc_id, so the selection trace is engine- and
+    layout-independent. First pick is always the relevance argmax.
+
+    Scale shape: candidate generation is the broadcast-queries corpus
+    scan + per-query top-``pool`` window (the knn plan); the selection
+    needs pairwise sims WITHIN each pool only — ``n_queries·pool²``
+    bounded rows — computed distributed (pool self-join keyed by query)
+    and collected as one ``n_queries·pool·(pool+1)`` table; the MMR loop
+    itself is O(q·k·pool) driver arithmetic on that bounded table (the
+    SequentialFFT driver-step precedent). The corpus never reaches the
+    driver.
+
+    Iterative argmax is not SQL-expressible — rows-only registry entry
+    (property- and hand-case-tested like the other iterative ops).
+    """
+    spark = embeddings.sparkSession
+    emb = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).filter(_dot(F.col("v"), F.col("v")) > 0)
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.round(_cosine(F.col("qv"), F.col("v")), 6).alias("rel"),
+            "v",
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("doc_id").asc()
+    )
+    cands = (
+        scored.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= pool)
+        .select("query_id", "doc_id", "rel", "v")
+        .localCheckpoint()
+    )
+    # pairwise sims within each pool: n_queries * pool^2 rows, bounded
+    a = cands.select("query_id", F.col("doc_id").alias("da"), F.col("v").alias("va"))
+    b = cands.select("query_id", F.col("doc_id").alias("db"), F.col("v").alias("vb"))
+    pair_rows = (
+        a.join(b, "query_id")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            "query_id",
+            "da",
+            "db",
+            F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("s"),
+        )
+        .collect()
+    )
+    rel_rows = cands.select("query_id", "doc_id", "rel").collect()
+
+    sims: dict[tuple[int, int, int], float] = {}
+    for r in pair_rows:
+        sims[(int(r.query_id), int(r.da), int(r.db))] = float(r.s)
+
+    def sim(q: int, x: int, y: int) -> float:
+        if x == y:
+            return 1.0
+        key = (q, min(x, y), max(x, y))
+        return sims.get(key, 0.0)
+
+    rels: dict[int, dict[int, float]] = {}
+    for r in rel_rows:
+        rels.setdefault(int(r.query_id), {})[int(r.doc_id)] = float(r.rel)
+
+    out = []
+    for q, pool_rels in sorted(rels.items()):
+        selected: list[int] = []
+        remaining = dict(pool_rels)
+        for i in range(1, min(k, len(pool_rels)) + 1):
+            best = None
+            for d, rel in remaining.items():
+                red = max(
+                    (sim(q, d, s) for s in selected), default=0.0
+                )
+                score = round(lam * rel - (1.0 - lam) * red, 6)
+                cand = (-score, d)
+                if best is None or cand < best:
+                    best = cand
+                    best_score, best_doc, best_rel = score, d, rel
+            selected.append(best_doc)
+            del remaining[best_doc]
+            out.append((q, best_doc, best_rel, best_score, i))
+    return spark.createDataFrame(
+        out,
+        "query_id bigint, doc_id bigint, relevance double, "
+        "mmr_score double, rnk int",
+    )

@@ -1768,6 +1768,14 @@ register(
     lambda spark, sf: RV.rrf_hybrid_topk(_docs(spark, sf), _embs(spark, sf)),
     RV.rrf_hybrid_topk_sql(),
 )
+# MMR diversified reranking (Carbonell & Goldstein 1998): iterative
+# relevance-vs-redundancy argmax over the per-query candidate pool —
+# sequential selection, not SQL-expressible (rows-only; hand-case and
+# lam=1-reduces-to-cosine property tests)
+register(
+    "mmr_rerank_topk",
+    lambda spark, sf: SIM.mmr_rerank_topk(_embs(spark, sf)),
+)
 # Asymmetric shingle containment (quote/subset detection) — shares the
 # per-(session, corpus) persisted shingle index with the Jaccard family
 register(
