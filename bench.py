@@ -7,6 +7,17 @@ next to this script instead):
   {"metric": ..., "value": total_sec, "unit": "sec", "sf": sf,
    "n_queries": N, "queries": {top-5 slowest only}, "mrfft_*_ms": ...}
 
+KNOWN SENSITIVITY (measured r12, BENCH_REGRESSION_NOTES_r12
+``flag_adjudication``): per-query walls remain sensitive to BATCH
+COMPOSITION — which 15 neighbors share the JVM still moves some walls
+2-3× in either direction through JIT/codegen state and shared-memo
+availability, even though the per-query cache state is equalized.
+Registry growth shifts membership for every later query, so cross-round
+per-query deltas should be read against the variance band
+(VARIANCE_BAND_r12.json) and adjudicated with single-query fresh-JVM
+floors when flagged; suite TOTALS and the canary are stable (r11→r12
+median_shift 1.006).
+
 ISOLATION (round-10 VERDICT item 1): the one-JVM suite measurably
 contaminated its own per-query walls as it grew — the 135 queries shared
 between r9 and r10 inflated +22.8 % on untouched code, and regressions
