@@ -426,23 +426,37 @@ def assert_symmetric_sample(edges: DataFrame, sample_n: int = 64) -> None:
     undirected list silently undercount degrees or miss seeds. Sound
     (never trips on a truly symmetric list) but sampled, not complete —
     it catches the systematic mistake (a whole list built one-direction),
-    which is the only way real callers get this wrong. Cost: one
-    ``sample_n``-row broadcast anti-join probe."""
-    sample = edges.select("src", "dst").limit(sample_n)
-    swapped = sample.select(
-        F.col("dst").alias("src"), F.col("src").alias("dst")
+    which is the only way real callers get this wrong. Cost: one scan of
+    the edge table semi-joined against the BROADCAST swapped sample —
+    the broadcast must be the small side: a left-anti with the full
+    edge table on the build side would shuffle/sort every edge to check
+    64 pairs (measured as most of hop_distances' +0.85s r12 wall)."""
+    sample = edges.select("src", "dst").limit(sample_n).collect()
+    # dedupe driver-side: a multigraph edge list may repeat pairs, and a
+    # repeated sample row must not read as a missing reverse
+    swapped_pairs = {(r.dst, r.src) for r in sample}
+    if not swapped_pairs:
+        return
+    spark = edges.sparkSession
+    swapped = spark.createDataFrame(
+        sorted(swapped_pairs), edges.select("src", "dst").schema
     )
-    missing = (
-        swapped.join(edges.select("src", "dst"), ["src", "dst"], "left_anti")
-        .limit(1)
+    found = (
+        edges.select("src", "dst")
+        .join(F.broadcast(swapped), ["src", "dst"], "semi")
+        .distinct()
         .collect()
     )
-    if missing:
-        r = missing[0]
+    if len(found) < len(swapped_pairs):
+        found_set = {(r.src, r.dst) for r in found}
+        missing = next(
+            p for p in sorted(swapped_pairs) if p not in found_set
+        )
         raise ValueError(
-            f"edge list is not symmetric: ({r.dst}, {r.src}) is present "
-            f"but its reverse ({r.src}, {r.dst}) is missing — union the "
-            "swapped edges and distinct first (see copurchase_edges)"
+            f"edge list is not symmetric: ({missing[1]}, {missing[0]}) is "
+            f"present but its reverse ({missing[0]}, {missing[1]}) is "
+            "missing — union the swapped edges and distinct first (see "
+            "copurchase_edges)"
         )
 
 

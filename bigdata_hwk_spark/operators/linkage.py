@@ -172,6 +172,17 @@ def linkage_blocking_metrics(customer: DataFrame) -> DataFrame:
     folded to ONE row by map-side-combined aggregates; the distinct pair
     set is the one real shuffle (8-byte id pairs only).
     """
+    spark = customer.sparkSession
+    n = customer.count()
+    if n == 0:
+        # mirror the oracle's GROUP BY, which yields zero rows on an
+        # empty table (and the ratios would be 0/0 anyway)
+        return spark.createDataFrame(
+            [],
+            "n_records bigint, n_key_collisions bigint, "
+            "n_candidate_pairs bigint, n_verified_pairs bigint, "
+            "reduction_ratio double, pair_completeness double",
+        )
     dirty = customer.select(
         F.col("c_custkey").alias("dirty_id"),
         F.expr(_DIRTY_EXPR).alias("dirty_name"),
@@ -191,7 +202,6 @@ def linkage_blocking_metrics(customer: DataFrame) -> DataFrame:
             F.max(F.col("ok").cast("int")).alias("ok"),
         )
     )
-    n = customer.count()
     agg = pairs.agg(
         F.sum("n_keys").cast("bigint").alias("n_key_collisions"),
         F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),

@@ -141,21 +141,21 @@ def bm25_topk(
     )
 
 
-def bm25_topk_sql(
+def bm25_scoring_ctes(
     queries: list[tuple[int, str]] = BM25_QUERIES,
     k1: float = BM25_K1,
     b: float = BM25_B,
-    topk: int = BM25_TOPK,
 ) -> str:
-    """DuckDB twin: identical tokenization, identical double arithmetic,
-    identical round-before-rank."""
+    """The BM25 scoring CTE chain (toks/tf/df/stats/q/scores) as a SQL
+    fragment — shared verbatim by ``bm25_topk_sql`` and
+    ``rrf_hybrid_topk_sql`` so a scoring fix can never reach one oracle
+    and miss the other (the ``bursts_scoring_sql`` factoring device)."""
     q_values = ", ".join(
         f"({qid}, '{term}')"
         for qid, qtext in queries
         for term in qtext.split(" ")
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, len(string_split(text, ' ')) AS dl,
          unnest(string_split(text, ' ')) AS term
   FROM documents),
@@ -179,7 +179,19 @@ scores AS (
   JOIN tf USING (term)
   JOIN df USING (term)
   CROSS JOIN stats s
-  GROUP BY q.query_id, tf.doc_id),
+  GROUP BY q.query_id, tf.doc_id)"""
+
+
+def bm25_topk_sql(
+    queries: list[tuple[int, str]] = BM25_QUERIES,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    topk: int = BM25_TOPK,
+) -> str:
+    """DuckDB twin: identical tokenization, identical double arithmetic,
+    identical round-before-rank."""
+    return f"""
+WITH {bm25_scoring_ctes(queries, k1, b)},
 ranked AS (
   SELECT query_id, doc_id, score,
          row_number() OVER (
@@ -434,40 +446,11 @@ def rrf_hybrid_topk_sql(
     topk: int = BM25_TOPK,
     c: int = RRF_C,
 ) -> str:
-    """Oracle: bm25_topk_sql's CTE chain + the identical round-before-
-    rank cosine leg + the same fixed two-term fusion."""
-    q_values = ", ".join(
-        f"({qid}, '{term}')"
-        for qid, qtext in queries
-        for term in qtext.split(" ")
-    )
+    """Oracle: the SHARED ``bm25_scoring_ctes`` fragment + the identical
+    round-before-rank cosine leg + the same fixed two-term fusion."""
     qid_list = ", ".join(str(qid) for qid, _ in queries)
     return f"""
-WITH toks AS (
-  SELECT doc_id, len(string_split(text, ' ')) AS dl,
-         unnest(string_split(text, ' ')) AS term
-  FROM documents),
-tf AS (
-  SELECT doc_id, term, min(dl) AS dl, count(*) AS tf
-  FROM toks GROUP BY doc_id, term),
-df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-stats AS (
-  SELECT count(*)::DOUBLE AS n,
-         avg(len(string_split(text, ' '))) AS avgdl
-  FROM documents),
-q(query_id, term) AS (VALUES {q_values}),
-scores AS (
-  SELECT q.query_id, tf.doc_id,
-         round(sum(
-           ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
-           * (tf.tf * {k1 + 1.0!r})
-             / (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} * tf.dl / s.avgdl))
-         ), 6) AS score
-  FROM q
-  JOIN tf USING (term)
-  JOIN df USING (term)
-  CROSS JOIN stats s
-  GROUP BY q.query_id, tf.doc_id),
+WITH {bm25_scoring_ctes(queries, k1, b)},
 lex AS (
   SELECT query_id, doc_id, rnk AS lex_rnk FROM (
     SELECT query_id, doc_id, score,

@@ -91,9 +91,13 @@ def fold_privacy_batch(
         .union(batch_uc)
         .groupBy("event_type", "day", "bucket", "user_id")
         .agg(F.sum("n_rows").cast("bigint").alias("n_rows"))
+        # checkpoint ONCE before the open/closed split: both filtered
+        # children read these blocks, so the merge shuffle (and the
+        # batch's qi fold inside it) runs once per batch, not twice
+        .localCheckpoint()
     )
     if late_days is None:
-        state["open"] = merged.localCheckpoint()
+        state["open"] = merged
         return
     cutoff = state["max_day"] - late_days
     closing = merged.filter(F.col("day") <= cutoff)
@@ -102,7 +106,7 @@ def fold_privacy_batch(
     state["closed"] = (
         state["closed"].union(cells_census(closing)).localCheckpoint()
     )
-    state["open"] = merged.filter(F.col("day") > cutoff).localCheckpoint()
+    state["open"] = merged.filter(F.col("day") > cutoff)
 
 
 def privacy_monitor_census(state: dict, k: int = K_ANON) -> DataFrame:

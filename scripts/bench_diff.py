@@ -22,8 +22,10 @@ the per-round discipline:
 The variance band is taken from the measured run-to-run spread in
 ``VARIANCE_BAND_r12.json`` (scripts/variance_band_ab.py: 3 full
 fresh-JVM bench.py subset runs over a 10-query sample at sf0.1 — the
-SAME methodology the round details are produced under; max observed
-spread 0.965 s / 26.8%, padded ×1.25). Wider than the retired r07
+SAME methodology the round details are produced under; the abs and rel
+maxima come from DIFFERENT queries: abs 0.965 s from
+copurchase_triangle_stats, rel 27.11% from mr_approx_cell_stats, each
+padded ×1.25 → 1.206 s / 0.339). Wider than the retired r07
 one-JVM band (±0.25 s / 15%) because isolation re-pays JIT and cache
 state per batch — that spread is real, so flagging tighter than it
 would manufacture regressions out of noise. A delta inside the band is

@@ -51,12 +51,9 @@ sys.path.insert(
 UI_PORT = 4049
 
 
-def _rest_totals(app_id: str) -> dict:
+def _rest_totals(ui_base: str, app_id: str) -> dict:
     """Cumulative task-metric totals over all completed stages."""
-    url = (
-        f"http://localhost:{UI_PORT}/api/v1/applications/{app_id}"
-        "/stages?status=complete"
-    )
+    url = f"{ui_base}/api/v1/applications/{app_id}/stages?status=complete"
     with urllib.request.urlopen(url, timeout=30) as resp:
         stages = json.load(resp)
     out = {"input_bytes": 0, "shuffle_write_bytes": 0, "n_stages": 0}
@@ -67,14 +64,14 @@ def _rest_totals(app_id: str) -> dict:
     return out
 
 
-def _phase(spark, app_id: str, fn) -> dict:
+def _phase(spark, ui_base: str, app_id: str, fn) -> dict:
     """Run ``fn`` between two REST snapshots; return metric deltas."""
     spark.catalog.clearCache()
-    before = _rest_totals(app_id)
+    before = _rest_totals(ui_base, app_id)
     t0 = time.perf_counter()
     fn()
     wall = time.perf_counter() - t0
-    after = _rest_totals(app_id)
+    after = _rest_totals(ui_base, app_id)
     return {
         "wall_sec": round(wall, 3),
         "input_bytes": after["input_bytes"] - before["input_bytes"],
@@ -87,6 +84,7 @@ def _phase(spark, app_id: str, fn) -> dict:
 
 def main() -> None:
     from bigdata_hwk_spark.operators.select import (
+        COVERAGE_LAZY_GATE_K,
         greedy_coverage_select,
         lazy_greedy_coverage_select,
     )
@@ -103,6 +101,13 @@ def main() -> None:
     )
     assert len(ks) == 2 and ks[0] < ks[1], "need two budgets k_lo < k_hi"
     k_lo, k_hi = ks
+    # above the gate greedy_coverage_select silently DELEGATES to the
+    # lazy path — the 'exact' leg would measure lazy vs lazy and corrupt
+    # the committed asymmetry evidence
+    assert k_hi <= COVERAGE_LAZY_GATE_K, (
+        f"k_hi={k_hi} exceeds COVERAGE_LAZY_GATE_K={COVERAGE_LAZY_GATE_K}: "
+        "the exact leg would auto-delegate to lazy"
+    )
 
     spark = get_spark(
         app_name="bigdata_hwk_spark-coverage-bytes",
@@ -115,6 +120,9 @@ def main() -> None:
         },
     )
     app_id = spark.sparkContext.applicationId
+    # uiWebUrl, not a hardcoded port: spark.ui.port is only a starting
+    # point — if occupied Spark binds the next free port
+    ui_base = spark.sparkContext.uiWebUrl
 
     dirn = os.path.join(work, f"x{n}")
     build_scaled_dir(spark, src, dirn, n)
@@ -124,6 +132,7 @@ def main() -> None:
     # index build measured on its own (the build-once artifact cost)
     build_metrics = _phase(
         spark,
+        ui_base,
         app_id,
         lambda: lazy_greedy_coverage_select(
             docs, k=1, index_dir=index_dir, reuse_index=False
@@ -136,6 +145,7 @@ def main() -> None:
         stats_l: dict = {}
         runs[f"lazy_k{k}"] = _phase(
             spark,
+            ui_base,
             app_id,
             lambda k=k, s=stats_l: traces.__setitem__(
                 f"lazy_k{k}",
@@ -154,6 +164,7 @@ def main() -> None:
         runs[f"lazy_k{k}"]["lazy_stats"] = stats_l
         runs[f"exact_k{k}"] = _phase(
             spark,
+            ui_base,
             app_id,
             lambda k=k: traces.__setitem__(
                 f"exact_k{k}",

@@ -470,6 +470,31 @@ def test_l_diversity_hand_case(spark):
     assert got == {0: (2, 1, 6, 4), 1: (1, 1, 1, 1)}
 
 
+def test_ansi_mode_is_on(spark):
+    """The overflow-loudness contracts (burst/Neyman DECIMAL promotion
+    docstrings: 'errors loudly under ANSI, never wraps') depend on
+    spark.sql.ansi.enabled staying true — the Spark 4 default, which
+    get_spark deliberately does not override. If this pin ever trips,
+    every 'loud overflow' claim in the repo needs re-auditing (non-ANSI
+    decimal overflow silently NULLs instead)."""
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+
+
+def test_linkage_blocking_metrics_empty_table(spark):
+    """Empty input: both engines yield ZERO rows (the oracle's GROUP BY
+    collapses; the Spark side mirrors it explicitly instead of emitting
+    a 0/0 ratio row)."""
+    import duckdb as _duck
+
+    from bigdata_hwk_spark.operators import linkage as LK
+
+    empty = spark.createDataFrame([], "c_custkey bigint, c_name string")
+    assert LK.linkage_blocking_metrics(empty).count() == 0
+    con = _duck.connect()
+    con.execute("CREATE TABLE customer (c_custkey BIGINT, c_name VARCHAR)")
+    assert con.execute(LK.linkage_blocking_metrics_sql()).fetchall() == []
+
+
 def test_mmr_rerank_hand_case_and_properties(spark):
     """MMR by hand: first pick is the relevance argmax; at lam<1 a
     near-duplicate of the first pick is deferred behind a diverse
