@@ -2273,3 +2273,98 @@ SELECT CAST(rank AS BIGINT) AS rank, left_word, right_word,
        round(ln(ratio), 6) AS pmi
 FROM ranked WHERE rank <= {k}
 """
+
+
+def quality_gate_by_source(
+    documents: DataFrame, q: float = QUALITY_GATE_Q
+) -> DataFrame:
+    """(source, n_docs, n_kept, threshold): the percentile quality gate
+    applied WITHIN each source — every source drops its own bottom-``q``
+    instead of competing on one global threshold. This is how mixed-
+    corpus curation actually gates (CCNet gates per language/dump): a
+    source whose scores run systematically low (different register,
+    different boilerplate) would otherwise be wiped out by a global
+    cutoff while an easy source sails through — normalizing per source
+    keeps the MIX a deliberate choice (``source_mix_weights``) rather
+    than a side effect of score-scale drift.
+
+    Same exact integer/value semantics as ``quality_percentile_gate``
+    (per-source k-th-smallest threshold over 6-rounded scores, kept iff
+    score ≥ t; k = max(floor(q·N_s), 1)), so the gate boundary cannot
+    flap across engines.
+
+    100 TB shape — strictly better than the global gate: the (source,
+    score) histogram is map-side combined and score-domain-bounded per
+    source, the running-count window is PARTITIONED BY SOURCE (group-
+    parallel, never the global single-task scan), and the per-source
+    thresholds broadcast back onto the histogram — the corpus is
+    touched by exactly one aggregation.
+    """
+    scores = quality_scores(documents).join(
+        documents.select("doc_id", "source"), "doc_id"
+    )
+    hist = scores.groupBy("source", "quality_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    per_src = Window.partitionBy("source")
+    cum = (
+        hist.withColumn("n", F.sum("c").over(per_src))
+        .withColumn(
+            "cum",
+            F.sum("c").over(
+                per_src.orderBy("quality_score").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+        .withColumn(
+            "k", F.greatest(F.floor(F.lit(q) * F.col("n")), F.lit(1))
+        )
+    )
+    thr = (
+        cum.filter(F.col("cum") >= F.col("k"))
+        .groupBy("source")
+        .agg(F.min("quality_score").alias("threshold"))
+    )
+    return (
+        cum.join(F.broadcast(thr), "source")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("quality_score") >= F.col("threshold"), F.col("c")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_kept"),
+            F.min("threshold").alias("threshold"),
+        )
+    )
+
+
+def quality_gate_by_source_sql(q: float = QUALITY_GATE_Q) -> str:
+    """Oracle: identical per-source histogram → running count →
+    threshold → kept census."""
+    return f"""
+WITH scores AS (
+  SELECT s.doc_id, s.quality_score, d.source
+  FROM ({QUALITY_SCORES_SQL}) s JOIN documents d USING (doc_id)),
+hist AS (SELECT source, quality_score, CAST(count(*) AS BIGINT) AS c
+         FROM scores GROUP BY 1, 2),
+cum AS (SELECT source, quality_score, c,
+               sum(c) OVER (PARTITION BY source) AS n,
+               sum(c) OVER (PARTITION BY source ORDER BY quality_score) AS cum
+        FROM hist),
+thr AS (SELECT source, min(quality_score) AS threshold
+        FROM cum
+        WHERE cum >= greatest(CAST(floor({q!r} * n) AS BIGINT), 1)
+        GROUP BY source)
+SELECT c.source,
+       CAST(sum(c.c) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN c.quality_score >= t.threshold THEN c.c
+                     ELSE 0 END) AS BIGINT) AS n_kept,
+       min(t.threshold) AS threshold
+FROM cum c JOIN thr t USING (source)
+GROUP BY c.source
+"""

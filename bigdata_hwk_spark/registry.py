@@ -895,6 +895,14 @@ register(
     lambda spark, sf: TX.quality_percentile_gate(_docs(spark, sf)),
     TX.quality_percentile_gate_sql(),
 )
+# per-source percentile gate: each source drops its own bottom-q (the
+# CCNet per-dump normalization) — windows partition by source, so the
+# plan is group-parallel where the global gate's scan is single-task
+register(
+    "quality_gate_by_source",
+    lambda spark, sf: TX.quality_gate_by_source(_docs(spark, sf)),
+    TX.quality_gate_by_source_sql(),
+)
 # corpus-self cross-entropy (CCNet-style perplexity signal, unigram
 # self-model): word hashes → frequency join → per-doc ln(total)−avg(ln c)
 register(

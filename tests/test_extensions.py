@@ -125,6 +125,7 @@ EXTENSION_ORACLE_QUERIES = [
     "rrf_hybrid_topk",
     "l_diversity_audit",
     "linkage_blocking_metrics",
+    "quality_gate_by_source",
 ]
 
 

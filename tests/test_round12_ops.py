@@ -470,6 +470,48 @@ def test_l_diversity_hand_case(spark):
     assert got == {0: (2, 1, 6, 4), 1: (1, 1, 1, 1)}
 
 
+def test_quality_gate_by_source_hand_case(spark):
+    """Per-source gating by hand: a low-scoring source keeps its own
+    top docs instead of being wiped out by the global threshold, and
+    per-source k = max(floor(q*N), 1) drops exactly the bottom share."""
+    from bigdata_hwk_spark.functions import text as TX
+
+    # source A: 4 high-quality-ish docs; source B: 4 short/repetitive
+    # docs whose scores sit far below A's — a global bottom-50% gate
+    # would drop all of B
+    docs = []
+    for i in range(4):
+        docs.append(
+            (i, "the quick brown fox jumps over the lazy dog and then "
+                "rests in the shade of a tall tree near the river " + str(i),
+             "en", "A", 100)
+        )
+    for i in range(4, 8):
+        docs.append((i, "spam spam spam spam " + "spam " * i, "en", "B", 20))
+    df = spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars int"
+    )
+    got = {
+        r.source: (r.n_docs, r.n_kept)
+        for r in TX.quality_gate_by_source(df, q=0.5).collect()
+    }
+    assert got["A"][0] == 4 and got["B"][0] == 4
+    # each source keeps its own top half (ties can keep more, never fewer)
+    assert got["A"][1] >= 2 and got["B"][1] >= 2
+    assert got["A"][1] < 4 or got["B"][1] < 4  # the gate actually drops
+
+    # contrast: the GLOBAL gate at q=0.5 under-keeps the low-scoring
+    # source (B's docs compete against A's on one threshold), while the
+    # per-source gate guarantees B keeps its own top share
+    gate = TX.quality_percentile_gate(df, q=0.5)
+    kept_b_global = (
+        gate.join(df.select("doc_id", "source"), "doc_id")
+        .filter((F.col("source") == "B") & F.col("kept"))
+        .count()
+    )
+    assert kept_b_global < got["B"][1]
+
+
 def test_ansi_mode_is_on(spark):
     """The overflow-loudness contracts (burst/Neyman DECIMAL promotion
     docstrings: 'errors loudly under ANSI, never wraps') depend on
