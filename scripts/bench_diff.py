@@ -49,6 +49,26 @@ import re
 VARIANCE_ABS_SEC = 1.206
 VARIANCE_REL = 0.339
 
+# Methodology comparison uses only the methodology-BEARING keys. The
+# isolation dict also records derived facts (``n_batches`` =
+# ceil(n_queries / batch_size)) that change whenever the registry grows
+# — r12 shipped a false ``methodology_change`` banner purely because
+# 225 vs 219 queries meant 15 vs 14 batches (VERDICT r12 item 3). Two
+# details produced under the same mode / batch size / per-query
+# discipline ARE like-for-like regardless of suite size.
+METHODOLOGY_KEYS = ("mode", "batch_size", "per_query")
+
+
+def methodology_fingerprint(iso):
+    """The methodology-bearing subset of an ``isolation`` dict.
+
+    Non-dict inputs (older details had no isolation section) pass
+    through unchanged so ``None != {...}`` still reads as a change.
+    """
+    if not isinstance(iso, dict):
+        return iso
+    return {k: iso.get(k) for k in METHODOLOGY_KEYS}
+
 
 def _repo_dir() -> str:
     return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -261,7 +281,7 @@ def main() -> None:
         "flagged_outside_band": flagged,
         "diff": diff,
     }
-    if iso_prev != iso_cur:
+    if methodology_fingerprint(iso_prev) != methodology_fingerprint(iso_cur):
         payload["methodology_change"] = (
             "the two details were produced under DIFFERENT bench "
             "methodologies (isolation params differ) — per-query deltas "
@@ -284,6 +304,10 @@ def main() -> None:
                 existing = json.load(f)
         except (OSError, ValueError):
             existing = {}
+    # the banner is authoritatively decided by THIS diff — a stale one
+    # left by a previous (pre-fingerprint-fix) run must not survive the
+    # merge when the payload omits it
+    existing.pop("methodology_change", None)
     existing.update(payload)
     with open(out_path, "w") as f:
         json.dump(existing, f, indent=1, sort_keys=True)
