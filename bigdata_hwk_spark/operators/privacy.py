@@ -120,7 +120,14 @@ def census_from_cells(cells: DataFrame, k: int = K_ANON) -> DataFrame:
 # generalization ladder (full-domain recoding, Samarati 2001 — public):
 # L0 = (day, bucket); L1 = (week, bucket); L2 = (week, coarse bucket).
 # Each step is a data-independent integer coarsening, so both engines
-# (and any two runs) generalize identically.
+# (and any two runs) generalize identically — PROVIDED day and bucket
+# are non-negative: Spark's `div` truncates toward zero while DuckDB's
+# `//` floors, so the two engines would disagree on negative operands
+# (pre-1970 day numbers). The events fixture derives day from epoch
+# timestamps (>= 0) and bucket from a non-negative modulus, and the
+# audit/enforce oracles share that domain; the same precondition is
+# documented on the Neyman/splits hash paths (splits.py). Callers with
+# pre-1970 data must shift days to a non-negative origin first.
 GEN_WEEK_DAYS = 7
 GEN_BUCKET_COARSE = 4
 GEN_MAX_LEVEL = 2

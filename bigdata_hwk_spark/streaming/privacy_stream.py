@@ -65,6 +65,11 @@ def fold_privacy_batch(
     """
     spark = batch_uc.sparkSession
     if late_days is not None:
+        # the watermark probe below and the merge union both consume
+        # batch_uc — checkpoint it first so the batch's QI fold shuffle
+        # runs once per batch (the module's contract), not once per
+        # consumer (r12 ADVICE)
+        batch_uc = batch_uc.localCheckpoint()
         probe = batch_uc.agg(
             F.min("day").alias("lo"), F.max("day").alias("hi")
         ).first()

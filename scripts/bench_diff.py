@@ -70,6 +70,49 @@ def methodology_fingerprint(iso):
     return {k: iso.get(k) for k in METHODOLOGY_KEYS}
 
 
+# Per-query band floors: a lucky tight sample (5 runs landing close)
+# must not produce a hair-trigger band that flags ordinary noise; the
+# floors are roughly the r07 one-JVM band, the tightest spread any
+# methodology here has ever measured.
+PQ_BAND_MIN_ABS = 0.25
+PQ_BAND_MIN_REL = 0.10
+
+
+def per_query_bands(repo_dir: str | None = None) -> dict[str, dict]:
+    """Per-query variance bands from the newest committed
+    VARIANCE_BAND_r*.json (r12 ADVICE: one global max band — 1.206 s /
+    33.9%, driven by the noisiest heavy queries — let real regressions
+    of up to a third of a wall pass unflagged on every cheap stable
+    query). A query measured in the variance sample gets its OWN
+    spread x1.25 (floored at PQ_BAND_MIN_*); unmeasured queries keep
+    the global band.
+    """
+    d = repo_dir or _repo_dir()
+    files = []
+    for f in os.listdir(d):
+        m = re.match(r"VARIANCE_BAND_r(\d+)\.json$", f)
+        if m:
+            files.append((int(m.group(1)), os.path.join(d, f)))
+    if not files:
+        return {}
+    _, path = max(files)
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    out = {}
+    for q, e in doc.get("queries", {}).items():
+        if "abs_spread_sec" not in e or "rel_spread" not in e:
+            continue
+        out[q] = {
+            "abs_sec": max(round(e["abs_spread_sec"] * 1.25, 3), PQ_BAND_MIN_ABS),
+            "rel": max(round(e["rel_spread"] * 1.25, 4), PQ_BAND_MIN_REL),
+            "source": os.path.basename(path),
+        }
+    return out
+
+
 def _repo_dir() -> str:
     return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -168,11 +211,19 @@ def main() -> None:
 
     ratios = [cur[q] / prev[q] for q in shared if prev[q] >= 0.5]
     median_shift = round(statistics.median(ratios), 3) if ratios else 1.0
+    pq_bands = per_query_bands()
     diff = {}
     flagged = {}
     for q in shared:
         delta = round(cur[q] - prev[q], 3)
-        band = max(VARIANCE_ABS_SEC, VARIANCE_REL * prev[q])
+        if q in pq_bands:
+            band = max(
+                pq_bands[q]["abs_sec"], pq_bands[q]["rel"] * prev[q]
+            )
+            band_source = pq_bands[q]["source"]
+        else:
+            band = max(VARIANCE_ABS_SEC, VARIANCE_REL * prev[q])
+            band_source = "global"
         norm_cur = cur[q] / median_shift
         norm_delta = round(norm_cur - prev[q], 3)
         entry = {
@@ -180,6 +231,7 @@ def main() -> None:
             "cur_sec": cur[q],
             "delta_sec": delta,
             "band_sec": round(band, 3),
+            "band_source": band_source,
             "within_band": abs(delta) <= band,
             "drift_normalized_delta_sec": norm_delta,
             "within_band_drift_normalized": abs(norm_delta) <= band,

@@ -15,7 +15,14 @@ this file cited as source — deliberate: the band is a reviewed
 methodology constant, not something a script silently moves.
 
 Box must be otherwise quiet. Env: SPARK_GRAFT_SF_DIR (default sf0.1),
-VARIANCE_RUNS (default 3), VARIANCE_QUERIES (comma list override).
+VARIANCE_RUNS (default 5 — a 3-sample max is a noisy ceiling estimate,
+r12 ADVICE), VARIANCE_QUERIES (comma list override).
+
+Since r13 the per-query spreads in this artifact are consumed directly
+by bench_diff.py: a query in the sample gets its OWN band (spread
+x1.25, floored) instead of the one global max, so cheap stable queries
+keep a tight band while the heavy noisy ones don't force a 34% blanket
+band onto everything (r12 ADVICE).
 """
 
 from __future__ import annotations
@@ -29,7 +36,11 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # the six r11 cross-methodology watchlist queries (the entries this
-# band adjudicates) + the canary + a spread of cheap/heavy shapes
+# band adjudicates) + the canary + a spread of cheap/heavy shapes.
+# The last four rows are deliberately CHEAP stable queries (scan+agg,
+# window, semi-join, pivot) — they exist to demonstrate the per-query
+# band staying tight where the heavy rows' spread is wide (r12 ADVICE:
+# one global max band let sub-second queries drift 1.2 s unflagged).
 SAMPLE = [
     "ann_pq_rerank_topk",
     "bpe_encode_stats_histogram",
@@ -41,6 +52,10 @@ SAMPLE = [
     "mr_approx_cell_stats",
     "dedup_minhash_lsh",
     "copurchase_triangle_stats",
+    "revenue_by_region",
+    "events_rolling_value",
+    "customers_without_orders",
+    "user_event_pivot",
 ]
 
 
@@ -64,7 +79,7 @@ def _one_run(sf_dir: str, names: list[str]) -> dict[str, float]:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    runs = int(os.environ.get("VARIANCE_RUNS", "3"))
+    runs = int(os.environ.get("VARIANCE_RUNS", "5"))
     names = [
         q.strip()
         for q in os.environ.get("VARIANCE_QUERIES", ",".join(SAMPLE)).split(

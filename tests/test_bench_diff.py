@@ -52,6 +52,43 @@ def test_real_methodology_changes_still_fire():
         ) != bench_diff.methodology_fingerprint(changed)
 
 
+def test_per_query_bands_pad_and_floor(tmp_path):
+    import json
+
+    doc = {
+        "queries": {
+            "noisy_heavy": {"abs_spread_sec": 0.8, "rel_spread": 0.30},
+            "tight_cheap": {"abs_spread_sec": 0.02, "rel_spread": 0.01},
+        }
+    }
+    (tmp_path / "VARIANCE_BAND_r13.json").write_text(json.dumps(doc))
+    bands = bench_diff.per_query_bands(str(tmp_path))
+    # spread x1.25 where above the floor...
+    assert bands["noisy_heavy"]["abs_sec"] == 1.0
+    assert bands["noisy_heavy"]["rel"] == 0.375
+    # ...floored where a lucky tight sample would hair-trigger
+    assert bands["tight_cheap"]["abs_sec"] == bench_diff.PQ_BAND_MIN_ABS
+    assert bands["tight_cheap"]["rel"] == bench_diff.PQ_BAND_MIN_REL
+
+
+def test_per_query_bands_newest_file_wins(tmp_path):
+    import json
+
+    for rnd, spread in ((12, 0.8), (13, 0.4)):
+        (tmp_path / f"VARIANCE_BAND_r{rnd}.json").write_text(
+            json.dumps(
+                {"queries": {"q": {"abs_spread_sec": spread, "rel_spread": 0.2}}}
+            )
+        )
+    bands = bench_diff.per_query_bands(str(tmp_path))
+    assert bands["q"]["source"] == "VARIANCE_BAND_r13.json"
+    assert bands["q"]["abs_sec"] == 0.5
+
+
+def test_per_query_bands_empty_without_artifact(tmp_path):
+    assert bench_diff.per_query_bands(str(tmp_path)) == {}
+
+
 def test_missing_isolation_section_reads_as_change():
     # pre-r11 details have no isolation dict at all; None vs a real
     # fingerprint must still register as a methodology change.
