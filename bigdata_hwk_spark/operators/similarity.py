@@ -1888,87 +1888,75 @@ def _exact_rerank(
     """Shared +R tail (Jégou, Douze & Schmid, TPAMI 2011 §V, IVFADC+R):
     re-rank a compressed-domain shortlist with EXACT distances.
 
-    The shortlist (top ~rerank_factor·k per query by ADC) is tiny —
-    n_queries × shortlist rows — so it broadcasts and the float vectors
-    are recovered by one broadcast-hash equi-join against a column-
-    pruned (vec_id, embedding) corpus scan: the corpus is read, never
-    shuffled, and only candidate rows cross into Python. Exact squared
-    L2 on normalized vectors (= 2 − 2·cos, rank-identical to cosine) is
-    integer-quantized to micro-units like the ADC sums, so the final
-    top-k window is layout-invariant with the same (dist, vec_id) tie
-    order as every ANN variant here.
+    The shortlist (top ~rerank_factor·k per query by ADC) is bounded by
+    PARAMETERS — n_queries × factor·k rows, never corpus-sized — so it
+    collects, and the float vectors for exactly those candidates (the
+    query vectors ride along in the same id set) are recovered by ONE
+    ``In(...)``-pushed-down pruned read of the column-pruned
+    (vec_id, embedding) corpus. At 100 TB that reads the row groups
+    holding a few hundred vectors instead of scanning the whole table
+    to broadcast-join it — the same In-pushdown candidate-fetch
+    precedent as ``coverage_select_topk_lazy``; at bench scale it also
+    drops the mapInPandas tail whose Python-worker startup dominated
+    the leg (r12 watchlist close-out). The rerank itself is one NumPy
+    matmul over the bounded shortlist on the driver (the sanctioned
+    bounded-collect pattern: MMR, greedy selection). Exact squared L2
+    on normalized vectors (= 2 − 2·cos, rank-identical to cosine) is
+    integer-quantized to micro-units like the ADC sums and the display
+    division stays a Spark ``F.round`` so the output is bit-identical
+    to the pre-r13 distributed tail, with the same (dist, vec_id) tie
+    order as every ANN variant here. ``n_queries`` is retained for API
+    symmetry with the ADC legs; the shortlist's query ids are
+    authoritative.
     """
     spark = embeddings.sparkSession
     out_schema = (
         "query_id bigint, neighbor_id bigint, exact_dist double, rk int"
     )
-    qrows = sorted(
-        embeddings.filter(F.col("vec_id") < n_queries)
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r.vec_id,
-    )
-    if not qrows:
+    pairs = [
+        (int(r.query_id), int(r.neighbor_id))
+        for r in shortlist.select("query_id", "neighbor_id").collect()
+    ]
+    if not pairs:
         return spark.createDataFrame([], out_schema)
-    qmat = np.array([r.embedding for r in qrows], dtype=np.float64)
-    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
-    qkeep = qn[:, 0] > 0
-    qmat = qmat[qkeep] / qn[qkeep]
-    qids = np.array(
-        [r.vec_id for r, kp in zip(qrows, qkeep) if kp], dtype=np.int64
+    need = sorted({q for q, _ in pairs} | {v for _, v in pairs})
+    vrows = (
+        embeddings.select("vec_id", "embedding")
+        .filter(F.col("vec_id").isin(need))
+        .collect()
     )
-    if not len(qids):
+    vecs = {}
+    for r in vrows:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        n = np.linalg.norm(v)
+        if n > 0:  # encode() excludes these; guard anyway
+            vecs[int(r.vec_id)] = v / n
+    by_q: dict[int, set[int]] = {}
+    for qid, vid in pairs:
+        by_q.setdefault(qid, set()).add(vid)
+    out_rows = []
+    for qid in sorted(by_q):
+        qv = vecs.get(qid)
+        if qv is None:
+            continue
+        cands = sorted(v for v in by_q[qid] if v in vecs)
+        if not cands:
+            continue
+        mat = np.stack([vecs[v] for v in cands])
+        d2 = 2.0 - 2.0 * (mat @ qv)
+        d2i = np.rint(np.maximum(d2, 0.0) * PQ_QUANT).astype(np.int64)
+        top = sorted(zip(d2i.tolist(), cands))[:k]
+        for rk, (di, vid) in enumerate(top, start=1):
+            out_rows.append((qid, vid, di, rk))
+    if not out_rows:
         return spark.createDataFrame([], out_schema)
-    bc = spark.sparkContext.broadcast((qids, qmat))
-
-    cand = shortlist.select(
-        "query_id", F.col("neighbor_id").alias("vec_id")
-    )
-    joined = embeddings.select("vec_id", "embedding").join(
-        F.broadcast(cand), "vec_id"
-    )
-
-    def rerank(batches):
-        ids_q, mat_q = bc.value
-        pos = {int(q): i for i, q in enumerate(ids_q)}
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            block = np.array(list(pdf["embedding"]), dtype=np.float64)
-            bn = np.linalg.norm(block, axis=1, keepdims=True)
-            ok = bn[:, 0] > 0  # encode() excludes these; guard anyway
-            qi_s = pdf["query_id"].map(pos)
-            ok &= qi_s.notna().to_numpy()
-            if not ok.any():
-                continue
-            block = block[ok] / bn[ok]
-            qi = qi_s.to_numpy(dtype=np.float64)[ok].astype(np.int64)
-            d2 = 2.0 - 2.0 * np.einsum(
-                "ij,ij->i", block, mat_q[qi]
-            )
-            yield pd.DataFrame(
-                {
-                    "query_id": ids_q[qi],
-                    "vec_id": pdf["vec_id"].to_numpy()[ok],
-                    "d2_int": np.rint(
-                        np.maximum(d2, 0.0) * PQ_QUANT
-                    ).astype(np.int64),
-                }
-            )
-
-    rr = joined.mapInPandas(
-        rerank, schema="query_id bigint, vec_id bigint, d2_int bigint"
-    )
-    w = Window.partitionBy("query_id").orderBy("d2_int", "vec_id")
-    return (
-        rr.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(F.col("d2_int") / PQ_QUANT, 6).alias("exact_dist"),
-            "rk",
-        )
+    return spark.createDataFrame(
+        out_rows, "query_id bigint, vec_id bigint, d2_int bigint, rk int"
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(F.col("d2_int") / PQ_QUANT, 6).alias("exact_dist"),
+        "rk",
     )
 
 
