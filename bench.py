@@ -12,11 +12,19 @@ KNOWN SENSITIVITY (measured r12, BENCH_REGRESSION_NOTES_r12
 COMPOSITION — which 15 neighbors share the JVM still moves some walls
 2-3× in either direction through JIT/codegen state and shared-memo
 availability, even though the per-query cache state is equalized.
-Registry growth shifts membership for every later query, so cross-round
-per-query deltas should be read against the variance band
-(VARIANCE_BAND_r12.json) and adjudicated with single-query fresh-JVM
+Cross-round per-query deltas should be read against the variance band
+(VARIANCE_BAND artifacts) and adjudicated with single-query fresh-JVM
 floors when flagged; suite TOTALS and the canary are stable (r11→r12
 median_shift 1.006).
+
+COMPOSITION STABILITY (round-13, VERDICT r12 item 1): full runs assign
+queries to batches by md5(name) mod N_BUCKETS FIXED buckets
+(name-sorted within bucket), so registry growth changes exactly the new
+query's bucket instead of shifting membership for every later batch;
+and each query's wall is the MIN of SPARK_GRAFT_SAMPLES (default 2)
+timed runs after its warm run, so a single GC pause or co-tenant hiccup
+can't move a wall — identical code had measured 352.9 s vs 307.1 s
+suite walls from one-sample noise compounding over 225 queries.
 
 ISOLATION (round-10 VERDICT item 1): the one-JVM suite measurably
 contaminated its own per-query walls as it grew — the 135 queries shared
@@ -67,6 +75,30 @@ sys.path.insert(0, REPO_DIR)
 
 DEFAULT_BATCH = 16
 
+# fixed bucket count for stable batch assignment (full runs): a query's
+# batch is md5(name) mod N_BUCKETS, so registry growth touches exactly
+# the new query's bucket instead of shifting membership for every batch
+# after the insertion point (VERDICT r12 item 1 — batch membership
+# moves walls via JIT/page-cache neighborhood even under the per-query
+# clearCache discipline). The count is a FROZEN constant: changing it
+# reshuffles every bucket and is a methodology change by definition.
+N_BUCKETS = 16
+
+
+def stable_batches(names: list[str]) -> list[list[str]]:
+    """Composition-stable batch assignment: md5(name) mod N_BUCKETS,
+    name-sorted within each bucket (insertion order in registry.py must
+    not matter), empty buckets dropped. Pure function of the name SET —
+    two registries with the same queries get identical batches no
+    matter how the source file orders them."""
+    import hashlib
+
+    buckets: list[list[str]] = [[] for _ in range(N_BUCKETS)]
+    for n in names:
+        b = int(hashlib.md5(n.encode()).hexdigest(), 16) % N_BUCKETS
+        buckets[b].append(n)
+    return [sorted(b) for b in buckets if b]
+
 
 # ---------------------------------------------------------------------------
 # Shared helpers (worker side; also unit-pinned by tests/test_bench_gate.py)
@@ -74,9 +106,9 @@ DEFAULT_BATCH = 16
 
 def run_suite(
     spark, sf_dir: str, label: str, names: list[str] | None = None,
-    warm: bool = True,
+    warm: bool = True, samples: int = 1,
 ) -> tuple[dict[str, float], dict[str, int]]:
-    """Per-query (clearCache → warm-own → time) triples.
+    """Per-query (clearCache → warm-own → time×samples, min) runs.
 
     The clear makes every query's starting cache state IDENTICAL (empty)
     regardless of which 15 neighbors share its batch JVM — the first cut
@@ -90,6 +122,18 @@ def run_suite(
     with nobody else's state — the same per-query discipline the
     scale-stress pair sweep and the drift_ab isolated A/Bs use, and the
     number their floors are quoted in.
+
+    ``samples`` > 1 times the query that many times after the single
+    warm run and records the MIN — the estimator drift_ab always used
+    for "did the plan get slower": a one-sample wall folds in GC pauses
+    and co-tenant hiccups that min-of-2 discards. Identical code
+    measured suite walls of 352.9 s and 307.1 s in back-to-back r12
+    runs purely from such one-off noise compounding over 225 single
+    samples (VERDICT r12 item 1); full rounds therefore run min-of-2
+    since r13. Cache state is identical across samples: the SQL cache
+    was cleared once before the warm run and every persist_once memo
+    the query builds is already warm from it, so sample 2 re-executes
+    the same plan against the same state sample 1 saw.
     """
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
@@ -103,15 +147,21 @@ def run_suite(
         spark.catalog.clearCache()
         if warm:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        obs = Observation()
-        # noop sink: full end-to-end materialization of every output column.
-        # (A bare count() would let Catalyst prune the expensive projections
-        # — hashes, distances — and under-report the real work.)
-        df = fn(spark, sf_dir).observe(obs, F.count(F.lit(1)).alias("n"))
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        rows[name] = int(obs.get["n"])
+        best = float("inf")
+        for _ in range(max(1, samples)):
+            t0 = time.perf_counter()
+            obs = Observation()
+            # noop sink: full end-to-end materialization of every output
+            # column. (A bare count() would let Catalyst prune the
+            # expensive projections — hashes, distances — and
+            # under-report the real work.)
+            df = fn(spark, sf_dir).observe(
+                obs, F.count(F.lit(1)).alias("n")
+            )
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            rows[name] = int(obs.get["n"])
+        timings[name] = round(best, 3)
         print(
             f"# [{label}] {name}: {timings[name]:.3f}s rows={rows[name]}",
             file=sys.stderr,
@@ -210,7 +260,7 @@ def _worker(spec_path: str) -> int:
             )
         timings, rows = run_suite(
             spark, sf_dir, f"timed:{spec['label']}", names,
-            warm=spec["warm"],
+            warm=spec["warm"], samples=int(spec.get("samples", 1)),
         )
         out["timings"], out["rows"] = timings, rows
     elif spec["mode"] == "canary":
@@ -349,14 +399,24 @@ def main() -> None:
         if unknown:
             raise SystemExit(f"SPARK_GRAFT_ONLY unknown queries: {unknown}")
         names = wanted
-    batches = [
-        names[i : i + batch_size] for i in range(0, len(names), batch_size)
-    ]
+    samples = int(os.environ.get("SPARK_GRAFT_SAMPLES", "2"))
+    if only:
+        # subset verify runs keep the caller's order and plain chunking
+        # — composition stability is a full-round property
+        batches = [
+            names[i : i + batch_size]
+            for i in range(0, len(names), batch_size)
+        ]
+    else:
+        batches = stable_batches(names)
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     with tempfile.TemporaryDirectory(prefix="bench_iso_") as tmpdir:
-        base = {"sf_dir": sf_dir, "cpus": cpus, "warm": warm}
+        base = {
+            "sf_dir": sf_dir, "cpus": cpus, "warm": warm,
+            "samples": samples,
+        }
         canary_start = canary_end = None
         if not only:
             canary_start = _spawn(
@@ -412,9 +472,16 @@ def main() -> None:
         "mrfft_r3_ms": mr["r3_ms"],
         "isolation": {
             "mode": "fresh-jvm-per-batch",
-            "batch_size": batch_size,
+            "batch_size": f"md5-bucket-{N_BUCKETS}",
+            "assignment": (
+                f"md5(name) mod {N_BUCKETS} fixed buckets, name-sorted "
+                "within bucket — registry growth touches one bucket"
+            ),
             "n_batches": len(batches),
-            "per_query": "clearCache -> warm-own -> time",
+            "per_query": (
+                f"clearCache -> warm-own -> min-of-{max(1, samples)}"
+            ),
+            "timed_samples": max(1, samples),
         },
         "canary": {
             "query": "tpch_q1",

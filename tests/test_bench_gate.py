@@ -56,3 +56,28 @@ def test_benign_startup_warnings_pass(tmp_path):
 
 def test_missing_log_is_no_evidence(tmp_path):
     assert bench.scan_cache_warnings(str(tmp_path / "absent.log")) == []
+
+
+# ---------------------------------------------------------------------------
+# Composition-stable batch assignment (r13, VERDICT r12 item 1)
+
+
+def test_stable_batches_partition_and_order_independence():
+    names = [f"query_{i}" for i in range(225)]
+    a = bench.stable_batches(names)
+    b = bench.stable_batches(list(reversed(names)))
+    # registry insertion order must not matter — batches are a pure
+    # function of the name SET
+    assert a == b
+    flat = sorted(n for batch in a for n in batch)
+    assert flat == sorted(names)
+    assert len(a) <= bench.N_BUCKETS
+
+
+def test_stable_batches_growth_touches_one_bucket():
+    names = [f"query_{i}" for i in range(225)]
+    before = bench.stable_batches(names)
+    after = bench.stable_batches(names + ["brand_new_query"])
+    changed = sum(1 for x, y in zip(before, after) if x != y)
+    assert changed == 1
+    assert len(before) == len(after)
