@@ -47,15 +47,75 @@ def _noop(df) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
-def isolated(spark, build, runs: int = 3) -> dict:
+# Declared shared artifacts (r12 VERDICT item 5): in the SUITE, batch
+# neighbors build JVM-level state a single-query JVM never sees — the
+# registry's persisted memo tables (_lsh_shared pair/component tables,
+# _shingle_shared inverted index, _emb_pairs_shared) and the JIT
+# warmth of the heavy shared kernels (k-means fit, classifier
+# featurization). Bare isolated floors therefore OVERSTATE for these
+# queries (r12: cluster_balanced_counts floor 7.94 s vs suite wall
+# 4.21 s). --with-deps pre-runs the declared builder queries UNTIMED
+# before the target's own warm/timed runs, reproducing the batch
+# neighborhood the suite wall was measured in.
+SHARED_DEPS: dict[str, list[str]] = {
+    # _lsh_shared pair/component consumers ← pair-table builder
+    "dedup_clusters": ["dedup_minhash_lsh"],
+    "dedup_cluster_collapse_counts": ["dedup_minhash_lsh"],
+    "doc_leakage_safe_split_counts": ["dedup_minhash_lsh"],
+    "source_overlap_matrix": ["dedup_minhash_lsh"],
+    "soft_dedup_weights": ["dedup_minhash_lsh"],
+    # _shingle_shared consumers ← any shingle-index builder
+    "dedup_ngram_jaccard": ["dedup_minhash_lsh"],
+    "dedup_containment": ["dedup_minhash_lsh"],
+    # _emb_pairs_shared consumers ← pair builder
+    "embedding_dedup_clusters": ["embedding_similar_pairs"],
+    # k-means kernel JIT warmth (no memo table — shared generated-code
+    # classes with the IVF coarse quantizer's identical fit loop)
+    "cluster_balanced_counts": ["ann_ivf_topk"],
+    # classifier featurization/training JIT shared with its twin
+    "doc_classifier_eval": ["doc_classifier_holdout_eval"],
+    "doc_classifier_holdout_eval": ["doc_classifier_eval"],
+}
+
+WARM_STABLE_RATIO = 1.15
+WARM_MAX_RUNS = 5
+
+
+def isolated(spark, build, runs: int = 3, deps=None) -> dict:
+    """clearCache → (deps untimed) → warm-until-stable → min/median of
+    ``runs`` timed samples.
+
+    Warm-until-stable (r13): ONE warm run under-warms iterative queries
+    — C2 JIT compilation triggers on invocation counts, so a k-means
+    query's isolated samples kept FALLING across runs (r12:
+    11.05 → 14.46 → 7.94 s) while its suite wall, measured after a
+    batch warmup pass plus 15 neighbors, sat at 4.21 s. Warm passes
+    repeat until two consecutive untimed walls are within
+    WARM_STABLE_RATIO (cap WARM_MAX_RUNS), so the timed samples measure
+    the same steady state the suite measures.
+    """
     spark.catalog.clearCache()
-    _noop(build())  # warm: JIT, page cache, persisted intermediates
+    dep_walls = []
+    for dep in deps or []:
+        dep_walls.append(round(_noop(dep()), 3))
+    warm_walls = [_noop(build())]
+    while len(warm_walls) < WARM_MAX_RUNS:
+        if len(warm_walls) >= 2:
+            hi = max(warm_walls[-2:])
+            lo = min(warm_walls[-2:])
+            if lo > 0 and hi / lo <= WARM_STABLE_RATIO:
+                break
+        warm_walls.append(_noop(build()))
     samples = [_noop(build()) for _ in range(runs)]
-    return {
+    out = {
+        "warm_walls_sec": warm_walls,
         "warm_samples_sec": samples,
         "min_sec": min(samples),
         "median_sec": round(statistics.median(samples), 3),
     }
+    if dep_walls:
+        out["dep_warm_sec"] = dep_walls
+    return out
 
 
 def main() -> None:
@@ -72,25 +132,43 @@ def main() -> None:
         shuffle_partitions=int(cpus),
     )
 
-    names = sys.argv[1:] or ["tfidf_doc_similarity", "dedup_incremental_ingest"]
+    argv = [a for a in sys.argv[1:] if a != "--with-deps"]
+    with_deps = "--with-deps" in sys.argv[1:]
+    names = argv or ["tfidf_doc_similarity", "dedup_incremental_ingest"]
     unknown = sorted(set(names) - set(registry.QUERIES))
     if unknown:
         raise SystemExit(f"unknown queries: {unknown}")
     out: dict = {
         "sf_dir": sf_dir,
         "runs": 3,
+        "with_deps": with_deps,
         "note": (
             "isolated warm min/median vs the suite's single-sample wall: "
             "a query whose isolated floor sits at or below its previous "
             "suite wall has NOT regressed — the suite number moved with "
-            "neighbors' cache pressure, not its own plan"
+            "neighbors' cache pressure, not its own plan. Warm passes "
+            "repeat until stable (see isolated()); --with-deps pre-runs "
+            "the SHARED_DEPS builder queries untimed first, reproducing "
+            "the batch neighborhood memo-sharing queries have in the "
+            "suite."
         ),
         "queries": {},
     }
     for name in names:
+        deps = None
+        if with_deps and name in SHARED_DEPS:
+            deps = [
+                (lambda d=d: registry.QUERIES[d](spark, sf_dir))
+                for d in SHARED_DEPS[name]
+                if d in registry.QUERIES
+            ]
         out["queries"][name] = isolated(
-            spark, lambda n=name: registry.QUERIES[n](spark, sf_dir)
+            spark,
+            lambda n=name: registry.QUERIES[n](spark, sf_dir),
+            deps=deps,
         )
+        if with_deps and name in SHARED_DEPS:
+            out["queries"][name]["deps"] = SHARED_DEPS[name]
         print(f"# {name}: {out['queries'][name]}", file=sys.stderr)
 
     li = lambda: fan_out(  # noqa: E731  — registry _li's exact shape
