@@ -979,3 +979,291 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 20 AND 30)
 """
+
+
+# ---------------------------------------------------------------------------
+# Correlated-SQL twins (r13, VERDICT r12 item 7) — same semantics as the
+# hand-decorrelated shapes above, but the CORRELATED text is handed to
+# spark.sql() so CATALYST performs the decorrelation. Every shape above
+# pre-chews the correlation into windows/aggregate-join-backs at the
+# DataFrame layer, which means the optimizer plan classes a SQL user
+# would actually exercise — RewriteCorrelatedScalarSubquery, null-aware
+# anti join for NOT IN, EXISTS/NOT-EXISTS chains into semi/anti joins —
+# were never witnessed by the registry. These twins are that witness:
+# tests/test_tpch_shapes.py asserts each optimized plan is join-based
+# (no per-row re-scan, no BroadcastNestedLoopJoin on the hot path) and
+# the DuckDB oracles pin that Catalyst's rewrite preserves semantics.
+# Dimension pre-filters still happen DataFrame-side before the SQL
+# (broadcast nation⋈region slivers, p_size/brand pruning) so the scans
+# the decorrelated joins consume stay pruned at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+def _eu_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier ⋈ broadcast(EUROPE nation sliver) — shared by the Q2
+    twins; the region restriction rides the fixed 25/5-row dims."""
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    eu_nk = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(eu_nk), F.col("s_nationkey") == F.col("s_nk"))
+        .select("s_suppkey", "s_name", "s_acctbal", "nation")
+    )
+
+
+def min_cost_supplier_correlated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q2's correlated scalar subquery, verbatim: every EUROPE supplier
+    whose unit price EQUALS the per-part minimum — ``WHERE unit_price =
+    (SELECT min(unit_price) ... WHERE i.p_partkey = o.p_partkey)`` fed
+    to Catalyst, which must decorrelate it into an aggregate joined
+    back on the correlation key (the rewrite
+    ``min_cost_supplier_per_part`` performs by hand with a window).
+    Unlike the windowed twin it returns ALL tied minimum-cost suppliers
+    (TPC-H Q2's actual multiplicity), so the two rows are distinct
+    queries, not aliases. Ref: HWK has no relational surface; shape
+    from the public TPC-H spec Q2."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 15)
+        .select("p_partkey", "p_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    return spark.sql(
+        """
+        WITH offers AS (
+          SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, nation,
+                 round(avg(l_extendedprice / l_quantity), 4) AS unit_price
+          FROM {li} JOIN {part} ON l_partkey = p_partkey
+          JOIN {supp} ON l_suppkey = s_suppkey
+          GROUP BY p_partkey, p_name, s_suppkey, s_name, s_acctbal, nation)
+        SELECT p_partkey, p_name, s_name,
+               round(s_acctbal, 2) AS s_acctbal, nation, unit_price
+        FROM offers o
+        WHERE unit_price = (SELECT min(i.unit_price) FROM offers i
+                            WHERE i.p_partkey = o.p_partkey)
+        ORDER BY p_partkey, s_name
+        """,
+        li=li,
+        part=part,
+        supp=_eu_suppliers(spark, sf_dir),
+    )
+
+
+MIN_COST_CORRELATED_SQL = """
+WITH offers AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal,
+         n_name AS nation,
+         round(avg(l_extendedprice / l_quantity), 4) AS unit_price
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size = 15 AND r_name = 'EUROPE'
+  GROUP BY p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name)
+SELECT p_partkey, p_name, s_name, round(s_acctbal, 2) AS s_acctbal,
+       nation, unit_price
+FROM offers o
+WHERE unit_price = (SELECT min(i.unit_price) FROM offers i
+                    WHERE i.p_partkey = o.p_partkey)
+ORDER BY p_partkey, s_name
+"""
+
+
+def supplier_breadth_notin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16's NOT IN, verbatim: Catalyst must plan the subquery as a
+    null-aware anti join (broadcast LeftAnti with the isnull-or-equal
+    condition) — the plan class the hand-built ``left_anti`` in
+    ``part_supplier_breadth`` never exercises, because a plain anti
+    join and a NOT IN differ exactly when the right side can hold
+    NULLs. Same output as the hand-built twin (s_suppkey is never null
+    in the fixture)."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#2")
+            & (F.col("p_type") != "PROMO")
+            & (F.col("p_size").isin(1, 5, 10, 15, 20))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_acctbal"
+    )
+    return spark.sql(
+        """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM {li}) links
+        JOIN {part} ON l_partkey = p_partkey
+        WHERE l_suppkey NOT IN (SELECT s_suppkey FROM {supp}
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        li=li,
+        part=part,
+        supp=supp,
+    )
+
+
+SUPPLIER_BREADTH_NOTIN_SQL = PART_SUPPLIER_BREADTH_SQL
+
+
+def dominant_suppliers_correlated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q20's nested correlated aggregate threshold, verbatim: the
+    ``supp_qty > 2 * (SELECT avg(...) WHERE p2.l_partkey =
+    ps.l_partkey)`` correlated scalar goes to Catalyst instead of the
+    hand-built window in ``dominant_part_suppliers`` — the decorrelated
+    plan is an aggregate over the CTE joined back on the correlation
+    key (anti-join-free, re-scan-free), asserted in tests. Output
+    identical to the windowed twin."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("red"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return spark.sql(
+        """
+        WITH ps AS (SELECT l_partkey, l_suppkey,
+                           sum(l_quantity) AS supp_qty
+                    FROM {li} JOIN {part} ON l_partkey = p_partkey
+                    GROUP BY l_partkey, l_suppkey)
+        SELECT s_suppkey, s_name, count(*) AS n_dominated_parts
+        FROM ps JOIN {supp} ON l_suppkey = s_suppkey
+        WHERE supp_qty > 2.0 * (SELECT avg(p2.supp_qty) FROM ps p2
+                                WHERE p2.l_partkey = ps.l_partkey)
+        GROUP BY s_suppkey, s_name
+        ORDER BY n_dominated_parts DESC, s_suppkey
+        """,
+        li=li,
+        part=part,
+        supp=supp,
+    )
+
+
+DOMINANT_CORRELATED_SQL = DOMINANT_SUPPLIERS_SQL
+
+
+def sole_late_supplier_exists(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q21's EXISTS + NOT-EXISTS double correlation, verbatim: Catalyst
+    must turn the EXISTS into a left-semi and the NOT EXISTS into a
+    left-anti join — each with an equi key (orderkey) plus a non-equi
+    residual (suppkey <>, shipdate-late predicate) — where
+    ``late_sole_supplier_orders`` hand-collapses both into per-order
+    set aggregates. Same output as the hand-built twin."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return spark.sql(
+        f"""
+        SELECT s_name, count(*) AS numwait
+        FROM {{supp}}
+        JOIN {{li}} l1 ON s_suppkey = l1.l_suppkey
+        JOIN {{orders}} ON l1.l_orderkey = o_orderkey
+        WHERE l1.l_shipdate > o_orderdate + INTERVAL {LATE_DAYS} DAY
+          AND EXISTS (SELECT 1 FROM {{li}} l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+                SELECT 1 FROM {{li}} l3 JOIN {{orders}} o3
+                  ON l3.l_orderkey = o3.o_orderkey
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_shipdate >
+                      o3.o_orderdate + INTERVAL {LATE_DAYS} DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name LIMIT 20
+        """,
+        supp=supp,
+        li=li,
+        orders=orders,
+    )
+
+
+SOLE_LATE_EXISTS_SQL = LATE_SOLE_SUPPLIER_SQL
+
+
+def market_share_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 through the SQL entry point: the 7-relation join tree plus
+    conditional share-of-sum handed to the parser/optimizer as ONE
+    statement, so join REORDERING over the raw star (not the
+    DataFrame-author's pre-ordered chain in ``market_share_by_year``)
+    is what gets planned. The twins' equality pins that Catalyst's
+    reordering preserves the ratio semantics."""
+    tables = {
+        t: load_table(spark, sf_dir, t)
+        for t in (
+            "lineitem",
+            "part",
+            "supplier",
+            "orders",
+            "customer",
+            "nation",
+            "region",
+        )
+    }
+    return spark.sql(
+        """
+        SELECT o_year,
+               round(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                              ELSE 0.0 END) / sum(volume), 4) AS mkt_share
+        FROM (SELECT year(l_shipdate) AS o_year,
+                     l_extendedprice * (1 - l_discount) AS volume,
+                     n1.n_name AS supp_nation
+              FROM {lineitem}
+              JOIN {part} ON l_partkey = p_partkey
+              JOIN {supplier} ON l_suppkey = s_suppkey
+              JOIN {orders} ON l_orderkey = o_orderkey
+              JOIN {customer} ON o_custkey = c_custkey
+              JOIN {nation} n1 ON s_nationkey = n1.n_nationkey
+              JOIN {nation2} n2 ON c_nationkey = n2.n_nationkey
+              JOIN {region} ON n2.n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA' AND p_type = 'ECONOMY')
+        GROUP BY o_year
+        ORDER BY o_year
+        """,
+        nation2=tables["nation"],
+        **tables,
+    )
+
+
+MARKET_SHARE_SQL_ENTRY = MARKET_SHARE_SQL

@@ -342,6 +342,36 @@ register(
     TQ.forecast_revenue_change,
     TQ.FORECAST_REVENUE_CHANGE_SQL,
 )
+# correlated-SQL twins (r13): the CORRELATED text goes to spark.sql so
+# Catalyst's decorrelation (scalar-subquery rewrite, null-aware anti
+# join, EXISTS chains) is what gets planned — the hand-decorrelated
+# shapes above never exercise those optimizer paths. Plan classes are
+# asserted in tests/test_tpch_shapes.py.
+register(
+    "min_cost_supplier_correlated",
+    TQ.min_cost_supplier_correlated,
+    TQ.MIN_COST_CORRELATED_SQL,
+)
+register(
+    "supplier_breadth_notin",
+    TQ.supplier_breadth_notin,
+    TQ.SUPPLIER_BREADTH_NOTIN_SQL,
+)
+register(
+    "dominant_suppliers_correlated",
+    TQ.dominant_suppliers_correlated,
+    TQ.DOMINANT_CORRELATED_SQL,
+)
+register(
+    "sole_late_supplier_exists",
+    TQ.sole_late_supplier_exists,
+    TQ.SOLE_LATE_EXISTS_SQL,
+)
+register(
+    "market_share_sql_entry",
+    TQ.market_share_sql_entry,
+    TQ.MARKET_SHARE_SQL_ENTRY,
+)
 # sketch aggregates: HLL/quantile internals are engine-specific → rows-only;
 # error bounds vs exact answers are property-tested in tests/test_relational.py
 register("approx_event_stats", R.approx_event_stats)

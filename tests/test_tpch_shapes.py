@@ -39,6 +39,12 @@ TPCH_SHAPES = [
     "shipping_priority_topk",
     "local_supplier_volume",
     "brand_band_revenue",
+    # round-13: correlated-SQL twins — Catalyst does the decorrelation
+    "min_cost_supplier_correlated",
+    "supplier_breadth_notin",
+    "dominant_suppliers_correlated",
+    "sole_late_supplier_exists",
+    "market_share_sql_entry",
 ]
 
 
@@ -177,3 +183,70 @@ def test_q5_same_nation_rides_in_join_condition(spark):
     assert any(
         "s_suppkey" in ln and "s_nationkey" in ln for ln in joins
     ), plan
+
+
+# ---------------------------------------------------------------------------
+# r13 correlated-SQL twins: CATALYST must do the decorrelation
+
+
+def test_correlated_min_decorrelates_to_aggregate_join(spark):
+    """Q2's ``unit_price = (SELECT min(...) WHERE i.p_partkey =
+    o.p_partkey)`` must become an aggregate joined back on the
+    correlation key — never a per-row re-scan (BNLJ/cartesian) of the
+    offers CTE."""
+    plan = _plan(spark, "min_cost_supplier_correlated")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the decorrelated form: offers aggregate + per-part MIN aggregate
+    # joined on p_partkey
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_notin_plans_anti_join_not_bnlj(spark):
+    """Q16's NOT IN must plan as a (broadcast) LeftAnti hash join — the
+    null-aware rewrite — not the BroadcastNestedLoopJoin Spark falls
+    back to when the right side can't broadcast."""
+    plan = _plan(spark, "supplier_breadth_notin")
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_correlated_threshold_decorrelates(spark):
+    """Q20's nested correlated AVG threshold must decorrelate into an
+    aggregate-join-back over the CTE — join-based, re-scan-free."""
+    plan = _plan(spark, "dominant_suppliers_correlated")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_exists_chain_plans_semi_plus_anti(spark):
+    """Q21's EXISTS → left-semi and NOT EXISTS → left-anti, each a hash
+    join on orderkey carrying the suppkey/date residual."""
+    plan = _plan(spark, "sole_late_supplier_exists")
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_sql_entry_market_share_reorders_without_cartesian(spark):
+    """Q8's 7-relation join tree through the SQL parser: Catalyst's
+    reordering must keep every join keyed (no cartesian), and the twins
+    must agree row-for-row with the DataFrame-authored plan."""
+    plan = _plan(spark, "market_share_sql_entry")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    a = registry.QUERIES["market_share_sql_entry"](spark, SF_SMOKE).collect()
+    b = registry.QUERIES["market_share_by_year"](spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_correlated_twins_agree_with_hand_decorrelated(spark):
+    """The windowed Q20 twin and Catalyst's decorrelated plan must
+    produce identical rows (same filter semantics either way)."""
+    a = registry.QUERIES["dominant_suppliers_correlated"](
+        spark, SF_SMOKE
+    ).collect()
+    b = registry.QUERIES["dominant_part_suppliers"](spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
