@@ -352,6 +352,67 @@ def text_index_roundtrip_profile(
 RRF_C = 60  # the constant from Cormack, Clarke & Buettcher 2009 (public)
 
 
+def dense_rank_topk(
+    embeddings: DataFrame, qids: list[int], topk: int = BM25_TOPK
+) -> DataFrame:
+    """(query_id, doc_id, sem_rnk): the dense-retriever leg of the RRF
+    fusion, factored out (r13) so the hybrid wall can be DECOMPOSED
+    into its lexical and semantic parts in the scale-stress sweep —
+    one broadcast-queries corpus scan + per-query window over
+    round-before-rank cosines, exactly the plan ``rrf_hybrid_topk``
+    inlined before."""
+    from .similarity import _as_double, _cosine, _dot
+
+    emb = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).filter(_dot(F.col("v"), F.col("v")) > 0)
+    qv = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    sem_scored = emb.crossJoin(F.broadcast(qv)).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.round(_cosine(F.col("qv"), F.col("v")), 6).alias("cos6"),
+    )
+    wsem = Window.partitionBy("query_id").orderBy(
+        F.col("cos6").desc(), F.col("doc_id").asc()
+    )
+    return (
+        sem_scored.withColumn("sem_rnk", F.row_number().over(wsem))
+        .filter(F.col("sem_rnk") <= topk)
+        .select("query_id", "doc_id", "sem_rnk")
+    )
+
+
+def dense_rank_topk_sql(
+    qids: list[int] | None = None, topk: int = BM25_TOPK
+) -> str:
+    """Oracle for the standalone dense leg: the identical CTE chain the
+    RRF oracle uses for its ``sem`` side (zero-norm exclusion,
+    round-before-rank 6-decimal cosines, doc_id tie order)."""
+    qid_list = ", ".join(
+        str(q) for q in (qids or [qid for qid, _ in BM25_QUERIES])
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE list_dot_product(embedding::DOUBLE[],
+                                  embedding::DOUBLE[]) > 0),
+qv AS (SELECT vec_id AS query_id, v AS qv FROM e
+       WHERE vec_id IN ({qid_list})),
+sem_scored AS (
+  SELECT query_id, e.vec_id AS doc_id,
+         round(list_dot_product(qv, v)
+               / sqrt(list_dot_product(qv, qv) * list_dot_product(v, v)),
+               6) AS cos6
+  FROM e CROSS JOIN qv)
+SELECT query_id, doc_id, CAST(rk AS INT) AS sem_rnk FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos6 DESC, doc_id) AS rk
+  FROM sem_scored) WHERE rk <= {topk}
+"""
+
+
 def rrf_hybrid_topk(
     documents: DataFrame,
     embeddings: DataFrame,
@@ -386,30 +447,11 @@ def rrf_hybrid_topk(
     scores; the fusion joins two ≤|queries|·topk tables — driver never
     sees the corpus.
     """
-    from .similarity import _as_double, _cosine, _dot
-
     lex = bm25_topk(documents, queries=queries, topk=topk).select(
         "query_id", "doc_id", F.col("rnk").alias("lex_rnk")
     )
-    qids = [qid for qid, _ in queries]
-    emb = embeddings.select(
-        "vec_id", _as_double(F.col("embedding")).alias("v")
-    ).filter(_dot(F.col("v"), F.col("v")) > 0)
-    qv = emb.filter(F.col("vec_id").isin(qids)).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    sem_scored = emb.crossJoin(F.broadcast(qv)).select(
-        "query_id",
-        F.col("vec_id").alias("doc_id"),
-        F.round(_cosine(F.col("qv"), F.col("v")), 6).alias("cos6"),
-    )
-    wsem = Window.partitionBy("query_id").orderBy(
-        F.col("cos6").desc(), F.col("doc_id").asc()
-    )
-    sem = (
-        sem_scored.withColumn("sem_rnk", F.row_number().over(wsem))
-        .filter(F.col("sem_rnk") <= topk)
-        .select("query_id", "doc_id", "sem_rnk")
+    sem = dense_rank_topk(
+        embeddings, [qid for qid, _ in queries], topk
     )
     fused = lex.join(sem, ["query_id", "doc_id"], "full_outer")
     rrf = F.round(

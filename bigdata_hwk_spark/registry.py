@@ -1806,6 +1806,17 @@ register(
     lambda spark, sf: RV.rrf_hybrid_topk(_docs(spark, sf), _embs(spark, sf)),
     RV.rrf_hybrid_topk_sql(),
 )
+# The dense leg standalone (r13): one broadcast-queries corpus scan +
+# per-query round-before-rank window — registered so the hybrid wall
+# decomposes into measurable lexical (bm25_doc_topk) and semantic
+# (this) sibling entries in the scale-stress sweep
+register(
+    "dense_retrieval_topk",
+    lambda spark, sf: RV.dense_rank_topk(
+        _embs(spark, sf), [qid for qid, _ in RV.BM25_QUERIES]
+    ),
+    RV.dense_rank_topk_sql(),
+)
 # MMR diversified reranking (Carbonell & Goldstein 1998): iterative
 # relevance-vs-redundancy argmax over the per-query candidate pool —
 # sequential selection, not SQL-expressible (rows-only; hand-case and

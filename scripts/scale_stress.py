@@ -470,6 +470,34 @@ HEAVY_QUERIES = [
     # in bucket occupancy, so the 64× point is exactly where a knee
     # would show; subset-guard conventions per the ed2 oracle notes
     "fuzzy_link_summary_ed2",
+    # --- round-13 additions (round-12 VERDICT item 6): the r12
+    # operators that had 8× entries but no 64× point ---
+    # k-anonymity enforcement: the claim is that every stage after the
+    # one corpus fold is CELL-sized (three level censuses, the |types|
+    # broadcast, the regroup, the suppression semi-join), so the 64×
+    # wall tracks the fold scan; the calendar×bucket×user cell table
+    # grows with users, not events
+    "k_anonymity_enforce",
+    # RRF hybrid retrieval: 8× ratio 6.36 needs the ANN-style
+    # decomposition — the lexical leg (bm25_doc_topk, postings build ∝
+    # corpus, already above) and the semantic leg (dense_retrieval_topk,
+    # broadcast-queries corpus scan + topk window) are SIBLING entries,
+    # so the fused wall decomposes into measured parts instead of one
+    # opaque number
+    "rrf_hybrid_topk",
+    "dense_retrieval_topk",
+    # blocking-quality metrics: reduction ratio/pair completeness over
+    # the deletion-key blocker — candidate volume is the quadratic
+    # risk (bucket occupancy products); the fixture's verbatim names
+    # make occupancy grow with replicas, so this entry documents the
+    # same replication physics as fuzzy_link_summary_ed2 if it breaks
+    # budget, and the engine exponent if it doesn't
+    "linkage_blocking_metrics",
+    # per-source percentile gate: group-parallel running-count windows
+    # per source — the claim is the per-source histogram stays
+    # vocab-of-scores-sized and the window shuffle ∝ corpus, no
+    # single-task stage anywhere (the global gate's weakness it fixed)
+    "quality_gate_by_source",
 ]
 
 # Inline justifications for the second-decade entries whose exponents
