@@ -7,6 +7,12 @@ order-insensitive value hash (floats rounded to 6 decimals, columns sorted
 by name — matching the driver contract described in the task brief).
 
 Usage: python scripts/selfcheck.py [sf_dir] [query ...]
+
+A FULL run (no query args) also writes the committed round artifact
+SELFCHECK_r{N}.json — per-query verdict/rows/value-hash for the whole
+pool — since r13 (VERDICT r12 item 4: the driver gates 50/round, so
+the other ~145 oracle verdicts otherwise live only in pytest logs).
+Subset runs never write it.
 """
 
 from __future__ import annotations
@@ -117,6 +123,7 @@ def main() -> int:
 
     oracles = _registry.oracles_for(sf_dir)
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -134,10 +141,16 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
+            results[name] = {"verdict": "spark-error", "error": str(e)[:200]}
             continue
         dt = time.time() - t0
         if name not in oracles:
             print(f"ok*   {name}: rows={len(srows)} ({dt:.1f}s, rows-only)")
+            results[name] = {
+                "verdict": "rows-only",
+                "rows": len(srows),
+                "sec": round(dt, 1),
+            }
             continue
         try:
             # Fetch through the PANDAS path — the same route the external
@@ -154,6 +167,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error: {e}")
             failures.append(name)
+            results[name] = {"verdict": "oracle-error", "error": str(e)[:200]}
             continue
         problems = []
         if len(srows) != len(orows):
@@ -168,9 +182,51 @@ def main() -> int:
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)} ({dt:.1f}s)")
             failures.append(name)
+            results[name] = {
+                "verdict": "mismatch",
+                "problems": problems,
+                "sec": round(dt, 1),
+            }
         else:
             print(f"ok    {name}: rows={len(srows)} hash-match ({dt:.1f}s)")
+            results[name] = {
+                "verdict": "hash-match",
+                "rows": len(srows),
+                "hash": value_hash(srows, scols),
+                "sec": round(dt, 1),
+            }
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+
+    # Committed full-pool artifact (r12 VERDICT item 4): the driver gate
+    # rotates 50 queries/round, so most oracle evidence lived only in
+    # pytest run logs. A FULL run (no query-name argv) at the gate SF
+    # writes SELFCHECK_r{N}.json — name, verdict, rows, value hash per
+    # query — next to the driver's CORRECTNESS artifact each round.
+    # Subset runs never write it (a 3-query verify loop must not
+    # masquerade as full-pool evidence).
+    if not only:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        try:
+            with open(os.path.join(repo, "ROUND"), encoding="utf-8") as fh:
+                round_no = int(fh.read().strip())
+        except (OSError, ValueError):
+            round_no = 0
+        counts: dict[str, int] = {}
+        for e in results.values():
+            counts[e["verdict"]] = counts.get(e["verdict"], 0) + 1
+        artifact = {
+            "sf_dir": sf_dir,
+            "n_queries": len(results),
+            "verdict_counts": counts,
+            "failures": sorted(failures),
+            "queries": results,
+        }
+        path = os.path.join(repo, f"SELFCHECK_r{round_no:02d}.json")
+        import json
+
+        with open(path, "w") as fh:
+            json.dump(artifact, fh, indent=1, sort_keys=True)
+        print(f"wrote {path}: {counts}")
     return 1 if failures else 0
 
 
