@@ -1894,6 +1894,16 @@ register(
     lambda spark, sf: RB.value_drift_psi(load_table(spark, sf, "events")),
     RB.VALUE_DRIFT_PSI_SQL,
 )
+# Two-sample Kolmogorov–Smirnov (r13): the UNBINNED numeric-drift test
+# completing the monitoring family — exact integer ECDF sup-distance
+# numerator over every source pair's doc-length distributions
+register(
+    "ks_source_length_drift",
+    lambda spark, sf: RB.ks_source_length_drift(
+        load_table(spark, sf, "documents")
+    ),
+    RB.KS_SOURCE_LENGTH_SQL,
+)
 # Streaming twin of the skew profiler: per-window key entropy as a
 # CHAINED streaming aggregation (batch body here is the oracle path;
 # the append-mode deployment is pinned in tests/test_streaming.py)
