@@ -2368,3 +2368,191 @@ SELECT c.source,
 FROM cum c JOIN thr t USING (source)
 GROUP BY c.source
 """
+
+
+# ---------------------------------------------------------------------------
+# Winnowed fingerprints (MOSS local fingerprinting — r13)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 16   # k-gram length over the normalized text (chars)
+WINNOW_W = 8    # window of consecutive k-gram hashes per selection
+# the published guarantee: ANY shared substring of length >= K + W - 1
+# (= 23 chars here) forces at least one SHARED selected hash, because a
+# full window of W grams fits inside the match and both documents see
+# the identical hash sequence there -> identical rightmost-min pick
+WINNOW_GUARANTEE = WINNOW_K + WINNOW_W - 1
+# candidate-join fan-out bound: a fingerprint hash appearing in more
+# docs than this is boilerplate (headers, licence lines) and is cut
+# before the pair join — the hot-shingle cut the MinHash family uses
+WINNOW_HOT_CUT = 64
+
+
+def _winnow_grams(documents: DataFrame) -> DataFrame:
+    """(doc_id, p, h): position-indexed md5 hashes of the K-char grams
+    of the whitespace-normalized lowercase text (same canonical form as
+    ``fingerprints``). Docs shorter than K grams-out entirely — both
+    engines drop them via the same length filter. md5 replaces the
+    paper's rolling polynomial hash for engine portability (selection
+    semantics identical; production swaps the cheaper rolling hash)."""
+    from .hashing import md5_hash64
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " ")
+    t = documents.select("doc_id", norm.alias("tx")).filter(
+        F.length("tx") >= WINNOW_K
+    )
+    return t.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(tx) - {WINNOW_K - 1}), "
+                f"s -> substring(tx, s, {WINNOW_K}))"
+            )
+        ).alias("p", "gram"),
+    ).select("doc_id", "p", md5_hash64(F.col("gram")).alias("h"))
+
+
+def winnowed_fingerprints(documents: DataFrame) -> DataFrame:
+    """(doc_id, fp_pos, fp_hash): robust-winnowed k-gram fingerprints
+    (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the MOSS algorithm,
+    public): in every window of W consecutive gram hashes select the
+    minimum, ties broken toward the RIGHTMOST position; the distinct
+    selected (position, hash) set is the document's fingerprint, with
+    expected density 2/(W+1) of the grams.
+
+    Whole-doc ``fingerprints`` dedups exact copies; the 8-gram overlap
+    family needs token alignment; winnowing is the PARTIAL-copy
+    detector with a guarantee: any shared stretch >= WINNOW_GUARANTEE
+    chars yields a shared selected hash (pinned in tests, plus a
+    brute-force Python replication over the fixture).
+
+    Plan: the rightmost-min of the window ending at each position is
+    ONE window aggregate — ``min(struct(h, -p))`` over ROWS
+    [-(W-1), 0] (struct order: hash asc, then -p asc = position desc),
+    a device both engines order identically — followed by a distinct;
+    every window of the sequence is the ending-window of some position,
+    so this enumerates exactly the paper's per-window selections. One
+    shuffle on doc_id, no UDFs, no per-row Python.
+    """
+    g = _winnow_grams(documents)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    wd = Window.partitionBy("doc_id")
+    sel = g.select(
+        "doc_id",
+        "p",
+        F.min(F.struct(F.col("h"), (-F.col("p")).alias("np"))).over(w).alias(
+            "m"
+        ),
+        F.max("p").over(wd).alias("maxp"),
+    ).filter((F.col("p") >= WINNOW_W - 1) | (F.col("p") == F.col("maxp")))
+    return sel.select(
+        "doc_id",
+        (-F.col("m.np")).cast("bigint").alias("fp_pos"),
+        F.col("m.h").alias("fp_hash"),
+    ).distinct()
+
+
+def winnowed_fingerprint_stats(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_grams, n_fps): fingerprint-set size next to the gram
+    count per document — the density audit (expected n_fps/n_grams →
+    2/(W+1) for random text; pinned loosely in tests). n_grams derives
+    from the normalized LENGTH (no gram re-expansion)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " ")
+    lens = documents.select("doc_id", norm.alias("tx")).filter(
+        F.length("tx") >= WINNOW_K
+    ).select(
+        "doc_id",
+        (F.length("tx") - (WINNOW_K - 1)).cast("bigint").alias("n_grams"),
+    )
+    fps = winnowed_fingerprints(documents).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fps")
+    )
+    return lens.join(fps, "doc_id").orderBy("doc_id")
+
+
+def winnowed_copy_candidates(
+    documents: DataFrame, min_shared: int = 2, hot_cut: int = WINNOW_HOT_CUT
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared_fps): document pairs sharing at least
+    ``min_shared`` winnowed fingerprint hashes — MOSS's candidate
+    output. Pair volume is bounded by the boilerplate cut (a hash in
+    more than ``hot_cut`` docs is dropped BEFORE the self-join, the
+    hot-shingle device) plus the min-shared filter; the join is an
+    equi-join on fp_hash, never all-pairs."""
+    from ..session import persist_once
+
+    fp = persist_once(
+        winnowed_fingerprints(documents).select("doc_id", "fp_hash").distinct()
+    )
+    rare = (
+        fp.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") <= hot_cut)
+        .select("fp_hash")
+    )
+    kept = fp.join(rare, "fp_hash")
+    a = kept.select(F.col("doc_id").alias("doc_a"), "fp_hash")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= min_shared)
+        .orderBy(F.desc("n_shared_fps"), "doc_a", "doc_b")
+    )
+
+
+def _winnow_fps_sql() -> str:
+    """The shared fps CTE body (DuckDB): identical normalization, gram
+    hashes, struct-ordered rightmost-min windows, boundary rule."""
+    from .hashing import md5_hash64_sql
+
+    h = md5_hash64_sql(f"substring(tx, s, {WINNOW_K})")
+    return f"""
+t AS (SELECT doc_id,
+             regexp_replace(lower(trim(text)), ' +', ' ', 'g') AS tx
+      FROM documents),
+tl AS (SELECT doc_id, tx FROM t WHERE length(tx) >= {WINNOW_K}),
+g AS (SELECT doc_id, s - 1 AS p, {h} AS h
+      FROM (SELECT doc_id, tx,
+                   unnest(range(1, length(tx) - {WINNOW_K - 1} + 1)) AS s
+            FROM tl)),
+sel AS (SELECT doc_id, p,
+               min({{'h': h, 'np': -p}}) OVER (
+                 PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS m,
+               max(p) OVER (PARTITION BY doc_id) AS maxp
+        FROM g),
+fps AS (SELECT DISTINCT doc_id,
+               -struct_extract(m, 'np') AS fp_pos,
+               struct_extract(m, 'h') AS fp_hash
+        FROM sel WHERE p >= {WINNOW_W - 1} OR p = maxp)"""
+
+
+WINNOWED_STATS_SQL = f"""
+WITH {_winnow_fps_sql()},
+lens AS (SELECT doc_id, length(tx) - {WINNOW_K - 1} AS n_grams
+         FROM tl),
+cnt AS (SELECT doc_id, count(*) AS n_fps FROM fps GROUP BY doc_id)
+SELECT l.doc_id, l.n_grams, c.n_fps
+FROM lens l JOIN cnt c USING (doc_id)
+ORDER BY doc_id
+"""
+
+WINNOWED_COPY_CANDIDATES_SQL = f"""
+WITH {_winnow_fps_sql()},
+fp AS (SELECT DISTINCT doc_id, fp_hash FROM fps),
+rare AS (SELECT fp_hash FROM fp GROUP BY fp_hash
+         HAVING count(*) <= {WINNOW_HOT_CUT}),
+kept AS (SELECT doc_id, fp.fp_hash FROM fp JOIN rare USING (fp_hash))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*) AS n_shared_fps
+FROM kept a JOIN kept b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 2
+ORDER BY n_shared_fps DESC, doc_a, doc_b
+"""

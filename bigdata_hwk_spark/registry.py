@@ -1015,6 +1015,19 @@ register(
     lambda spark, sf: TX.fingerprints(_docs(spark, sf)),
     TX.FINGERPRINTS_SQL,
 )
+# Winnowed fingerprints (r13, MOSS — Schleimer et al. 2003): robust
+# local fingerprinting with the >= K+W-1 shared-substring guarantee;
+# density audit + boilerplate-cut partial-copy candidate pairs
+register(
+    "winnowed_fingerprint_stats",
+    lambda spark, sf: TX.winnowed_fingerprint_stats(_docs(spark, sf)),
+    TX.WINNOWED_STATS_SQL,
+)
+register(
+    "winnowed_copy_candidates",
+    lambda spark, sf: TX.winnowed_copy_candidates(_docs(spark, sf)),
+    TX.WINNOWED_COPY_CANDIDATES_SQL,
+)
 register(
     "text_token_count_bpe",
     lambda spark, sf: TX.token_count_bpe(_docs(spark, sf)),

@@ -91,3 +91,118 @@ def test_ks_oracle(spark, sf):
         registry.ORACLES["ks_source_length_drift"],
         sf,
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowed fingerprints (MOSS)
+
+
+from bigdata_hwk_spark.functions import text as TX
+
+
+def _tdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _py_winnow(text: str):
+    """Plain-Python robust winnowing — the independent replication the
+    Spark/window formulation is checked against."""
+    import hashlib
+    import re
+
+    tx = re.sub(" +", " ", text.strip().lower())
+    k, w = TX.WINNOW_K, TX.WINNOW_W
+    if len(tx) < k:
+        return set()
+    hs = [
+        int(hashlib.md5(tx[i : i + k].encode()).hexdigest()[:15], 16)
+        for i in range(len(tx) - k + 1)
+    ]
+    out = set()
+    n = len(hs)
+    for q in range(max(n - w + 1, 1)):
+        window = hs[q : q + w]
+        m = min(window)
+        # rightmost minimum
+        p = q + max(i for i, h in enumerate(window) if h == m)
+        out.add((p, hs[p]))
+    return out
+
+
+def test_winnow_matches_python_replication_on_fixture(spark):
+    """Every fixture document's selected (pos, hash) set must equal the
+    plain-Python winnow — pins the window/struct-min formulation
+    (including the rightmost-tie rule and both boundary windows)."""
+    from bigdata_hwk_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    got: dict[int, set] = {}
+    for r in TX.winnowed_fingerprints(docs).collect():
+        got.setdefault(r.doc_id, set()).add((r.fp_pos, r.fp_hash))
+    for doc_id, text in texts.items():
+        want = _py_winnow(text)
+        assert got.get(doc_id, set()) == want, doc_id
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """Two docs sharing a >= K+W-1 (= 23) char stretch in different
+    contexts MUST share at least one selected hash — the paper's
+    detection guarantee (a full window of W grams fits inside the
+    match, both docs see the identical hash run, the rightmost-min
+    pick is the same gram)."""
+    shared = "the quick brown fox jumps over it"  # 33 chars
+    assert len(shared) >= TX.WINNOW_GUARANTEE
+    rows = [
+        (1, f"AAAA bbbb cccc {shared} dddd eeee"),
+        (2, f"zzzz {shared} qqqq wwww rrrr tttt yyyy"),
+    ]
+    fps = TX.winnowed_fingerprints(_tdocs(spark, rows)).collect()
+    by_doc: dict[int, set] = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp_hash)
+    assert by_doc[1] & by_doc[2]
+
+
+def test_winnow_density_and_short_docs(spark):
+    """Density must sit near the published 2/(W+1) expectation on the
+    fixture (loose band), and docs shorter than K grams-out entirely."""
+    from bigdata_hwk_spark.sources.tables import load_table
+
+    stats = registry.QUERIES["winnowed_fingerprint_stats"](
+        spark, SF_SMOKE
+    ).collect()
+    assert stats, "fixture docs all shorter than K?"
+    for r in stats:
+        density = r.n_fps / r.n_grams
+        assert 0.05 <= density <= 0.6, (r.doc_id, density)
+    short = TX.winnowed_fingerprints(
+        _tdocs(spark, [(1, "tiny")])
+    ).collect()
+    assert short == []
+
+
+def test_winnow_copy_candidates_are_real_overlaps(spark):
+    """Candidate pairs must actually share the claimed number of
+    fingerprint hashes (recomputed from the fingerprint table)."""
+    from bigdata_hwk_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    fps: dict[int, set] = {}
+    for r in TX.winnowed_fingerprints(docs).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp_hash)
+    cands = TX.winnowed_copy_candidates(docs).collect()
+    assert cands, "no candidate pairs on the fixture"
+    for r in cands:
+        assert r.n_shared_fps >= 2
+        assert len(fps[r.doc_a] & fps[r.doc_b]) == r.n_shared_fps
+
+
+@pytest.mark.parametrize(
+    "name", ["winnowed_fingerprint_stats", "winnowed_copy_candidates"]
+)
+@pytest.mark.parametrize("sf", [SF_SMOKE, SF_CORRECT])
+def test_winnow_oracle(spark, name, sf):
+    assert_matches_oracle(
+        registry.QUERIES[name](spark, sf), registry.ORACLES[name], sf
+    )
