@@ -32,6 +32,15 @@ BNLJ_ALLOWED = {
                        "leg plus bm25's ONE-ROW (n, avgdl) scalar side "
                        "on the lexical leg; the fusion itself joins two "
                        "|queries|*topk tables hash-wise",
+    "dense_retrieval_topk": "the rrf semantic leg standalone (r13): the "
+                            "same Q fixed query vectors broadcast "
+                            "against the corpus as knn_cosine_topk",
+    "ks_source_length_drift": "sources x sources pair table built from "
+                              "the per-source TOTALS sliver — source "
+                              "catalogs are nation-like bounded "
+                              "dimensions, both cross sides tiny at "
+                              "any SF; the corpus itself folds once "
+                              "to the persisted value histogram",
     "neyman_allocation": "two ONE-ROW scalar sides (total weight, total "
                          "base allocation) broadcast against the "
                          "|strata|-row table — the scalar-subquery "
