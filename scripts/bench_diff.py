@@ -19,17 +19,17 @@ the per-round discipline:
   the previous round's committed notes file — not a hard-coded constant
   — so it can never go stale (round-8 ADVICE).
 
-The variance band is taken from the measured run-to-run spread in
-``VARIANCE_BAND_r12.json`` (scripts/variance_band_ab.py: 3 full
-fresh-JVM bench.py subset runs over a 10-query sample at sf0.1 — the
-SAME methodology the round details are produced under; the abs and rel
-maxima come from DIFFERENT queries: abs 0.965 s from
-copurchase_triangle_stats, rel 27.11% from mr_approx_cell_stats, each
-padded ×1.25 → 1.206 s / 0.339). Wider than the retired r07
-one-JVM band (±0.25 s / 15%) because isolation re-pays JIT and cache
-state per batch — that spread is real, so flagging tighter than it
-would manufacture regressions out of noise. A delta inside the band is
-noise by measurement, not by assertion.
+The GLOBAL variance band is taken from the measured run-to-run spread
+in ``VARIANCE_BAND_r13.json`` (scripts/variance_band_ab.py: 5 full
+fresh-JVM bench.py subset runs over a 14-query sample at sf0.1 under
+the min-of-2 per-query discipline — the SAME methodology the round
+details are produced under; abs 1.155 s from lineitem_checksum, rel
+49.7% from the heaviest-median queries only — sub-1.5 s queries are
+excluded from the rel maximum because the abs band governs their flag
+anyway — each padded ×1.25 → 1.444 s / 0.621). The global numbers are
+only the FALLBACK: every query measured in the variance sample gets
+its OWN per-query band (see per_query_bands). A delta inside the band
+is noise by measurement, not by assertion.
 
 Usage: python scripts/bench_diff.py [prev.json cur.json] [--round N]
 
@@ -46,8 +46,8 @@ import json
 import os
 import re
 
-VARIANCE_ABS_SEC = 1.206
-VARIANCE_REL = 0.339
+VARIANCE_ABS_SEC = 1.444
+VARIANCE_REL = 0.621
 
 # Methodology comparison uses only the methodology-BEARING keys. The
 # isolation dict also records derived facts (``n_batches`` =
