@@ -514,11 +514,16 @@ def ann_ivf_topk(
 
     # codebook: deterministic sample → normalize → k-center (driver NumPy;
     # sample_cap rows regardless of corpus size; the id filter pushes to
-    # the scan — no global sort)
-    sample = (
+    # the scan — no global sort). Sorted on the driver: collect order
+    # follows partition layout, and the FFT seed starts from row 0 —
+    # sorting pins the codebook (and so recall) to the DATA, not the
+    # layout (kmeans_fit/_pq_sample_books already did; this site's miss
+    # made recall swing with the core count).
+    sample = sorted(
         embeddings.select("vec_id", "embedding")
         .filter(F.col("vec_id") < sample_cap)
-        .collect()
+        .collect(),
+        key=lambda r: r.vec_id,
     )
     if not sample:  # empty corpus (or no ids under sample_cap): no queries
         return embeddings.sparkSession.createDataFrame(
