@@ -62,6 +62,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+def _covered_df(spark, covered_hashes: set[int]):
+    """The driver-held covered set as a broadcastable (h bigint) frame.
+
+    Arrow path (pandas/NumPy), not a Python tuple list: the set is
+    re-shipped every round, and pickling 10⁴–10⁵ tuples through py4j
+    measurably dominated the round (guide §6 'Arrow for driver
+    transfers'); the int64 ndarray crosses in one Arrow batch. Sorted
+    for a deterministic frame (the join result is set-semantics either
+    way)."""
+    if not covered_hashes:
+        return spark.createDataFrame([], "h bigint")
+    import numpy as np
+    import pandas as pd
+
+    arr = np.fromiter(covered_hashes, dtype=np.int64, count=len(covered_hashes))
+    arr.sort()
+    return spark.createDataFrame(pd.DataFrame({"h": arr}))
+
+
 COVERAGE_K = 10
 COVERAGE_SHINGLE_W = 3
 # above this budget the exact path's O(k·corpus) shape dominates and
@@ -103,14 +122,22 @@ def greedy_coverage_select(
     # remaining" variant that localCheckpoints the survivor table each
     # round rewrites the whole index k times — strictly worse I/O at
     # scale; at fixture scale both variants are dominated by the fixed
-    # ~k·3 sequential-job scheduling cost of any exact greedy loop.)
+    # per-round sequential-job scheduling cost of any exact greedy loop.)
     sh = (
         doc_shingles(documents, w=w)
         .select("doc_id", md5_hash64(F.col("sh")).alias("h"))
         .localCheckpoint()
     )
-    covered = spark.createDataFrame([], "h bigint")
+    # The covered set lives on the DRIVER as a plain hash set: it is
+    # bounded by the union of the k winners' shingle hashes — exactly
+    # the relation the previous implementation broadcast to every
+    # executor each round, so the memory posture is unchanged — and the
+    # driver-side union replaces the per-round union→distinct shuffle +
+    # localCheckpoint job with one pushed-down single-doc collect
+    # (measured: 2 jobs/round instead of 3, no per-round shuffle).
+    covered_hashes: set[int] = set()
     for i in range(1, k + 1):
+        covered = _covered_df(spark, covered_hashes)
         uncovered = sh.join(F.broadcast(covered), "h", "left_anti")
         gain = (
             uncovered.groupBy("doc_id")
@@ -124,8 +151,9 @@ def greedy_coverage_select(
         doc, g = int(gain[0].doc_id), int(gain[0].g)
         total += g
         trace.append((i, doc, g, total))
-        won = sh.filter(F.col("doc_id") == doc).select("h")
-        covered = covered.union(won).distinct().localCheckpoint()
+        covered_hashes.update(
+            sh.filter(F.col("doc_id") == doc).select("h").toPandas()["h"]
+        )
     return spark.createDataFrame(
         trace,
         "rnk int, doc_id bigint, marginal_gain bigint, covered_total bigint",
@@ -214,19 +242,52 @@ def lazy_greedy_coverage_select(
         sh = spark.read.parquet(index_dir)
     else:
         sh = sh_plan.localCheckpoint()
-    # round-1 bound seeding == exact greedy's first gain aggregate
-    bounds = (
+    # round-1 bound seeding == exact greedy's first gain aggregate.
+    # The SEEDED table (corpus-sized) stays distributed and is
+    # checkpointed exactly once; every later round's mutations — drop
+    # the winner/zero-gain docs, overwrite ≤B recomputed bounds — are
+    # tiny by construction (each entry came off a bounded probe/
+    # recompute collect), so they live on the DRIVER as a drop-set +
+    # override-dict and the probe view is base.filter(NOT IN touched)
+    # ∪ parallelize(overrides). That removes the per-round bounds
+    # rebuild (filter→union→localCheckpoint job) entirely; the touched
+    # set grows by ≤B per round, bounded by the total recompute count
+    # the `stats` contract already reports.
+    bounds_base = (
         sh.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("g"))
         .localCheckpoint()
     )
-    covered = spark.createDataFrame([], "h bigint")
+    dropped: set[int] = set()
+    overrides: dict[int, int] = {}
+
+    def bounds_view():
+        touched = list(dropped) + list(overrides)
+        view = (
+            bounds_base.filter(~F.col("doc_id").isin(touched))
+            if touched
+            else bounds_base
+        )
+        if overrides:
+            view = view.union(
+                spark.createDataFrame(
+                    sorted(overrides.items()), "doc_id bigint, g bigint"
+                )
+            )
+        return view
+
+    # covered set on the DRIVER (bounded by the k winners' shingle
+    # hashes — the same relation every probe already broadcast): the
+    # per-round covered extension becomes one pushed-down single-doc
+    # collect instead of an anti-join→union→localCheckpoint job.
+    covered_hashes: set[int] = set()
     trace: list[tuple[int, int, int, int]] = []
     total = 0
     n_recomputes = n_probes = n_escalations = 0
     fresh_round = 1  # bounds are TRUE gains while covered is empty
     for i in range(1, k + 1):
         b = probe_batch
+        covered = _covered_df(spark, covered_hashes)
         # this round's recomputed TRUE gains, carried ACROSS escalations:
         # the probe ordering is deterministic, so each doubling's top-b
         # is a superset of the last — without the carry every escalation
@@ -237,7 +298,8 @@ def lazy_greedy_coverage_select(
         while True:
             n_probes += 1
             top = (
-                bounds.orderBy(F.col("g").desc(), F.col("doc_id").asc())
+                bounds_view()
+                .orderBy(F.col("g").desc(), F.col("doc_id").asc())
                 .limit(b + 1)
                 .collect()
             )
@@ -281,34 +343,27 @@ def lazy_greedy_coverage_select(
         doc, g = winner
         total += g
         trace.append((i, doc, g, total))
-        # disjoint-union covered extension (no per-round distinct
-        # shuffle — the exact path's device)
-        won = (
-            sh.filter(F.col("doc_id") == doc)
-            .select("h")
-            .join(F.broadcast(covered), "h", "left_anti")
+        # covered extension: one pushed-down single-doc read (Arrow
+        # transfer); the driver set-union dedups (the old anti-join's
+        # job)
+        covered_hashes.update(
+            sh.filter(F.col("doc_id") == doc).select("h").toPandas()["h"]
         )
-        covered = covered.union(won).localCheckpoint()
         if fresh_round:
             # seeding round: the probe read TRUE gains straight from the
             # freshly aggregated bounds — re-folding them back would be
-            # a no-op rebuild; only the winner leaves the pool
-            bounds = bounds.filter(F.col("doc_id") != doc).localCheckpoint()
+            # a no-op; only the winner leaves the pool
+            dropped.add(doc)
+            overrides.pop(doc, None)
         else:
             # fold recomputed truths back as the new stale bounds; the
             # winner leaves the pool, zero-gain docs can never win
-            updates = [
-                (d, g2) for d, g2 in truth.items() if d != doc and g2 > 0
-            ]
-            stale_drop = list(truth.keys())
-            bounds = bounds.filter(
-                ~F.col("doc_id").isin(stale_drop)
-            )
-            if updates:
-                bounds = bounds.union(
-                    spark.createDataFrame(updates, "doc_id bigint, g bigint")
-                )
-            bounds = bounds.localCheckpoint()
+            for d, g2 in truth.items():
+                if d == doc or g2 == 0:
+                    dropped.add(d)
+                    overrides.pop(d, None)
+                else:
+                    overrides[d] = g2
         fresh_round = 0
     if stats is not None:
         stats.update(
