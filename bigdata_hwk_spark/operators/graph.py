@@ -360,31 +360,42 @@ def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
     two keyed shuffles, no driver traffic; ``localCheckpoint`` every
     second round truncates the loop lineage (the ``pagerank`` device).
     """
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
-    from pyspark.sql import Window
+    from ..session import persist_scoped
 
-    for it in range(iters):
-        tally = (
-            edges.join(labels, edges["dst"] == labels["node"])
-            .groupBy("src", "label")
-            .agg(F.sum("weight").alias("w"))
-        )
-        win = Window.partitionBy("src").orderBy(
-            F.col("w").desc(), F.col("label").asc()
-        )
+    # persist the edge table for the duration of the loop: every round's
+    # tally joins it, and without the cache each checkpoint job re-ran
+    # the caller's whole edge-construction pipeline (for
+    # copurchase_communities: the lineitem self-join + groupBy) — the
+    # same fix pagerank applies to its normalized walk table
+    edges, release_edges = persist_scoped(edges)
+    try:
         labels = (
-            tally.withColumn("rn", F.row_number().over(win))
-            .filter(F.col("rn") == 1)
-            .select(F.col("src").alias("node"), "label")
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+            .localCheckpoint()
         )
-        if it % 2 == 1 or it == iters - 1:
-            labels = labels.localCheckpoint()
-    return labels
+        from pyspark.sql import Window
+
+        for it in range(iters):
+            tally = (
+                edges.join(labels, edges["dst"] == labels["node"])
+                .groupBy("src", "label")
+                .agg(F.sum("weight").alias("w"))
+            )
+            win = Window.partitionBy("src").orderBy(
+                F.col("w").desc(), F.col("label").asc()
+            )
+            labels = (
+                tally.withColumn("rn", F.row_number().over(win))
+                .filter(F.col("rn") == 1)
+                .select(F.col("src").alias("node"), "label")
+            )
+            if it % 2 == 1 or it == iters - 1:
+                labels = labels.localCheckpoint()
+        return labels
+    finally:
+        release_edges()
 
 
 def copurchase_communities(
