@@ -666,9 +666,11 @@ def minhash_signatures(documents: DataFrame, h: int = MINHASH_H) -> DataFrame:
     return _minhash_from_shingles(doc_shingles(documents), h)
 
 
-def _minhash_from_shingles(ex: DataFrame, h: int = MINHASH_H) -> DataFrame:
+def _minhash_wide(ex: DataFrame, h: int = MINHASH_H) -> DataFrame:
+    """(doc_id, __mh0..__mh{h-1}): the per-doc minhash vector as one
+    wide row — ONE map-side-combined aggregate over the shingle table."""
     base = md5_hash64(F.col("sh")) % MINHASH_P
-    wide = ex.select("doc_id", base.alias("hb")).groupBy("doc_id").agg(
+    return ex.select("doc_id", base.alias("hb")).groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("hb") + F.lit(b)) % MINHASH_P).alias(
                 f"__mh{i}"
@@ -676,6 +678,10 @@ def _minhash_from_shingles(ex: DataFrame, h: int = MINHASH_H) -> DataFrame:
             for i, (a, b) in enumerate(_uhash_params(h))
         ]
     )
+
+
+def _minhash_from_shingles(ex: DataFrame, h: int = MINHASH_H) -> DataFrame:
+    wide = _minhash_wide(ex, h)
     # long form (doc_id, i, mh) for banding/consumers — exploded AFTER the
     # aggregation, so the H× fan-out touches one row per doc
     structs = F.array(
@@ -692,12 +698,48 @@ def _minhash_from_shingles(ex: DataFrame, h: int = MINHASH_H) -> DataFrame:
 def _band_keys(sig: DataFrame, r: int) -> DataFrame:
     """(doc_id, bk): per-band 8-byte LSH bucket keys from a (doc_id, i,
     mh) signature table. Band key = xxhash64(band, ordered minhash
-    slice) — constant-width shuffle keys at any H."""
+    slice) — constant-width shuffle keys at any H.
+
+    Long-form reference shape (kept as the semantic spec and for
+    callers holding a signature table); the pipeline hot path uses
+    ``_band_keys_from_shingles``, which produces bit-identical keys
+    without the explode→re-group round trip (pinned equal in
+    tests/test_round13_ops.py)."""
     return (
         sig.withColumn("band", (F.col("i") / r).cast("int"))
         .groupBy("doc_id", "band")
         .agg(F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("slice_"))
         .select("doc_id", F.xxhash64("band", F.col("slice_.mh")).alias("bk"))
+    )
+
+
+def _band_keys_from_shingles(ex: DataFrame, h: int, r: int) -> DataFrame:
+    """(doc_id, bk) fused: the wide per-doc minhash aggregate already
+    holds ``__mh0..__mh{h-1}`` as ADJACENT COLUMNS in i-order, so each
+    band's slice is a literal column selection —
+    ``xxhash64(band, array(__mh_{b·r} .. __mh_{b·r+r−1}))`` — and the
+    long form's explode → groupBy(doc_id, band) →
+    array_sort(collect_list(struct(i, mh))) round trip (a SECOND full
+    shuffle of H rows per doc, guide §2.4 "remove shuffles outright")
+    disappears. Bit-identical keys to ``_band_keys`` ∘
+    ``_minhash_from_shingles``: the sorted struct list's ``.mh``
+    projection IS the i-ordered slice, and the xxhash64 input types
+    (int band, array<bigint> slice) are unchanged. One shuffle total
+    (the per-doc min aggregate), H/r struct entries exploded per doc."""
+    wide = _minhash_wide(ex, h)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(bnd).cast("int").alias("band"),
+                F.array(
+                    *[F.col(f"__mh{i}") for i in range(bnd * r, (bnd + 1) * r)]
+                ).alias("slice_"),
+            )
+            for bnd in range(h // r)
+        ]
+    )
+    return wide.select("doc_id", F.explode(structs).alias("s")).select(
+        "doc_id", F.xxhash64(F.col("s.band"), F.col("s.slice_")).alias("bk")
     )
 
 
@@ -733,7 +775,7 @@ def minhash_lsh_pairs(
     # case and then verifies on the (identical) cut table.
     ex_cut, sh_all = index if index is not None else _shingle_index(documents, cut)
     verify_ex = ex_cut if sh_all is None else sh_all
-    band_sig = _band_keys(_minhash_from_shingles(ex_cut, h), r)
+    band_sig = _band_keys_from_shingles(ex_cut, h, r)
     a = band_sig.alias("a")
     b = band_sig.alias("b")
     cand = (
@@ -1219,7 +1261,7 @@ def incremental_lsh_pairs(
         else _shingle_index(tagged.select("doc_id", "text"), cut)
     )
     verify_ex = ex_cut if sh_all is None else sh_all
-    band_sig = _band_keys(_minhash_from_shingles(ex_cut, h), r).join(
+    band_sig = _band_keys_from_shingles(ex_cut, h, r).join(
         tagged.select("doc_id", "is_new"), "doc_id"
     )
     a = band_sig.filter(F.col("is_new")).alias("a")

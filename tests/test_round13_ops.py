@@ -206,3 +206,27 @@ def test_winnow_oracle(spark, name, sf):
     assert_matches_oracle(
         registry.QUERIES[name](spark, sf), registry.ORACLES[name], sf
     )
+
+
+def test_fused_band_keys_equal_long_form(spark):
+    """r13 optimization pin: `_band_keys_from_shingles` (wide fused, no
+    explode→re-group shuffle) must produce the BIT-IDENTICAL (doc_id,
+    bk) set as the long-form `_band_keys(_minhash_from_shingles(...))`
+    reference shape — on the real fixture corpus, so every LSH-family
+    candidate set is unchanged by the fusion."""
+    from bigdata_hwk_spark.operators import dedup as D
+    from bigdata_hwk_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    ex = D.doc_shingles(docs)
+    r = D.MINHASH_H // D.MINHASH_BANDS
+    ref = {
+        (x.doc_id, x.bk)
+        for x in D._band_keys(D._minhash_from_shingles(ex, D.MINHASH_H), r)
+        .collect()
+    }
+    fused = {
+        (x.doc_id, x.bk)
+        for x in D._band_keys_from_shingles(ex, D.MINHASH_H, r).collect()
+    }
+    assert fused == ref and len(fused) > 0
