@@ -56,7 +56,7 @@ from collections import Counter
 
 from pyspark.sql import DataFrame, Window
 
-from ..session import bounded_window
+from ..session import bounded_window, local_df
 from pyspark.sql import functions as F
 
 from ..session import persist_scoped
@@ -264,8 +264,8 @@ def bpe_merge_table(
             )
         else:
             merges, _ = _train_merges(vocab, n_merges, min_count)
-        return spark.createDataFrame(
-            merges,
+        return local_df(
+            spark, merges,
             "merge_rank bigint, left_sym string, right_sym string, "
             "merged string, pair_count bigint",
         )

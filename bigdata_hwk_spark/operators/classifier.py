@@ -45,6 +45,8 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import local_df
+
 from ..functions.hashing import md5_hash64
 
 CLF_DIM = 256           # hashed feature buckets
@@ -162,7 +164,7 @@ def ridge_score(
     wq = [
         (int(j), int(np.floor(w[j] * CLF_SCALE + 0.5))) for j in range(dim)
     ]
-    wq_df = spark.createDataFrame(wq, "bucket int, wq bigint")
+    wq_df = local_df(spark, wq, "bucket int, wq bigint")
     bias = float(np.floor(w[dim] * CLF_SCALE + 0.5)) / CLF_SCALE
     margins = (
         hashed_features(documents, dim)
@@ -300,7 +302,7 @@ def save_weights(w: np.ndarray, spark, path: str) -> None:
         for j in range(len(w) - 1)
     ]
     rows.append((-1, int(np.floor(w[-1] * CLF_SCALE + 0.5))))
-    spark.createDataFrame(rows, "bucket int, wq bigint").coalesce(1).write.mode(
+    local_df(spark, rows, "bucket int, wq bigint").coalesce(1).write.mode(
         "overwrite"
     ).parquet(path)
 

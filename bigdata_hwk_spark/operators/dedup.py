@@ -39,6 +39,8 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import local_df
+
 from ..functions.hashing import md5_hash64, md5_hash64_sql
 
 SHINGLE_W = 3          # words per shingle
@@ -1016,7 +1018,7 @@ def connected_components(
         release_edges()
         if not rows:
             return spark.createDataFrame([], "node bigint, cluster_id bigint")
-        return spark.createDataFrame(rows, "node bigint, cluster_id bigint")
+        return local_df(spark, rows, "node bigint, cluster_id bigint")
     e = edges
     prev_sig = None
     converged = False
@@ -2093,7 +2095,7 @@ def _snb_ranked(documents: DataFrame, key_words: int = SNB_KEY_WORDS) -> DataFra
     for r in sorted(counts, key=lambda r: r["__b"]):
         offsets.append((r["__b"], acc))
         acc += r["count"]
-    off_df = t.sparkSession.createDataFrame(offsets, "__b int, __off bigint")
+    off_df = local_df(t.sparkSession, offsets, "__b int, __off bigint")
     w = Window.partitionBy("__b").orderBy("bkey", "doc_id")
     return (
         t.join(F.broadcast(off_df), "__b")

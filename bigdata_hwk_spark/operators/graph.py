@@ -40,7 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from ..session import bounded_window
+from ..session import bounded_window, local_df
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -269,7 +269,8 @@ def copurchase_triangles(lineitem: DataFrame) -> DataFrame:
         clustering = (
             round(3.0 * n_tri / stats.n_wedges, 6) if stats.n_wedges else 0.0
         )
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             [
                 (
                     stats.n_nodes,
@@ -449,8 +450,8 @@ def assert_symmetric_sample(edges: DataFrame, sample_n: int = 64) -> None:
     if not swapped_pairs:
         return
     spark = edges.sparkSession
-    swapped = spark.createDataFrame(
-        sorted(swapped_pairs), edges.select("src", "dst").schema
+    swapped = local_df(
+        spark, sorted(swapped_pairs), edges.select("src", "dst").schema
     )
     found = (
         edges.select("src", "dst")

@@ -38,6 +38,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import local_df
+
 PCA_QUANT = 1 << 14
 PCA_COMPONENTS = 8
 
@@ -187,8 +189,8 @@ def embedding_pca_variance(
                 round(100.0 * cum / total, 4),
             )
         )
-    return spark.createDataFrame(
-        rows,
+    return local_df(
+        spark, rows,
         "component int, eigenvalue double, explained_pct double, "
         "cum_explained_pct double",
     )
@@ -276,4 +278,4 @@ def pca_whitened_audit(
         round(float(np.abs(np.diag(covy) - 1.0).max()), 6),
         round(res_tot / PCA_QUANT / n_tot, 6),
     )
-    return spark.createDataFrame([row], schema)
+    return local_df(spark, [row], schema)

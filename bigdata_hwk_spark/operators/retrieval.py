@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..session import local_df
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOPK = 10
@@ -91,7 +93,7 @@ def bm25_topk(
     q_rows = [
         (qid, term) for qid, qtext in queries for term in qtext.split(" ")
     ]
-    q = spark.createDataFrame(q_rows, "query_id int, term string")
+    q = local_df(spark, q_rows, "query_id int, term string")
 
     if tf is None:
         tf = _postings(documents)

@@ -62,6 +62,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import local_df
+
 def _covered_df(spark, covered_hashes: set[int]):
     """The driver-held covered set as a broadcastable (h bigint) frame.
 
@@ -154,8 +156,8 @@ def greedy_coverage_select(
         covered_hashes.update(
             sh.filter(F.col("doc_id") == doc).select("h").toPandas()["h"]
         )
-    return spark.createDataFrame(
-        trace,
+    return local_df(
+        spark, trace,
         "rnk int, doc_id bigint, marginal_gain bigint, covered_total bigint",
     )
 
@@ -270,8 +272,8 @@ def lazy_greedy_coverage_select(
         )
         if overrides:
             view = view.union(
-                spark.createDataFrame(
-                    sorted(overrides.items()), "doc_id bigint, g bigint"
+                local_df(
+                    spark, sorted(overrides.items()), "doc_id bigint, g bigint"
                 )
             )
         return view
@@ -374,7 +376,7 @@ def lazy_greedy_coverage_select(
                 "escalations": n_escalations,
             }
         )
-    return spark.createDataFrame(
-        trace,
+    return local_df(
+        spark, trace,
         "rnk int, doc_id bigint, marginal_gain bigint, covered_total bigint",
     )

@@ -28,6 +28,8 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..session import local_df
+
 _LOG = logging.getLogger(__name__)
 
 ANN_BITS = 4        # hyperplanes per LSH table
@@ -580,8 +582,8 @@ def ann_ivf_topk(
         top = np.argsort(-(centroids @ qv))[:nprobe]
         probes.extend((int(r.vec_id), int(c)) for c in top)
         queries.append((int(r.vec_id), [float(x) for x in qv]))
-    probe_df = spark.createDataFrame(probes, "query_id bigint, cid int")
-    query_df = spark.createDataFrame(queries, "query_id bigint, qv array<double>")
+    probe_df = local_df(spark, probes, "query_id bigint, cid int")
+    query_df = local_df(spark, queries, "query_id bigint, qv array<double>")
 
     cos = _cosine_pandas()
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), "neighbor_id")
@@ -702,8 +704,8 @@ def ann_candidate_counts(
     n_sig = long.count()
     n_vec = embeddings.count()
     spark = embeddings.sparkSession
-    return spark.createDataFrame(
-        [(n_vec, n_sig, n_cand)],
+    return local_df(
+        spark, [(n_vec, n_sig, n_cand)],
         "n_vectors bigint, n_signature_rows bigint, n_candidates bigint",
     )
 
@@ -1432,8 +1434,8 @@ def ann_pq_topk(
     )
     if not lut_rows:
         return spark.createDataFrame([], out_schema)
-    lut = spark.createDataFrame(
-        lut_rows, "query_id bigint, m int, code int, pd_int bigint"
+    lut = local_df(
+        spark, lut_rows, "query_id bigint, m int, code int, pd_int bigint"
     )
     return _pq_adc_topk(codes, lut, k)
 
@@ -1614,8 +1616,8 @@ def pq_index_build(
         for m in range(m_sub)
         for c in range(k_codes)
     ]
-    spark.createDataFrame(
-        book_rows, "m int, code int, vec array<double>"
+    local_df(
+        spark, book_rows, "m int, code int, vec array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks.parquet")
     codes = _pq_encode_codes(embeddings, books, m_sub, dsub)
     codes.write.mode("overwrite").parquet(f"{path}/codes.parquet")
@@ -1862,8 +1864,8 @@ def ann_ivfpq_topk(
                     )
     if not lut_rows:
         return spark.createDataFrame([], out_schema)
-    lut = spark.createDataFrame(
-        lut_rows, "query_id bigint, cid int, m int, code int, pd_int bigint"
+    lut = local_df(
+        spark, lut_rows, "query_id bigint, cid int, m int, code int, pd_int bigint"
     )
     adc = (
         codes.join(F.broadcast(lut), ["cid", "m", "code"])
@@ -1955,8 +1957,8 @@ def _exact_rerank(
             out_rows.append((qid, vid, di, rk))
     if not out_rows:
         return spark.createDataFrame([], out_schema)
-    return spark.createDataFrame(
-        out_rows, "query_id bigint, vec_id bigint, d2_int bigint, rk int"
+    return local_df(
+        spark, out_rows, "query_id bigint, vec_id bigint, d2_int bigint, rk int"
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -2269,8 +2271,8 @@ def mmr_rerank_topk(
             selected.append(best_doc)
             del remaining[best_doc]
             out.append((q, best_doc, best_rel, best_score, i))
-    return spark.createDataFrame(
-        out,
+    return local_df(
+        spark, out,
         "query_id bigint, doc_id bigint, relevance double, "
         "mmr_score double, rnk int",
     )

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import local_df
+
 from ..functions.hashing import md5_hash64, md5_hash64_sql
 
 CMS_D = 4     # depth (independent hash rows): δ = e^-4 ≈ 1.8%
@@ -700,7 +702,7 @@ def hll_overlap_from_registers(
     pairs = [(a, b) for i, a in enumerate(groups) for b in groups[i + 1:]]
     spark = regs.sparkSession
     gtype = dict(regs.dtypes)[group_col]
-    pair_df = spark.createDataFrame(pairs, f"ga {gtype}, gb {gtype}")
+    pair_df = local_df(spark, pairs, f"ga {gtype}, gb {gtype}")
 
     ra = regs.join(
         F.broadcast(pair_df), F.col(group_col) == F.col("ga")

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import local_df
+
 from ..functions.hashing import HASH_BITS, md5_hash64, md5_hash64_sql
 from .dedup import JACCARD_TAU, connected_components, minhash_lsh_pairs
 
@@ -294,7 +296,7 @@ def training_shard_manifest(
     for r in sorted(psums, key=lambda r: r["__b"]):
         offsets.append((r["__b"], acc))
         acc += r["__t"]
-    off_df = documents.sparkSession.createDataFrame(offsets, "__b int, __off bigint")
+    off_df = local_df(documents.sparkSession, offsets, "__b int, __off bigint")
     w = (
         Window.partitionBy("__b")
         .orderBy("hk", "doc_id")

@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import local_df
+
 UNI_SEED_SIZE = 2048
 UNI_MAX_LEN = 6
 UNI_EM_ITERS = 2
@@ -268,8 +270,8 @@ def unigram_lm_vocab(
         qcounts = _distributed_estep(vocab, probs, max_len)
         probs = _mstep(_floor_seed_chars(qcounts, seed_chars))
     rows = _prune_rank(qcounts, keep)
-    return spark.createDataFrame(
-        [(r, p, round(pr, 12), q) for r, p, pr, q in rows],
+    return local_df(
+        spark, [(r, p, round(pr, 12), q) for r, p, pr, q in rows],
         "rnk int, piece string, prob double, expected_q bigint",
     )
 

@@ -19,6 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .functions import text as TX
+from .session import local_df
 from .operators import cdc as CDC
 from .operators import dedup as D
 from .operators import kcenter as KC
@@ -463,12 +464,12 @@ def _stream_report(spark: SparkSession, sf_dir: str) -> FI.StreamReport:
 
 def _stream_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = _stream_report(spark, sf_dir)
-    return spark.createDataFrame([(i,) for i in rep.reservoir_estimate], "item bigint")
+    return local_df(spark, [(i,) for i in rep.reservoir_estimate], "item bigint")
 
 
 def _stream_sticky(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = _stream_report(spark, sf_dir)
-    return spark.createDataFrame([(i,) for i in rep.sticky_estimate], "item bigint")
+    return local_df(spark, [(i,) for i in rep.sticky_estimate], "item bigint")
 
 
 def _stream_reservoir_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -485,8 +486,8 @@ def _stream_reservoir_distributed(spark: SparkSession, sf_dir: str) -> DataFrame
         n=n,
         seed=STREAM_SEED,
     )
-    return spark.createDataFrame(
-        [(i,) for i in sorted(set(sample))], "item bigint"
+    return local_df(
+        spark, [(i,) for i in sorted(set(sample))], "item bigint"
     )
 
 

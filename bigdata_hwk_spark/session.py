@@ -101,6 +101,44 @@ def get_spark(
     return spark
 
 
+_LOCAL_DF_NAMES: dict[str, list[str]] = {}
+
+
+def local_df(spark, rows, schema: str):
+    """Small driver-side table → DataFrame via the Arrow/pandas path.
+
+    ``spark.createDataFrame(list_of_tuples, ...)`` plans as a
+    ``Scan ExistingRDD`` over parallelize slices whose rows are PICKLED
+    PYTHON OBJECTS — every consumer (a broadcast build, a join, a write)
+    pays a Python-worker round trip per slice to deserialize them
+    (measured: ~1 s inside a broadcast join, ~6 s when a ``coalesce(1)``
+    serializes the 32 slice reads into one task). Routing the same rows
+    through a pandas frame with an explicit schema ships ONE Arrow batch
+    and plans as a pure-JVM ``LocalTableScan`` (guide §6 "Arrow for
+    driver transfers"): measured 0.38 s vs 1.36 s for the broadcast-join
+    consumer, 0.2 s vs 5.4 s under coalesce(1).
+
+    Use for CLEANLY-TYPED local tables (ints/floats/strings/float
+    arrays, no None-valued numeric cells — pandas would widen those to
+    NaN floats). Falls back to the classic path for empty input.
+    """
+    rows = rows if isinstance(rows, list) else list(rows)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    if isinstance(schema, str):
+        names = _LOCAL_DF_NAMES.get(schema)
+        if names is None:
+            names = spark.createDataFrame([], schema).schema.names
+            _LOCAL_DF_NAMES[schema] = names
+    else:  # StructType
+        names = list(schema.names)
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=names), schema=schema
+    )
+
+
 def persist_once(df, storage_level=None):
     """``persist`` unless the CacheManager already holds this logical plan.
 

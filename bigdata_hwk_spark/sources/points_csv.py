@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import local_df
+
 POINTS_SCHEMA = "x double, y double"
 
 
@@ -81,7 +83,7 @@ def with_point_ids(points: DataFrame) -> DataFrame:
         offsets.append((r["__pid"], acc))
         acc += r["__cnt"]
     spark = points.sparkSession
-    off_df = spark.createDataFrame(offsets, "__pid int, __off bigint")
+    off_df = local_df(spark, offsets, "__pid int, __off bigint")
     return (
         df.join(F.broadcast(off_df), "__pid")
         .withColumn("point_id", F.col("__off") + F.col("__mid").bitwiseAND(row_mask))
