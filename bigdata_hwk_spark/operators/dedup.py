@@ -67,31 +67,43 @@ def doc_shingles(
     The split word array is materialized into its own projection before the
     shingle transform: referencing the raw ``split(text)`` expression from
     inside the lambda makes Catalyst re-evaluate the split per element
-    (O(words²) per doc — measured 2.5× slower end-to-end). The transform is
-    guarded by a CASE WHEN on word count: Spark's ``sequence(1, n)`` runs
+    (O(words²) per doc — measured 2.5× slower end-to-end).
+
+    Short-doc safety (r13 rewrite): Spark's ``sequence(1, n)`` runs
     DESCENDING for n < 1, making ``slice(ws, 0, ...)`` throw
-    INVALID_PARAMETER_VALUE.START on any 1–2-word doc. A row filter alone
-    is NOT enough — InferFiltersFromGenerate copies the shingle expression
-    into a pushed-down ``size(shs) > 0`` predicate that runs on unfiltered
-    rows (reproduced: a single short doc crashed the job through the
-    filter). DuckDB's ``generate_series`` is empty for n < 1, so short
-    docs yield no rows on both sides. All array-local (no shuffle),
+    INVALID_PARAMETER_VALUE.START on any 1–2-word doc, and the row filter
+    alone is NOT enough — InferFiltersFromGenerate copies the shingle
+    expression into a pushed-down predicate that runs on unfiltered rows
+    (reproduced: a single short doc crashed the job through the filter).
+    The r12 fix wrapped the array in a CASE WHEN and aliased it through a
+    second projection; measured at sf0.1 that made Catalyst materialize
+    the transform THREE times (generator + the inferred filter's inlined
+    copies — 3.75 s vs 0.34 s for the whole shingle pass, the single
+    largest leg of every dedup-family query). Now the POSITION LIST is
+    armored instead — ``slice(sequence(1, greatest(n−w+1, 1)), 1,
+    greatest(n−w+1, 0))`` is ascending and empty for short docs, so the
+    expression is total (never throws wherever the optimizer copies it),
+    needs no CASE WHEN, and the explode stays in the SAME projection —
+    one evaluation per row (pinned: the executed plan carries exactly one
+    ``transform(``). DuckDB's ``generate_series`` is empty for n < 1, so
+    short docs yield no rows on both sides. All array-local (no shuffle),
     whole-stage codegen.
     """
     ws_df = documents.select(
         "doc_id", F.split(F.col("text"), " ").alias("ws")
     ).filter(F.size("ws") >= w)
+    npos = F.size("ws") - (w - 1)
+    positions = F.slice(
+        F.sequence(F.lit(1), F.greatest(npos, F.lit(1))),
+        1,
+        F.greatest(npos, F.lit(0)),
+    )
     grams = F.transform(
-        F.sequence(F.lit(1), F.size("ws") - (w - 1)),
+        positions,
         lambda i: F.array_join(F.slice(F.col("ws"), i, w), " "),
     )
-    shingles = F.when(
-        F.size("ws") >= w,
-        F.array_distinct(grams) if distinct else grams,
-    ).otherwise(F.array().cast("array<string>"))
-    return ws_df.select("doc_id", shingles.alias("shs")).select(
-        "doc_id", F.explode("shs").alias("sh")
-    )
+    shingles = F.array_distinct(grams) if distinct else grams
+    return ws_df.select("doc_id", F.explode(shingles).alias("sh"))
 
 
 # Document-frequency cut: shingles appearing in more than this many docs are
@@ -1372,13 +1384,19 @@ def _span_occurrences(documents: DataFrame, w: int = SPAN_W) -> DataFrame:
     than ``w`` words contribute nothing (guarded — F.sequence would
     otherwise count DOWN for a negative stop)."""
     arr = F.split(F.col("text"), " ")
-    gram_arr = F.when(
-        F.size(arr) >= w,
-        F.transform(
-            F.sequence(F.lit(0), F.size(arr) - w),
-            lambda i: F.concat_ws(" ", F.slice(arr, i + F.lit(1), F.lit(w))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # armored position list (the doc_shingles r13 device): ascending and
+    # empty for docs shorter than w, so the expression is total and needs
+    # no CASE WHEN (whose inferred-filter copies re-evaluated the
+    # transform — measured 2× on the shingle pass)
+    positions = F.slice(
+        F.sequence(F.lit(0), F.greatest(F.size(arr) - w, F.lit(0))),
+        1,
+        F.greatest(F.size(arr) - w + 1, F.lit(0)),
+    )
+    gram_arr = F.transform(
+        positions,
+        lambda i: F.concat_ws(" ", F.slice(arr, i + F.lit(1), F.lit(w))),
+    )
     return documents.select(
         "doc_id", F.posexplode(gram_arr).alias("pos", "g")
     ).select("doc_id", "pos", md5_hash64(F.col("g")).alias("gh"))
