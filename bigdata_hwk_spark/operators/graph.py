@@ -52,16 +52,36 @@ PR_TOPK = 20
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """(src, dst, weight): co-occurrence-weighted symmetric edges over
     parts sharing an order. Both directions are emitted by the
-    unordered pair filter (src ≠ dst), so no explicit mirroring pass."""
-    li = lineitem.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a = li.alias("a")
-    b = li.alias("b")
+    unordered pair filter (src ≠ dst), so no explicit mirroring pass.
+
+    Shape (r13, guide §2.4): one ``collect_set`` per order + a LOCAL
+    pair explosion replaces the distinct → self-join chain — 2 keyed
+    shuffles instead of 3, no join. Sound because per-order fan-out is
+    a bounded constant (TPC-H orders carry ≤ 7 lineitems; the module
+    docstring's edge-volume argument already leans on exactly that
+    bound), and ``collect_set`` subsumes the old per-(order, part)
+    DISTINCT. Output verified identical on the fixture (2.392M edge
+    rows set-equal; isolated noop wall 2.65 → 2.08 s at sf0.1)."""
+    sets = (
+        lineitem.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .groupBy("ok")
+        .agg(F.collect_set("pk").alias("pks"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("pks"),
+            lambda a: F.transform(
+                F.col("pks"),
+                lambda b: F.struct(a.alias("src"), b.alias("dst")),
+            ),
+        )
+    )
     return (
-        a.join(b, "ok")
-        .filter(F.col("a.pk") != F.col("b.pk"))
-        .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        sets.select(F.explode(pair_arr).alias("e"))
+        .filter(F.col("e.src") != F.col("e.dst"))
+        .groupBy(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
         .agg(F.count(F.lit(1)).cast("double").alias("weight"))
     )
 
@@ -196,15 +216,30 @@ def copurchase_triangles(lineitem: DataFrame) -> DataFrame:
     length 2) so ``global_clustering = 3·triangles / wedges`` is the
     standard transitivity ratio, rounded to 6.
     """
-    li = lineitem.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a = li.alias("a")
-    b = li.alias("b")
+    # per-order collect_set + local pair explosion (the copurchase_edges
+    # r13 device): 2 shuffles to the undirected pair set instead of the
+    # distinct → self-join → distinct chain; per-order fan-out is the
+    # same bounded constant
+    sets = (
+        lineitem.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .groupBy("ok")
+        .agg(F.collect_set("pk").alias("pks"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("pks"),
+            lambda a: F.transform(
+                F.col("pks"),
+                lambda b: F.struct(a.alias("u"), b.alias("v")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "ok")
-        .filter(F.col("a.pk") < F.col("b.pk"))
-        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        sets.select(F.explode(pair_arr).alias("e"))
+        .filter(F.col("e.u") < F.col("e.v"))
+        .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
         .distinct()
     )
     deg = (
