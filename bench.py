@@ -75,6 +75,27 @@ sys.path.insert(0, REPO_DIR)
 
 DEFAULT_BATCH = 16
 
+# the driver's main bench runs at 32 cores; its scaling probe re-runs at a
+# lower count. Only the default-cpus run may own the round's per-query
+# detail file (see round_detail_path).
+DEFAULT_CPUS = "32"
+
+
+def round_detail_path(repo_dir: str, round_no: int, cpus: str) -> str:
+    """Path of the round-stamped per-query detail file for a run at
+    ``cpus`` cores.
+
+    Keyed on the core count (r14, VERDICT r13 item 1): the unsuffixed
+    ``BENCH_DETAIL_r{N}.json`` is the round's canonical 32-core record;
+    a run at any other core count — e.g. the driver's 8-core scaling
+    probe, which in r13 clobbered the 32-core AFTER detail — writes a
+    ``_c{cpus}``-suffixed sibling instead."""
+    if str(cpus) == DEFAULT_CPUS:
+        return os.path.join(repo_dir, f"BENCH_DETAIL_r{round_no:02d}.json")
+    return os.path.join(
+        repo_dir, f"BENCH_DETAIL_r{round_no:02d}_c{cpus}.json"
+    )
+
 # fixed bucket count for stable batch assignment (full runs): a query's
 # batch is md5(name) mod N_BUCKETS, so registry growth touches exactly
 # the new query's bucket instead of shifting membership for every batch
@@ -467,6 +488,7 @@ def main() -> None:
         "queries": timings,
         "rows": rows,
         "sf": sf,
+        "cpus": int(cpus),
         "mrfft_r1_ms": mr["r1_ms"],
         "mrfft_r2_ms": mr["r2_ms"],
         "mrfft_r3_ms": mr["r3_ms"],
@@ -512,7 +534,10 @@ def main() -> None:
     # Only round-stamp runs at the driver's SF (0.1): a local smoke at
     # another SF must not clobber the committed per-round history (it
     # did, twice, in round 9 — each needed a git checkout to repair).
-    round_detail = os.path.join(REPO_DIR, f"BENCH_DETAIL_r{round_no:02d}.json")
+    # The file is additionally keyed on the core count so the driver's
+    # low-cpu scaling probe cannot clobber the 32-core record
+    # (round_detail_path; VERDICT r13 item 1).
+    round_detail = round_detail_path(REPO_DIR, round_no, cpus)
     if sf == 0.1 or not os.path.exists(round_detail):
         with open(round_detail, "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)

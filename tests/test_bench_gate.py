@@ -74,6 +74,23 @@ def test_stable_batches_partition_and_order_independence():
     assert len(a) <= bench.N_BUCKETS
 
 
+# ---------------------------------------------------------------------------
+# Round-detail file is keyed on the core count (r14, VERDICT r13 item 1):
+# the driver's 8-core scaling probe clobbered r13's 32-core per-query
+# record because any sf0.1 run wrote the same BENCH_DETAIL_r{N}.json.
+
+
+def test_round_detail_path_keyed_on_cpus():
+    base = bench.round_detail_path("/repo", 14, "32")
+    assert base.endswith("BENCH_DETAIL_r14.json")
+    probe = bench.round_detail_path("/repo", 14, "8")
+    assert probe.endswith("BENCH_DETAIL_r14_c8.json")
+    # the scaling probe can never resolve to the canonical record
+    assert probe != base
+    # int-vs-str cpus spelling must not fork the path
+    assert bench.round_detail_path("/repo", 14, 32) == base
+
+
 def test_stable_batches_growth_touches_one_bucket():
     names = [f"query_{i}" for i in range(225)]
     before = bench.stable_batches(names)
