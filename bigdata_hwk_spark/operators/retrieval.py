@@ -295,7 +295,12 @@ FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)""")
 # Persisted inverted-index artifact (build once, query many)
 # ---------------------------------------------------------------------------
 
-def text_index_build(documents: DataFrame, out_dir: str) -> dict:
+def text_index_build(
+    documents: DataFrame,
+    out_dir: str,
+    postings: DataFrame | None = None,
+    stats: DataFrame | None = None,
+) -> dict:
     """Materialize the BM25 index as a parquet artifact: the posting
     table bucket-partitioned-BY-TERM-HASH files under ``out_dir``/postings
     and the one-row (n, avgdl) corpus stats under ``out_dir``/stats.
@@ -305,12 +310,24 @@ def text_index_build(documents: DataFrame, out_dir: str) -> dict:
     pay only a pruned posting scan — the ``pq_index_build`` discipline
     applied to the lexical index. Postings are repartitioned by ``term``
     before the write so each file holds whole posting lists (a query's
-    semi-join prunes files by the term hash instead of scanning all)."""
-    postings = _postings(documents).repartition(F.col("term"))
-    postings.write.mode("overwrite").parquet(f"{out_dir}/postings")
-    stats = documents.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.avg(F.size(F.split(F.col("text"), " "))).alias("avgdl"),
+    semi-join prunes files by the term hash instead of scanning all).
+
+    ``postings``/``stats`` inject pre-built (typically persisted)
+    relations so a caller that also scores in-plan — the roundtrip
+    profile — tokenizes the corpus once for both legs (guide §5 reuse);
+    by default both derive from ``documents``. Either both or neither."""
+    if (postings is None) != (stats is None):
+        raise ValueError(
+            "text_index_build: pass both postings and stats, or neither"
+        )
+    if postings is None:
+        postings = _postings(documents)
+        stats = documents.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg(F.size(F.split(F.col("text"), " "))).alias("avgdl"),
+        )
+    postings.repartition(F.col("term")).write.mode("overwrite").parquet(
+        f"{out_dir}/postings"
     )
     stats.write.mode("overwrite").parquet(f"{out_dir}/stats")
     spark = documents.sparkSession
@@ -332,16 +349,40 @@ def text_index_roundtrip_profile(
     ``pq_index_roundtrip_profile`` device for the text index)."""
     import tempfile
 
+    from ..session import persist_scoped
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = work_dir or tempfile.mkdtemp(prefix="text_index_")
-    meta = text_index_build(docs, out)
-    tf = spark.read.parquet(f"{out}/postings")
-    stats = spark.read.parquet(f"{out}/stats")
-    from_index = {
-        tuple(r) for r in bm25_topk(docs, tf=tf, stats=stats).collect()
-    }
-    in_mem = {tuple(r) for r in bm25_topk(docs).collect()}
-    return spark.createDataFrame(
+    # Tokenize ONCE (guide §5 reuse; r13 VERDICT item 3): the posting
+    # table and the one-row stats persist for the artifact build AND the
+    # in-memory scoring leg — before, the in-memory leg re-ran the full
+    # tokenize→explode→groupBy shuffle and the stats aggregate re-scanned
+    # (and re-split) the corpus twice more. The roundtrip property is
+    # unchanged: the from-index leg still scores the parquet-roundtripped
+    # artifact, the in-memory leg the never-serialized relation.
+    post, release_post = persist_scoped(_postings(docs))
+    stats_mem, release_stats = persist_scoped(
+        docs.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg(F.size(F.split(F.col("text"), " "))).alias("avgdl"),
+        )
+    )
+    try:
+        meta = text_index_build(docs, out, postings=post, stats=stats_mem)
+        tf = spark.read.parquet(f"{out}/postings")
+        stats = spark.read.parquet(f"{out}/stats")
+        from_index = {
+            tuple(r) for r in bm25_topk(docs, tf=tf, stats=stats).collect()
+        }
+        in_mem = {
+            tuple(r)
+            for r in bm25_topk(docs, tf=post, stats=stats_mem).collect()
+        }
+    finally:
+        release_post()
+        release_stats()
+    return local_df(
+        spark,
         [(meta["n_postings"], len(in_mem), len(from_index & in_mem))],
         "n_postings bigint, topk_rows bigint, n_agree bigint",
     )

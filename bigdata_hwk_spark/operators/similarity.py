@@ -748,9 +748,21 @@ def ann_lsh_pairs(
     long = _lsh_signature_table(embeddings, bits, tables, probes, seed, dim)
     a = long.alias("a")  # probe side: base + flipped buckets
     b = long.filter(F.col("fl") == 0).alias("b")  # indexed side: base only
+    # base∧base rows of a bucket meet TWICE (x probes y's bucket and y
+    # probes x's) and were only collapsed by the pair distinct; keeping
+    # just the a<b direction generates each base-base candidate once —
+    # fewer rows built, hashed and partially-deduped before the distinct
+    # shuffle (guide §2.3; candidate SET unchanged — flip-side rows keep
+    # both directions because a flip is not symmetric). Recall pin:
+    # test_extensions' (tables=4, probes=3) ≥ (8, 1) test is unchanged.
     cand = (
         a.join(b, ["t", "bk"])
-        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .filter(
+            F.when(
+                F.col("a.fl") == 0,
+                F.col("a.vec_id") < F.col("b.vec_id"),
+            ).otherwise(F.col("a.vec_id") != F.col("b.vec_id"))
+        )
         .select(
             F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_a"),
             F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_b"),
@@ -1067,6 +1079,7 @@ def kmeans_fit(
     iters: int = KMEANS_ITERS,
     sample_cap: int = 2048,
     inertia_out: list | None = None,
+    corpus: DataFrame | None = None,
 ) -> np.ndarray:
     """Distributed spherical k-means (Lloyd) over the embedding column →
     (k, dim) unit-norm float64 centroids.
@@ -1095,32 +1108,64 @@ def kmeans_fit(
     excluded from both the FFT seed sample and every partial-sum pass:
     without the filter, 0/0 → NaN rows and ``np.rint(NaN).astype(int64)``
     silently poisons the integer centroid partials.
+
+    ``corpus`` optionally injects a pre-built (vec_id, embedding)
+    projection — typically one the caller has already persisted and will
+    reuse for its own assignment pass — so clustering pipelines scan the
+    parquet input exactly once. When absent, the projection is persisted
+    here for the duration of the Lloyd loop (guide §5; r13 VERDICT item
+    4): each of the ``iters`` passes otherwise re-reads the corpus from
+    storage.
     """
     from .kcenter import sequential_fft
+    from ..session import persist_scoped
     from ..sources.tables import fan_out
 
-    # sorted on the driver: collect order follows partition layout, and
-    # the FFT seed starts from row 0 — sorting pins the init (and so the
-    # whole fit) to the DATA, not the layout
-    sample = sorted(
-        embeddings.select("vec_id", "embedding")
-        .filter(F.col("vec_id") < sample_cap)
-        .collect(),
-        key=lambda r: r.vec_id,
-    )
-    if not sample:
-        return np.zeros((0, 0))
-    smat = np.array([r.embedding for r in sample], dtype=np.float64)
-    snorms = np.linalg.norm(smat, axis=1, keepdims=True)
-    smat = smat[snorms[:, 0] > 0] / snorms[snorms[:, 0] > 0]
-    if smat.shape[0] == 0:
-        return np.zeros((0, 0))
-    dim = smat.shape[1]
-    centers = sequential_fft(smat, k)
-    k = len(centers)  # clamped when the corpus is smaller than k
-    centers = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    release = lambda: None  # noqa: E731
+    if corpus is None:
+        corpus, release = persist_scoped(
+            fan_out(embeddings.select("vec_id", "embedding")),
+            StorageLevel.MEMORY_AND_DISK,
+        )
+    try:
+        # sorted on the driver: collect order follows partition layout,
+        # and the FFT seed starts from row 0 — sorting pins the init (and
+        # so the whole fit) to the DATA, not the layout
+        sample = sorted(
+            corpus.filter(F.col("vec_id") < sample_cap).collect(),
+            key=lambda r: r.vec_id,
+        )
+        if not sample:
+            return np.zeros((0, 0))
+        smat = np.array([r.embedding for r in sample], dtype=np.float64)
+        snorms = np.linalg.norm(smat, axis=1, keepdims=True)
+        smat = smat[snorms[:, 0] > 0] / snorms[snorms[:, 0] > 0]
+        if smat.shape[0] == 0:
+            return np.zeros((0, 0))
+        dim = smat.shape[1]
+        centers = sequential_fft(smat, k)
+        k = len(centers)  # clamped when the corpus is smaller than k
+        centers = centers / np.linalg.norm(centers, axis=1, keepdims=True)
 
-    emb = fan_out(embeddings.select("embedding"))
+        return _kmeans_lloyd(
+            corpus.select("embedding"), centers, k, dim, iters, inertia_out
+        )
+    finally:
+        release()
+
+
+def _kmeans_lloyd(
+    emb: DataFrame,
+    centers: np.ndarray,
+    k: int,
+    dim: int,
+    iters: int,
+    inertia_out: list | None,
+) -> np.ndarray:
+    """The Lloyd loop of ``kmeans_fit`` over an (embedding)-only relation
+    (typically an InMemoryTableScan projection of the caller's persisted
+    corpus): one broadcast-centroid ``mapInPandas`` partial-sum pass per
+    iteration, exact integer fold on the driver."""
     for _ in range(iters):
         C = centers  # closure snapshot for this iteration
 
@@ -1227,10 +1272,21 @@ def semdedup_prune(
     same contract as ``similar_pairs_threshold``); the assign pass drops
     them before normalizing so NaN never reaches argmax or the prune.
     """
+    from ..session import finalize_release, persist_scoped
     from ..sources.tables import fan_out
 
-    centers = kmeans_fit(embeddings, k=k, iters=iters)
+    # ONE persisted (vec_id, embedding) projection feeds the FFT sample,
+    # every Lloyd iteration AND the assignment pass below (guide §5;
+    # r13 VERDICT item 4) — before, each of those was its own parquet
+    # scan. Released when the returned frame is garbage collected (the
+    # ``similar_pairs_threshold`` finalize_release pattern).
+    corpus, release = persist_scoped(
+        fan_out(embeddings.select("vec_id", "embedding")),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    centers = kmeans_fit(embeddings, k=k, iters=iters, corpus=corpus)
     if centers.size == 0:
+        release()
         return embeddings.sparkSession.createDataFrame(
             [], "vec_id bigint, cluster int, kept boolean, nn_cos double"
         )
@@ -1251,7 +1307,7 @@ def semdedup_prune(
             )
             yield out
 
-    assigned = fan_out(embeddings.select("vec_id", "embedding")).mapInPandas(
+    assigned = corpus.mapInPandas(
         assign, schema="vec_id bigint, embedding array<float>, cluster int"
     )
 
@@ -1334,9 +1390,11 @@ def semdedup_prune(
             }
         )
 
-    return assigned.groupBy("cluster").applyInPandas(
+    out = assigned.groupBy("cluster").applyInPandas(
         prune, schema="vec_id bigint, cluster int, kept boolean, nn_cos double"
     )
+    finalize_release(out, release)
+    return out
 
 
 def semdedup_kept_counts(
@@ -1351,8 +1409,9 @@ def semdedup_kept_counts(
     means k is too small for the O(c²) per-cluster pass). Rows-only
     registry surface: the kept decision depends on k-means iterations,
     which SQL cannot express; its invariants are property-tested."""
-    return (
-        semdedup_prune(embeddings, k=k, tau=tau, iters=iters)
+    pruned = semdedup_prune(embeddings, k=k, tau=tau, iters=iters)
+    out = (
+        pruned
         .groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
@@ -1360,6 +1419,12 @@ def semdedup_kept_counts(
         )
         .orderBy("cluster")
     )
+    # keep the prune frame (and so its scoped corpus cache — see the
+    # finalize_release in semdedup_prune) alive until THIS frame dies,
+    # so the assignment pass still reads the cache when the caller
+    # finally runs the aggregate
+    out._semdedup_pruned_ref = pruned
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -2105,14 +2170,24 @@ def cluster_balanced_counts(
     tests.
     """
     from ..functions.hashing import md5_hash64
+    from ..session import finalize_release, persist_scoped
     from ..sources.tables import fan_out
 
     spark = embeddings.sparkSession
     out_schema = "cluster int, n_vecs bigint, quota bigint, n_kept bigint"
-    centers = kmeans_fit(embeddings, k=k, iters=iters)
+    # ONE persisted projection for the whole pipeline: FFT sample, every
+    # Lloyd iteration, the corpus count AND the assignment pass (guide
+    # §5; r13 VERDICT item 4) — before, each was its own parquet scan
+    # (iters + 3 scans per run, the family's measured wall).
+    corpus, release = persist_scoped(
+        fan_out(embeddings.select("vec_id", "embedding")),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    centers = kmeans_fit(embeddings, k=k, iters=iters, corpus=corpus)
     if centers.size == 0:
+        release()
         return spark.createDataFrame([], out_schema)
-    n_total = embeddings.count()
+    n_total = corpus.count()
     k_eff = len(centers)
     quota = -(-int(n_total * frac) // k_eff)  # ceil
 
@@ -2132,7 +2207,7 @@ def cluster_balanced_counts(
             )
             yield out
 
-    assigned = fan_out(embeddings.select("vec_id", "embedding")).mapInPandas(
+    assigned = corpus.mapInPandas(
         assign, schema="vec_id bigint, cluster int"
     )
     w = Window.partitionBy("cluster").orderBy(
@@ -2140,7 +2215,7 @@ def cluster_balanced_counts(
         "vec_id",
     )
     ranked = assigned.withColumn("rk", F.row_number().over(w))
-    return (
+    out = (
         ranked.groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
@@ -2154,6 +2229,8 @@ def cluster_balanced_counts(
         )
         .orderBy("cluster")
     )
+    finalize_release(out, release)
+    return out
 
 
 # ---------------------------------------------------------------------------
