@@ -91,6 +91,34 @@ def fuzzy_link_summary(customer: DataFrame, max_ed: int = 1) -> DataFrame:
     ckeys = _with_keys(
         customer.select("c_custkey", "c_name"), "c_name", max_ed
     )
+    # FastSS length pruning (lossless; guide §2.3 "shuffle fewer bytes",
+    # r14): a shared key u reached by i deletions from the dirty name
+    # and j from the canonical one satisfies len(u) = len(dirty) − i =
+    # len(c_name) − j with 0 ≤ i, j ≤ max_ed, so a key can only ever
+    # meet a partner when its length lies in [other side's min length −
+    # max_ed, other side's max length]. Two scalar aggregates bound each
+    # side; keys outside the band are dropped BEFORE the join. Every
+    # cover key of a true ed ≤ max_ed pair survives both filters (same
+    # string, same length), so blocking recall is untouched — pinned vs
+    # brute force on varied-length names in tests/test_round14_ops.py.
+    # On id-like names (fixed-width, zero-padded) this deletes the
+    # entire deepest deletion layer of the shorter side wholesale —
+    # at ed2 that layer is ~80 % of the dirty side's key inventory and
+    # the dominant join fan-in (the r13→r14 fuzzy_link_summary_ed2
+    # adjudication, VERDICT r13 item 5).
+    lens = customer.agg(
+        F.min(F.length("c_name")).alias("clo"),
+        F.max(F.length("c_name")).alias("chi"),
+        F.min(F.length(F.expr(_DIRTY_EXPR))).alias("dlo"),
+        F.max(F.length(F.expr(_DIRTY_EXPR))).alias("dhi"),
+    ).first()
+    if lens.clo is not None:
+        dkeys = dkeys.filter(
+            F.length("bkey").between(lens.clo - max_ed, lens.chi)
+        )
+        ckeys = ckeys.filter(
+            F.length("bkey").between(lens.dlo - max_ed, lens.dhi)
+        )
     # Verify BEFORE the pair distinct: levenshtein runs in codegen on the
     # join output (a pair appears once per shared key, a small constant),
     # while the distinct — the one real shuffle — then carries only two
