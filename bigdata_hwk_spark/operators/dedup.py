@@ -739,17 +739,25 @@ def _band_keys_from_shingles(ex: DataFrame, h: int, r: int) -> DataFrame:
     ``_minhash_from_shingles``: the sorted struct list's ``.mh``
     projection IS the i-ordered slice, and the xxhash64 input types
     (int band, array<bigint> slice) are unchanged. One shuffle total
-    (the per-doc min aggregate), H/r struct entries exploded per doc."""
+    (the per-doc min aggregate), ceil(H/r) struct entries exploded per
+    doc — including the TRAILING PARTIAL band when r does not divide h
+    (r13 ADVICE: the first cut iterated range(h // r) and silently
+    dropped minhash rows h−(h%r)..h−1 for non-divisible configs, while
+    the long form emits them as band h//r; pinned equal at (16, 5) in
+    tests/test_round14_ops.py)."""
     wide = _minhash_wide(ex, h)
     structs = F.array(
         *[
             F.struct(
                 F.lit(bnd).cast("int").alias("band"),
                 F.array(
-                    *[F.col(f"__mh{i}") for i in range(bnd * r, (bnd + 1) * r)]
+                    *[
+                        F.col(f"__mh{i}")
+                        for i in range(bnd * r, min((bnd + 1) * r, h))
+                    ]
                 ).alias("slice_"),
             )
-            for bnd in range(h // r)
+            for bnd in range(-(-h // r))
         ]
     )
     return wide.select("doc_id", F.explode(structs).alias("s")).select(

@@ -46,6 +46,29 @@ from pyspark.storagelevel import StorageLevel
 
 PR_DAMPING = 0.85
 PR_ITERS = 10
+
+# per-group cap for the local |S|² pair explosion (r13 ADVICE): the
+# collect_set device builds the whole pair array of one order in ONE
+# task row — sound under TPC-H's ≤ 7 lineitems/order, but an arbitrary
+# lineitem frame with a high-cardinality group must fail loudly instead
+# of silently building a quadratic array (2048² structs ≈ 67 MB is the
+# last survivable size; the old self-join distributed that blowup)
+COPURCHASE_MAX_BASKET = 2048
+
+
+def _bounded_pair_arr(pair_arr):
+    """Wrap a per-group pair array in the documented fan-out assumption:
+    rows whose source set exceeds ``COPURCHASE_MAX_BASKET`` raise
+    instead of exploding quadratically in task memory."""
+    return F.when(F.size("pks") <= COPURCHASE_MAX_BASKET, pair_arr).otherwise(
+        F.raise_error(
+            F.lit(
+                "copurchase basket exceeds "
+                f"{COPURCHASE_MAX_BASKET} parts — the local pair "
+                "explosion assumes bounded per-order fan-out"
+            )
+        )
+    )
 PR_TOPK = 20
 
 
@@ -79,7 +102,7 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
         )
     )
     return (
-        sets.select(F.explode(pair_arr).alias("e"))
+        sets.select(F.explode(_bounded_pair_arr(pair_arr)).alias("e"))
         .filter(F.col("e.src") != F.col("e.dst"))
         .groupBy(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
         .agg(F.count(F.lit(1)).cast("double").alias("weight"))
@@ -237,7 +260,7 @@ def copurchase_triangles(lineitem: DataFrame) -> DataFrame:
         )
     )
     pairs = (
-        sets.select(F.explode(pair_arr).alias("e"))
+        sets.select(F.explode(_bounded_pair_arr(pair_arr)).alias("e"))
         .filter(F.col("e.u") < F.col("e.v"))
         .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
         .distinct()

@@ -90,6 +90,13 @@ COVERAGE_SHINGLE_W = 3
 # output, candidate-pruned per-round work)
 COVERAGE_LAZY_GATE_K = 32
 LAZY_PROBE_BATCH = 64
+# touched-set spelling gate for the lazy bounds view: up to this many
+# ids the NOT-IN stays a literal In-list (cheapest to plan and execute);
+# past it — large k · probe_batch runs — the list becomes a broadcast
+# Arrow table + left_anti join, so the Catalyst expression tree stops
+# growing with the selection budget (r13 ADVICE: an unbounded In-list
+# grows per-round analysis cost and can hit plan-size limits)
+COVERAGE_TOUCHED_INLIST_MAX = 1024
 # range partitions for the doc-sorted parquet index (index_dir mode):
 # enough files that a candidate IN-filter skips most of them via
 # row-group doc_id stats, few enough that the build's range shuffle
@@ -265,11 +272,19 @@ def lazy_greedy_coverage_select(
 
     def bounds_view():
         touched = list(dropped) + list(overrides)
-        view = (
-            bounds_base.filter(~F.col("doc_id").isin(touched))
-            if touched
-            else bounds_base
-        )
+        if not touched:
+            view = bounds_base
+        elif len(touched) <= COVERAGE_TOUCHED_INLIST_MAX:
+            view = bounds_base.filter(~F.col("doc_id").isin(touched))
+        else:
+            # ship the touched ids as ONE broadcast Arrow batch and
+            # anti-join: O(1) expression-tree size at any k
+            t = local_df(
+                spark,
+                [(int(d),) for d in sorted(touched)],
+                "doc_id bigint",
+            )
+            view = bounds_base.join(F.broadcast(t), "doc_id", "left_anti")
         if overrides:
             view = view.union(
                 local_df(

@@ -120,11 +120,18 @@ def local_df(spark, rows, schema: str):
 
     Use for CLEANLY-TYPED local tables (ints/floats/strings/float
     arrays, no None-valued numeric cells — pandas would widen those to
-    NaN floats). Falls back to the classic path for empty input.
+    NaN floats). Falls back to the classic path for empty input, and —
+    enforcing the documented constraint instead of assuming it (r13
+    ADVICE) — for any row containing a None cell: misuse then degrades
+    to the slow-but-correct pickled path rather than NaN-widening or an
+    Arrow cast error mid-query. The scan is O(cells) over a table that
+    is small by contract.
     """
     rows = rows if isinstance(rows, list) else list(rows)
     if not rows:
         return spark.createDataFrame([], schema)
+    if any(v is None for row in rows for v in row):
+        return spark.createDataFrame(rows, schema)
     if isinstance(schema, str):
         names = _LOCAL_DF_NAMES.get(schema)
         if names is None:
