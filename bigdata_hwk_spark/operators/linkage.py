@@ -67,12 +67,36 @@ _DELETION_KEYS2_EXPR = (
 
 
 def _with_keys(df: DataFrame, name_col: str, max_ed: int = 1) -> DataFrame:
-    if max_ed not in (1, 2):
-        raise ValueError(f"deletion blocking supports max_ed 1 or 2, got {max_ed}")
-    expr = _DELETION_KEYS_EXPR if max_ed == 1 else _DELETION_KEYS2_EXPR
+    if max_ed not in (0, 1, 2):
+        raise ValueError(
+            f"deletion blocking supports max_ed 0, 1 or 2, got {max_ed}"
+        )
+    if max_ed == 0:
+        # identity key only — the depth a side degrades to when the
+        # other side's key lengths make every deletion layer unmeetable
+        # (see _effective_depth)
+        expr = "array({s})"
+    else:
+        expr = _DELETION_KEYS_EXPR if max_ed == 1 else _DELETION_KEYS2_EXPR
     return df.withColumn(
         "bkey", F.explode(F.expr(expr.format(s=name_col)))
     )
+
+
+def _effective_depth(max_ed: int, max_len_side: int, min_len_other: int) -> int:
+    """Deepest deletion layer of one side that can still MEET a partner
+    key from the other side (FastSS length algebra): a depth-``d`` key
+    has length ``len(name) − d`` and the other side only produces keys
+    of length ≥ ``min_len_other − max_ed``, so layer ``d`` is dead for
+    the WHOLE side once ``max_len_side − d < min_len_other − max_ed``.
+    Generating a dead layer and filtering it away costs the full
+    O(len^d) string construction per row — skipping generation is the
+    same key set for free (the r14 fuzzy-linkage decomposition measured
+    key GENERATION, not the join, as half the ed2 wall)."""
+    d = max_ed
+    while d > 0 and max_len_side - d < min_len_other - max_ed:
+        d -= 1
+    return d
 
 
 def fuzzy_link_summary(customer: DataFrame, max_ed: int = 1) -> DataFrame:
@@ -87,25 +111,25 @@ def fuzzy_link_summary(customer: DataFrame, max_ed: int = 1) -> DataFrame:
         F.col("c_custkey").alias("dirty_id"),
         F.expr(_DIRTY_EXPR).alias("dirty_name"),
     )
-    dkeys = _with_keys(dirty, "dirty_name", max_ed)
-    ckeys = _with_keys(
-        customer.select("c_custkey", "c_name"), "c_name", max_ed
-    )
-    # FastSS length pruning (lossless; guide §2.3 "shuffle fewer bytes",
-    # r14): a shared key u reached by i deletions from the dirty name
-    # and j from the canonical one satisfies len(u) = len(dirty) − i =
-    # len(c_name) − j with 0 ≤ i, j ≤ max_ed, so a key can only ever
-    # meet a partner when its length lies in [other side's min length −
-    # max_ed, other side's max length]. Two scalar aggregates bound each
-    # side; keys outside the band are dropped BEFORE the join. Every
-    # cover key of a true ed ≤ max_ed pair survives both filters (same
-    # string, same length), so blocking recall is untouched — pinned vs
-    # brute force on varied-length names in tests/test_round14_ops.py.
-    # On id-like names (fixed-width, zero-padded) this deletes the
-    # entire deepest deletion layer of the shorter side wholesale —
-    # at ed2 that layer is ~80 % of the dirty side's key inventory and
-    # the dominant join fan-in (the r13→r14 fuzzy_link_summary_ed2
-    # adjudication, VERDICT r13 item 5).
+    # FastSS length pruning (lossless; guide §2.3 "shuffle fewer bytes" +
+    # §1.2 "per-task work", r14): a shared key u reached by i deletions
+    # from the dirty name and j from the canonical one satisfies
+    # len(u) = len(dirty) − i = len(c_name) − j with 0 ≤ i, j ≤ max_ed,
+    # so a key can only ever meet a partner when its length lies in
+    # [other side's min length − max_ed, other side's max length]. Two
+    # scalar length aggregates bound each side; then
+    #   (a) whole deletion LAYERS that are dead for the entire side are
+    #       never GENERATED (_effective_depth — generation, not the
+    #       join, measured as half the ed2 wall: the depth-2 transform
+    #       builds O(len²) strings per row), and
+    #   (b) the per-key length band drops the remainder before the join.
+    # Every cover key of a true ed ≤ max_ed pair survives (same string,
+    # same length on both sides), so blocking recall is untouched —
+    # pinned vs brute force on varied-length names in
+    # tests/test_round14_ops.py. On the fixture's fixed-width names this
+    # reduces the dirty side to depth ≤ max_ed−1 (identity-only at ed1)
+    # and drops the canonical identity layer (the r13→r14
+    # fuzzy_link_summary_ed2 adjudication, VERDICT r13 item 5).
     lens = customer.agg(
         F.min(F.length("c_name")).alias("clo"),
         F.max(F.length("c_name")).alias("chi"),
@@ -113,21 +137,34 @@ def fuzzy_link_summary(customer: DataFrame, max_ed: int = 1) -> DataFrame:
         F.max(F.length(F.expr(_DIRTY_EXPR))).alias("dhi"),
     ).first()
     if lens.clo is not None:
-        dkeys = dkeys.filter(
+        d_dirty = _effective_depth(max_ed, lens.dhi, lens.clo)
+        d_canon = _effective_depth(max_ed, lens.chi, lens.dlo)
+        dkeys = _with_keys(dirty, "dirty_name", d_dirty).filter(
             F.length("bkey").between(lens.clo - max_ed, lens.chi)
         )
-        ckeys = ckeys.filter(
-            F.length("bkey").between(lens.dlo - max_ed, lens.dhi)
+        ckeys = _with_keys(
+            customer.select("c_custkey", "c_name"), "c_name", d_canon
+        ).filter(F.length("bkey").between(lens.dlo - max_ed, lens.dhi))
+    else:  # empty input: degenerate, no pruning stats
+        dkeys = _with_keys(dirty, "dirty_name", max_ed)
+        ckeys = _with_keys(
+            customer.select("c_custkey", "c_name"), "c_name", max_ed
         )
     # Verify BEFORE the pair distinct: levenshtein runs in codegen on the
     # join output (a pair appears once per shared key, a small constant),
     # while the distinct — the one real shuffle — then carries only two
     # 8-byte ids instead of both name strings (measured: the id-only
     # distinct is what the 64× wall is made of; same result because the
-    # verdict is a pure function of the pair).
+    # verdict is a pure function of the pair). BANDED levenshtein
+    # (threshold form, Spark 3.5+): the verify only needs "≤ max_ed",
+    # and the banded DP computes O(max_ed·len) cells instead of
+    # O(len²), returning −1 past the threshold — measured 3.85 → 3.00 s
+    # on the ed2 join at sf0.1 with a set-identical result.
     matches = (
         dkeys.join(ckeys, "bkey")
-        .filter(F.levenshtein(F.col("dirty_name"), F.col("c_name")) <= max_ed)
+        .filter(
+            F.levenshtein(F.col("dirty_name"), F.col("c_name"), max_ed) >= 0
+        )
         .select("dirty_id", "c_custkey")
         .distinct()
     )
