@@ -119,6 +119,7 @@ def greedy_coverage_select(
     if k > COVERAGE_LAZY_GATE_K:
         return lazy_greedy_coverage_select(documents, k=k, w=w)
     from ..functions.hashing import md5_hash64
+    from ..session import persist_scoped
     from .dedup import doc_shingles
 
     spark = documents.sparkSession
@@ -130,39 +131,53 @@ def greedy_coverage_select(
     # and the index side never reshuffles or rewrites. (A "shrinking
     # remaining" variant that localCheckpoints the survivor table each
     # round rewrites the whole index k times — strictly worse I/O at
-    # scale; at fixture scale both variants are dominated by the fixed
-    # per-round sequential-job scheduling cost of any exact greedy loop.)
-    sh = (
-        doc_shingles(documents, w=w)
-        .select("doc_id", md5_hash64(F.col("sh")).alias("h"))
-        .localCheckpoint()
+    # scale.) r14: persist_scoped instead of localCheckpoint — the
+    # persist piggybacks on round 1's gain job instead of paying its own
+    # materialization job, and MEMORY_AND_DISK keeps the spill posture.
+    sh, release_sh = persist_scoped(
+        doc_shingles(documents, w=w).select(
+            "doc_id", md5_hash64(F.col("sh")).alias("h")
+        )
     )
     # The covered set lives on the DRIVER as a plain hash set: it is
     # bounded by the union of the k winners' shingle hashes — exactly
     # the relation the previous implementation broadcast to every
     # executor each round, so the memory posture is unchanged — and the
     # driver-side union replaces the per-round union→distinct shuffle +
-    # localCheckpoint job with one pushed-down single-doc collect
-    # (measured: 2 jobs/round instead of 3, no per-round shuffle).
+    # localCheckpoint job with one pushed-down single-doc collect.
+    # r14: ONE action per round — the winner's UNCOVERED hashes ride
+    # the gain job itself (broadcast-join the top-1 doc id back onto the
+    # anti-joined index), so `len(rows)` IS the marginal gain (the index
+    # is per-doc-distinct) and the separate winner-fetch job disappears
+    # (measured: 2 jobs/round → 1; the covered union only ever needed
+    # the winner's uncovered hashes — the covered ones are in the set
+    # already).
     covered_hashes: set[int] = set()
-    for i in range(1, k + 1):
-        covered = _covered_df(spark, covered_hashes)
-        uncovered = sh.join(F.broadcast(covered), "h", "left_anti")
-        gain = (
-            uncovered.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("g"))
-            .orderBy(F.col("g").desc(), F.col("doc_id").asc())
-            .limit(1)
-            .collect()
-        )
-        if not gain or gain[0].g == 0:
-            break
-        doc, g = int(gain[0].doc_id), int(gain[0].g)
-        total += g
-        trace.append((i, doc, g, total))
-        covered_hashes.update(
-            sh.filter(F.col("doc_id") == doc).select("h").toPandas()["h"]
-        )
+    try:
+        for i in range(1, k + 1):
+            covered = _covered_df(spark, covered_hashes)
+            uncovered = sh.join(F.broadcast(covered), "h", "left_anti")
+            top1 = (
+                uncovered.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("g"))
+                .orderBy(F.col("g").desc(), F.col("doc_id").asc())
+                .limit(1)
+            )
+            rows = (
+                uncovered.join(
+                    F.broadcast(top1.select("doc_id")), "doc_id"
+                )
+                .select("doc_id", "h")
+                .collect()
+            )
+            if not rows:  # no uncovered posting anywhere: every
+                break     # remaining gain is 0 — exact greedy stops
+            doc, g = int(rows[0].doc_id), len(rows)
+            total += g
+            trace.append((i, doc, g, total))
+            covered_hashes.update(int(r.h) for r in rows)
+    finally:
+        release_sh()
     return local_df(
         spark, trace,
         "rnk int, doc_id bigint, marginal_gain bigint, covered_total bigint",
