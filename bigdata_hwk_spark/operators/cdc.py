@@ -200,10 +200,27 @@ def ivm_revenue_by_flag(
     CDC-loop lineage discipline). Batch assignment is deterministic
     (``l_orderkey % n_batches`` — a stand-in for arrival chunks; the
     algebra is assignment-independent and tests exercise a second
-    split)."""
+    split).
+
+    r14 (guide §5): the fixture DERIVES the deltas by filtering one
+    table, so the loop was n_batches full parquet scans; the 5-column
+    projection is now persisted for the loop's duration (production
+    deltas arrive as separate inputs — the cache stands in for not
+    re-reading the full history per batch)."""
+    from ..session import persist_scoped
+
+    cols, release = persist_scoped(
+        lineitem.select(
+            "l_orderkey",
+            "l_returnflag",
+            "l_linestatus",
+            "l_extendedprice",
+            "l_discount",
+        )
+    )
     state: DataFrame | None = None
     for b in range(n_batches):
-        delta = lineitem.filter(
+        delta = cols.filter(
             F.col("l_orderkey") % n_batches == b
         )
         agg = delta.groupBy("l_returnflag", "l_linestatus").agg(
@@ -225,8 +242,17 @@ def ivm_revenue_by_flag(
                     F.sum("n_rows").alias("n_rows"),
                     F.sum("revenue_cents").alias("revenue_cents"),
                 )
-                .localCheckpoint()
             )
+            # checkpoint every SECOND fold (and always the last) — the
+            # pagerank loop's device: a 2-fold-deep lineage plans fine
+            # and halving the eager materializations halves the
+            # sequential job count, the actual wall cost of the loop at
+            # ≤|groups|-row state size
+            if b % 2 == 1 or b == n_batches - 1:
+                state = state.localCheckpoint()
+    # every fold is checkpoint-materialized, so the scoped cache is not
+    # referenced by the returned state
+    release()
     return state
 
 
